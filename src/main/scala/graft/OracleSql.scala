@@ -1,0 +1,294 @@
+package graft
+
+/** DuckDB oracle SQL, one entry per SparkEntry.queries key.
+  *
+  * Fragments mirror graft.Cols exactly: aggregates over 2-decimal double
+  * columns run through exact DECIMAL(18,2) sums so Spark and DuckDB
+  * produce bit-identical doubles regardless of accumulation order; any
+  * remaining double arithmetic is written as the same IEEE expression
+  * tree on both sides.
+  */
+object OracleSql {
+  /** Exact sum of a 2-decimal double column (Cols.dsum). */
+  def dsum(c: String): String = s"sum($c::DECIMAL(18,2))::DOUBLE"
+  /** Exact mean (Cols.davg). */
+  def davg(c: String): String = s"(sum($c::DECIMAL(18,2))::DOUBLE / count($c))"
+  /** Exact-moment sample stddev (Cols.dstddev). */
+  def dstddev(c: String): String = {
+    val sx  = s"sum($c::DECIMAL(18,2))::DOUBLE"
+    val sxx = s"sum(($c::DECIMAL(18,2) * $c::DECIMAL(18,2))::DECIMAL(38,4))::DOUBLE"
+    val n   = s"count($c)::DOUBLE"
+    s"CASE WHEN count($c) > 1 THEN sqrt(($sxx - $sx * $sx / $n) / ($n - 1.0)) END"
+  }
+  /** TPC-H revenue term: Σ extprice×(1−discount), exact. */
+  val rev: String =
+    "sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(38,4))::DOUBLE"
+
+  val all: Map[String, String] = Map(
+    // ---- relational / star-schema ----
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  $rev AS sum_disc_price,
+         |  ${davg("l_quantity")} AS avg_qty,
+         |  ${davg("l_extendedprice")} AS avg_price,
+         |  ${davg("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $rev AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      s"""SELECT n_name, $rev AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "join_semi_orders" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders, ${dsum("o_totalprice")} AS sum_price
+         |FROM orders WHERE EXISTS (
+         |  SELECT 1 FROM lineitem
+         |  WHERE l_orderkey = o_orderkey AND l_extendedprice > 50000)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "join_anti_customers" ->
+      s"""SELECT c_mktsegment, count(*) AS n_inactive, ${dsum("c_acctbal")} AS sum_acctbal
+         |FROM customer WHERE NOT EXISTS (
+         |  SELECT 1 FROM orders
+         |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "brand_price_agg" ->
+      s"""SELECT p_brand, count(*) AS n_lines,
+         |  ${davg("l_extendedprice")} AS avg_price,
+         |  ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // ---- time-series analytics over events (A*) ----
+    "a1_device_summary" ->
+      s"""SELECT user_id, count(*) AS total_readings,
+         |  min(ts) AS first_seen, max(ts) AS last_seen,
+         |  ${davg("value")} AS avg_value,
+         |  arg_max(value, ts) AS last_value,
+         |  count(*) FILTER (WHERE event_type = 'error') AS error_count
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a2_hourly_agg" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+         |  count(*) AS n, ${davg("value")} AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
+
+    "a3_daily_agg" ->
+      s"""SELECT bucket, user_id, n, avg_value, first_value, last_value,
+         |  last_value - first_value AS value_change
+         |FROM (
+         |  SELECT date_trunc('day', ts) AS bucket, user_id, count(*) AS n,
+         |    ${davg("value")} AS avg_value,
+         |    arg_min(value, ts) AS first_value,
+         |    arg_max(value, ts) AS last_value
+         |  FROM events GROUP BY bucket, user_id)
+         |ORDER BY bucket, user_id""".stripMargin,
+
+    "a4_device_stats" ->
+      s"""SELECT user_id, event_type, count(*) AS reading_count,
+         |  min(ts) AS first_reading, max(ts) AS last_reading,
+         |  ${davg("value")} AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+
+    "a5_timeseries_stats" ->
+      s"""SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket, user_id,
+         |  count(*) AS n, ${davg("value")} AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events
+         |WHERE user_id < 50 AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+         |GROUP BY bucket, user_id ORDER BY bucket, user_id""".stripMargin,
+
+    "a6_daily_distribution" ->
+      s"""SELECT date_trunc('day', ts) AS bucket, event_type,
+         |  count(DISTINCT user_id) AS n_devices, count(*) AS n,
+         |  ${davg("value")} AS avg_value,
+         |  ${dstddev("value")} AS stddev_value,
+         |  round(quantile_cont(value, 0.5), 6) AS median_value,
+         |  round(quantile_cont(value, 0.95), 6) AS p95_value
+         |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
+
+    "a7_rollup_15min" ->
+      s"""SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket, event_type,
+         |  ${davg("value")} AS avg_value,
+         |  arg_max(value, ts) AS last_value, max(ts) AS last_ts
+         |FROM events WHERE event_type IN ('click', 'view')
+         |GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
+
+    "a8_range_agg" ->
+      s"""SELECT user_id, ${davg("value")} AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value, count(*) AS n
+         |FROM events
+         |WHERE ts BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-20'
+         |  AND event_type = 'purchase'
+         |GROUP BY user_id ORDER BY avg_value DESC, user_id""".stripMargin,
+
+    "a9_table_stats" ->
+      s"""SELECT count(*) AS total_rows,
+         |  count(DISTINCT user_id) AS n_devices,
+         |  count(DISTINCT event_type) AS n_types,
+         |  min(ts) AS min_ts, max(ts) AS max_ts,
+         |  count(*) FILTER (WHERE event_type = 'error') AS error_count,
+         |  ${davg("value")} AS avg_value
+         |FROM events""".stripMargin,
+
+    "a10_recent_distribution" ->
+      s"""SELECT event_type, count(*) AS n, ${davg("value")} AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events
+         |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOURS
+         |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
+
+    "a11_duplicate_detection" ->
+      """SELECT count(*)::BIGINT AS n_duplicate_pairs,
+        |  coalesce(sum(c - 1), 0)::BIGINT AS n_excess_rows
+        |FROM (SELECT user_id, ts, count(*) AS c FROM events
+        |      GROUP BY user_id, ts HAVING count(*) > 1)""".stripMargin,
+
+    // ---- window analytics (W*) ----
+    "w1_gap_detection" ->
+      """WITH l AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events)
+        |SELECT user_id, ts, prev_ts,
+        |  (epoch_us(ts) - epoch_us(prev_ts)) / 60000000.0 AS gap_minutes
+        |FROM l
+        |WHERE (epoch_us(ts) - epoch_us(prev_ts)) / 60000000.0 > 60
+        |ORDER BY user_id, ts""".stripMargin,
+
+    "w2_moving_avg" ->
+      """SELECT user_id, ts, value,
+        |  (sum(value::DECIMAL(18,2)) OVER w)::DOUBLE / (count(*) OVER w) AS moving_avg_12,
+        |  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS value_delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts""".stripMargin,
+
+    "w3_rate_of_change" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS dt_us
+        |  FROM events)
+        |SELECT user_id, ts,
+        |  (value - prev_value) / (dt_us / 3600000000.0) AS rate_per_hour
+        |FROM l WHERE dt_us > 0 ORDER BY user_id, ts""".stripMargin,
+
+    // ---- sorts / limits (O*) ----
+    "o1_recent_readings" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOURS
+        |ORDER BY ts DESC""".stripMargin,
+
+    "o2_anomalous_readings" ->
+      """SELECT event_id, ts, user_id, value FROM events
+        |WHERE event_type = 'error' ORDER BY ts DESC""".stripMargin,
+
+    "o3_recent_topn" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |ORDER BY ts DESC LIMIT 100""".stripMargin,
+
+    // ---- row transforms (T*) / integrity (L8) ----
+    "t1_fanout" ->
+      """SELECT * FROM (
+        |  SELECT user_id::VARCHAR || '_value' AS device_id, event_id, ts,
+        |    'value' AS metric, value AS metric_value FROM events
+        |  UNION ALL
+        |  SELECT user_id::VARCHAR || '_props_k', event_id, ts,
+        |    'props_k', json_extract_string(props, '$.k')::DOUBLE FROM events)
+        |WHERE metric_value IS NOT NULL ORDER BY event_id, metric""".stripMargin,
+
+    "t4_battery_pct" ->
+      """SELECT event_id, value,
+        |  (CASE WHEN value <= 50.0 THEN 0.0
+        |        WHEN value >= 450.0 THEN 100.0
+        |        ELSE (value - 50.0) * 0.25 END)::DOUBLE AS battery_pct
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "t6_clamp_ts" ->
+      """SELECT event_id, ts,
+        |  CASE WHEN ts < TIMESTAMP '2024-01-05' THEN TIMESTAMP '2024-01-05'
+        |       WHEN ts > TIMESTAMP '2024-01-25' THEN TIMESTAMP '2024-01-25'
+        |       ELSE ts END AS ts_clamped,
+        |  ts <> (CASE WHEN ts < TIMESTAMP '2024-01-05' THEN TIMESTAMP '2024-01-05'
+        |              WHEN ts > TIMESTAMP '2024-01-25' THEN TIMESTAMP '2024-01-25'
+        |              ELSE ts END) AS was_clamped
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "t7_valid_counts" ->
+      """SELECT event_type, count(*) AS n_total,
+        |  count(*) FILTER (WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL AND value IS NOT NULL
+        |    AND value >= 0 AND value <= 1000) AS n_valid,
+        |  count(*) FILTER (WHERE NOT (user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL AND value IS NOT NULL
+        |    AND value >= 0 AND value <= 1000)) AS n_invalid
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "t9_anomaly_flags" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(*) FILTER (WHERE (event_type = 'purchase' AND value > 400.0)
+        |    OR event_type = 'error' OR value > 480.0) AS n_anomalies,
+        |  (count(*) FILTER (WHERE (event_type = 'purchase' AND value > 400.0)
+        |    OR event_type = 'error' OR value > 480.0))::DOUBLE * 100.0
+        |    / count(*)::DOUBLE AS anomaly_pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "t10_alerts" ->
+      """SELECT event_id, ts, user_id, event_type, value,
+        |  CASE WHEN event_type = 'error' AND value > 300 THEN 'CRITICAL'
+        |       WHEN event_type = 'error' THEN 'WARNING'
+        |       WHEN value > 450 THEN 'HIGH_VALUE' END AS alert_level
+        |FROM events
+        |WHERE (CASE WHEN event_type = 'error' AND value > 300 THEN 'CRITICAL'
+        |            WHEN event_type = 'error' THEN 'WARNING'
+        |            WHEN value > 450 THEN 'HIGH_VALUE' END) IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "l8_integrity" ->
+      """SELECT e.*, d.duplicate_pairs FROM (
+        |  SELECT count(*) AS total_rows,
+        |    count(*) FILTER (WHERE user_id IS NULL) AS null_ids,
+        |    count(*) FILTER (WHERE ts > TIMESTAMP '2024-02-01') AS future_ts,
+        |    count(*) FILTER (WHERE value < 0 OR value > 1000) AS out_of_range,
+        |    count(*) FILTER (WHERE value IS NULL) AS null_values
+        |  FROM events) e
+        |CROSS JOIN (
+        |  SELECT count(*) AS duplicate_pairs FROM (
+        |    SELECT user_id, ts FROM events GROUP BY user_id, ts
+        |    HAVING count(*) > 1)) d""".stripMargin
+  )
+}

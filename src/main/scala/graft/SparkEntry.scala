@@ -1,13 +1,72 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.analytics.{EventAnalytics => EA, Relational => R}
+import graft.operators.{EventOps => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory (one entry per implemented
+  * SURVEY.md §2 operator); `oracleSql` carries the DuckDB-equivalent SQL
+  * for the driver's correctness gate. Column names are aligned
+  * one-to-one between the Spark result and the oracle result.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    R.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational / star-schema (SURVEY §2.5, §2.6)
+    "q1_pricing_summary"  -> (R.q1PricingSummary(_, _)),
+    "q3_top_revenue"      -> (R.q3TopRevenue(_, _)),
+    "q5_region_revenue"   -> (R.q5RegionRevenue(_, _)),
+    "join_semi_orders"    -> (R.joinSemiOrders(_, _)),
+    "join_anti_customers" -> (R.joinAntiCustomers(_, _)),
+    "topk_orders"         -> (R.topkOrders(_, _)),
+    "brand_price_agg"     -> (R.brandPriceAgg(_, _)),
+    // aggregations (SURVEY §2.3)
+    "a1_device_summary"       -> (EA.a1DeviceSummary(_, _)),
+    "a2_hourly_agg"           -> (EA.a2HourlyAgg(_, _)),
+    "a3_daily_agg"            -> (EA.a3DailyAgg(_, _)),
+    "a4_device_stats"         -> (EA.a4DeviceStats(_, _)),
+    "a5_timeseries_stats"     -> (EA.a5TimeseriesStats(_, _)),
+    "a6_daily_distribution"   -> (EA.a6DailyDistribution(_, _)),
+    "a7_rollup_15min"         -> (EA.a7Rollup15min(_, _)),
+    "a8_range_agg"            -> (EA.a8RangeAgg(_, _)),
+    "a9_table_stats"          -> (EA.a9TableStats(_, _)),
+    "a10_recent_distribution" -> (EA.a10RecentDistribution(_, _)),
+    "a11_duplicate_detection" -> (EA.a11DuplicateDetection(_, _)),
+    // window analytics (SURVEY §2.4)
+    "w1_gap_detection"  -> (EA.w1GapDetection(_, _)),
+    "w2_moving_avg"     -> (EA.w2MovingAvg(_, _)),
+    "w3_rate_of_change" -> (EA.w3RateOfChange(_, _)),
+    // sorts / limits (SURVEY §2.6)
+    "o1_recent_readings"   -> (EA.o1RecentReadings(_, _)),
+    "o2_anomalous_readings"-> (EA.o2AnomalousReadings(_, _)),
+    "o3_recent_topn"       -> (EA.o3RecentTopN(_, _)),
+    // row transforms + integrity (SURVEY §2.2, §2.7)
+    "t1_fanout"        -> (T.t1Fanout(_, _)),
+    "t4_battery_pct"   -> (T.t4BatteryPct(_, _)),
+    "t6_clamp_ts"      -> (T.t6ClampTs(_, _)),
+    "t7_valid_counts"  -> (T.t7ValidCounts(_, _)),
+    "t9_anomaly_flags" -> (T.t9AnomalyFlags(_, _)),
+    "t10_alerts"       -> (T.t10Alerts(_, _)),
+    "l8_integrity"     -> (T.l8Integrity(_, _))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = OracleSql.all
+
+  /** Headline subset timed by Bench (the rest still run under Verify). */
+  def benchQueries: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_top_revenue", "q5_region_revenue",
+    "join_semi_orders", "join_anti_customers", "topk_orders", "brand_price_agg",
+    "a1_device_summary", "a2_hourly_agg", "a6_daily_distribution",
+    "w1_gap_detection", "w2_moving_avg", "o3_recent_topn",
+    "t1_fanout", "t9_anomaly_flags", "l8_integrity")
 }

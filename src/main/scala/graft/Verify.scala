@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // read naive parquet timestamps as TIMESTAMP_NTZ end-to-end so the
+      // dumped results are byte-compatible with the DuckDB oracle
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,261 @@
+package graft.analytics
+
+import graft.Cols._
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's time-series analytics surface (SURVEY.md §2.3/§2.4/§2.6)
+  * re-expressed over the `events` stream table, which stands in for the
+  * sensor-reading hypertable (FIXTURES.md F5): `user_id` ≡ device_id,
+  * `event_type` ≡ device_type, `ts` ≡ timestamp, `value` ≡ reading value,
+  * `event_type = 'error'` ≡ is_anomaly.
+  *
+  * Each method cites the reference query it reproduces
+  * (`/root/reference/database/init.sql`, `README.md`).
+  *
+  * Scale notes: every aggregate here groups on (bucket, key) — one
+  * shuffle, partial aggregation on the map side. Window functions
+  * partition by the entity key, so state per task is one device's
+  * history, which is bounded. Top-k queries are TakeOrderedAndProject.
+  */
+object EventAnalytics {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  /** A1 device_summary (init.sql:163-176): per-device rollup with
+    * last-observation picks — TimescaleDB last(v,t) ≡ Spark max_by.
+    */
+  def a1DeviceSummary(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("total_readings"),
+        min(col("ts")).as("first_seen"),
+        max(col("ts")).as("last_seen"),
+        davg(col("value")).as("avg_value"),
+        max_by(col("value"), col("ts")).as("last_value"),
+        count_if(col("event_type") === "error").as("error_count"))
+      .orderBy(col("user_id"))
+
+  /** A2 hourly time-bucket aggregate (init.sql:179-192): time_bucket ≡
+    * window(ts, "1 hour").start (both epoch/UTC aligned).
+    */
+  def a2HourlyAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        davg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("avg_value"), col("min_value"), col("max_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  /** A3 daily aggregate with first/last and day-over-change
+    * (init.sql:195-209): first(v,t)/last(v,t) ≡ min_by/max_by.
+    */
+  def a3DailyAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        davg(col("value")).as("avg_value"),
+        min_by(col("value"), col("ts")).as("first_value"),
+        max_by(col("value"), col("ts")).as("last_value"))
+      .withColumn("value_change", col("last_value") - col("first_value"))
+      .orderBy(col("bucket"), col("user_id"))
+
+  /** A4 get_device_stats (init.sql:261-290): per device×type stats with
+    * anomaly percentage (errors×100/count — integer inputs, one double
+    * division → engine-deterministic).
+    */
+  def a4DeviceStats(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("reading_count"),
+        min(col("ts")).as("first_reading"),
+        max(col("ts")).as("last_reading"),
+        davg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** A5 get_device_timeseries_stats (init.sql:293-321): arbitrary-bucket
+    * agg over a device subset and time range (here 15 min, first week).
+    */
+  def a5TimeseriesStats(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("user_id") < 50 &&
+        col("ts") >= tsLit("2024-01-01") && col("ts") < tsLit("2024-01-08"))
+      .groupBy(window(col("ts"), "15 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        davg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("window.start").as("bucket"), col("user_id"),
+        col("n"), col("avg_value"), col("min_value"), col("max_value"))
+      .orderBy(col("bucket"), col("user_id"))
+
+  /** A6 daily distribution with stats (README.md:777-792): distinct
+    * devices, stddev, exact interpolated percentiles. Percentile/stddev
+    * are rounded to 6 dp — their float pipelines are engine-dependent in
+    * the last bits (stddev additionally goes through exact decimal
+    * moments, see Cols.dstddev).
+    */
+  def a6DailyDistribution(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"), col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_devices"),
+        count(lit(1)).as("n"),
+        davg(col("value")).as("avg_value"),
+        dstddev(col("value")).as("stddev_value"),
+        round(percentile(col("value"), lit(0.5)), 6).as("median_value"),
+        round(percentile(col("value"), lit(0.95)), 6).as("p95_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  /** A7 15-minute real-time rollup for selected types (README.md:794-806). */
+  def a7Rollup15min(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(
+        davg(col("value")).as("avg_value"),
+        max_by(col("value"), col("ts")).as("last_value"),
+        max(col("ts")).as("last_ts"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("avg_value"), col("last_value"), col("last_ts"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  /** A8 between-range aggregate ordered by avg (README.md:747-756). */
+  def a8RangeAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("ts").between(tsLit("2024-01-10"), tsLit("2024-01-20")) &&
+        col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        davg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("avg_value").desc, col("user_id"))
+
+  /** A9 table stats (database_utils.py:133-147): one global row. */
+  def a9TableStats(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .agg(
+        count(lit(1)).as("total_rows"),
+        countDistinct(col("user_id")).as("n_devices"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"),
+        count_if(col("event_type") === "error").as("error_count"),
+        davg(col("value")).as("avg_value"))
+
+  /** A10 recent distribution (database_utils.py:167-181): last 24 h
+    * relative to the dataset's max(ts) — the "now" of a frozen table —
+    * via a broadcast scalar join (no driver-side collect).
+    */
+  def a10RecentDistribution(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val maxTs = e.agg(max(col("ts")).as("max_ts"))
+    e.crossJoin(broadcast(maxTs))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 24 HOURS"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        davg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("n").desc, col("event_type"))
+  }
+
+  /** A11 duplicate detection (database_utils.py:381-395): count of
+    * (device, ts) groups with >1 row, as a single report row.
+    */
+  def a11DuplicateDetection(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(
+        coalesce(count(lit(1)), lit(0L)).as("n_duplicate_pairs"),
+        coalesce(sum(col("c") - 1), lit(0L)).as("n_excess_rows"))
+
+  private def deviceWindow = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+
+  /** W1 gap detection (README.md:812-831): LAG over device timeline,
+    * report gaps > 60 min. Gap computed on exact epoch-µs integers.
+    */
+  def w1GapDetection(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(deviceWindow))
+      .withColumn("gap_minutes",
+        (epochUs(col("ts")) - epochUs(col("prev_ts"))).cast(DoubleType) / lit(60e6))
+      .filter(col("gap_minutes") > 60)
+      .select(col("user_id"), col("ts"), col("prev_ts"), col("gap_minutes"))
+      .orderBy(col("user_id"), col("ts"))
+
+  /** W2 moving average over 12 readings + delta vs previous
+    * (README.md:833-850). The moving mean is an exact decimal windowed
+    * sum divided by the frame count — no float accumulation order issues.
+    */
+  def w2MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val frame = deviceWindow.rowsBetween(-11, 0)
+    events(s, dir)
+      .select(
+        col("user_id"), col("ts"), col("value"),
+        (sum(dec2(col("value"))).over(frame).cast(DoubleType) /
+          count(lit(1)).over(frame)).as("moving_avg_12"),
+        (col("value") - lag(col("value"), 1).over(deviceWindow)).as("value_delta"))
+      .orderBy(col("user_id"), col("ts"))
+  }
+
+  /** W3 rate of change per hour (README.md:852-865): dv/dt×3600 on exact
+    * µs deltas.
+    */
+  def w3RateOfChange(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("prev_value", lag(col("value"), 1).over(deviceWindow))
+      .withColumn("dt_us", epochUs(col("ts")) - epochUs(lag(col("ts"), 1).over(deviceWindow)))
+      .filter(col("dt_us") > 0)
+      .select(col("user_id"), col("ts"),
+        ((col("value") - col("prev_value")) / (col("dt_us").cast(DoubleType) / lit(3.6e9)))
+          .as("rate_per_hour"))
+      .orderBy(col("user_id"), col("ts"))
+
+  /** O1 recent_sensor_readings view (init.sql:149-153): last 24 h of the
+    * frozen table, newest first.
+    */
+  def o1RecentReadings(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val maxTs = e.agg(max(col("ts")).as("max_ts"))
+    e.crossJoin(broadcast(maxTs))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 24 HOURS"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("ts").desc)
+  }
+
+  /** O2 anomalous_sensor_readings view (init.sql:156-160). */
+  def o2AnomalousReadings(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .orderBy(col("ts").desc)
+
+  /** O3 recent-N (database.py:348-383, README.md:722-745): global top-k
+    * by time — planned as TakeOrderedAndProject, not a full sort.
+    */
+  def o3RecentTopN(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("ts").desc)
+      .limit(100)
+}
