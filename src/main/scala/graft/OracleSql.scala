@@ -24,7 +24,156 @@ object OracleSql {
   val rev: String =
     "sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(38,4))::DOUBLE"
 
-  val all: Map[String, String] = Map(
+  /** Shared CTE fragments for the text/dedup oracles. */
+  private val toksCte =
+    """t AS (SELECT doc_id, text, lang,
+      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      |FROM documents)""".stripMargin
+  private val shinglesCte =
+    """sh AS (SELECT doc_id, unnest(
+      |  CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+      |    generate_series(1, len(toks) - 2),
+      |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+      |  ELSE []::VARCHAR[] END) AS s FROM t)""".stripMargin
+  private val simhashCtes =
+    """tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+      |th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+      |bits AS (SELECT doc_id, j,
+      |  sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+      |  FROM th CROSS JOIN generate_series(0, 59) g(j) GROUP BY doc_id, j),
+      |fp AS (SELECT doc_id,
+      |  sum(CASE WHEN cnt > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS fp
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  val textOracles: Map[String, String] = Map(
+    "tx_tokens" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, len(text)::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens,
+         |  (CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - 2),
+         |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) ELSE 0 END)::BIGINT
+         |    AS n_shingles
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "tx_quality" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, len(text)::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens,
+         |  len(list_distinct(toks))::BIGINT AS n_distinct,
+         |  len(list_distinct(toks))::DOUBLE / len(toks) AS distinct_ratio,
+         |  len(list_filter(toks, x -> x IN ('the', 'a')))::DOUBLE / len(toks) AS stopword_ratio,
+         |  list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) AS mean_token_len
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "tx_langid" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, lang,
+         |  len(list_filter(toks, x -> x IN ('the', 'a')))::DOUBLE / len(toks) AS en_score,
+         |  CASE WHEN len(list_filter(toks, x -> x IN ('the', 'a')))::DOUBLE / len(toks)
+         |         >= 0.04::DOUBLE THEN 'en' ELSE 'unk' END AS lang_guess
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "tx_fingerprint" ->
+      s"""WITH $toksCte, $simhashCtes
+         |SELECT d.doc_id, md5(d.text) AS md5_hex,
+         |  ('0x' || substr(md5(d.text), 1, 15))::BIGINT AS content_hash60,
+         |  coalesce(fp.fp, 0)::BIGINT AS simhash60
+         |FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT sum(c)::BIGINT AS total_docs, count(*) AS unique_texts,
+        |  coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::BIGINT AS docs_in_dup_groups
+        |FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $toksCte, $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $toksCte, $shinglesCte,
+         |sig AS (SELECT doc_id, f,
+         |    min(('0x' || substr(md5(f::VARCHAR || '|' || s), 1, 15))::BIGINT) AS h
+         |  FROM sh CROSS JOIN generate_series(0, 15) g(f) GROUP BY doc_id, f),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.f = b.f AND a.h = b.h AND a.doc_id < b.doc_id
+         |  WHERE a.f < 4),
+         |est AS (SELECT c.doc_a, c.doc_b,
+         |    (count(*) FILTER (WHERE sa.h = sb.h))::DOUBLE / 16 AS est_jaccard
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.f = sa.f
+         |  GROUP BY 1, 2),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT e.doc_a, e.doc_b, e.est_jaccard,
+         |  co.n_common::DOUBLE / (da.n_sh + db.n_sh - co.n_common) AS jaccard
+         |FROM est e
+         |JOIN common co ON co.doc_a = e.doc_a AND co.doc_b = e.doc_b
+         |JOIN sizes da ON da.doc_id = e.doc_a
+         |JOIN sizes db ON db.doc_id = e.doc_b
+         |WHERE co.n_common::DOUBLE / (da.n_sh + db.n_sh - co.n_common) >= 0.5
+         |ORDER BY e.doc_a, e.doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $toksCte, $simhashCtes,
+         |bands AS (SELECT doc_id, fp, b, (fp >> (b * 15)) & 32767 AS band_key
+         |  FROM fp CROSS JOIN generate_series(0, 3) g(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.fp AS fp_a, y.fp AS fp_b
+         |  FROM bands x JOIN bands y
+         |  ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b))::BIGINT AS hamming
+         |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "emb_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_dot_product(qe, e.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(qe, qe)) *
+        |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6)
+        |      AS cos_sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |SELECT * FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rank
+        |  FROM p)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "emb_label_centroids" ->
+      """SELECT label, d AS dim, round(avg(embedding[d]::DOUBLE), 6) AS centroid,
+        |  count(*) AS n
+        |FROM embeddings CROSS JOIN generate_series(1, 64) g(d)
+        |GROUP BY label, d ORDER BY label, dim""".stripMargin,
+
+    "emb_norms" ->
+      """SELECT vec_id, label,
+        |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+        |    AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "mm_features" ->
+      """SELECT doc_id AS media_id, strlen(text)::BIGINT AS byte_len,
+        |  md5(text) AS content_hash,
+        |  (strlen(text) % 640)::INT AS width,
+        |  (strlen(text) * 7 % 480)::INT AS height,
+        |  (('0x' || substr(md5(text), 1, 15))::BIGINT % 256)::DOUBLE / 255.0 AS mean_luma
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+
+  val all: Map[String, String] = textOracles ++ Map(
     // ---- relational / star-schema ----
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

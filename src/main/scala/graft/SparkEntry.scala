@@ -1,7 +1,9 @@
 package graft
 
-import graft.analytics.{EventAnalytics => EA, Relational => R}
-import graft.operators.{EventOps => T}
+import graft.analytics.{EventAnalytics => EA, Relational => R, TextAnalysis => TX}
+import graft.dedup.Dedup
+import graft.operators.{EventOps => T, Multimodal}
+import graft.similarity.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -54,7 +56,24 @@ object SparkEntry {
     "t7_valid_counts"  -> (T.t7ValidCounts(_, _)),
     "t9_anomaly_flags" -> (T.t9AnomalyFlags(_, _)),
     "t10_alerts"       -> (T.t10Alerts(_, _)),
-    "l8_integrity"     -> (T.l8Integrity(_, _))
+    "l8_integrity"     -> (T.l8Integrity(_, _)),
+    // text analysis (north-star extensions)
+    "tx_tokens"      -> (TX.txTokens(_, _)),
+    "tx_quality"     -> (TX.txQuality(_, _)),
+    "tx_langid"      -> (TX.txLangid(_, _)),
+    "tx_fingerprint" -> (TX.txFingerprint(_, _)),
+    // deduplication (north-star extensions)
+    "dedup_exact"         -> (Dedup.dedupExact(_, _)),
+    "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard(_, _)),
+    "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh(_, _)),
+    "dedup_simhash"       -> (Dedup.dedupSimhash(_, _)),
+    // similarity search (north-star extensions)
+    "emb_topk"            -> (Similarity.embTopk(_, _)),
+    "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),
+    "emb_norms"           -> (Similarity.embNorms(_, _)),
+    "emb_lsh_buckets"     -> (Similarity.embLshBuckets(_, _)),
+    // multimodal columns (north-star extensions)
+    "mm_features" -> (Multimodal.mmFeatures(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

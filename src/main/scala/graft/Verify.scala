@@ -14,6 +14,8 @@ object Verify {
       // read naive parquet timestamps as TIMESTAMP_NTZ end-to-end so the
       // dumped results are byte-compatible with the DuckDB oracle
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      // hash mixing (LSH) relies on wrap-around int64 arithmetic
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

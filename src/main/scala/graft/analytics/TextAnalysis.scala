@@ -1,0 +1,71 @@
+package graft.analytics
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for the training-data pipeline surface
+  * (north-star extensions, SURVEY.md §7.4#9): token statistics, quality
+  * scoring, language-ID heuristic, document fingerprinting.
+  *
+  * All are narrow per-row transforms over `documents` — at 100 TB they
+  * run as a single codegen'd scan with zero shuffles (the orderBy here
+  * exists only to make the t2 dump deterministic).
+  */
+object TextAnalysis {
+
+  /** Token counting: whitespace tokens + distinct 3-gram shingles. */
+  def txTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+        size(shingles(col("text"), 3)).cast(LongType).as("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: lexical-diversity and stopword-density signals
+    * (length / stopword-ratio heuristics in the spirit of C4/Gopher
+    * quality filters), all from one token pass.
+    */
+  def txQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        size(toks).cast(LongType).as("n_tokens"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct"),
+        (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("distinct_ratio"),
+        (stopwordCount(toks, Seq("the", "a")).cast(DoubleType) / size(toks)).as("stopword_ratio"),
+        (aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+          .cast(DoubleType) / size(toks)).as("mean_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic: function-word density → 'en' / 'unk'.
+    * (The real-world version broadcasts per-language stopword tables and
+    * argmaxes the densities; the shape — narrow scan, literal word sets,
+    * no shuffle — is the same.)
+    */
+  def txLangid(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val ratio = stopwordCount(toks, Seq("the", "a")).cast(DoubleType) / size(toks)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        ratio.as("en_score"),
+        when(ratio >= 0.04, "en").otherwise("unk").as("lang_guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: full-content MD5, 60-bit content hash, and
+    * the SimHash near-dup fingerprint (native codegen'd expression).
+    */
+  def txFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(col("text")).as("md5_hex"),
+        hash60(col("text")).as("content_hash60"),
+        simhash60(tokens(col("text"))).as("simhash60"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,118 @@
+package graft.dedup
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for the training-data pipeline surface:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash banding.
+  *
+  * Scale design: nothing here ever materializes the O(n²) pair space.
+  *  - exact dedup is a hash groupBy (one shuffle on the content hash);
+  *  - Jaccard runs through an inverted shingle→doc index (shuffle on
+  *    shingle), so only docs sharing a shingle ever meet — with a
+  *    df-style frequency cap this is the standard way to keep the
+  *    hottest shingles from exploding at corpus scale;
+  *  - MinHash-LSH and SimHash banding shuffle on (band, key) buckets,
+  *    candidates = bucket-mates only, then verify exactly.
+  */
+object Dedup {
+
+  /** Exact dedup report: hash-groupBy on full content (L5 analog for
+    * documents). One row: totals + docs that are byte-identical copies.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).cast(LongType).as("total_docs"),
+        count(lit(1)).as("unique_texts"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).cast(LongType)
+          .as("docs_in_dup_groups"))
+
+  /** Shingle→doc inverted index (distinct 3-gram shingles, exploded). */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via the
+    * inverted index: |A∩B| from a self-join on shingle, |A∪B| from the
+    * per-doc shingle counts.
+    */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val idx = shingleIndex(s, dir)
+    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = idx.as("a").join(idx.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast(DoubleType) /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash+LSH near-dup detection: 16-function signature per doc
+    * (native codegen'd expression, one text pass), LSH bucketing on the
+    * first 4 signature slots, exact-Jaccard verification of bucket-mate
+    * candidates only. Output = verified pairs (j ≥ 0.5) with both the
+    * MinHash estimate and the exact similarity.
+    */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), col("sh"), minhashSig(col("sh"), 16).as("sig"))
+    // LSH: bucket on (band, sig[band]) for bands 0..3 — candidates are
+    // pairs that agree on at least one sampled min-hash
+    val buckets = docs.select(col("doc_id"),
+        posexplode(slice(col("sig"), 1, 4)).as(Seq("band", "h")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with the full signature estimate + exact jaccard
+    val withSets = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), "doc_b")
+    withSets.select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) =>
+          a === b), x => x)).cast(DoubleType) / 16).as("est_jaccard"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup detection: 60-bit fingerprint, banded into 4×15-bit
+    * keys for candidate generation, Hamming-verified (≤ 4 bits — the
+    * usual SimHash dedup operating point; planted near-dups in the
+    * corpus sit at ≤ 4-5 flipped bits).
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), simhash60(tokens(col("text"))).as("fp"))
+    val bands = docs.select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_key", expr("shiftright(fp, band * 15)").bitwiseAND(lit(32767L)))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+      .distinct()
+    cand.select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= 4)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

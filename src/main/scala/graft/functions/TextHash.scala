@@ -1,0 +1,146 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{column => _, _}
+import org.apache.spark.sql.types._
+
+/** Deterministic 60-bit text hashing used by fingerprinting, SimHash and
+  * MinHash. The hash is the first 15 hex digits of MD5 interpreted as an
+  * integer — chosen because it is reproducible verbatim in any SQL
+  * engine as `('0x' || substr(md5(s), 1, 15))::BIGINT` (DuckDB) /
+  * `conv(substr(md5(s), 1, 15), 16, 10)` (Spark SQL), which is what the
+  * correctness oracle does. 60 bits keeps every value positive in an
+  * int64 in every engine.
+  */
+object TextHash {
+  final val Bits = 60
+
+  private val md5Local = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of MD5(s), as a non-negative long. */
+  def hash60(s: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(s)
+    // first 8 bytes big-endian, dropping the low nibble = first 15 hex digits
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def hash60(s: String): Long = hash60(s.getBytes("UTF-8"))
+
+  /** SimHash over a token array: for each of the 60 hash bits, sum ±1
+    * across tokens; output bit j is set iff the sum is positive.
+    * One pass, O(tokens), no shuffle — a narrow per-row fingerprint that
+    * scales to any corpus size.
+    */
+  def simhash60(tokens: ArrayData): Long = {
+    val counts = new Array[Int](Bits)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash60(tokens.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < Bits) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < Bits) { if (counts(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
+  /** MinHash signature: sig(i) = min over elements of hash60(i + "|" + e).
+    * Seeded re-hashing keeps each of the k functions independent while
+    * staying SQL-reproducible.
+    */
+  def minhashSig(elems: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill[Long](k)(Long.MaxValue)
+    val n = elems.numElements()
+    var i = 0
+    while (i < n) {
+      if (!elems.isNullAt(i)) {
+        val e = elems.getUTF8String(i).toString
+        var f = 0
+        while (f < k) {
+          val h = hash60((f + "|" + e).getBytes("UTF-8"))
+          if (h < sig(f)) sig(f) = h
+          f += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** `simhash60(tokens)` as a native Catalyst expression with codegen —
+  * stays inside WholeStageCodegen (no UDF/serialization boundary).
+  */
+case class SimHash60Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhash60(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash60Expr =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(elems, k)` as a native Catalyst expression with codegen. */
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minhashSig(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minhashSig($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** Column-level text primitives shared by TextAnalysis / Dedup.
+  * Everything here is built from codegen'd builtins or the native
+  * expressions above — no Scala UDF closures anywhere.
+  */
+object TextFunctions {
+  /** Non-empty whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Distinct word n-gram shingles (space-joined). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast(ArrayType(StringType, containsNull = false)))
+  }
+
+  /** 60-bit MD5-derived content hash (SQL-reproducible, see TextHash). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  def simhash60(tokensCol: Column): Column =
+    ColumnBridge.column(SimHash60Expr(ColumnBridge.expression(tokensCol)))
+
+  def minhashSig(elemsCol: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(elemsCol), k))
+
+  /** Count of tokens found in a (small, broadcast-as-literal) stopword set. */
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+}

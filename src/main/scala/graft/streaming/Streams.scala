@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-streaming jobs mirroring the reference's streaming surface
+  * (SURVEY.md §2.9):
+  *  - continuous aggregates (A12, init.sql:324-368) as watermarked
+  *    windowed aggregation — the reference's `end_offset => 1 hour`
+  *    refresh lag IS the watermark;
+  *  - threshold alerting (T10, consumer.py:359-508) as a streaming
+  *    filter/classify;
+  *  - per-parent sibling-sensor context (T11, consumer.py:350-432) as
+  *    flatMapGroupsWithState WITH timeout eviction (the reference's
+  *    in-memory dict grows unboundedly — deliberate improvement,
+  *    SURVEY.md §7.4#6);
+  *  - idempotent batched sink (S5/L5, timescaledb_sink.py:169-237) as
+  *    foreachBatch dedup + append.
+  *
+  * All transforms take a (possibly streaming) DataFrame with the events
+  * schema (ts TIMESTAMP_NTZ, user_id LONG, event_type STRING,
+  * value DOUBLE) so batch tests and streaming runs share one code path.
+  */
+object Streams {
+
+  /** A12: hourly rollup with 1-hour watermark. In append mode a window
+    * only materializes once the watermark passes — exactly the
+    * reference's "never refresh the most recent hour" semantics.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"), col("min_value"), col("max_value"))
+
+  /** T10 as a stream: alert classification, non-alerts dropped. */
+  def alerts(events: DataFrame): DataFrame =
+    events
+      .withColumn("alert_level",
+        when(col("event_type") === "error" && col("value") > 300, "CRITICAL")
+          .when(col("event_type") === "error", "WARNING")
+          .when(col("value") > 450, "HIGH_VALUE"))
+      .filter(col("alert_level").isNotNull)
+
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class DeviceCtx(latest: Map[String, Double], nSeen: Long)
+
+  case class AnomalyWithContext(user_id: Long, event_id: Long,
+      event_type: String, value: Double, siblings: Map[String, Double])
+
+  /** T11: keyed state holding the latest value per event_type for each
+    * device; every anomalous event ('error') is emitted enriched with
+    * the latest sibling readings. ProcessingTimeTimeout evicts idle
+    * devices — bounded state, unlike the reference.
+    */
+  def anomalyContext(events: Dataset[EventRow],
+      timeoutMs: Long = 3600 * 1000L): Dataset[AnomalyWithContext] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[DeviceCtx, AnomalyWithContext](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (userId, rows, state: GroupState[DeviceCtx]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var ctx = state.getOption.getOrElse(DeviceCtx(Map.empty, 0L))
+            val out = rows.toSeq.sortBy(_.event_id).flatMap { r =>
+              val res =
+                if (r.event_type == "error")
+                  Some(AnomalyWithContext(userId, r.event_id, r.event_type,
+                    r.value, ctx.latest - "error"))
+                else None
+              ctx = DeviceCtx(ctx.latest + (r.event_type -> r.value), ctx.nSeen + 1)
+              res
+            }
+            state.update(ctx)
+            state.setTimeoutDuration(timeoutMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** S5/L5: idempotent micro-batch sink — per-batch dedup on the natural
+    * key then append, giving effectively-once delivery over an
+    * at-least-once source (the reference's ON CONFLICT DO NOTHING).
+    * Partitioned by event date so retention (L2/L3) is a partition drop.
+    */
+  def startDedupSink(events: DataFrame, outDir: String, checkpointDir: String) =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.dropDuplicates(Seq("user_id", "ts"))
+          .withColumn("event_date", to_date(col("ts")))
+          .write.mode("append")
+          .partitionBy("event_date")
+          .parquet(outDir)
+      }
+      .start()
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.analytics.{EventAnalytics, Relational}
+import graft.operators.EventOps
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("q1: groups partition the filtered lineitem exactly") {
+    val q1 = Relational.q1PricingSummary(spark, Sf0001).collect()
+    val totalFromGroups = q1.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, Sf0001)
+      .filter(col("l_shipdate") <= Cols.tsLit("1998-09-02")).count()
+    assert(totalFromGroups == expected)
+    q1.foreach { r =>
+      assert(r.getAs[Double]("avg_qty") > 0 && r.getAs[Double]("sum_qty") > 0)
+    }
+  }
+
+  test("a1: one row per device, counts partition the table") {
+    val a1 = EventAnalytics.a1DeviceSummary(spark, Sf0001)
+    val e = Tables.events(spark, Sf0001)
+    assert(a1.count() == e.select("user_id").distinct().count())
+    assert(a1.agg(sum("total_readings")).head().getLong(0) == e.count())
+  }
+
+  test("a2 hourly buckets cover every event exactly once") {
+    val a2 = EventAnalytics.a2HourlyAgg(spark, Sf0001)
+    assert(a2.agg(sum("n")).head().getLong(0) == Tables.events(spark, Sf0001).count())
+  }
+
+  test("w2: moving average stays within per-device min/max") {
+    val bad = EventAnalytics.w2MovingAvg(spark, Sf0001)
+      .join(EventAnalytics.a4DeviceStats(spark, Sf0001)
+        .groupBy("user_id")
+        .agg(min("min_value").as("lo"), max("max_value").as("hi")), "user_id")
+      .filter(col("moving_avg_12") < col("lo") || col("moving_avg_12") > col("hi"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("t1 fan-out doubles the rows (value + props_k both non-null here)") {
+    val n = Tables.events(spark, Sf0001).count()
+    assert(EventOps.t1Fanout(spark, Sf0001).count() == 2 * n)
+  }
+
+  test("l8 integrity: clean on generated data, dirty on mutated data") {
+    import spark.implicits._
+    val clean = EventOps.l8Integrity(spark, Sf0001).collect().head
+    assert(clean.getAs[Long]("null_ids") == 0)
+    assert(clean.getAs[Long]("duplicate_pairs") == 0)
+    // mutate: inject a duplicate pair + an out-of-range value
+    val e = Tables.events(spark, Sf0001).limit(1)
+    val dirty = Tables.events(spark, Sf0001)
+      .union(e)                                       // duplicate (user_id, ts)
+      .union(e.withColumn("value", lit(5000.0))
+        .withColumn("ts", Cols.tsLit("2024-01-02"))) // out-of-range value
+    val dupPairs = dirty.groupBy("user_id", "ts").count().filter($"count" > 1).count()
+    assert(dupPairs >= 1)
+    val oob = dirty.filter($"value" < 0 || $"value" > 1000).count()
+    assert(oob == 1)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import graft.store.Lifecycle
+import org.apache.spark.sql.functions._
+
+class LifecycleSpec extends SparkSpec {
+
+  test("clustered write → archive → retention → compaction round-trip") {
+    val main = Files.createTempDirectory("tbl_main").toString
+    val arch = Files.createTempDirectory("tbl_arch").toString
+    val events = Tables.events(spark, Sf0001)
+    val total = events.count()
+
+    // L4 clustered, date-partitioned layout
+    Lifecycle.writeClustered(events, main, "user_id", "ts")
+    val stats = Lifecycle.tableStats(main)
+    assert(stats.nonEmpty && stats.map(_._1).distinct.size == stats.size)
+    assert(spark.read.parquet(main).count() == total)
+
+    // partition pruning must reach the scan (chunk-exclusion equivalent)
+    val pruned = spark.read.parquet(main)
+      .filter(col("event_date") === stats.head._1)
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(spark.read.parquet(main).filter(col("event_date") === stats.head._1)
+      .count() < total)
+    assert(!prunedPlan.toLowerCase.contains("filter") ||
+      pruned.count() == spark.read.parquet(main)
+        .where(col("event_date") === stats.head._1).count())
+
+    // L1 archive: move everything before day 10
+    val cutoff = LocalDate.parse("2024-01-10")
+    val moved = Lifecycle.archiveOlderThan(spark, main, arch, cutoff)
+    assert(moved > 0)
+    val archCount = spark.read.parquet(arch).count()
+    val mainCount = spark.read.parquet(main).count()
+    assert(archCount + mainCount == total)
+    assert(Lifecycle.tableStats(main).forall(s => LocalDate.parse(s._1).isAfter(cutoff.minusDays(1))))
+
+    // L2/L3 retention on the archive
+    val dropped = Lifecycle.dropOlderThan(arch, LocalDate.parse("2024-01-05"))
+    assert(dropped > 0)
+    assert(spark.read.parquet(arch).count() < archCount)
+
+    // L7 compaction: fewer files, same rows
+    val before = Lifecycle.tableStats(main).map(_._2).sum
+    Lifecycle.compact(spark, main, "user_id", "ts")
+    val after = Lifecycle.tableStats(main).map(_._2).sum
+    assert(after <= before)
+    assert(spark.read.parquet(main).count() == mainCount)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+import graft.streaming.Streams
+import graft.streaming.Streams.EventRow
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def sampleRows = Seq(
+    EventRow(0, ts("2024-01-01 00:10:00"), 1, "click", 10.0),
+    EventRow(1, ts("2024-01-01 00:20:00"), 1, "error", 500.0),
+    EventRow(2, ts("2024-01-01 01:05:00"), 2, "view", 20.0),
+    EventRow(3, ts("2024-01-01 01:30:00"), 1, "click", 30.0),
+    EventRow(4, ts("2024-01-01 03:00:00"), 2, "error", 100.0) // advances watermark past hours 0-1
+  )
+
+  test("A12 hourly rollup: streaming (watermarked, append) matches batch on closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = Streams.hourlyRollup(mem.toDF())
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode("append").start()
+    try {
+      mem.addData(sampleRows: _*)
+      q.processAllAvailable()
+      // second batch so the watermark (set from batch 1's max ts) closes hours 0 and 1
+      mem.addData(EventRow(5, ts("2024-01-01 05:00:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("rollup")
+        .select("bucket", "event_type", "n", "sum_value").as[(java.sql.Timestamp, String, Long, Double)]
+        .collect().toSet
+      val batch = Streams.hourlyRollup(sampleRows.toDF())
+        .filter(col("bucket") < lit(ts("2024-01-01 02:00:00")))
+        .select("bucket", "event_type", "n", "sum_value").as[(java.sql.Timestamp, String, Long, Double)]
+        .collect().toSet
+      assert(batch.subsetOf(streamed), s"streamed=$streamed batch=$batch")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("T11 anomaly context: errors carry the latest sibling readings; state evicts") {
+    import spark.implicits._
+    val out = Streams.anomalyContext(sampleRows.toDS()).collect()
+    // event 1 is an error for user 1; before it, user 1 saw click=10.0
+    val e1 = out.find(_.event_id == 1).get
+    assert(e1.siblings == Map("click" -> 10.0))
+    assert(out.length == 2) // events 1 and 4
+    val e4 = out.find(_.event_id == 4).get
+    assert(e4.siblings == Map("view" -> 20.0))
+  }
+
+  test("S5/L5 dedup sink: at-least-once input → exactly-once rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("sink_out").toString
+    val ckpt = Files.createTempDirectory("sink_ckpt").toString
+    val mem = MemoryStream[EventRow]
+    val q = Streams.startDedupSink(mem.toDF(), outDir, ckpt)
+    try {
+      mem.addData(sampleRows: _*)
+      mem.addData(sampleRows.head) // replay duplicate in the same batch
+      q.processAllAvailable()
+      val written = spark.read.parquet(outDir)
+      assert(written.count() == sampleRows.size)
+      assert(written.select("user_id", "ts").distinct().count() == sampleRows.size)
+      // partitioned layout exists
+      assert(Files.list(java.nio.file.Paths.get(outDir)).iterator().asScala
+        .exists(_.getFileName.toString.startsWith("event_date=")))
+    } finally q.stop()
+  }
+}

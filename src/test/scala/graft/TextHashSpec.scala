@@ -1,0 +1,81 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.{TextFunctions, TextHash}
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+class TextHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash60 (Scala) equals the conv(md5) column path") {
+    val samples = Seq("", "a", "the quick brown fox", "spark", "ümlaut µ")
+    val viaCol = samples.toDF("s")
+      .select(TextFunctions.hash60(col("s"))).as[Long].collect()
+    val viaScala = samples.map(TextHash.hash60)
+    assert(viaCol.toSeq == viaScala)
+  }
+
+  test("simhash60: empty → 0; identical token lists → identical; near-dup close") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),       // identical
+      (3L, "a b c d e f g h i k"),       // one token changed
+      (4L, "zz yy xx ww vv uu tt ss")    // unrelated
+    ).toDF("id", "text")
+      .select(col("id"), TextFunctions.simhash60(TextFunctions.tokens(col("text"))).as("fp"))
+    val fp = df.as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    val near = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val far  = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(near < far, s"near=$near far=$far")
+    val empty = Seq((1L, "")).toDF("id", "text")
+      .select(TextFunctions.simhash60(TextFunctions.tokens(col("text")))).as[Long].head()
+    assert(empty == 0L)
+  }
+
+  test("minhash signature estimates Jaccard within tolerance") {
+    val a = (1 to 40).map(i => s"tok$i")
+    val b = (1 to 30).map(i => s"tok$i") ++ (100 to 109).map(i => s"tok$i")
+    // true jaccard = 30 / 50 = 0.6
+    val df = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.minhashSig(TextFunctions.tokens(col("text")), 64).as("sig"))
+    val sigs = df.as[(Long, Seq[Long])].collect().toMap
+    val est = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y } / 64.0
+    assert(math.abs(est - 0.6) < 0.2, s"est=$est")
+  }
+
+  test("all three near-dup detectors find the 25 planted pairs at sf0.01") {
+    val ngram = Dedup.dedupNgramJaccard(spark, Sf001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(ngram.size == 25)
+    val minhash = Dedup.dedupMinhashLsh(spark, Sf001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(minhash == ngram, "MinHash-LSH must recover the exact-Jaccard pairs")
+    val simhash = Dedup.dedupSimhash(spark, Sf001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // simhash is the coarsest detector: at hamming ≤ 4 it recovers the
+    // planted pairs whose fingerprints flipped ≤ 4 bits (20 of 25 here)
+    // with only a handful of false candidates from this low-entropy vocab
+    assert((ngram intersect simhash).size >= 18, s"simhash found ${simhash.size}, overlap ${(ngram intersect simhash).size}")
+    assert(simhash.size <= 60)
+  }
+
+  test("exact dedup report is consistent") {
+    val r = Dedup.dedupExact(spark, Sf0001).collect().head
+    val total = r.getAs[Long]("total_docs")
+    val uniq = r.getAs[Long]("unique_texts")
+    val dup = r.getAs[Long]("docs_in_dup_groups")
+    assert(total >= uniq && dup >= 0)
+  }
+
+  test("LSH buckets: identical vectors share a bucket, recall vs brute force is sane") {
+    val buckets = Similarity.embLshBuckets(spark, Sf001)
+    val n = buckets.count()
+    assert(n == 500)
+    val distinctBuckets = buckets.select("bucket").distinct().count()
+    // 8 planes → ≤256 buckets; data should spread across many of them
+    assert(distinctBuckets > 10 && distinctBuckets <= 256, s"buckets=$distinctBuckets")
+  }
+}
