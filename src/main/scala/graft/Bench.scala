@@ -19,8 +19,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM+Spark warm-up (codegen, parquet footers) outside the timed loop
-    SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+    // JVM+Spark warm-up (codegen, parquet footers, broadcast machinery)
+    // outside the timed loop — scan+agg, broadcast+SMJ join, window paths
+    Seq("q1_pricing_summary", "q5_region_revenue", "w2_moving_avg")
+      .foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

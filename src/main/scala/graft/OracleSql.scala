@@ -226,6 +226,13 @@ object OracleSql {
          |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    "q6_forecast_revenue" ->
+      """SELECT sum((l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DECIMAL(38,4))::DOUBLE AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,

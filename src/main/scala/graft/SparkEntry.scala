@@ -27,6 +27,7 @@ object SparkEntry {
     "q5_region_revenue"   -> (R.q5RegionRevenue(_, _)),
     "join_semi_orders"    -> (R.joinSemiOrders(_, _)),
     "join_anti_customers" -> (R.joinAntiCustomers(_, _)),
+    "q6_forecast_revenue" -> (R.q6ForecastRevenue(_, _)),
     "topk_orders"         -> (R.topkOrders(_, _)),
     "brand_price_agg"     -> (R.brandPriceAgg(_, _)),
     // aggregations (SURVEY §2.3)
@@ -84,8 +85,10 @@ object SparkEntry {
   /** Headline subset timed by Bench (the rest still run under Verify). */
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_top_revenue", "q5_region_revenue",
-    "join_semi_orders", "join_anti_customers", "topk_orders", "brand_price_agg",
+    "q6_forecast_revenue", "join_semi_orders", "join_anti_customers",
+    "topk_orders", "brand_price_agg",
     "a1_device_summary", "a2_hourly_agg", "a6_daily_distribution",
     "w1_gap_detection", "w2_moving_avg", "o3_recent_topn",
-    "t1_fanout", "t9_anomaly_flags", "l8_integrity")
+    "t1_fanout", "t9_anomaly_flags", "l8_integrity",
+    "dedup_minhash_lsh", "emb_topk", "tx_fingerprint")
 }

@@ -120,6 +120,21 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
+  /** Q6-style: pure filter + global aggregate — the "how much scan does
+    * the filter skip" probe. All three predicates reach the parquet
+    * reader as PushedFilters; row-group min/max stats skip on shipdate.
+    */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= tsLit("1996-01-01") &&
+        col("l_shipdate") < tsLit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum((dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+          .cast(DecimalType(38, 4))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
   /** Broadcast-enrichment agg: avg lineitem price per part brand
     * (J1 analog — fact enriched from a small dimension). */
   def brandPriceAgg(s: SparkSession, dir: String): DataFrame = {

@@ -53,6 +53,19 @@ object EventOps {
       .select(col("event_id"), col("value"), batteryPct(col("value")).as("battery_pct"))
       .orderBy(col("event_id"))
 
+  /** T5 timestamp normalization (ruuvitag_adapter.py:407-437): accept
+    * epoch seconds (int or string), device-uptime-relative values
+    * (small ints → "now"), or ISO strings; anything unparseable → "now".
+    * `now` is a column so batch backfills can pin it deterministically.
+    */
+  def normalizeTs(raw: Column, now: Column): Column = {
+    val asLong = raw.cast(LongType)
+    when(asLong.isNotNull && asLong >= 10000000L,
+        timestamp_seconds(asLong).cast("timestamp_ntz"))
+      .when(asLong.isNotNull, now) // uptime-relative, not an absolute time
+      .otherwise(coalesce(to_timestamp(raw).cast("timestamp_ntz"), now))
+  }
+
   /** T6 timestamp sanity clamp (timescaledb_sink.py:152-161): clamp
     * out-of-line timestamps into a tolerated window around "now" (frozen
     * here to a fixed instant for determinism).

@@ -44,6 +44,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(EventOps.t1Fanout(spark, Sf0001).count() == 2 * n)
   }
 
+  test("t5: timestamp normalization handles epoch, uptime, ISO, garbage (FIXTURES F1)") {
+    import spark.implicits._
+    val nowStr = "2024-06-01T12:00"
+    val now = Cols.tsLit("2024-06-01 12:00:00")
+    val got = Seq("1758900000", "12345", "2024-01-15T10:30:00", "garbage")
+      .toDF("raw")
+      .select(EventOps.normalizeTs(col("raw"), now).as("ts"))
+      .as[java.time.LocalDateTime].collect()
+    assert(got(0) == java.time.LocalDateTime.ofEpochSecond(1758900000L, 0, java.time.ZoneOffset.UTC))
+    assert(got(1) == java.time.LocalDateTime.parse(nowStr))   // uptime → now
+    assert(got(2) == java.time.LocalDateTime.parse("2024-01-15T10:30"))
+    assert(got(3) == java.time.LocalDateTime.parse(nowStr))   // garbage → now
+  }
+
   test("l8 integrity: clean on generated data, dirty on mutated data") {
     import spark.implicits._
     val clean = EventOps.l8Integrity(spark, Sf0001).collect().head
