@@ -100,9 +100,13 @@ object OracleSql {
 
     "dedup_minhash_lsh" ->
       s"""WITH $toksCte, $shinglesCte,
+         |sh2 AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+         |ff AS (SELECT f, (f * 7 + 3) % 60 AS rr,
+         |    ('0x' || substr(md5('mh|' || f::VARCHAR), 1, 15))::BIGINT AS c
+         |  FROM generate_series(0, 15) g(f)),
          |sig AS (SELECT doc_id, f,
-         |    min(('0x' || substr(md5(f::VARCHAR || '|' || s), 1, 15))::BIGINT) AS h
-         |  FROM sh CROSS JOIN generate_series(0, 15) g(f) GROUP BY doc_id, f),
+         |    min(xor((h >> rr) | ((h & ((1::BIGINT << rr) - 1)) << (60 - rr)), c)) AS h
+         |  FROM sh2 CROSS JOIN ff GROUP BY doc_id, f),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM sig a JOIN sig b ON a.f = b.f AND a.h = b.h AND a.doc_id < b.doc_id

@@ -66,9 +66,13 @@ object Dedup {
     * MinHash estimate and the exact similarity.
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the shingle+signature relation feeds the bucket explode
+    // AND both sides of the candidate join — without it the text-hashing
+    // scan re-executes per use (3× the hash work)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .select(col("doc_id"), col("sh"), minhashSig(col("sh"), 16).as("sig"))
+      .persist()
     // LSH: bucket on (band, sig[band]) for bands 0..3 — candidates are
     // pairs that agree on at least one sampled min-hash
     val buckets = docs.select(col("doc_id"),

@@ -64,21 +64,36 @@ object TextHash {
     fp
   }
 
-  /** MinHash signature: sig(i) = min over elements of hash60(i + "|" + e).
-    * Seeded re-hashing keeps each of the k functions independent while
-    * staying SQL-reproducible.
+  /** MinHash function family: ONE content hash per element, and the k
+    * functions derived by bit-rotation + XOR with per-function constants
+    * (both bijections on the 60-bit space, so each min is a valid
+    * permutation-min sample). One MD5 per element instead of k — the
+    * difference between 1× and 16× hash throughput on a 100 TB corpus —
+    * and still reproducible verbatim in SQL (shift/or/xor only, no
+    * overflow: every intermediate stays under 2^60).
     */
+  def rotr60(h: Long, r: Int): Long =
+    if (r == 0) h else (h >>> r) | ((h & ((1L << r) - 1)) << (Bits - r))
+
+  /** Rotation amount for function f (never 0 for f in 0..59). */
+  def mhRot(f: Int): Int = (f * 7 + 3) % Bits
+
+  /** XOR constant for function f: hash60("mh|" + f). */
+  def mhConst(f: Int): Long = hash60("mh|" + f)
+
   def minhashSig(elems: ArrayData, k: Int): ArrayData = {
+    val rots = Array.tabulate(k)(mhRot)
+    val consts = Array.tabulate(k)(mhConst)
     val sig = Array.fill[Long](k)(Long.MaxValue)
     val n = elems.numElements()
     var i = 0
     while (i < n) {
       if (!elems.isNullAt(i)) {
-        val e = elems.getUTF8String(i).toString
+        val h = hash60(elems.getUTF8String(i).getBytes)
         var f = 0
         while (f < k) {
-          val h = hash60((f + "|" + e).getBytes("UTF-8"))
-          if (h < sig(f)) sig(f) = h
+          val v = rotr60(h, rots(f)) ^ consts(f)
+          if (v < sig(f)) sig(f) = v
           f += 1
         }
       }
