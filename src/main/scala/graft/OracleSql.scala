@@ -335,6 +335,35 @@ object OracleSql {
         |FROM (SELECT user_id, ts, count(*) AS c FROM events
         |      GROUP BY user_id, ts HAVING count(*) > 1)""".stripMargin,
 
+    "w4_session_windows" ->
+      s"""WITH g AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+         |  FROM g)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  (epoch_us(max(ts)) - epoch_us(min(ts)))::DOUBLE / 60000000.0
+         |    AS duration_minutes,
+         |  ${davg("value")} AS avg_value
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "agg_rollup" ->
+      s"""SELECT coalesce(event_type, 'ALL') AS event_type,
+         |  coalesce(day, 'ALL') AS day,
+         |  count(*) AS n, ${davg("value")} AS avg_value
+         |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+         |      FROM events)
+         |GROUP BY ROLLUP (event_type, day)
+         |ORDER BY event_type, day""".stripMargin,
+
     // ---- window analytics (W*) ----
     "w1_gap_detection" ->
       """WITH l AS (

@@ -46,6 +46,8 @@ object SparkEntry {
     "w1_gap_detection"  -> (EA.w1GapDetection(_, _)),
     "w2_moving_avg"     -> (EA.w2MovingAvg(_, _)),
     "w3_rate_of_change" -> (EA.w3RateOfChange(_, _)),
+    "w4_session_windows" -> (EA.w4SessionWindows(_, _)),
+    "agg_rollup"         -> (EA.aggRollup(_, _)),
     // sorts / limits (SURVEY §2.6)
     "o1_recent_readings"   -> (EA.o1RecentReadings(_, _)),
     "o2_anomalous_readings"-> (EA.o2AnomalousReadings(_, _)),

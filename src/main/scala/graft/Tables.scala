@@ -17,8 +17,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Runtime session requirements of the query library, applied at every
+    * load so queries behave identically under ANY caller-provided
+    * session (the driver smoke-checks `entry` with its own session):
+    * naive parquet timestamps read as NTZ, UTC wall clock, non-ANSI
+    * arithmetic (LSH hash mixing relies on wrap-around int64 ops).
+    */
+  def ensureSessionConf(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureSessionConf(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

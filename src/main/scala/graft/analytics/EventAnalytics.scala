@@ -231,6 +231,50 @@ object EventAnalytics {
           .as("rate_per_hour"))
       .orderBy(col("user_id"), col("ts"))
 
+  /** W4 session windows (beyond the reference, which uses tumbling only
+    * — SURVEY §2.9 notes sessions come free): split each device's
+    * timeline into sessions at >30-minute gaps via the cumulative
+    * gap-indicator trick, then per-session stats. All-integer session
+    * assignment → engine-deterministic.
+    */
+  def w4SessionWindows(s: SparkSession, dir: String): DataFrame = {
+    val byDev = deviceWindow
+    val withGap = events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byDev))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          epochUs(col("ts")) - epochUs(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byDev))
+    withGap
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        ((epochUs(max(col("ts"))) - epochUs(min(col("ts")))).cast(DoubleType) / 60e6)
+          .as("duration_minutes"),
+        davg(col("value")).as("avg_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Rollup aggregate (beyond the reference — multi-level OLAP rollup
+    * over type×day in one pass; grouping keys coalesced to 'ALL' so the
+    * result is null-free for the hash compare).
+    */
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .rollup(col("event_type"), col("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        davg(col("value")).as("avg_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("n"), col("avg_value"))
+      .orderBy(col("event_type"), col("day"))
+
   /** O1 recent_sensor_readings view (init.sql:149-153): last 24 h of the
     * frozen table, newest first.
     */

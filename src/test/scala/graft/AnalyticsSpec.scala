@@ -44,6 +44,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(EventOps.t1Fanout(spark, Sf0001).count() == 2 * n)
   }
 
+  test("w4 sessions partition each device timeline; rollup grand total = table count") {
+    import spark.implicits._
+    val e = Tables.events(spark, Sf0001)
+    val sessions = EventAnalytics.w4SessionWindows(spark, Sf0001)
+    assert(sessions.agg(sum("n_events")).head().getLong(0) == e.count())
+    assert(sessions.filter($"duration_minutes" < 0).count() == 0)
+    val roll = EventAnalytics.aggRollup(spark, Sf0001)
+    val grand = roll.filter($"event_type" === "ALL" && $"day" === "ALL")
+      .select("n").as[Long].head()
+    assert(grand == e.count())
+  }
+
+  test("salted two-phase aggregation equals the direct groupBy") {
+    import spark.implicits._
+    val e = Tables.events(spark, Sf0001)
+    val direct = e.groupBy($"user_id".as("__key"))
+      .agg(sum(Cols.dec2($"value")).as("sum_value"), count(lit(1)).as("n"))
+      .as[(Long, BigDecimal, Long)].collect().toSet
+    val salted = operators.Salting
+      .saltedSumCount(e.withColumn("value", Cols.dec2($"value")), $"user_id", $"value", 8)
+      .as[(Long, BigDecimal, Long)].collect().toSet
+    assert(salted == direct)
+  }
+
   test("t5: timestamp normalization handles epoch, uptime, ISO, garbage (FIXTURES F1)") {
     import spark.implicits._
     val nowStr = "2024-06-01T12:00"
