@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard(_, _)),
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh(_, _)),
     "dedup_simhash"       -> (Dedup.dedupSimhash(_, _)),
+    "dedup_embedding"     -> (Similarity.dedupEmbedding(_, _)),
     // similarity search (north-star extensions)
     "emb_topk"            -> (Similarity.embTopk(_, _)),
     "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),

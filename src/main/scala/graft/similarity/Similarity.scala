@@ -65,6 +65,25 @@ object Similarity {
         round(sqrt(ddot(col("embedding"), col("embedding"))), 6).as("l2_norm"))
       .orderBy(col("vec_id"))
 
+  /** Embedding-cosine near-duplicate pairs (exact baseline): all pairs
+    * with cosine ≥ 0.95. O(n²) by construction — this is the
+    * per-bucket refinement step; at corpus scale candidates come from
+    * `embLshBuckets` first (same cosine threshold applied inside each
+    * bucket), which trades exactness of recall for linear-ish cost.
+    */
+  def dedupEmbeddingDf(emb: DataFrame, minCos: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  def dedupEmbedding(s: SparkSession, dir: String, minCos: Double = 0.95): DataFrame =
+    dedupEmbeddingDf(Tables.embeddings(s, dir), minCos)
+
   /** Sign-random-projection LSH bucketing (Charikar hyperplane hashing
     * without pre-materialized planes): plane p's component for dimension
     * d is a deterministic ±1 derived from a 64-bit integer mix of

@@ -70,6 +70,19 @@ class TextHashSpec extends SparkSpec {
     assert(total >= uniq && dup >= 0)
   }
 
+  test("embedding near-dup detector fires on planted near-identical vectors") {
+    import spark.implicits._
+    val v  = Seq.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val v2 = v.updated(0, v(0) + 0.001f)                      // near-dup of v
+    val w  = Seq.tabulate(64)(i => math.cos(3.0 * i).toFloat) // unrelated
+    val emb = Seq((1L, v), (2L, v2), (3L, w)).toDF("vec_id", "embedding")
+    val pairs = Similarity.dedupEmbeddingDf(emb, 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // the driver data has no planted embedding near-dups (max cos ≈ 0.51)
+    assert(Similarity.dedupEmbedding(spark, Sf001).count() == 0)
+  }
+
   test("LSH buckets: identical vectors share a bucket, recall vs brute force is sane") {
     val buckets = Similarity.embLshBuckets(spark, Sf001)
     val n = buckets.count()
