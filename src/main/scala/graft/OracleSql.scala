@@ -80,6 +80,15 @@ object OracleSql {
          |FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    "tx_contains" ->
+      s"""WITH $toksCte
+         |SELECT source, count(*) AS n_docs,
+         |  count(*) FILTER (WHERE list_contains(toks, 'spark')) AS n_spark,
+         |  count(*) FILTER (WHERE list_contains(toks, 'spark')
+         |    AND list_contains(toks, 'shuffle')) AS n_both
+         |FROM (SELECT t.*, d.source FROM t JOIN documents d USING (doc_id))
+         |GROUP BY source ORDER BY source""".stripMargin,
+
     "dedup_exact" ->
       """SELECT sum(c)::BIGINT AS total_docs, count(*) AS unique_texts,
         |  coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::BIGINT AS docs_in_dup_groups

@@ -65,6 +65,8 @@ object SparkEntry {
     "tx_quality"     -> (TX.txQuality(_, _)),
     "tx_langid"      -> (TX.txLangid(_, _)),
     "tx_fingerprint" -> (TX.txFingerprint(_, _)),
+    "tx_contains"    -> (TX.txContains(_, _)),
+    "a6_approx_distribution" -> (TX.approxDistribution(_, _)),
     // deduplication (north-star extensions)
     "dedup_exact"         -> (Dedup.dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard(_, _)),

@@ -58,6 +58,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Array-membership predicates (the GIN-index query analog, SURVEY §4:
+    * metadata/tag containment → `array_contains`/`element_at` scans):
+    * per-source counts of documents containing given terms.
+    */
+  def txContains(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        array_contains(toks, "spark").as("has_spark"),
+        array_contains(toks, "shuffle").as("has_shuffle"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("has_spark")).as("n_spark"),
+        count_if(col("has_spark") && col("has_shuffle")).as("n_both"))
+      .orderBy(col("source"))
+  }
+
+  /** Approximate variants of the distribution stats (the 100 TB scale
+    * path: HLL distinct + t-digest-style percentile instead of exact).
+    * No SQL oracle — approx sketches are engine-specific by nature; the
+    * driver records a rows-only check, and TextAnalysisSpec bounds the
+    * error against the exact query.
+    */
+  def approxDistribution(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"), col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("n_devices_approx"),
+        count(lit(1)).as("n"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("median_approx"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_approx"))
+      .orderBy(col("bucket"), col("event_type"))
+
   /** Document fingerprinting: full-content MD5, 60-bit content hash, and
     * the SimHash near-dup fingerprint (native codegen'd expression).
     */

@@ -56,6 +56,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(grand == e.count())
   }
 
+  test("approx distribution (scale path) tracks the exact stats") {
+    import spark.implicits._
+    val exact = EventAnalytics.a6DailyDistribution(spark, Sf0001)
+      .select($"bucket", $"event_type", $"n_devices", $"median_value")
+    val approx = analytics.TextAnalysis.approxDistribution(spark, Sf0001)
+      .select($"bucket", $"event_type", $"n_devices_approx", $"median_approx")
+    val joined = exact.join(approx, Seq("bucket", "event_type")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nd, nda) = (r.getAs[Long]("n_devices"), r.getAs[Long]("n_devices_approx"))
+      assert(math.abs(nd - nda) <= math.max(2, nd / 10), s"HLL off: $nd vs $nda")
+    }
+    // per-group medians are data-point picks on tiny sf0.001 groups —
+    // bound the error where the statistic is meaningful: globally
+    val e = Tables.events(spark, Sf0001)
+    val exactMed = e.agg(percentile($"value", lit(0.5))).head().getDouble(0)
+    val approxMed = e.agg(percentile_approx($"value", lit(0.5), lit(10000)))
+      .head().getDouble(0)
+    assert(math.abs(exactMed - approxMed) <= 5.0, s"$exactMed vs $approxMed")
+  }
+
   test("salted two-phase aggregation equals the direct groupBy") {
     import spark.implicits._
     val e = Tables.events(spark, Sf0001)
