@@ -117,9 +117,12 @@ object OracleSql {
          |    min(xor((h >> rr) | ((h & ((1::BIGINT << rr) - 1)) << (60 - rr)), c)) AS h
          |  FROM sh2 CROSS JOIN ff GROUP BY doc_id, f),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sig a JOIN sig b ON a.f = b.f AND a.h = b.h AND a.doc_id < b.doc_id
-         |  WHERE a.f < 4),
+         |bands AS (SELECT doc_id, f // 2 AS band,
+         |    string_agg(h::VARCHAR, '|' ORDER BY f) AS band_key
+         |  FROM sig GROUP BY doc_id, f // 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
          |est AS (SELECT c.doc_a, c.doc_b,
          |    (count(*) FILTER (WHERE sa.h = sb.h))::DOUBLE / 16 AS est_jaccard
          |  FROM cand c
@@ -415,6 +418,20 @@ object OracleSql {
         |SELECT user_id, ts,
         |  (value - prev_value) / (dt_us / 3600000000.0) AS rate_per_hour
         |FROM l WHERE dt_us > 0 ORDER BY user_id, ts""".stripMargin,
+
+    "pivot_user_type" ->
+      s"""SELECT user_id,
+         |  sum(CASE WHEN event_type = 'click' THEN value::DECIMAL(18,2) END)::DOUBLE
+         |    / count(CASE WHEN event_type = 'click' THEN value END) AS click,
+         |  sum(CASE WHEN event_type = 'view' THEN value::DECIMAL(18,2) END)::DOUBLE
+         |    / count(CASE WHEN event_type = 'view' THEN value END) AS view,
+         |  sum(CASE WHEN event_type = 'purchase' THEN value::DECIMAL(18,2) END)::DOUBLE
+         |    / count(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+         |  sum(CASE WHEN event_type = 'signup' THEN value::DECIMAL(18,2) END)::DOUBLE
+         |    / count(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+         |  sum(CASE WHEN event_type = 'error' THEN value::DECIMAL(18,2) END)::DOUBLE
+         |    / count(CASE WHEN event_type = 'error' THEN value END) AS error
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // ---- sorts / limits (O*) ----
     "o1_recent_readings" ->

@@ -48,6 +48,7 @@ object SparkEntry {
     "w3_rate_of_change" -> (EA.w3RateOfChange(_, _)),
     "w4_session_windows" -> (EA.w4SessionWindows(_, _)),
     "agg_rollup"         -> (EA.aggRollup(_, _)),
+    "pivot_user_type"    -> (EA.pivotUserType(_, _)),
     // sorts / limits (SURVEY §2.6)
     "o1_recent_readings"   -> (EA.o1RecentReadings(_, _)),
     "o2_anomalous_readings"-> (EA.o2AnomalousReadings(_, _)),

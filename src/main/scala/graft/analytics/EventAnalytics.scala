@@ -275,6 +275,17 @@ object EventAnalytics {
         col("n"), col("avg_value"))
       .orderBy(col("event_type"), col("day"))
 
+  /** Pivot: per-device mean value by event type as columns — the inverse
+    * of the T1 unpivot/fan-out. Explicit pivot values keep the schema
+    * static (a values-discovery pass is an extra job at scale).
+    */
+  def pivotUserType(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(davg(col("value")))
+      .orderBy(col("user_id"))
+
   /** O1 recent_sensor_readings view (init.sql:149-153): last 24 h of the
     * frozen table, newest first.
     */

@@ -60,10 +60,12 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup detection: 16-function signature per doc
-    * (native codegen'd expression, one text pass), LSH bucketing on the
-    * first 4 signature slots, exact-Jaccard verification of bucket-mate
-    * candidates only. Output = verified pairs (j ≥ 0.5) with both the
-    * MinHash estimate and the exact similarity.
+    * (native codegen'd expression, one text pass), bucketed as 8 bands ×
+    * 2 rows — P(candidate | jaccard j) ≈ 1−(1−j²)⁸, so random pairs
+    * (j ≈ 0.006 here) almost never collide while j ≥ 0.8 pairs are
+    * caught with ≥ 1−3·10⁻⁴ probability. Bucket-mates are then verified
+    * with the exact Jaccard. Output = verified pairs (j ≥ 0.5) with both
+    * the MinHash estimate and the exact similarity.
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     // persisted: the shingle+signature relation feeds the bucket explode
@@ -73,12 +75,16 @@ object Dedup {
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .select(col("doc_id"), col("sh"), minhashSig(col("sh"), 16).as("sig"))
       .persist()
-    // LSH: bucket on (band, sig[band]) for bands 0..3 — candidates are
-    // pairs that agree on at least one sampled min-hash
-    val buckets = docs.select(col("doc_id"),
-        posexplode(slice(col("sig"), 1, 4)).as(Seq("band", "h")))
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+    // 8 bands of 2 signature slots; the band key is the slot tuple
+    // rendered as a string (portable join key across engines)
+    val bands = docs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("band"), col("sig"))
+      .withColumn("band_key", concat_ws("|",
+        transform(slice(col("sig"), col("band") * 2 + 1, lit(2)),
+          x => x.cast(StringType))))
+      .select(col("doc_id"), col("band"), col("band_key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
