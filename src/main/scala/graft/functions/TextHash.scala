@@ -81,6 +81,27 @@ object TextHash {
   /** XOR constant for function f: hash60("mh|" + f). */
   def mhConst(f: Int): Long = hash60("mh|" + f)
 
+  /** Distinct space-joined n-grams over a token array (first-seen order). */
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val sb = new StringBuilder(64)
+    var i = 0
+    while (i <= len - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
   def minhashSig(elems: ArrayData, k: Int): ArrayData = {
     val rots = Array.tabulate(k)(mhRot)
     val consts = Array.tabulate(k)(mhConst)
@@ -116,6 +137,24 @@ case class SimHash60Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `shingles(tokens, n)` as a native Catalyst expression: distinct
+  * space-joined word n-grams in first-seen order. The pure-Column
+  * formulation (transform over sequence + slice + concat_ws +
+  * array_distinct) is semantically identical but ~10× slower — the
+  * nested higher-order functions defeat codegen and allocate per slice.
+  * Shingle output is consumed as a SET everywhere (explode/intersect/
+  * union), so element order is unobservable.
+  */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.shingles(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
 /** `minhash_sig(elems, k)` as a native Catalyst expression with codegen. */
 case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -136,14 +175,12 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
-  /** Distinct word n-gram shingles (space-joined). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast(ArrayType(StringType, containsNull = false)))
-  }
+  /** Distinct word n-gram shingles (space-joined), via the native
+    * ShinglesExpr (set semantics; see its scaladoc for why not the
+    * pure-Column formulation).
+    */
+  def shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(tokens(text)), n))
 
   /** 60-bit MD5-derived content hash (SQL-reproducible, see TextHash). */
   def hash60(c: Column): Column =
