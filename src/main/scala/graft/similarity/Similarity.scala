@@ -1,7 +1,9 @@
 package graft.similarity
 
 import graft.Tables
+import graft.functions.CosineSimExpr
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -25,8 +27,12 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Native codegen'd cosine (same fold order, ~10× less per-pair cost
+    * than the higher-order-function formulation above).
+    */
   def cosine(a: Column, b: Column): Column =
-    ddot(a, b) / (sqrt(ddot(a, a)) * sqrt(ddot(b, b)))
+    ColumnBridge.column(CosineSimExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Brute-force cosine top-5 neighbors for the query vectors
     * (vec_id < 10): broadcast queries × corpus scan, windowed rank.
