@@ -446,9 +446,72 @@ object OracleSql {
 
     "o3_recent_topn" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
-        |ORDER BY ts DESC LIMIT 100""".stripMargin,
+        |ORDER BY ts DESC, event_id LIMIT 100""".stripMargin,
+
+    // ---- Avro wire round-trip: encode∘decode is the identity, so the
+    // oracle is the same flat projection computed directly from events
+    "avro_roundtrip" ->
+      """SELECT event_id,
+        |  'dev-' || user_id::VARCHAR AS device_id,
+        |  event_type AS device_type,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_str,
+        |  CASE WHEN event_id % 3 = 0 THEN 'double'
+        |       WHEN event_id % 3 = 1 THEN 'int' ELSE 'null' END AS value_kind,
+        |  CASE WHEN event_id % 3 = 0 THEN value
+        |       WHEN event_id % 3 = 1 THEN trunc(value)::INT::DOUBLE
+        |       ELSE NULL END AS value_num,
+        |  CASE event_type WHEN 'click' THEN 'count' WHEN 'view' THEN 'ms'
+        |    WHEN 'purchase' THEN 'eur' WHEN 'signup' THEN 'count'
+        |    ELSE 'code' END AS unit,
+        |  60.0 + (user_id % 100)::DOUBLE * 0.001 AS latitude,
+        |  24.0 + (user_id % 100)::DOUBLE * 0.002 AS longitude,
+        |  CASE WHEN user_id % 5 = 0 THEN NULL
+        |       ELSE 'B' || (user_id % 3)::VARCHAR END AS building,
+        |  CASE WHEN user_id % 4 = 0 THEN NULL
+        |       ELSE (user_id % 4)::DOUBLE END AS floor_d,
+        |  CASE WHEN user_id % 2 = 0 THEN 'Z1' ELSE NULL END AS zone,
+        |  NULL::VARCHAR AS room,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value * 0.1 END
+        |    AS battery_level,
+        |  CASE WHEN event_id % 2 = 0 THEN -40.0 - (user_id % 30)::DOUBLE
+        |       ELSE NULL END AS signal_strength,
+        |  event_type = 'error' AS is_anomaly,
+        |  CASE WHEN user_id % 6 = 0 THEN NULL
+        |       ELSE 'fw-1.' || (user_id % 4)::VARCHAR END AS firmware_version,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL
+        |       ELSE 'gw-' || (user_id % 5)::VARCHAR END AS meta_parent,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE 2 END::BIGINT AS n_meta,
+        |  (['ACTIVE','IDLE','MAINTENANCE','ERROR','UNKNOWN'])[(event_id % 5)::INT + 1]
+        |    AS status,
+        |  2::BIGINT AS n_tags,
+        |  event_type AS tag2,
+        |  CASE WHEN user_id % 7 = 0 THEN NULL
+        |       ELSE '2024-0' || ((user_id % 9) + 1)::VARCHAR || '-01' END
+        |    AS maintenance_date,
+        |  42::INT AS schema_id,
+        |  TRUE AS magic_ok
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // ---- row transforms (T*) / integrity (L8) ----
+    "t5_normalize_ts" ->
+      """WITH r AS (SELECT event_id,
+        |  CASE WHEN event_id % 4 = 0 THEN (1704067200 + event_id % 100000)::VARCHAR
+        |       WHEN event_id % 4 = 1 THEN (event_id % 1000)::VARCHAR
+        |       WHEN event_id % 4 = 2 THEN '2024-01-' ||
+        |         lpad(((event_id % 28) + 1)::VARCHAR, 2, '0') ||
+        |         ' 0' || (event_id % 10)::VARCHAR || ':30:00'
+        |       ELSE 'garbage' END AS raw_ts
+        |  FROM events)
+        |SELECT event_id, raw_ts,
+        |  CASE WHEN try_cast(raw_ts AS BIGINT) IS NOT NULL
+        |         AND try_cast(raw_ts AS BIGINT) >= 10000000
+        |         THEN make_timestamp(try_cast(raw_ts AS BIGINT) * 1000000)
+        |       WHEN try_cast(raw_ts AS BIGINT) IS NOT NULL
+        |         THEN TIMESTAMP '2024-01-15'
+        |       ELSE coalesce(try_cast(raw_ts AS TIMESTAMP),
+        |                     TIMESTAMP '2024-01-15') END AS norm_ts
+        |FROM r ORDER BY event_id""".stripMargin,
+
     "t1_fanout" ->
       """SELECT * FROM (
         |  SELECT user_id::VARCHAR || '_value' AS device_id, event_id, ts,

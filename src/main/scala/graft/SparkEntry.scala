@@ -3,6 +3,7 @@ package graft
 import graft.analytics.{EventAnalytics => EA, Relational => R, TextAnalysis => TX}
 import graft.dedup.Dedup
 import graft.operators.{EventOps => T, Multimodal}
+import graft.serde.AvroPipeline
 import graft.similarity.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -56,6 +57,7 @@ object SparkEntry {
     // row transforms + integrity (SURVEY §2.2, §2.7)
     "t1_fanout"        -> (T.t1Fanout(_, _)),
     "t4_battery_pct"   -> (T.t4BatteryPct(_, _)),
+    "t5_normalize_ts"  -> (T.t5NormalizeTs(_, _)),
     "t6_clamp_ts"      -> (T.t6ClampTs(_, _)),
     "t7_valid_counts"  -> (T.t7ValidCounts(_, _)),
     "t9_anomaly_flags" -> (T.t9AnomalyFlags(_, _)),
@@ -80,7 +82,9 @@ object SparkEntry {
     "emb_norms"           -> (Similarity.embNorms(_, _)),
     "emb_lsh_buckets"     -> (Similarity.embLshBuckets(_, _)),
     // multimodal columns (north-star extensions)
-    "mm_features" -> (Multimodal.mmFeatures(_, _))
+    "mm_features" -> (Multimodal.mmFeatures(_, _)),
+    // Avro wire format (S4 core: Confluent frame + union normalization)
+    "avro_roundtrip" -> (AvroPipeline.avroRoundtrip(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

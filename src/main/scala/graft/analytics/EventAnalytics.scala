@@ -307,10 +307,12 @@ object EventAnalytics {
 
   /** O3 recent-N (database.py:348-383, README.md:722-745): global top-k
     * by time — planned as TakeOrderedAndProject, not a full sort.
+    * event_id tiebreaker keeps the selected row set deterministic if two
+    * rows ever share the cutoff timestamp.
     */
   def o3RecentTopN(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .orderBy(col("ts").desc)
+      .orderBy(col("ts").desc, col("event_id"))
       .limit(100)
 }

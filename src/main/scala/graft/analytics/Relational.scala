@@ -14,8 +14,12 @@ import org.apache.spark.sql.types._
   * the way the DuckDB-oracle harness checks it.
   *
   * Scale notes (100 TB design intent):
-  *  - dimension tables (region/nation/supplier/part/customer) are
-  *    broadcast — no shuffle of the fact side for enrichment joins;
+  *  - only the FIXED-size dimensions (region = 5 rows, nation = 25 rows)
+  *    carry a forced broadcast hint. customer/supplier/part grow with
+  *    scale factor, so the decision is left to AQE /
+  *    autoBroadcastJoinThreshold: at small SF the optimizer broadcasts
+  *    them anyway (same plan), at 100 TB it falls back to a shuffle join
+  *    instead of OOMing the driver on a forced hint;
   *  - fact-fact joins (lineitem⋈orders) shuffle on the join key once and
   *    Catalyst/AQE picks sort-merge with both sides partitioned by key;
   *  - all aggregates are partial (map-side combine) by construction of
@@ -43,7 +47,8 @@ object Relational {
   }
 
   /** Q3-style: top 10 orders by revenue for one market segment.
-    * customer is a dimension → broadcast; lineitem⋈orders shuffles once.
+    * customer scales with SF → no forced broadcast, AQE decides;
+    * lineitem⋈orders shuffles once.
     */
   def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -52,7 +57,7 @@ object Relational {
     val li   = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") > tsLit("1998-01-01"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum((dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
         .cast(DecimalType(38, 4))).cast(DoubleType).as("revenue"))
@@ -61,8 +66,8 @@ object Relational {
   }
 
   /** Q5-style: revenue per nation for one region — the 6-way join.
-    * region/nation/supplier/customer broadcast; only lineitem⋈orders is a
-    * shuffle join.
+    * region/nation are fixed-size → forced broadcast; supplier/customer
+    * scale with SF → AQE decides; only lineitem⋈orders must shuffle.
     */
   def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
@@ -74,8 +79,8 @@ object Relational {
               col("o_orderdate") <  tsLit("1997-01-01"))
     val li     = Tables.lineitem(s, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust),
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust,
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -135,12 +140,13 @@ object Relational {
           .cast(DecimalType(38, 4))).cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_lines"))
 
-  /** Broadcast-enrichment agg: avg lineitem price per part brand
-    * (J1 analog — fact enriched from a small dimension). */
+  /** Dimension-enrichment agg: avg lineitem price per part brand
+    * (J1 analog — fact enriched from a dimension). part scales with SF,
+    * so broadcast is AQE's call, not a forced hint. */
   def brandPriceAgg(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(s, dir)
     Tables.lineitem(s, dir)
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         count(lit(1)).as("n_lines"),

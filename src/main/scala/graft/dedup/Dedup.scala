@@ -33,30 +33,47 @@ object Dedup {
         coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).cast(LongType)
           .as("docs_in_dup_groups"))
 
-  /** Shingle→doc inverted index (distinct 3-gram shingles, exploded). */
-  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
-
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via the
-    * inverted index: |A∩B| from a self-join on shingle, |A∪B| from the
-    * per-doc shingle counts.
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5).
+    *
+    * Shape at scale: candidate pairs come from a self-join of the
+    * inverted shingle→doc index, so only docs sharing a shingle ever
+    * meet; shingles whose document frequency exceeds `maxDf` are dropped
+    * from the index FIRST (the standard stop-shingle cap — a phrase
+    * shared by 10% of the corpus would otherwise produce a quadratic
+    * candidate blowup). Survivor pairs are then verified with the EXACT
+    * Jaccard from the full per-doc shingle arrays, so the cap can only
+    * lose recall on pairs whose overlap is entirely stop-shingles — any
+    * emitted similarity is exact. Every join is a plain shuffle join;
+    * nothing per-doc is broadcast (a per-doc relation grows with the
+    * corpus and would OOM the driver at scale).
     */
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val idx = shingleIndex(s, dir)
-    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = idx.as("a").join(idx.as("b"),
+  def dedupNgramJaccard(s: SparkSession, dir: String, maxDf: Int = 10000): DataFrame = {
+    // doc → full shingle set (persisted: feeds the index and both sides
+    // of the verify join)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .persist()
+    val idx = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    // document-frequency cap: drop shingles present in > maxDf docs
+    val rare = idx.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("s"))
+    val pruned = idx.join(rare, "s")
+    val cand = pruned.as("a").join(pruned.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val result = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (col("n_common").cast(DoubleType) /
-          (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))).as("jaccard"))
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    docs.unpersist()
+    result
   }
 
   /** MinHash+LSH near-dup detection: 16-function signature per doc
@@ -94,13 +111,19 @@ object Dedup {
         col("sig").as("sig_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
         col("sig").as("sig_b")), "doc_b")
-    withSets.select(col("doc_a"), col("doc_b"),
+    val result = withSets.select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) =>
           a === b), x => x)).cast(DoubleType) / 16).as("est_jaccard"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
+      // eagerly materialize the (small) verified-pair relation so the
+      // cached signature blocks can be released right away instead of
+      // living for the rest of the session
+      .localCheckpoint(true)
+    docs.unpersist()
+    result
   }
 
   /** SimHash near-dup detection: 60-bit fingerprint, banded into 4×15-bit

@@ -66,6 +66,26 @@ object EventOps {
       .otherwise(coalesce(to_timestamp(raw).cast("timestamp_ntz"), now))
   }
 
+  /** T5 as a registered query: derive raw timestamp strings exercising
+    * all four normalizeTs branches from each events row (epoch-seconds
+    * string, device-uptime small int, ISO string, unparseable), pin
+    * `now`, normalize.
+    */
+  def t5NormalizeTs(s: SparkSession, dir: String): DataFrame = {
+    val eid = col("event_id")
+    val raw =
+      when(eid % 4 === 0, (lit(1704067200L) + eid % 100000L).cast(StringType))
+        .when(eid % 4 === 1, (eid % 1000L).cast(StringType))
+        .when(eid % 4 === 2, concat(
+          lit("2024-01-"), lpad(((eid % 28) + 1).cast(StringType), 2, "0"),
+          lit(" 0"), (eid % 10).cast(StringType), lit(":30:00")))
+        .otherwise(lit("garbage"))
+    Tables.events(s, dir)
+      .select(col("event_id"), raw.as("raw_ts"),
+        normalizeTs(raw, tsLit("2024-01-15")).as("norm_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** T6 timestamp sanity clamp (timescaledb_sink.py:152-161): clamp
     * out-of-line timestamps into a tolerated window around "now" (frozen
     * here to a fixed instant for determinism).

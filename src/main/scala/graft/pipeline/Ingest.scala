@@ -59,12 +59,15 @@ object Ingest {
   }
 
   /** T4: battery %-from-voltage, the reference's piecewise-linear map
-    * (<1.8 V → 0, ≥3.0 V → 100, else (v−2.0)×100, round 2;
-    * ruuvitag_adapter.py:446-468 with bounds config.yaml:146-151).
+    * (≤2.0 V → 0, ≥3.0 V → 100, else (v−2.0)×100, round 2;
+    * ruuvitag_adapter.py:446-468 with min_voltage=2.0 config.yaml:146-151).
+    * The zero branch clamps at the configured minimum — values in
+    * (min, 1.8] must not go negative, or downstream [0,100] validation
+    * quarantines the whole reading instead of storing 0%.
     */
   def batteryPctFromVoltage(v: Column): Column =
     when(v.isNull, lit(null).cast(DoubleType))
-      .when(v < 1.8, 0.0)
+      .when(v <= 2.0, 0.0)
       .when(v >= 3.0, 100.0)
       .otherwise(round((v - lit(2.0)) * 100.0, 2))
 

@@ -2,11 +2,41 @@ package graft.similarity
 
 import graft.Tables
 import graft.functions.CosineSimExpr
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** One (neighbor, similarity) candidate for the bounded top-k
+  * aggregator. Total order = (cos_sim desc, neighbor_id asc), so the
+  * k-survivor set is deterministic under any partitioning/merge order.
+  */
+case class ScoredNbr(neighbor_id: Long, cos_sim: Double)
+
+/** Bounded top-k aggregate: the buffer is a ≤k sorted list, so the
+  * partial (map-side) aggregation reduces each partition's candidates to
+  * at most k per group BEFORE the shuffle — the exchange carries q×p
+  * k-row states instead of the full n×q pair set, and no single task
+  * ever holds one group's full candidate list (the scale-killer of a
+  * rank-window formulation).
+  */
+class TopKByCos(k: Int) extends Aggregator[ScoredNbr, Seq[ScoredNbr], Seq[ScoredNbr]] {
+  private def better(a: ScoredNbr, b: ScoredNbr): Boolean =
+    a.cos_sim > b.cos_sim ||
+      (a.cos_sim == b.cos_sim && a.neighbor_id < b.neighbor_id)
+  private def trim(xs: Seq[ScoredNbr]): Seq[ScoredNbr] =
+    xs.sortWith(better).take(k)
+  override def zero: Seq[ScoredNbr] = Seq.empty
+  override def reduce(b: Seq[ScoredNbr], x: ScoredNbr): Seq[ScoredNbr] =
+    if (b.size >= k && !better(x, b.last)) b else trim(b :+ x)
+  override def merge(a: Seq[ScoredNbr], b: Seq[ScoredNbr]): Seq[ScoredNbr] =
+    trim(a ++ b)
+  override def finish(r: Seq[ScoredNbr]): Seq[ScoredNbr] = r
+  override def bufferEncoder: Encoder[Seq[ScoredNbr]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[ScoredNbr]] = ExpressionEncoder()
+}
 
 /** Similarity search over the `embeddings` table (Array[Float] column).
   *
@@ -35,9 +65,13 @@ object Similarity {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Brute-force cosine top-5 neighbors for the query vectors
-    * (vec_id < 10): broadcast queries × corpus scan, windowed rank.
+    * (vec_id < 10): broadcast queries × corpus scan, then TWO-PHASE
+    * top-k — each scan partition folds its candidates into a ≤5-element
+    * buffer per query (map-side partial agg), and the final merge sees
+    * only q×partitions tiny buffers. No stage ever shuffles the n×q
+    * pair set or concentrates one query's pairs on one task.
     */
-  def embTopk(s: SparkSession, dir: String): DataFrame = {
+  def embTopk(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -46,10 +80,15 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    pairs.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 5)
+    val topk = udaf(new TopKByCos(k))
+    pairs
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("cos_sim")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"),
+        col("nbr.neighbor_id").as("neighbor_id"),
+        col("nbr.cos_sim").as("cos_sim"),
+        (col("pos") + 1).cast(LongType).as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 

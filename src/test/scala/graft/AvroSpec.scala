@@ -1,0 +1,151 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import scala.jdk.CollectionConverters._
+
+import graft.serde.{AvroPipeline, AvroWire}
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.avro.util.Utf8
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Wire-format compatibility of the serde expressions: the proof is
+  * cross-decoding — bytes produced by AvroWire.toAvro must be readable
+  * by Avro's own GenericDatumReader (what the reference's consumer
+  * effectively runs, schema_registry.py:337-357), and bytes produced by
+  * Avro's own GenericDatumWriter must decode through AvroWire.fromAvro.
+  * Self-inverse round-trips can't prove that; cross-decoding can.
+  */
+class AvroSpec extends SparkSpec {
+
+  private val schema = new Schema.Parser().parse(AvroWire.sensorSchemaJson)
+
+  /** A reading touching every schema type, built with the raw Avro API. */
+  private def referenceRecord(): GenericRecord = {
+    val loc = new GenericData.Record(schema.getField("location").schema)
+    loc.put("latitude", 60.1699)
+    loc.put("longitude", 24.9384)
+    loc.put("building", new Utf8("B1"))
+    loc.put("floor", Int.box(3))
+    loc.put("zone", null)
+    loc.put("room", new Utf8("r-12"))
+    val rec = new GenericData.Record(schema)
+    rec.put("device_id", new Utf8("dev-7"))
+    rec.put("device_type", new Utf8("temperature"))
+    rec.put("timestamp", new Utf8("2024-01-15T10:30:00"))
+    rec.put("value", Double.box(21.5)) // double branch of the union
+    rec.put("unit", new Utf8("°C"))
+    rec.put("location", loc)
+    rec.put("battery_level", Double.box(87.5))
+    rec.put("signal_strength", null)
+    rec.put("is_anomaly", Boolean.box(false))
+    rec.put("firmware_version", new Utf8("fw-1.2"))
+    val meta = new java.util.HashMap[Utf8, Utf8]()
+    meta.put(new Utf8("parent"), new Utf8("gw-1"))
+    rec.put("device_metadata", meta)
+    rec.put("status", new GenericData.EnumSymbol(
+      schema.getField("status").schema, "ACTIVE"))
+    rec.put("tags", java.util.List.of(new Utf8("iot"), new Utf8("ble")).asInstanceOf[AnyRef])
+    rec.put("maintenance_date", null)
+    rec
+  }
+
+  private def rawEncode(rec: GenericRecord): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get.binaryEncoder(bos, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    bos.toByteArray
+  }
+
+  private def rawDecode(bytes: Array[Byte]): GenericRecord =
+    new GenericDatumReader[GenericRecord](schema)
+      .read(null, DecoderFactory.get.binaryDecoder(bytes, null))
+
+  test("raw Avro writer → AvroWire.fromAvro decodes every field") {
+    import spark.implicits._
+    val body = rawEncode(referenceRecord())
+    val row = Seq(body).toDF("body")
+      .select(AvroWire.fromAvro(col("body"), AvroWire.sensorSchemaJson).as("r"))
+      .select("r.*").head()
+    assert(row.getAs[String]("device_id") == "dev-7")
+    assert(row.getAs[String]("timestamp") == "2024-01-15T10:30:00")
+    val v = row.getAs[Row]("value")
+    assert(v.getAs[java.lang.Double]("member0") == 21.5 && v.isNullAt(1))
+    assert(row.getAs[String]("unit") == "°C")
+    val loc = row.getAs[Row]("location")
+    assert(loc.getAs[Double]("latitude") == 60.1699)
+    assert(loc.getAs[Integer]("floor") == 3)
+    assert(loc.isNullAt(loc.fieldIndex("zone")))
+    assert(loc.getAs[String]("room") == "r-12")
+    assert(row.getAs[java.lang.Double]("battery_level") == 87.5)
+    assert(row.isNullAt(row.fieldIndex("signal_strength")))
+    assert(!row.getAs[Boolean]("is_anomaly"))
+    assert(row.getMap[String, String](row.fieldIndex("device_metadata")).toMap ==
+      Map("parent" -> "gw-1"))
+    assert(row.getAs[String]("status") == "ACTIVE")
+    assert(row.getSeq[String](row.fieldIndex("tags")).toList == List("iot", "ble"))
+    assert(row.isNullAt(row.fieldIndex("maintenance_date")))
+  }
+
+  test("AvroWire.toAvro → raw Avro reader sees identical bytes semantics") {
+    // encode via the expression from an events-derived struct...
+    val wire = Tables.events(spark, Sf001).limit(50)
+      .select(col("event_id"),
+        AvroWire.toAvro(AvroPipeline.sensorFromEvents(), AvroWire.sensorSchemaJson)
+          .as("body"))
+      .orderBy("event_id")
+      .collect()
+    assert(wire.length == 50)
+    // ...then decode each body with Avro's own reader and spot-check
+    wire.foreach { r =>
+      val rec = rawDecode(r.getAs[Array[Byte]]("body"))
+      assert(rec.get("device_id").toString.startsWith("dev-"))
+      val status = rec.get("status").toString
+      assert(Set("ACTIVE", "IDLE", "MAINTENANCE", "ERROR", "UNKNOWN")(status))
+      val tags = rec.get("tags").asInstanceOf[java.util.List[AnyRef]]
+      assert(tags.size == 2 && tags.get(0).toString == "iot")
+      val loc = rec.get("location").asInstanceOf[GenericRecord]
+      assert(loc.get("latitude").asInstanceOf[Double] >= 60.0)
+      // the value union decodes to Double / Integer / null per branch
+      val v = rec.get("value")
+      assert(v == null || v.isInstanceOf[java.lang.Double] || v.isInstanceOf[java.lang.Integer])
+    }
+  }
+
+  test("Confluent frame: magic byte, big-endian schema id, strip round-trip") {
+    import spark.implicits._
+    val body = rawEncode(referenceRecord())
+    val framed = Seq(body).toDF("body")
+      .select(AvroWire.frame(col("body"), 1234567).as("wire"))
+    val row = framed.select(
+      AvroWire.frameMagicOk(col("wire")).as("ok"),
+      AvroWire.frameSchemaId(col("wire")).as("id"),
+      AvroWire.unframe(col("wire")).as("stripped")).head()
+    assert(row.getAs[Boolean]("ok"))
+    assert(row.getAs[Int]("id") == 1234567)
+    assert(row.getAs[Array[Byte]]("stripped").sameElements(body))
+    // byte-level: magic 0x00 then 4-byte BE int
+    val bytes = AvroWire.frameBytes(1234567)
+    assert(bytes(0) == 0x00)
+    assert(java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt == 1234567)
+  }
+
+  test("union int/null branches cross-decode through the memberN struct") {
+    import spark.implicits._
+    val intRec = referenceRecord()
+    intRec.put("value", Int.box(42)) // int branch via raw writer
+    val nullRec = referenceRecord()
+    nullRec.put("value", null) // null branch
+    val rows = Seq(rawEncode(intRec), rawEncode(nullRec)).toDF("body")
+      .select(AvroWire.fromAvro(col("body"), AvroWire.sensorSchemaJson).as("r"))
+      .select(col("r.value").as("v"))
+      .collect()
+    val intV = rows(0).getAs[Row]("v")
+    assert(intV.isNullAt(0) && intV.getAs[Integer]("member1") == 42)
+    assert(rows(1).isNullAt(0)) // null branch → null struct
+  }
+}
