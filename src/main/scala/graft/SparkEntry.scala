@@ -76,6 +76,9 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh(_, _)),
     "dedup_simhash"       -> (Dedup.dedupSimhash(_, _)),
     "dedup_embedding"     -> (Similarity.dedupEmbedding(_, _)),
+    // the scale default: LSH buckets -> exact refine, hash-checked
+    // against the full O(n^2) pair set
+    "dedup_embedding_lsh" -> (Similarity.dedupEmbeddingLsh(_, _)),
     // similarity search (north-star extensions)
     "emb_topk"            -> (Similarity.embTopk(_, _)),
     "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),

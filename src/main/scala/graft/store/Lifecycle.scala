@@ -1,9 +1,8 @@
 package graft.store
 
-import java.nio.file.{Files, Path, Paths}
 import java.time.LocalDate
-import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,8 +19,16 @@ import org.apache.spark.sql.functions._
   *    row-group min/max stats then skip on both key and time.
   *  - Archive/retention/compaction are partition-level moves/drops —
   *    metadata-cheap at any scale, no row rewrites.
+  *
+  * All filesystem surgery goes through the Hadoop FileSystem API
+  * resolved from the path, so the same code runs on local disk, HDFS,
+  * or an object store (s3a/abfs/gs) — never java.nio, which only exists
+  * on the driver's local disk.
   */
 object Lifecycle {
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Write a readings table in the clustered, date-partitioned layout
     * (L4). `keyCol` is the device/entity key, `tsCol` the event time.
@@ -39,13 +46,13 @@ object Lifecycle {
       .parquet(outDir)
   }
 
-  private def partitionDates(dir: String): Seq[(LocalDate, Path)] = {
-    val root = Paths.get(dir)
-    if (!Files.exists(root)) return Seq.empty
-    Files.list(root).iterator.asScala
-      .filter(p => p.getFileName.toString.startsWith("event_date="))
-      .map(p => (LocalDate.parse(p.getFileName.toString.stripPrefix("event_date=")), p))
-      .toSeq
+  private def partitionDates(spark: SparkSession, dir: String): Seq[(LocalDate, Path)] = {
+    val root = new Path(dir)
+    val filesystem = fs(spark, dir)
+    if (!filesystem.exists(root)) return Seq.empty
+    filesystem.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+      .map(s => (LocalDate.parse(s.getPath.getName.stripPrefix("event_date=")), s.getPath))
   }
 
   /** L1 archive_old_data: move partitions older than `cutoff` from the
@@ -55,51 +62,61 @@ object Lifecycle {
     */
   def archiveOlderThan(spark: SparkSession, mainDir: String,
       archiveDir: String, cutoff: LocalDate): Int = {
-    val old = partitionDates(mainDir).filter(_._1.isBefore(cutoff))
+    val old = partitionDates(spark, mainDir).filter(_._1.isBefore(cutoff))
     if (old.nonEmpty) {
       spark.read
         .option("basePath", mainDir)
         .parquet(old.map(_._2.toString): _*)
         .write.mode("append").partitionBy("event_date").parquet(archiveDir)
-      old.foreach { case (_, p) => deleteRecursively(p) }
+      val filesystem = fs(spark, mainDir)
+      old.foreach { case (_, p) => filesystem.delete(p, true) }
     }
     old.size
   }
 
   /** L2/L3 retention: drop partitions older than cutoff. */
-  def dropOlderThan(dir: String, cutoff: LocalDate): Int = {
-    val old = partitionDates(dir).filter(_._1.isBefore(cutoff))
-    old.foreach { case (_, p) => deleteRecursively(p) }
+  def dropOlderThan(spark: SparkSession, dir: String, cutoff: LocalDate): Int = {
+    val old = partitionDates(spark, dir).filter(_._1.isBefore(cutoff))
+    val filesystem = fs(spark, dir)
+    old.foreach { case (_, p) => filesystem.delete(p, true) }
     old.size
   }
 
   /** L7 compaction (the VACUUM analog that matters in a file store):
     * rewrite each partition's small files into `filesPerPartition`
-    * sorted files.
+    * sorted files. Crash-safe swap: the rewritten table is promoted by
+    * renaming the live dir aside FIRST, so no point of failure leaves
+    * the table missing — at worst the `__old` copy still holds every
+    * row and the recovery is a rename.
     */
   def compact(spark: SparkSession, dir: String, keyCol: String, tsCol: String,
       filesPerPartition: Int = 1): Unit = {
     val tmp = dir + "__compacting"
+    val old = dir + "__old"
     spark.read.parquet(dir)
       .repartition(filesPerPartition, col("event_date"))
       .sortWithinPartitions(col(keyCol), col(tsCol).desc)
       .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
-    deleteRecursively(Paths.get(dir))
-    Files.move(Paths.get(tmp), Paths.get(dir))
+    val filesystem = fs(spark, dir)
+    filesystem.delete(new Path(old), true) // leftover from a prior crash
+    if (!filesystem.rename(new Path(dir), new Path(old)))
+      throw new java.io.IOException(s"compact: cannot move $dir aside")
+    if (!filesystem.rename(new Path(tmp), new Path(dir))) {
+      filesystem.rename(new Path(old), new Path(dir)) // roll back
+      throw new java.io.IOException(s"compact: cannot promote $tmp")
+    }
+    filesystem.delete(new Path(old), true)
   }
 
   /** L9-ish introspection: per-partition file count + bytes. */
-  def tableStats(dir: String): Seq[(String, Int, Long)] =
-    partitionDates(dir).sortBy(_._1.toString).map { case (d, p) =>
-      val files = Files.walk(p).iterator.asScala
-        .filter(f => f.toString.endsWith(".parquet")).toSeq
-      (d.toString, files.size, files.map(Files.size).sum)
+  def tableStats(spark: SparkSession, dir: String): Seq[(String, Int, Long)] =
+    partitionDates(spark, dir).sortBy(_._1.toString).map { case (d, p) =>
+      val it = fs(spark, dir).listFiles(p, true)
+      var n = 0; var bytes = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) { n += 1; bytes += f.getLen }
+      }
+      (d.toString, n, bytes)
     }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator.asScala.foreach(Files.delete)
-    }
-  }
 }

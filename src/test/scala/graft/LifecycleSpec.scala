@@ -16,7 +16,7 @@ class LifecycleSpec extends SparkSpec {
 
     // L4 clustered, date-partitioned layout
     Lifecycle.writeClustered(events, main, "user_id", "ts")
-    val stats = Lifecycle.tableStats(main)
+    val stats = Lifecycle.tableStats(spark, main)
     assert(stats.nonEmpty && stats.map(_._1).distinct.size == stats.size)
     assert(spark.read.parquet(main).count() == total)
 
@@ -37,17 +37,17 @@ class LifecycleSpec extends SparkSpec {
     val archCount = spark.read.parquet(arch).count()
     val mainCount = spark.read.parquet(main).count()
     assert(archCount + mainCount == total)
-    assert(Lifecycle.tableStats(main).forall(s => LocalDate.parse(s._1).isAfter(cutoff.minusDays(1))))
+    assert(Lifecycle.tableStats(spark, main).forall(s => LocalDate.parse(s._1).isAfter(cutoff.minusDays(1))))
 
     // L2/L3 retention on the archive
-    val dropped = Lifecycle.dropOlderThan(arch, LocalDate.parse("2024-01-05"))
+    val dropped = Lifecycle.dropOlderThan(spark, arch, LocalDate.parse("2024-01-05"))
     assert(dropped > 0)
     assert(spark.read.parquet(arch).count() < archCount)
 
     // L7 compaction: fewer files, same rows
-    val before = Lifecycle.tableStats(main).map(_._2).sum
+    val before = Lifecycle.tableStats(spark, main).map(_._2).sum
     Lifecycle.compact(spark, main, "user_id", "ts")
-    val after = Lifecycle.tableStats(main).map(_._2).sum
+    val after = Lifecycle.tableStats(spark, main).map(_._2).sum
     assert(after <= before)
     assert(spark.read.parquet(main).count() == mainCount)
   }

@@ -70,6 +70,10 @@ class StreamingSpec extends SparkSpec {
       val written = spark.read.parquet(outDir)
       assert(written.count() == sampleRows.size)
       assert(written.select("user_id", "ts").distinct().count() == sampleRows.size)
+      // replay in a LATER micro-batch: the sink anti-join must drop it
+      mem.addData(sampleRows.take(3): _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == sampleRows.size)
       // partitioned layout exists
       assert(Files.list(java.nio.file.Paths.get(outDir)).iterator().asScala
         .exists(_.getFileName.toString.startsWith("event_date=")))
