@@ -200,6 +200,64 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sign-random-projection LSH bucketing as one native pass
+  * (similarity.Similarity's scale path). Plane p's ±1 component for
+  * dimension d is a splitmix64 mix of (p, d) — REPLICATED BIT-FOR-BIT
+  * from the Column formulation it replaces (same golden-ratio constant,
+  * same shift/multiply chain, same sequential double accumulation), so
+  * bucket assignments are unchanged while the 64·planes interpreted
+  * lambda evaluations per row collapse into one codegen'd loop.
+  */
+object LshHash {
+  /** Deterministic ±1 for (plane, dimension) — splitmix64 top bit. */
+  def planeSign(p: Int, d: Long): Double = {
+    val z = d + p.toLong * 0x9e3779b97f4a7c15L
+    val m1 = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    val m2 = (m1 ^ (m1 >>> 27)) * 0x94d049bb133111ebL
+    if (((m2 ^ (m2 >>> 31)) >>> 63) == 0L) 1.0 else -1.0
+  }
+
+  /** One bucket id per hash table: table t's bucket bit j is the sign of
+    * the projection onto plane t·planesPerTable+j. Float embedding,
+    * double accumulation in element order.
+    */
+  def lshBuckets(emb: ArrayData, planesPerTable: Int, nTables: Int): ArrayData = {
+    val n = emb.numElements()
+    val out = new Array[Any](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < planesPerTable) {
+        val p = t * planesPerTable + j
+        var acc = 0.0
+        var d = 0
+        while (d < n) { acc += emb.getFloat(d).toDouble * planeSign(p, d.toLong); d += 1 }
+        if (acc > 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `lsh_buckets(embedding, planesPerTable, nTables)` as a native
+  * codegen'd expression → array of one bucket id per hash table.
+  */
+case class LshBucketsExpr(child: Expression, planesPerTable: Int, nTables: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    LshHash.lshBuckets(input.asInstanceOf[ArrayData], planesPerTable, nTables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LshHash.lshBuckets($c, $planesPerTable, $nTables)")
+  override protected def withNewChildInternal(newChild: Expression): LshBucketsExpr =
+    copy(child = newChild)
+}
+
 /** Column-level text primitives shared by TextAnalysis / Dedup.
   * Everything here is built from codegen'd builtins or the native
   * expressions above — no Scala UDF closures anywhere.

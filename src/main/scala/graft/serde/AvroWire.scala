@@ -126,119 +126,175 @@ object AvroWire {
     catalystType(new Schema.Parser().parse(sensorSchemaJson)).asInstanceOf[StructType]
 
   // ------------------------------------------- catalyst <-> avro generic
+  //
+  // Converters are COMPILED ONCE per expression instance into a closure
+  // tree (one closure per schema node, with field schemas/types captured
+  // in arrays) — the per-row hot path never walks the Schema object or
+  // allocates asScala wrappers, which dominates a naive schema-driven
+  // recursion at 100k+ rows/task.
 
-  /** Catalyst value → Avro generic value (schema-driven, recursive). */
-  private[serde] def toAvroValue(s: Schema, dt: DataType, v: Any): AnyRef = {
-    if (s.getType == Schema.Type.UNION) {
+  private[serde] type ToAvro = Any => AnyRef
+  private[serde] type FromAvro = Any => Any
+
+  /** Build the Catalyst→Avro converter for (schema, catalyst type). */
+  private[serde] def toAvroConverter(s: Schema, dt: DataType): ToAvro = s.getType match {
+    case Schema.Type.UNION =>
       val branches = s.getTypes.asScala.filterNot(isNull).toSeq
-      if (branches.size == 1)
-        return if (v == null) null else toAvroValue(branches.head, dt, v)
-      // multi-branch union: v is a memberN struct; first non-null member
-      // picks the wire branch, all-null (or null struct) → null branch
-      if (v == null) return null
-      val row = v.asInstanceOf[InternalRow]
-      val st = dt.asInstanceOf[StructType]
-      branches.indices.foreach { i =>
-        if (!row.isNullAt(i))
-          return toAvroValue(branches(i), st(i).dataType, row.get(i, st(i).dataType))
+      if (branches.size == 1) {
+        val conv = toAvroConverter(branches.head, dt)
+        v => if (v == null) null else conv(v)
+      } else {
+        // multi-branch union: v is a memberN struct; first non-null
+        // member picks the wire branch, all-null / null struct → null
+        val st = dt.asInstanceOf[StructType]
+        val types = st.fields.map(_.dataType)
+        val convs = branches.indices.map(i => toAvroConverter(branches(i), types(i))).toArray
+        v => {
+          if (v == null) null
+          else {
+            val row = v.asInstanceOf[InternalRow]
+            var i = 0; var out: AnyRef = null
+            while (i < convs.length && out == null) {
+              if (!row.isNullAt(i)) out = convs(i)(row.get(i, types(i)))
+              i += 1
+            }
+            out
+          }
+        }
       }
-      return null
-    }
-    if (v == null) return null
-    s.getType match {
-      case Schema.Type.STRING => new Utf8(v.toString)
-      case Schema.Type.ENUM =>
+    case Schema.Type.STRING => v => if (v == null) null else new Utf8(v.toString)
+    case Schema.Type.ENUM =>
+      val symbols = s.getEnumSymbols
+      v => if (v == null) null else {
         val sym = v.toString
-        if (!s.getEnumSymbols.contains(sym))
+        if (!symbols.contains(sym))
           throw new IllegalArgumentException(
             s"'$sym' is not a symbol of enum ${s.getFullName}")
         new GenericData.EnumSymbol(s, sym)
-      case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
-           Schema.Type.DOUBLE | Schema.Type.BOOLEAN => v.asInstanceOf[AnyRef]
-      case Schema.Type.BYTES =>
-        java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
-      case Schema.Type.RECORD =>
-        val st = dt.asInstanceOf[StructType]
+      }
+    case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
+         Schema.Type.DOUBLE | Schema.Type.BOOLEAN =>
+      v => v.asInstanceOf[AnyRef]
+    case Schema.Type.BYTES | Schema.Type.FIXED =>
+      v => if (v == null) null else java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+    case Schema.Type.RECORD =>
+      val st = dt.asInstanceOf[StructType]
+      val types = st.fields.map(_.dataType)
+      val convs = s.getFields.asScala.toArray.zipWithIndex.map { case (f, i) =>
+        toAvroConverter(f.schema, types(i)) }
+      v => if (v == null) null else {
         val row = v.asInstanceOf[InternalRow]
         val rec = new GenericData.Record(s)
-        s.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
-          val fv = if (row.isNullAt(i)) null else row.get(i, st(i).dataType)
-          rec.put(i, toAvroValue(f.schema, st(i).dataType, fv))
+        var i = 0
+        while (i < convs.length) {
+          rec.put(i, if (row.isNullAt(i)) convs(i)(null) else convs(i)(row.get(i, types(i))))
+          i += 1
         }
         rec
-      case Schema.Type.MAP =>
-        val mt = dt.asInstanceOf[MapType]
+      }
+    case Schema.Type.MAP =>
+      val mt = dt.asInstanceOf[MapType]
+      val valConv = toAvroConverter(s.getValueType, mt.valueType)
+      v => if (v == null) null else {
         val md = v.asInstanceOf[MapData]
         val out = new java.util.HashMap[Utf8, AnyRef](md.numElements)
         val keys = md.keyArray; val vals = md.valueArray
-        (0 until md.numElements).foreach { i =>
-          val mv = if (vals.isNullAt(i)) null else vals.get(i, mt.valueType)
+        var i = 0
+        while (i < md.numElements) {
           out.put(new Utf8(keys.getUTF8String(i).toString),
-            toAvroValue(s.getValueType, mt.valueType, mv))
+            if (vals.isNullAt(i)) valConv(null) else valConv(vals.get(i, mt.valueType)))
+          i += 1
         }
         out
-      case Schema.Type.ARRAY =>
-        val at = dt.asInstanceOf[ArrayType]
+      }
+    case Schema.Type.ARRAY =>
+      val at = dt.asInstanceOf[ArrayType]
+      val elemConv = toAvroConverter(s.getElementType, at.elementType)
+      v => if (v == null) null else {
         val ad = v.asInstanceOf[ArrayData]
         val out = new java.util.ArrayList[AnyRef](ad.numElements)
-        (0 until ad.numElements).foreach { i =>
-          val ev = if (ad.isNullAt(i)) null else ad.get(i, at.elementType)
-          out.add(toAvroValue(s.getElementType, at.elementType, ev))
+        var i = 0
+        while (i < ad.numElements) {
+          out.add(if (ad.isNullAt(i)) elemConv(null) else elemConv(ad.get(i, at.elementType)))
+          i += 1
         }
         out
-      case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
-    }
+      }
+    case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
   }
 
-  /** Avro generic value → Catalyst value (schema-driven, recursive). */
-  private[serde] def fromAvroValue(s: Schema, dt: DataType, v: Any): Any = {
-    if (s.getType == Schema.Type.UNION) {
+  /** Build the Avro→Catalyst converter for (schema, catalyst type). */
+  private[serde] def fromAvroConverter(s: Schema, dt: DataType): FromAvro = s.getType match {
+    case Schema.Type.UNION =>
       val branches = s.getTypes.asScala.filterNot(isNull).toSeq
-      if (branches.size == 1)
-        return if (v == null) null else fromAvroValue(branches.head, dt, v)
-      if (v == null) return null
-      // multi-branch union → memberN struct; the runtime class of the
-      // decoded datum identifies the wire branch
-      val st = dt.asInstanceOf[StructType]
-      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(branches.size)
-      val idx = branches.indexWhere(b => matchesBranch(b, v))
-      if (idx < 0) throw new IllegalArgumentException(
-        s"datum ${v.getClass} matches no branch of $s")
-      row.update(idx, fromAvroValue(branches(idx), st(idx).dataType, v))
-      return row
-    }
-    if (v == null) return null
-    s.getType match {
-      case Schema.Type.STRING | Schema.Type.ENUM => UTF8String.fromString(v.toString)
-      case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
-           Schema.Type.DOUBLE | Schema.Type.BOOLEAN => v
-      case Schema.Type.BYTES =>
+      if (branches.size == 1) {
+        val conv = fromAvroConverter(branches.head, dt)
+        v => if (v == null) null else conv(v)
+      } else {
+        // multi-branch union → memberN struct; the runtime class of the
+        // decoded datum identifies the wire branch
+        val st = dt.asInstanceOf[StructType]
+        val matchers = branches.map(b => (v: Any) => matchesBranch(b, v)).toArray
+        val convs = branches.indices.map(i =>
+          fromAvroConverter(branches(i), st(i).dataType)).toArray
+        v => {
+          if (v == null) null
+          else {
+            val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(convs.length)
+            var i = 0; var done = false
+            while (i < convs.length && !done) {
+              if (matchers(i)(v)) { row.update(i, convs(i)(v)); done = true }
+              i += 1
+            }
+            if (!done) throw new IllegalArgumentException(
+              s"datum ${v.getClass} matches no branch of $s")
+            row
+          }
+        }
+      }
+    case Schema.Type.STRING | Schema.Type.ENUM =>
+      v => if (v == null) null else UTF8String.fromString(v.toString)
+    case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
+         Schema.Type.DOUBLE | Schema.Type.BOOLEAN =>
+      v => v
+    case Schema.Type.BYTES | Schema.Type.FIXED =>
+      v => if (v == null) null else {
         val bb = v.asInstanceOf[java.nio.ByteBuffer]
         val arr = new Array[Byte](bb.remaining); bb.duplicate.get(arr); arr
-      case Schema.Type.RECORD =>
-        val st = dt.asInstanceOf[StructType]
+      }
+    case Schema.Type.RECORD =>
+      val st = dt.asInstanceOf[StructType]
+      val convs = s.getFields.asScala.toArray.zipWithIndex.map { case (f, i) =>
+        fromAvroConverter(f.schema, st(i).dataType) }
+      v => if (v == null) null else {
         val rec = v.asInstanceOf[GenericRecord]
-        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(st.size)
-        s.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
-          row.update(i, fromAvroValue(f.schema, st(i).dataType, rec.get(i)))
-        }
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(convs.length)
+        var i = 0
+        while (i < convs.length) { row.update(i, convs(i)(rec.get(i))); i += 1 }
         row
-      case Schema.Type.MAP =>
-        val mt = dt.asInstanceOf[MapType]
+      }
+    case Schema.Type.MAP =>
+      val mt = dt.asInstanceOf[MapType]
+      val valConv = fromAvroConverter(s.getValueType, mt.valueType)
+      v => if (v == null) null else {
         val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
         // deterministic key order so downstream hashing is stable
         val entries = m.asScala.toSeq.sortBy(_._1.toString)
         new ArrayBasedMapData(
           new GenericArrayData(entries.map(e => UTF8String.fromString(e._1.toString)).toArray[Any]),
-          new GenericArrayData(entries.map(e =>
-            fromAvroValue(s.getValueType, mt.valueType, e._2)).toArray[Any]))
-      case Schema.Type.ARRAY =>
-        val at = dt.asInstanceOf[ArrayType]
+          new GenericArrayData(entries.map(e => valConv(e._2)).toArray[Any]))
+      }
+    case Schema.Type.ARRAY =>
+      val at = dt.asInstanceOf[ArrayType]
+      val elemConv = fromAvroConverter(s.getElementType, at.elementType)
+      v => if (v == null) null else {
         val l = v.asInstanceOf[java.util.List[AnyRef]]
-        new GenericArrayData(l.asScala.map(e =>
-          fromAvroValue(s.getElementType, at.elementType, e)).toArray[Any])
-      case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
-    }
+        val out = new Array[Any](l.size)
+        var i = 0
+        while (i < out.length) { out(i) = elemConv(l.get(i)); i += 1 }
+        new GenericArrayData(out)
+      }
+    case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
   }
 
   private def matchesBranch(s: Schema, v: Any): Boolean = s.getType match {
@@ -265,12 +321,19 @@ object AvroWire {
     @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
     @transient private lazy val inType = catalystType(schema)
     @transient private lazy val writer = new GenericDatumWriter[AnyRef](schema)
+    @transient private lazy val conv = toAvroConverter(schema, inType)
+    // per-thread stream + encoder reuse: binaryEncoder(out, reuse)
+    // re-targets the cached encoder instead of allocating per row
+    @transient private lazy val perThread =
+      ThreadLocal.withInitial[(ByteArrayOutputStream, Array[org.apache.avro.io.BinaryEncoder])](
+        () => (new ByteArrayOutputStream(512), new Array[org.apache.avro.io.BinaryEncoder](1)))
     override protected def nullSafeEval(input: Any): Any = {
-      val datum = toAvroValue(schema, inType, input)
-      val bos = new ByteArrayOutputStream(256)
-      val enc = EncoderFactory.get.binaryEncoder(bos, null)
-      writer.write(datum, enc)
-      enc.flush()
+      val datum = conv(input)
+      val (bos, encHolder) = perThread.get()
+      bos.reset()
+      encHolder(0) = EncoderFactory.get.binaryEncoder(bos, encHolder(0))
+      writer.write(datum, encHolder(0))
+      encHolder(0).flush()
       bos.toByteArray
     }
     override protected def withNewChildInternal(newChild: Expression): AvroEncodeExpr =
@@ -283,11 +346,16 @@ object AvroWire {
     @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
     @transient private lazy val outType = catalystType(schema)
     @transient private lazy val reader = new GenericDatumReader[AnyRef](schema)
+    @transient private lazy val conv = fromAvroConverter(schema, outType)
+    @transient private lazy val perThread =
+      ThreadLocal.withInitial[Array[org.apache.avro.io.BinaryDecoder]](
+        () => new Array[org.apache.avro.io.BinaryDecoder](1))
     override def dataType: DataType = outType
     override protected def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]
-      val dec = DecoderFactory.get.binaryDecoder(bytes, null)
-      fromAvroValue(schema, outType, reader.read(null, dec))
+      val decHolder = perThread.get()
+      decHolder(0) = DecoderFactory.get.binaryDecoder(bytes, decHolder(0))
+      conv(reader.read(null, decHolder(0)))
     }
     override protected def withNewChildInternal(newChild: Expression): AvroDecodeExpr =
       copy(child = newChild)

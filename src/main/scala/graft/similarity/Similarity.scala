@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.Tables
-import graft.functions.CosineSimExpr
+import graft.functions.{CosineSimExpr, LshBucketsExpr}
 import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -139,79 +139,52 @@ object Similarity {
     * No SQL oracle (the driver records a rows-only check): the bucket
     * ids hinge on engine-internal float summation order.
     */
-  /** splitmix64-style integer mix — deterministic pseudo-random ±1 for
-    * plane p, dimension d; executors need no shared state or broadcast
-    * planes.
+  /** All hash-table bucket ids in one native codegen'd pass
+    * (LshBucketsExpr: deterministic splitmix64 hyperplanes, no broadcast
+    * planes, no per-element lambdas).
     */
-  private def planeSign(p: Int, d: Column): Column = {
-    val z = (d + lit(p.toLong * 0x9e3779b97f4a7c15L))
-    val m1 = (z.bitwiseXOR(shiftrightunsigned(z, 30))) * lit(0xbf58476d1ce4e5b9L)
-    val m2 = (m1.bitwiseXOR(shiftrightunsigned(m1, 27))) * lit(0x94d049bb133111ebL)
-    when(shiftrightunsigned(m2.bitwiseXOR(shiftrightunsigned(m2, 31)), 63) === 0, 1.0)
-      .otherwise(-1.0)
-  }
+  private def lshBucketsCol(emb: Column, planesPerTable: Int, nTables: Int): Column =
+    ColumnBridge.column(LshBucketsExpr(
+      ColumnBridge.expression(emb), planesPerTable, nTables))
 
-  /** Signed projection of the embedding onto deterministic hyperplane p:
-    * 1-bit sign of Σ_d emb[d]·sign(p,d).
-    */
-  private def planeBit(p: Int, emb: Column): Column = {
-    val proj = aggregate(
-      zip_with(emb, sequence(lit(0L), lit(63L)),
-        (x, d) => x.cast(DoubleType) * planeSign(p, d)),
-      lit(0.0), (acc, x) => acc + x)
-    when(proj > 0, lit(1L)).otherwise(lit(0L))
-  }
-
-  def embLshBuckets(s: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
-    val bucketBits = (0 until nPlanes).map(p =>
-      planeBit(p, col("embedding")) * lit(1L << p)).reduce(_ + _)
+  def embLshBuckets(s: SparkSession, dir: String, nPlanes: Int = 8): DataFrame =
     Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), bucketBits.as("bucket"))
+      .select(col("vec_id"), col("label"),
+        element_at(lshBucketsCol(col("embedding"), nPlanes, 1), 1).as("bucket"))
       .orderBy(col("vec_id"))
-  }
 
-  /** Multi-table LSH candidate generation: `nTables` independent hash
-    * tables of `planesPerTable` hyperplanes each (table t uses planes
-    * t·b..t·b+b−1). A pair is a candidate iff it shares a bucket in ANY
-    * table — P(candidate | cos θ) = 1−(1−(1−θ/π)^b)^t, so recall at the
-    * operating threshold is tuned by (b, t) while cost stays
-    * Σ buckets n_bucket² instead of n². Shuffles on (table, bucket);
-    * no broadcast, no driver state.
-    */
-  def embLshCandidates(emb: DataFrame, nTables: Int, planesPerTable: Int): DataFrame = {
-    val tables = (0 until nTables).map { t =>
-      val bits = (0 until planesPerTable).map(j =>
-        planeBit(t * planesPerTable + j, col("embedding")) * lit(1L << j))
-        .reduce(_ + _)
-      struct(lit(t).as("tbl"), bits.as("bucket"))
-    }
-    val assignments = emb
-      .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    assignments.as("x").join(assignments.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-  }
-
-  /** THE near-dup default at corpus scale: LSH bucket → exact-cosine
-    * refine. Candidates from `embLshCandidates` (linear-ish), verified
-    * with the same rounded cosine as the exact baseline — any emitted
-    * pair is exact; (b, t) only control recall. Defaults (3 planes × 16
-    * tables) give ≥ 99% per-pair recall at the corpus's operating
-    * threshold; the CORRECTNESS gate checks equality with the full
-    * O(n²) pair set at sf0.01.
+  /** THE near-dup default at corpus scale: multi-table LSH bucketing
+    * with the exact-cosine refine FUSED into the bucket self-join.
+    *
+    * `nTables` independent hash tables of `planesPerTable` hyperplanes
+    * each (table t uses planes t·b..t·b+b−1); a pair is considered iff
+    * it shares a bucket in some table — P(candidate | cos θ) =
+    * 1−(1−(1−θ/π)^b)^t, so (b, t) tune recall at the operating
+    * threshold while cost is Σ buckets n_bucket² instead of n².
+    *
+    * Shape: the embedding rides along into the (table, bucket) shuffle
+    * (t× the corpus — linear), the join output streams straight through
+    * the codegen'd cosine + threshold filter, and only the rare
+    * survivors are deduped — no materialized candidate set, no O(pairs)
+    * distinct, no refine joins. Any emitted pair carries the exact
+    * rounded cosine; the CORRECTNESS gate checks equality with the full
+    * O(n²) pair set at sf0.01 (= 100% recall there).
     */
   def dedupEmbeddingLsh(s: SparkSession, dir: String, minCos: Double = 0.45,
       nTables: Int = 24, planesPerTable: Int = 3): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    embLshCandidates(emb, nTables, planesPerTable)
-      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
-      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+    val a = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+      posexplode(lshBucketsCol(col("embedding"), planesPerTable, nTables))
+        .as(Seq("tbl", "bucket")))
+    val x = a.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("tbl"), col("bucket"))
+    val y = a.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("tbl"), col("bucket"))
+    x.join(y, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
+      .distinct() // survivors only — a pair may match in several tables
       .orderBy(col("vec_a"), col("vec_b"))
   }
 }
