@@ -119,4 +119,16 @@ class AnalyticsSpec extends SparkSpec {
     val oob = dirty.filter($"value" < 0 || $"value" > 1000).count()
     assert(oob == 1)
   }
+
+  test("emb_topk plan: two-phase aggregate with map-side partial, no rank window") {
+    val plan = graft.similarity.Similarity.embTopk(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    // the scale-killer formulation would show a Window over the full
+    // pair set; the bounded-heap Aggregator shows partial + final
+    // ObjectHashAggregate instead, so only k-row states cross the wire
+    assert(!plan.contains("Window"), s"rank window crept back in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.toLowerCase.contains("partial_topkbycos") ||
+      plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+  }
 }
