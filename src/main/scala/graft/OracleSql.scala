@@ -194,6 +194,43 @@ object OracleSql {
         |  FROM p)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // IVF probe: centroid per label cell (6-dp rounded → engine-
+    // independent cell ranking), nprobe=2 nearest cells per query,
+    // exact cosine top-5 within the probed cells only
+    "emb_ivf_topk" ->
+      """WITH cent AS (
+        |  SELECT label, d, round(avg(embedding[d]::DOUBLE), 6) AS c
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) g(d)
+        |  GROUP BY label, d),
+        |cent2 AS (SELECT label, list(c ORDER BY d) AS centroid FROM cent GROUP BY label),
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |pr AS (
+        |  SELECT query_id, label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      round(list_dot_product(qe, centroid) /
+        |        (sqrt(list_dot_product(qe, qe)) *
+        |         sqrt(list_dot_product(centroid, centroid))), 6) DESC,
+        |      label) AS r
+        |  FROM q CROSS JOIN cent2),
+        |cells AS (SELECT query_id, label FROM pr WHERE r <= 2),
+        |cand AS (
+        |  SELECT c.query_id, e.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.qe, q.qe)) *
+        |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6)
+        |      AS cos_sim
+        |  FROM cells c
+        |  JOIN embeddings e ON e.label = c.label
+        |  JOIN q ON q.query_id = c.query_id
+        |  WHERE e.vec_id <> c.query_id)
+        |SELECT * FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rank
+        |  FROM cand)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "emb_label_centroids" ->
       """SELECT label, d AS dim, round(avg(embedding[d]::DOUBLE), 6) AS centroid,
         |  count(*) AS n

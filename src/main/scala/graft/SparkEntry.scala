@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> (Similarity.dedupEmbeddingLsh(_, _)),
     // similarity search (north-star extensions)
     "emb_topk"            -> (Similarity.embTopk(_, _)),
+    "emb_ivf_topk"        -> (Similarity.embIvfTopk(_, _)),
     "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),
     "emb_norms"           -> (Similarity.embNorms(_, _)),
     "emb_lsh_buckets"     -> (Similarity.embLshBuckets(_, _)),

@@ -139,6 +139,58 @@ object Similarity {
     * No SQL oracle (the driver records a rows-only check): the bucket
     * ids hinge on engine-internal float summation order.
     */
+  /** IVF-style ANN top-k: coarse-quantize the corpus into cells
+    * (centroid per label — the reduce step embLabelCentroids computes),
+    * rank cells per query by centroid cosine, then run the EXACT
+    * search only inside the `nprobe` nearest cells. The classic
+    * recall/cost dial: cost drops from n per query to
+    * nprobe·n/cells, recall is whatever the probed cells contain.
+    *
+    * Scale shape: centroids are tiny (one row per cell) → broadcast;
+    * the cell-probe ranking is a window over q×cells rows (both small);
+    * the refine joins the corpus on its cell key (one shuffle, pruned
+    * to probed cells) and feeds the same bounded top-k aggregator as
+    * embTopk — no stage touches more than nprobe/cells of the corpus
+    * per query. Centroid components are rounded to 6 dp so the cell
+    * assignment (and hence the result) is engine-independent.
+    */
+  def embIvfTopk(s: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast(DoubleType)), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val qc = queries.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("q_emb"), col("label"),
+        round(ddot(col("q_emb"), col("centroid")) /
+          (sqrt(ddot(col("q_emb"), col("q_emb"))) *
+           sqrt(ddot(col("centroid"), col("centroid")))), 6).as("cos_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("label"))
+    val cells = qc.withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("label"))
+    val cand = cells
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label"), col("embedding")),
+        Seq("label"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val topk = udaf(new TopKByCos(k))
+    cand.groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("cos_sim")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"),
+        col("nbr.neighbor_id").as("neighbor_id"),
+        col("nbr.cos_sim").as("cos_sim"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** All hash-table bucket ids in one native codegen'd pass
     * (LshBucketsExpr: deterministic splitmix64 hyperplanes, no broadcast
     * planes, no per-element lambdas).

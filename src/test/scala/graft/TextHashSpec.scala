@@ -91,4 +91,24 @@ class TextHashSpec extends SparkSpec {
     // 8 planes → ≤256 buckets; data should spread across many of them
     assert(distinctBuckets > 10 && distinctBuckets <= 256, s"buckets=$distinctBuckets")
   }
+
+  test("IVF probe top-k: well-formed ranks, recall vs brute force reported") {
+    import org.apache.spark.sql.functions.col
+    val ivf = Similarity.embIvfTopk(spark, Sf001).collect()
+    assert(ivf.length == 50) // 10 queries × top-5 (every probed pair of cells holds ≥5)
+    // ranks are 1..5 per query, cosines non-increasing within a query
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+      val cs = sorted.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // recall@5 vs the exact search — informational floor: probing 2 of
+    // 10 cells must still find a decent share of the true neighbors
+    val exact = Similarity.embTopk(spark, Sf001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall@5=$recall")
+  }
 }
