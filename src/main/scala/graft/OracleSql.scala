@@ -89,6 +89,22 @@ object OracleSql {
          |FROM (SELECT t.*, d.source FROM t JOIN documents d USING (doc_id))
          |GROUP BY source ORDER BY source""".stripMargin,
 
+    "sample_documents" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |  (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100) AS bucket
+        |FROM documents
+        |WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100) < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, lang, len(toks)::BIGINT AS n_tokens,
+         |  sum(len(toks)) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens,
+         |  ((sum(len(toks)) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - len(toks)) // 2048)::BIGINT AS bin_id
+         |FROM t ORDER BY doc_id""".stripMargin,
+
     "dedup_exact" ->
       """SELECT sum(c)::BIGINT AS total_docs, count(*) AS unique_texts,
         |  coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::BIGINT AS docs_in_dup_groups
@@ -106,6 +122,27 @@ object OracleSql {
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // connected components over the jaccard>=0.5 pair graph via
+    // recursive min-label flooding; min(root) per node = component min
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $toksCte, $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM common
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, root) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.u)
+         |SELECT u AS doc_id, min(root)::BIGINT AS cluster_rep,
+         |  (u = min(root)) AS is_canonical
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $toksCte, $shinglesCte,

@@ -69,12 +69,15 @@ object SparkEntry {
     "tx_langid"      -> (TX.txLangid(_, _)),
     "tx_fingerprint" -> (TX.txFingerprint(_, _)),
     "tx_contains"    -> (TX.txContains(_, _)),
+    "sample_documents" -> (TX.txSample(_, _)),
+    "pack_sequences"   -> (TX.txPack(_, _)),
     "a6_approx_distribution" -> (TX.approxDistribution(_, _)),
     // deduplication (north-star extensions)
     "dedup_exact"         -> (Dedup.dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard(_, _)),
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh(_, _)),
     "dedup_simhash"       -> (Dedup.dedupSimhash(_, _)),
+    "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
     "dedup_embedding"     -> (Similarity.dedupEmbedding(_, _)),
     // the scale default: LSH buckets -> exact refine, hash-checked
     // against the full O(n^2) pair set

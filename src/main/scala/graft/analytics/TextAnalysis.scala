@@ -102,4 +102,38 @@ object TextAnalysis {
         hash60(col("text")).as("content_hash60"),
         simhash60(tokens(col("text"))).as("simhash60"))
       .orderBy(col("doc_id"))
+
+  /** Deterministic corpus sampling: keep a doc iff its 60-bit id hash
+    * lands in the first `pct` of 100 buckets. Hash-based (not RNG-based)
+    * so the SAME subset comes out of any engine, any partitioning, any
+    * rerun — the property a reproducible training-data pipeline needs.
+    * Narrow codegen'd scan, zero shuffle.
+    */
+  def txSample(s: SparkSession, dir: String, pct: Int = 10): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket", (hash60(col("doc_id").cast(StringType)) % 100).cast(LongType))
+      .filter(col("bucket") < pct)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  /** Sequence packing (the greedy concat-then-chop scheme): docs are
+    * laid end-to-end in (shard, doc_id) order and each one's bin is its
+    * START offset divided by the bin capacity. One window cumsum per
+    * shard — here the shard key is `lang` for determinism at test
+    * scale; at 100 TB the shard key is whatever bounds a partition
+    * (date/source/worker), keeping every cumsum window small and
+    * parallel across shards.
+    */
+  def txPack(s: SparkSession, dir: String, capacity: Long = 2048L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin_id",
+        ((col("cum_tokens") - col("n_tokens")) / capacity).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
 }

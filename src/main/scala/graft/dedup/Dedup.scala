@@ -126,6 +126,48 @@ object Dedup {
     result
   }
 
+  /** Near-dup CLUSTERING — the step after pair detection in a real
+    * training-data dedup pipeline: connected components over the
+    * verified near-dup pair graph, labeling every member with the
+    * component's minimum doc_id (= the canonical keeper; everything
+    * else is droppable). Iterative min-label propagation: each round is
+    * one shuffle join + min-aggregate, and the number of rounds is the
+    * component DIAMETER, not the data size — near-dup components are
+    * tiny cliques, so 2-3 rounds. The driver-side loop iterates rounds,
+    * never rows (same shape as GraphX Pregel's own driver loop).
+    */
+  def dedupClusters(s: SparkSession, dir: String, maxIter: Int = 10): DataFrame = {
+    val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v").persist()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("root", col("node")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNbr = edges
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .select(col("u").as("node"), col("root"))
+      val next = labels.union(viaNbr)
+        .groupBy(col("node")).agg(min(col("root")).as("root"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("root", "prev"), "node")
+        .filter(col("root") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    val out = labels
+      .select(col("node").as("doc_id"), col("root").as("cluster_rep"),
+        (col("node") === col("root")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    labels.unpersist(); edges.unpersist()
+    out
+  }
+
   /** SimHash near-dup detection: 60-bit fingerprint, banded into 4×15-bit
     * keys for candidate generation, Hamming-verified (≤ 4 bits — the
     * usual SimHash dedup operating point; planted near-dups in the
