@@ -340,12 +340,21 @@ object AvroWire {
       copy(child = newChild)
   }
 
-  /** `from_avro(binary)` → struct (input = UNframed Avro body). */
-  case class AvroDecodeExpr(child: Expression, schemaJson: String)
+  /** `from_avro(binary)` → struct (input = UNframed Avro body).
+    *
+    * `writerSchemaJson` enables schema RESOLUTION (the registry's
+    * BACKWARD compatibility contract, schema_registry.py:244-268): data
+    * written with an older schema decodes under the reader schema with
+    * field defaults filled in — exactly how the reference's v2 schema
+    * ("new in v2" fields, iot_sensor_reading.avsc) reads v1 payloads.
+    */
+  case class AvroDecodeExpr(child: Expression, schemaJson: String,
+      writerSchemaJson: Option[String] = None)
       extends UnaryExpression with CodegenFallback {
     @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
     @transient private lazy val outType = catalystType(schema)
-    @transient private lazy val reader = new GenericDatumReader[AnyRef](schema)
+    @transient private lazy val reader = new GenericDatumReader[AnyRef](
+      writerSchemaJson.map(new Schema.Parser().parse(_)).getOrElse(schema), schema)
     @transient private lazy val conv = fromAvroConverter(schema, outType)
     @transient private lazy val perThread =
       ThreadLocal.withInitial[Array[org.apache.avro.io.BinaryDecoder]](
@@ -368,6 +377,15 @@ object AvroWire {
 
   def fromAvro(c: Column, schemaJson: String): Column =
     ColumnBridge.column(AvroDecodeExpr(ColumnBridge.expression(c), schemaJson))
+
+  /** from_avro with schema resolution: bytes written under
+    * `writerSchemaJson` decode into the `readerSchemaJson` shape,
+    * missing fields taking their reader-schema defaults.
+    */
+  def fromAvroEvolved(c: Column, readerSchemaJson: String,
+      writerSchemaJson: String): Column =
+    ColumnBridge.column(AvroDecodeExpr(ColumnBridge.expression(c),
+      readerSchemaJson, Some(writerSchemaJson)))
 
   /** Confluent frame bytes for a schema id: magic 0x00 + int32 BE. */
   def frameBytes(schemaId: Int): Array[Byte] =

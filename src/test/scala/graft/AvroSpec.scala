@@ -134,6 +134,69 @@ class AvroSpec extends SparkSpec {
     assert(java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt == 1234567)
   }
 
+  test("schema evolution: v1 payload decodes under the v2 reader with defaults") {
+    import spark.implicits._
+    // v1 = v2 minus the "new in v2" fields (status/tags/maintenance_date/
+    // location.room) — all carry defaults in v2, which is the registry's
+    // BACKWARD-compatibility contract
+    val v1Json = """{
+      "namespace": "com.iotdatapipeline.avro",
+      "type": "record", "name": "IoTSensorReading", "fields": [
+        {"name": "device_id", "type": "string"},
+        {"name": "device_type", "type": "string"},
+        {"name": "timestamp", "type": "string"},
+        {"name": "value", "type": ["double", "int", "null"]},
+        {"name": "unit", "type": "string"},
+        {"name": "location", "type": {"type": "record", "name": "Location", "fields": [
+          {"name": "latitude", "type": "double"},
+          {"name": "longitude", "type": "double"},
+          {"name": "building", "type": ["string", "null"]},
+          {"name": "floor", "type": ["int", "null"]},
+          {"name": "zone", "type": ["string", "null"], "default": null}
+        ]}},
+        {"name": "battery_level", "type": ["double", "null"]},
+        {"name": "signal_strength", "type": ["double", "null"], "default": null},
+        {"name": "is_anomaly", "type": "boolean", "default": false},
+        {"name": "firmware_version", "type": ["string", "null"], "default": null},
+        {"name": "device_metadata",
+         "type": [{"type": "map", "values": "string"}, "null"], "default": null}
+      ]}"""
+    val v1 = new Schema.Parser().parse(v1Json)
+    val loc = new GenericData.Record(v1.getField("location").schema)
+    loc.put("latitude", 60.17); loc.put("longitude", 24.94)
+    loc.put("building", new Utf8("B2")); loc.put("floor", Int.box(1)); loc.put("zone", null)
+    val rec = new GenericData.Record(v1)
+    rec.put("device_id", new Utf8("dev-v1"))
+    rec.put("device_type", new Utf8("humidity"))
+    rec.put("timestamp", new Utf8("2023-06-01T00:00:00"))
+    rec.put("value", Double.box(55.0))
+    rec.put("unit", new Utf8("%"))
+    rec.put("location", loc)
+    rec.put("battery_level", null)
+    rec.put("signal_strength", null)
+    rec.put("is_anomaly", Boolean.box(true))
+    rec.put("firmware_version", null)
+    rec.put("device_metadata", null)
+    val bos = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get.binaryEncoder(bos, null)
+    new GenericDatumWriter[GenericRecord](v1).write(rec, enc)
+    enc.flush()
+    val row = Seq(bos.toByteArray).toDF("body")
+      .select(AvroWire.fromAvroEvolved(col("body"),
+        AvroWire.sensorSchemaJson, v1Json).as("r"))
+      .select("r.*").head()
+    // v1 data carried through
+    assert(row.getAs[String]("device_id") == "dev-v1")
+    assert(row.getAs[Boolean]("is_anomaly"))
+    // v2-only fields filled from reader-schema defaults
+    assert(row.getAs[String]("status") == "ACTIVE")
+    assert(row.getSeq[String](row.fieldIndex("tags")).isEmpty)
+    assert(row.isNullAt(row.fieldIndex("maintenance_date")))
+    val locRow = row.getAs[Row]("location")
+    assert(locRow.isNullAt(locRow.fieldIndex("room")))
+    assert(locRow.getAs[String]("building") == "B2")
+  }
+
   test("union int/null branches cross-decode through the memberN struct") {
     import spark.implicits._
     val intRec = referenceRecord()
