@@ -42,6 +42,23 @@ object Streams {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("sum_value"), col("min_value"), col("max_value"))
 
+  /** W4's streaming twin: per-user SESSION windows closed by an
+    * inactivity gap (session_window + watermark). State per open
+    * session only; a session materializes once the watermark passes its
+    * close — the same append-mode discipline as the hourly rollup.
+    */
+  def sessionRollup(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** T10 as a stream: alert classification, non-alerts dropped. */
   def alerts(events: DataFrame): DataFrame =
     events

@@ -45,6 +45,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows: 30-min-gap sessions close past the watermark, match batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = Streams.sessionRollup(mem.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(sampleRows: _*)
+      q.processAllAvailable()
+      mem.addData(EventRow(5, ts("2024-01-01 06:00:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions")
+        .select("session_start", "user_id", "n_events", "sum_value")
+        .as[(java.sql.Timestamp, Long, Long, Double)].collect().toSet
+      // batch twin over the same rows; sessions fully closed by the
+      // watermark (≤ 03:00 + gap < 05:00 cutoff) must all be present
+      val batch = Streams.sessionRollup(sampleRows.toDF())
+        .filter(col("session_end") < lit(ts("2024-01-01 05:00:00")))
+        .select("session_start", "user_id", "n_events", "sum_value")
+        .as[(java.sql.Timestamp, Long, Long, Double)].collect().toSet
+      assert(batch.subsetOf(streamed), s"streamed=$streamed batch=$batch")
+      assert(batch.nonEmpty)
+      // user 1's 00:10/00:20 events chain into ONE session; 01:30 starts a new one
+      val u1 = streamed.filter(t => t._2 == 1L && t._1 == ts("2024-01-01 00:10:00"))
+      assert(u1.exists(_._3 == 2L), s"u1 sessions=$u1")
+    } finally q.stop()
+  }
+
   test("T11 anomaly context: errors carry the latest sibling readings; state evicts") {
     import spark.implicits._
     val out = Streams.anomalyContext(sampleRows.toDS()).collect()
