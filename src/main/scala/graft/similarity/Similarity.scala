@@ -223,7 +223,7 @@ object Similarity {
     * O(n²) pair set at sf0.01 (= 100% recall there).
     */
   def dedupEmbeddingLsh(s: SparkSession, dir: String, minCos: Double = 0.45,
-      nTables: Int = 24, planesPerTable: Int = 3): DataFrame = {
+      nTables: Int = 20, planesPerTable: Int = 3): DataFrame = {
     val a = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
       posexplode(lshBucketsCol(col("embedding"), planesPerTable, nTables))
         .as(Seq("tbl", "bucket")))
