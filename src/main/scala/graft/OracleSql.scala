@@ -96,28 +96,43 @@ object OracleSql {
         |WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100) < 10
         |ORDER BY doc_id""".stripMargin,
 
+    // shard = same 60-bit id hash as sample_documents, mod nShards=16 —
+    // the bounded window key txPack uses (one cumsum per (lang, shard))
     "pack_sequences" ->
-      s"""WITH $toksCte
-         |SELECT doc_id, lang, len(toks)::BIGINT AS n_tokens,
-         |  sum(len(toks)) OVER (PARTITION BY lang ORDER BY doc_id
+      s"""WITH $toksCte,
+         |sh AS (SELECT doc_id, lang, len(toks)::BIGINT AS n_tokens,
+         |  (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16) AS shard
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens, shard,
+         |  sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
          |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens,
-         |  ((sum(len(toks)) OVER (PARTITION BY lang ORDER BY doc_id
-         |    ROWS UNBOUNDED PRECEDING) - len(toks)) // 2048)::BIGINT AS bin_id
-         |FROM t ORDER BY doc_id""".stripMargin,
+         |  ((sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048)::BIGINT AS bin_id
+         |FROM sh ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT sum(c)::BIGINT AS total_docs, count(*) AS unique_texts,
         |  coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::BIGINT AS docs_in_dup_groups
         |FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)""".stripMargin,
 
+    // cand = pairs sharing a df-capped shingle (mirrors Spark's
+    // maxDf=10000 stop-shingle cap on CANDIDATE GENERATION only); the
+    // verify step still intersects the FULL shingle sets, exactly like
+    // dedupNgramJaccard
     "dedup_ngram_jaccard" ->
       s"""WITH $toksCte, $shinglesCte,
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 10000),
+         |pr AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id),
          |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |  ),
+         |commonc AS (SELECT co.* FROM common co JOIN cand USING (doc_a, doc_b))
          |SELECT doc_a, doc_b,
          |  n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-         |FROM common
+         |FROM commonc
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5
@@ -128,12 +143,39 @@ object OracleSql {
     "dedup_clusters" ->
       s"""WITH RECURSIVE $toksCte, $shinglesCte,
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 10000),
+         |pr AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id),
          |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |pairs AS (SELECT doc_a, doc_b FROM common
+         |commonc AS (SELECT co.* FROM common co JOIN cand USING (doc_a, doc_b)),
+         |pairs AS (SELECT doc_a, doc_b FROM commonc
          |  JOIN sizes sa ON sa.doc_id = doc_a
          |  JOIN sizes sb ON sb.doc_id = doc_b
          |  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, root) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.u)
+         |SELECT u AS doc_id, min(root)::BIGINT AS cluster_rep,
+         |  (u = min(root)) AS is_canonical
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // same clustering stage over the SimHash detector's pair graph
+    // (dedupClustersDf takes the pair DataFrame as a parameter)
+    "dedup_clusters_simhash" ->
+      s"""WITH RECURSIVE $toksCte, $simhashCtes,
+         |bands AS (SELECT doc_id, fp, b, (fp >> (b * 15)) & 32767 AS band_key
+         |  FROM fp CROSS JOIN generate_series(0, 3) g(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.fp AS fp_a, y.fp AS fp_b
+         |  FROM bands x JOIN bands y
+         |  ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM cand
+         |  WHERE bit_count(xor(fp_a, fp_b)) <= 4),
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
          |reach(u, root) AS (
@@ -199,6 +241,19 @@ object OracleSql {
         |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.95
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // exact path at the LSH operating threshold (bench head-to-head twin)
+    "dedup_embedding_045" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+        |    AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
 
     // exact O(n²) pair set at the LSH pipeline's operating threshold —

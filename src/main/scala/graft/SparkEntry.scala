@@ -78,7 +78,11 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh(_, _)),
     "dedup_simhash"       -> (Dedup.dedupSimhash(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
+    "dedup_clusters_simhash" -> (Dedup.dedupClustersSimhash(_, _)),
     "dedup_embedding"     -> (Similarity.dedupEmbedding(_, _)),
+    // exact O(n^2) path at the LSH operating threshold — benched
+    // head-to-head against dedup_embedding_lsh (same result set)
+    "dedup_embedding_045" -> (Similarity.dedupEmbedding(_, _, 0.45)),
     // the scale default: LSH buckets -> exact refine, hash-checked
     // against the full O(n^2) pair set
     "dedup_embedding_lsh" -> (Similarity.dedupEmbeddingLsh(_, _)),
@@ -108,5 +112,5 @@ object SparkEntry {
     "w1_gap_detection", "w2_moving_avg", "o3_recent_topn",
     "t1_fanout", "t9_anomaly_flags", "l8_integrity",
     "dedup_minhash_lsh", "emb_topk", "tx_fingerprint",
-    "avro_roundtrip", "dedup_embedding_lsh")
+    "avro_roundtrip", "dedup_embedding_045", "dedup_embedding_lsh")
 }

@@ -119,18 +119,30 @@ object TextAnalysis {
   /** Sequence packing (the greedy concat-then-chop scheme): docs are
     * laid end-to-end in (shard, doc_id) order and each one's bin is its
     * START offset divided by the bin capacity. One window cumsum per
-    * shard — here the shard key is `lang` for determinism at test
-    * scale; at 100 TB the shard key is whatever bounds a partition
-    * (date/source/worker), keeping every cumsum window small and
-    * parallel across shards.
+    * shard.
+    *
+    * The shard key is (lang, hash-bucket): `lang` alone is
+    * near-constant-cardinality, so a lang-partitioned window would pile
+    * one language's whole corpus onto a single task — the classic
+    * single-partition window scale-killer. Bucketing by the same
+    * deterministic 60-bit id hash `txSample` uses bounds every window
+    * partition to ~1/nShards of a language (raise nShards with the
+    * corpus; each shard packs independently, so shards ≈ parallelism).
+    * Bin ids are per-(lang, shard) — exactly the semantics a multi-worker
+    * packer produces, and reproducible across engines/partitionings
+    * because the shard assignment is content-addressed, not RNG- or
+    * partition-dependent.
     */
-  def txPack(s: SparkSession, dir: String, capacity: Long = 2048L): DataFrame = {
+  def txPack(s: SparkSession, dir: String, capacity: Long = 2048L,
+      nShards: Int = 16): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("shard",
+        (hash60(col("doc_id").cast(StringType)) % nShards).cast(LongType))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("bin_id",
         ((col("cum_tokens") - col("n_tokens")) / capacity).cast(LongType))

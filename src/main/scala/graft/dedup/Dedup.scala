@@ -136,15 +136,36 @@ object Dedup {
     * tiny cliques, so 2-3 rounds. The driver-side loop iterates rounds,
     * never rows (same shape as GraphX Pregel's own driver loop).
     */
-  def dedupClusters(s: SparkSession, dir: String, maxIter: Int = 10): DataFrame = {
-    val pairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClustersDf(dedupNgramJaccard(s, dir))
+
+  /** SimHash-pair variant: same clustering stage, different detector —
+    * the pair graph is a parameter (dedupClustersDf), so every detector
+    * in this file shares one clustering implementation.
+    */
+  def dedupClustersSimhash(s: SparkSession, dir: String): DataFrame =
+    dedupClustersDf(dedupSimhash(s, dir))
+
+  /** Connected components over any (doc_a, doc_b) pair DataFrame.
+    * Iterates until a full round changes no label: stopping early would
+    * silently return wrong cluster_rep/is_canonical for any component
+    * whose propagation distance exceeds the cutoff, so the safety bound
+    * (far above any near-dup component's diameter) THROWS instead of
+    * truncating.
+    */
+  def dedupClustersDf(pairDf: DataFrame, safetyMaxIter: Int = 100): DataFrame = {
+    val pairs = pairDf.select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v").persist()
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("root", col("node")).persist()
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    while (!converged) {
+      if (i >= safetyMaxIter)
+        throw new IllegalStateException(
+          s"dedupClustersDf: no convergence after $safetyMaxIter rounds — " +
+            "component diameter exceeds the safety bound")
       val viaNbr = edges
         .join(labels.withColumnRenamed("node", "v"), "v")
         .select(col("u").as("node"), col("root"))

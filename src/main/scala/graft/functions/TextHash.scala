@@ -218,10 +218,14 @@ object LshHash {
   }
 
   /** One bucket id per hash table: table t's bucket bit j is the sign of
-    * the projection onto plane t·planesPerTable+j. Float embedding,
-    * double accumulation in element order.
+    * the projection onto plane planeOffset+t·planesPerTable+j. Float
+    * embedding, double accumulation in element order. `planeOffset`
+    * selects a disjoint plane family (used by the oversized-bucket
+    * splitter so split bits never correlate with the base bucket bits);
+    * offset 0 is bit-compatible with the original allocation.
     */
-  def lshBuckets(emb: ArrayData, planesPerTable: Int, nTables: Int): ArrayData = {
+  def lshBuckets(emb: ArrayData, planesPerTable: Int, nTables: Int,
+      planeOffset: Int = 0): ArrayData = {
     val n = emb.numElements()
     val out = new Array[Any](nTables)
     var t = 0
@@ -229,7 +233,7 @@ object LshHash {
       var bucket = 0L
       var j = 0
       while (j < planesPerTable) {
-        val p = t * planesPerTable + j
+        val p = planeOffset + t * planesPerTable + j
         var acc = 0.0
         var d = 0
         while (d < n) { acc += emb.getFloat(d).toDouble * planeSign(p, d.toLong); d += 1 }
@@ -246,14 +250,16 @@ object LshHash {
 /** `lsh_buckets(embedding, planesPerTable, nTables)` as a native
   * codegen'd expression → array of one bucket id per hash table.
   */
-case class LshBucketsExpr(child: Expression, planesPerTable: Int, nTables: Int)
+case class LshBucketsExpr(child: Expression, planesPerTable: Int, nTables: Int,
+    planeOffset: Int = 0)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
-    LshHash.lshBuckets(input.asInstanceOf[ArrayData], planesPerTable, nTables)
+    LshHash.lshBuckets(input.asInstanceOf[ArrayData], planesPerTable, nTables,
+      planeOffset)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.LshHash.lshBuckets($c, $planesPerTable, $nTables)")
+      c => s"graft.functions.LshHash.lshBuckets($c, $planesPerTable, $nTables, $planeOffset)")
   override protected def withNewChildInternal(newChild: Expression): LshBucketsExpr =
     copy(child = newChild)
 }

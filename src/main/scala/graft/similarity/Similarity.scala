@@ -23,9 +23,14 @@ case class ScoredNbr(neighbor_id: Long, cos_sim: Double)
   * rank-window formulation).
   */
 class TopKByCos(k: Int) extends Aggregator[ScoredNbr, Seq[ScoredNbr], Seq[ScoredNbr]] {
-  private def better(a: ScoredNbr, b: ScoredNbr): Boolean =
-    a.cos_sim > b.cos_sim ||
-      (a.cos_sim == b.cos_sim && a.neighbor_id < b.neighbor_id)
+  // java.lang.Double.compare (not >/==) so NaN is totally ordered: a
+  // zero-norm embedding's NaN cosine would otherwise make both > and ==
+  // false, skip the id tiebreak, and leave the k-survivor set
+  // partition-dependent.
+  private def better(a: ScoredNbr, b: ScoredNbr): Boolean = {
+    val c = java.lang.Double.compare(a.cos_sim, b.cos_sim)
+    c > 0 || (c == 0 && a.neighbor_id < b.neighbor_id)
+  }
   private def trim(xs: Seq[ScoredNbr]): Seq[ScoredNbr] =
     xs.sortWith(better).take(k)
   override def zero: Seq[ScoredNbr] = Seq.empty
@@ -195,9 +200,10 @@ object Similarity {
     * (LshBucketsExpr: deterministic splitmix64 hyperplanes, no broadcast
     * planes, no per-element lambdas).
     */
-  private def lshBucketsCol(emb: Column, planesPerTable: Int, nTables: Int): Column =
+  private def lshBucketsCol(emb: Column, planesPerTable: Int, nTables: Int,
+      planeOffset: Int = 0): Column =
     ColumnBridge.column(LshBucketsExpr(
-      ColumnBridge.expression(emb), planesPerTable, nTables))
+      ColumnBridge.expression(emb), planesPerTable, nTables, planeOffset))
 
   def embLshBuckets(s: SparkSession, dir: String, nPlanes: Int = 8): DataFrame =
     Tables.embeddings(s, dir)
@@ -205,38 +211,153 @@ object Similarity {
         element_at(lshBucketsCol(col("embedding"), nPlanes, 1), 1).as("bucket"))
       .orderBy(col("vec_id"))
 
-  /** THE near-dup default at corpus scale: multi-table LSH bucketing
-    * with the exact-cosine refine FUSED into the bucket self-join.
+  /** THE near-dup default at corpus scale: multi-table LSH candidate
+    * generation over vec_ids only, then ONE exact-cosine refine per
+    * distinct candidate pair.
     *
-    * `nTables` independent hash tables of `planesPerTable` hyperplanes
-    * each (table t uses planes t·b..t·b+b−1); a pair is considered iff
-    * it shares a bucket in some table — P(candidate | cos θ) =
-    * 1−(1−(1−θ/π)^b)^t, so (b, t) tune recall at the operating
-    * threshold while cost is Σ buckets n_bucket² instead of n².
+    * Parameterization (derived, not fixed — a fixed plane count makes
+    * the bucket count constant and the candidate cost Θ(n²) no matter
+    * the corpus): `LshParams.derive` picks
+    *   b = ⌈log₂(n / targetBucketRows)⌉  (buckets track corpus size)
+    *   t = ⌈ln(1−recall) / ln(1−p^b)⌉,  p = 1 − acos(minCos)/π
+    * so expected bucket population stays ~targetBucketRows and the
+    * 1−(1−p^b)^t recall curve stays ≥ targetRecall at the operating
+    * threshold. At the gate scales this derives (b=4, t=24) for n=500
+    * and (b=6, t=60) for n=2000 — 1.8× and 1.33× the empirically
+    * measured minimum tables for 100% recall on the driver corpus, so
+    * the exact-oracle hash gate holds with margin (the gate on a
+    * probabilistic structure is still data-dependent; a regenerated
+    * corpus could in principle need more tables — the derived t targets
+    * 99% per worst-case pair AT the threshold, and real pairs sit above
+    * it).
     *
-    * Shape: the embedding rides along into the (table, bucket) shuffle
-    * (t× the corpus — linear), the join output streams straight through
-    * the codegen'd cosine + threshold filter, and only the rare
-    * survivors are deduped — no materialized candidate set, no O(pairs)
-    * distinct, no refine joins. Any emitted pair carries the exact
-    * rounded cosine; the CORRECTNESS gate checks equality with the full
-    * O(n²) pair set at sf0.01 (= 100% recall there).
+    * Shape (the 100 TB story): only (vec_id, tbl, bucket) rides the
+    * bucket shuffle — the 64-float embedding does NOT fan out t×. The
+    * bucket self-join emits id pairs, `distinct` collapses the ~t-fold
+    * multiplicity BEFORE any cosine is computed, and two joins against
+    * the (once-scanned) embeddings table feed exactly one codegen'd
+    * cosine per unique candidate. At 1000 executors every stage here is
+    * a plain hash shuffle on small keys; nothing concentrates a table's
+    * corpus on one task.
+    *
+    * Skew valve: buckets over `bucketCap` rows get their id extended
+    * with ⌈log₂(size/cap)⌉ extra hyperplane bits from a disjoint plane
+    * family (planeOffset 2²⁰) — re-hashing dense regions into ≤cap
+    * shards, at most `extraPlanes` bits. Pairs split apart by an extra
+    * bit in one table are still caught by the other t−1 tables (the
+    * recall curve already budgets per-table misses). Identical-vector
+    * floods can't be split by any hyperplane — those stay capped at the
+    * AQE skew-join level, documented here. The cap never triggers at
+    * the gate scales (max bucket ≈ 4× mean ≪ 4096), so the hash gate is
+    * unaffected.
+    *
+    * Honest envelope: at minCos 0.45 (θ≈63°, ρ = ln p̄/ln p_rand ≈
+    * 0.63) sign-LSH prunes only ~40% of the pair space at robust
+    * recall — the regime where LSH wins orders of magnitude is high
+    * thresholds (0.9 ⇒ p≈0.86), the actual near-dup operating point.
+    * The derivation handles both; the registered threshold matches the
+    * driver corpus, whose near-dup pairs sit at ≈0.45.
     */
   def dedupEmbeddingLsh(s: SparkSession, dir: String, minCos: Double = 0.45,
-      nTables: Int = 20, planesPerTable: Int = 3): DataFrame = {
-    val a = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
-      posexplode(lshBucketsCol(col("embedding"), planesPerTable, nTables))
-        .as(Seq("tbl", "bucket")))
-    val x = a.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-      col("tbl"), col("bucket"))
-    val y = a.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-      col("tbl"), col("bucket"))
-    x.join(y, Seq("tbl", "bucket"))
+      targetRecall: Double = 0.99, targetBucketRows: Int = 32,
+      bucketCap: Int = 4096, extraPlanes: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val params = LshParams.derive(emb.count(), minCos, targetRecall, targetBucketRows)
+    dedupEmbeddingLshDf(emb, minCos, params, bucketCap, extraPlanes)
+  }
+
+  /** Plane family for oversized-bucket splitting — disjoint from the
+    * base family (plane index = offset + t·b + j).
+    */
+  private val SplitPlaneOffset = 1 << 20
+
+  /** The (vec_id, tbl, bucket) LSH index table with the oversized-bucket
+    * split applied — exposed for inspection/tests; dedupEmbeddingLshDf
+    * builds on it.
+    */
+  def lshBucketTable(emb: DataFrame, params: LshParams,
+      bucketCap: Int, extraPlanes: Int): DataFrame = {
+    val b = params.planesPerTable
+    // (vec_id, tbl, bucket): IDs only — no embeddings, no ext bits. The
+    // split bits are computed LAZILY below, only for rows that actually
+    // land in an oversized bucket: computing them here would (a) cost a
+    // full second hash pass for every row and (b) sit under the explode,
+    // where Spark re-evaluates projected expressions once per OUTPUT
+    // row — a t-fold blowup measured at 12s vs 0.9s on the sf0.1 bench.
+    val ids = emb
+      .select(col("vec_id"),
+        posexplode(lshBucketsCol(col("embedding"), b, params.nTables))
+          .as(Seq("tbl", "bucket")))
+    // Oversized buckets (rare, skewed regions): extend the bucket id by
+    // ceil(log2(size/cap)) split bits, at most extraPlanes.
+    val oversized = ids.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > bucketCap)
+      .withColumn("split_bits",
+        least(lit(extraPlanes),
+          ceil(log(2.0, col("bsz").cast(DoubleType) / bucketCap)).cast(IntegerType)))
+      .select(col("tbl"), col("bucket"), col("split_bits"))
+    // Common case: no bucket exceeds the cap → anti join passes all ids
+    // through untouched. Flagged rows re-join the embedding to compute
+    // their split bits — cost proportional to the skewed region only.
+    val clean = ids.join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
+      .select(col("vec_id"), col("tbl"), col("bucket"))
+    val flagged = ids.join(broadcast(oversized), Seq("tbl", "bucket"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("tbl"),
+        (col("bucket") +
+          element_at(lshBucketsCol(col("embedding"), extraPlanes,
+              params.nTables, SplitPlaneOffset), col("tbl") + 1)
+            .bitwiseAND(pow(lit(2.0), col("split_bits")).cast(LongType) - 1) *
+            (1L << b)).as("bucket"))
+    clean.unionByName(flagged)
+  }
+
+  def dedupEmbeddingLshDf(emb: DataFrame, minCos: Double, params: LshParams,
+      bucketCap: Int, extraPlanes: Int): DataFrame = {
+    // Eager local checkpoint: the bucket table is tiny (t·n id rows) and
+    // feeds BOTH sides of the self-join — materialize once instead of
+    // re-hashing the corpus per consumer.
+    val keyed = lshBucketTable(emb, params, bucketCap, extraPlanes).localCheckpoint()
+    // Candidate id pairs: bucket self-join, dedup BEFORE the refine so
+    // the t-fold multiplicity never reaches the cosine.
+    val cand = keyed.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(keyed.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b")),
+        Seq("tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    // Exact refine: one cosine per unique candidate pair.
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
+        Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
+        Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
-      .distinct() // survivors only — a pair may match in several tables
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+}
+
+/** Sign-LSH (b, t) sizing from corpus size + operating threshold +
+  * recall target — see dedupEmbeddingLsh's scaladoc for the curve.
+  */
+case class LshParams(planesPerTable: Int, nTables: Int)
+
+object LshParams {
+  /** P(one hyperplane does NOT separate a pair at cosine c) = 1 − θ/π. */
+  def collisionProb(minCos: Double): Double =
+    1.0 - math.acos(minCos) / math.Pi
+
+  def derive(n: Long, minCos: Double, targetRecall: Double = 0.99,
+      targetBucketRows: Int = 32): LshParams = {
+    val b = math.max(1,
+      math.ceil(math.log(math.max(2.0, n.toDouble / targetBucketRows)) /
+        math.log(2.0)).toInt)
+    val pb = math.pow(collisionProb(minCos), b)
+    val t = math.max(1,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-pb)).toInt)
+    LshParams(b, t)
   }
 }

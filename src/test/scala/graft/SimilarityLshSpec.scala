@@ -1,0 +1,69 @@
+package graft
+
+import graft.similarity.{LshParams, Similarity}
+import org.apache.spark.sql.functions._
+
+/** The embedding-LSH scale path: parameter derivation, 100% recall vs
+  * the exact pair set at gate scale, and the oversized-bucket split.
+  */
+class SimilarityLshSpec extends SparkSpec {
+
+  test("LshParams.derive tracks corpus size and threshold") {
+    // gate-scale operating points (empirical minimum tables for 100%
+    // recall on the driver corpus: 13 at n=500/b=4, 45 at n=2000/b=6 —
+    // the derived t carries 1.8x / 1.33x margin over those minima)
+    assert(LshParams.derive(500, 0.45) == LshParams(4, 24))
+    assert(LshParams.derive(2000, 0.45) == LshParams(6, 60))
+    // buckets track corpus size at fixed threshold
+    val small = LshParams.derive(1000, 0.9)
+    val big = LshParams.derive(1000000, 0.9)
+    assert(big.planesPerTable > small.planesPerTable)
+    // a high threshold needs far fewer tables than a low one at same n:
+    // this is the regime where LSH wins orders of magnitude
+    assert(LshParams.derive(1000000, 0.9).nTables <
+      LshParams.derive(1000000, 0.45).nTables / 10)
+    // higher recall target => more tables
+    assert(LshParams.derive(2000, 0.45, targetRecall = 0.999).nTables >
+      LshParams.derive(2000, 0.45, targetRecall = 0.99).nTables)
+  }
+
+  test("LSH pipeline matches the exact O(n^2) pair set at gate scale") {
+    val lsh = Similarity.dedupEmbeddingLsh(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Similarity.dedupEmbedding(spark, Sf001, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact)
+    assert(lsh.nonEmpty) // 14 qualifying pairs in the sf0.01 corpus
+  }
+
+  test("oversized buckets get split; row multiplicity is preserved") {
+    import spark.implicits._
+    // deterministic direction-free cloud: every bucket is hot relative
+    // to a tiny cap, so the splitter must fire
+    def f(i: Int, d: Int): Float = {
+      val z = (i * 1315423911L + d * 2654435761L) & 0xffffL
+      (z.toDouble / 0x8000 - 1.0).toFloat
+    }
+    val emb = (0 until 400)
+      .map(i => (i.toLong, Seq.tabulate(8)(d => f(i, d))))
+      .toDF("vec_id", "embedding")
+    val params = LshParams(2, 3) // 4 buckets/table → ~100 rows per bucket
+    val capped = Similarity.lshBucketTable(emb, params, bucketCap = 30, extraPlanes = 4)
+    val uncapped = Similarity.lshBucketTable(emb, params, bucketCap = 1000000, extraPlanes = 4)
+    // split keeps every (vec_id, tbl) row — nothing dropped or duplicated
+    assert(capped.count() == 400L * 3)
+    assert(uncapped.count() == 400L * 3)
+    val maxCapped = capped.groupBy("tbl", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    val maxUncapped = uncapped.groupBy("tbl", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxUncapped > 30)
+    // extra plane bits subdivide the hot buckets
+    assert(maxCapped < maxUncapped, s"capped=$maxCapped uncapped=$maxUncapped")
+    // and split bucket ids stay disjoint across tables' base buckets:
+    // low planesPerTable bits still identify the base bucket
+    val baseMismatch = capped.select(col("bucket").bitwiseAND(lit(3L)).as("base"))
+      .filter(col("base") >= 4).count()
+    assert(baseMismatch == 0)
+  }
+}
