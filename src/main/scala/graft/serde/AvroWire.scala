@@ -175,8 +175,17 @@ object AvroWire {
     case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
          Schema.Type.DOUBLE | Schema.Type.BOOLEAN =>
       v => v.asInstanceOf[AnyRef]
-    case Schema.Type.BYTES | Schema.Type.FIXED =>
+    case Schema.Type.BYTES =>
       v => if (v == null) null else java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+    case Schema.Type.FIXED =>
+      // the datum writer requires GenericFixed (and exactly size bytes)
+      v => if (v == null) null else {
+        val arr = v.asInstanceOf[Array[Byte]]
+        if (arr.length != s.getFixedSize)
+          throw new IllegalArgumentException(
+            s"fixed ${s.getFullName} needs ${s.getFixedSize} bytes, got ${arr.length}")
+        new GenericData.Fixed(s, arr)
+      }
     case Schema.Type.RECORD =>
       val st = dt.asInstanceOf[StructType]
       val types = st.fields.map(_.dataType)
@@ -258,9 +267,15 @@ object AvroWire {
          Schema.Type.DOUBLE | Schema.Type.BOOLEAN =>
       v => v
     case Schema.Type.BYTES | Schema.Type.FIXED =>
-      v => if (v == null) null else {
-        val bb = v.asInstanceOf[java.nio.ByteBuffer]
-        val arr = new Array[Byte](bb.remaining); bb.duplicate.get(arr); arr
+      // BYTES arrives as a ByteBuffer; FIXED as GenericFixed (clone its
+      // backing array — Avro reuses it across records)
+      v => v match {
+        case null => null
+        case bb: java.nio.ByteBuffer =>
+          val arr = new Array[Byte](bb.remaining); bb.duplicate.get(arr); arr
+        case gf: org.apache.avro.generic.GenericFixed => gf.bytes.clone()
+        case other => throw new IllegalArgumentException(
+          s"unexpected datum ${other.getClass} for $s")
       }
     case Schema.Type.RECORD =>
       val st = dt.asInstanceOf[StructType]
@@ -304,9 +319,18 @@ object AvroWire {
     case Schema.Type.LONG    => v.isInstanceOf[java.lang.Long]
     case Schema.Type.BOOLEAN => v.isInstanceOf[java.lang.Boolean]
     case Schema.Type.STRING  => v.isInstanceOf[Utf8] || v.isInstanceOf[String]
-    case Schema.Type.RECORD  => v.isInstanceOf[GenericRecord]
+    case Schema.Type.RECORD  =>
+      v.isInstanceOf[GenericRecord] &&
+        v.asInstanceOf[GenericRecord].getSchema.getFullName == s.getFullName
     case Schema.Type.MAP     => v.isInstanceOf[java.util.Map[_, _]]
     case Schema.Type.ARRAY   => v.isInstanceOf[java.util.List[_]]
+    case Schema.Type.ENUM    =>
+      v.isInstanceOf[org.apache.avro.generic.GenericEnumSymbol[_]] ||
+        v.isInstanceOf[org.apache.avro.generic.GenericData.EnumSymbol]
+    case Schema.Type.BYTES   => v.isInstanceOf[java.nio.ByteBuffer]
+    case Schema.Type.FIXED   =>
+      v.isInstanceOf[org.apache.avro.generic.GenericFixed]
+    case Schema.Type.NULL    => v == null
     case _ => false
   }
 

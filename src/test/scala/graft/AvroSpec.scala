@@ -197,6 +197,60 @@ class AvroSpec extends SparkSpec {
     assert(locRow.getAs[String]("building") == "B2")
   }
 
+  test("multi-branch union with ENUM/BYTES/FIXED branches decodes") {
+    import spark.implicits._
+    val uJson = """{
+      "type": "record", "name": "U", "fields": [
+        {"name": "payload", "type": [
+          "bytes",
+          {"type": "enum", "name": "Kind", "symbols": ["A", "B"]},
+          {"type": "fixed", "name": "F4", "size": 4}
+        ]}
+      ]}"""
+    val uSchema = new Schema.Parser().parse(uJson)
+    def enc(put: GenericData.Record => Unit): Array[Byte] = {
+      val r = new GenericData.Record(uSchema); put(r)
+      val bos = new ByteArrayOutputStream()
+      val e = EncoderFactory.get.binaryEncoder(bos, null)
+      new GenericDatumWriter[GenericRecord](uSchema).write(r, e)
+      e.flush(); bos.toByteArray
+    }
+    val bytesRec = enc(_.put("payload", java.nio.ByteBuffer.wrap(Array[Byte](1, 2))))
+    val enumRec = enc(_.put("payload",
+      new GenericData.EnumSymbol(uSchema.getField("payload").schema.getTypes.get(1), "B")))
+    val fixedRec = enc(_.put("payload",
+      new GenericData.Fixed(uSchema.getField("payload").schema.getTypes.get(2),
+        Array[Byte](9, 9, 9, 9))))
+    val rows = Seq(bytesRec, enumRec, fixedRec).toDF("body")
+      .select(AvroWire.fromAvro(col("body"), uJson).as("r"))
+      .select(col("r.payload").as("p"))
+      .collect()
+    // member0 = bytes, member1 = enum string, member2 = fixed binary
+    assert(rows(0).getAs[Row]("p").getAs[Array[Byte]]("member0").toSeq == Seq[Byte](1, 2))
+    assert(rows(1).getAs[Row]("p").getAs[String]("member1") == "B")
+    assert(rows(2).getAs[Row]("p").getAs[Array[Byte]]("member2").toSeq == Seq[Byte](9, 9, 9, 9))
+
+    // encode direction: plain enum/fixed/bytes fields through toAvro →
+    // Avro's own reader
+    val peJson = """{"type": "record", "name": "E2", "fields": [
+      {"name": "kind", "type": {"type": "enum", "name": "Kind2", "symbols": ["X", "Y"]}},
+      {"name": "tag", "type": {"type": "fixed", "name": "F2", "size": 2}},
+      {"name": "blob", "type": "bytes"}]}"""
+    val body = Seq(("Y", Array[Byte](7, 8), Array[Byte](1)))
+      .toDF("kind", "tag", "blob")
+      .select(AvroWire.toAvro(
+        struct(col("kind"), col("tag"), col("blob")), peJson).as("body"))
+      .head().getAs[Array[Byte]]("body")
+    val peSchema = new Schema.Parser().parse(peJson)
+    val dec = DecoderFactory.get.binaryDecoder(body, null)
+    val got = new GenericDatumReader[GenericRecord](peSchema).read(null, dec)
+    assert(got.get("kind").toString == "Y")
+    assert(got.get("tag").asInstanceOf[GenericData.Fixed].bytes.toSeq == Seq[Byte](7, 8))
+    val bb = got.get("blob").asInstanceOf[java.nio.ByteBuffer]
+    val blob = new Array[Byte](bb.remaining); bb.get(blob)
+    assert(blob.toSeq == Seq[Byte](1))
+  }
+
   test("union int/null branches cross-decode through the memberN struct") {
     import spark.implicits._
     val intRec = referenceRecord()
