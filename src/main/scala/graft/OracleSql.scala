@@ -289,33 +289,54 @@ object OracleSql {
     // IVF probe: centroid per label cell (6-dp rounded → engine-
     // independent cell ranking), nprobe=2 nearest cells per query,
     // exact cosine top-5 within the probed cells only
+    // mirrors Similarity.kmeansCells: label-mean seeds (c0), then TWO
+    // unrolled Lloyd rounds — assign to max-cosine cell (6-dp rounds,
+    // ties to lowest cell), recompute 6-dp per-dim means — then probe
+    // the final centroids (c2) over the final assignment (a2)
     "emb_ivf_topk" ->
-      """WITH cent AS (
-        |  SELECT label, d, round(avg(embedding[d]::DOUBLE), 6) AS c
-        |  FROM embeddings CROSS JOIN generate_series(1, 64) g(d)
-        |  GROUP BY label, d),
-        |cent2 AS (SELECT label, list(c ORDER BY d) AS centroid FROM cent GROUP BY label),
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c0 AS (SELECT label AS cell, d, round(avg(emb[d]), 6) AS c
+        |  FROM e CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
+        |c0l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c0 GROUP BY cell),
+        |a1 AS (SELECT vec_id, emb, cell FROM (
+        |  SELECT e.vec_id, e.emb, c.cell, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_dot_product(e.emb, c.centroid) /
+        |      (sqrt(list_dot_product(e.emb, e.emb)) *
+        |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.cell) AS r
+        |  FROM e CROSS JOIN c0l c) WHERE r = 1),
+        |c1 AS (SELECT cell, d, round(avg(emb[d]), 6) AS c
+        |  FROM a1 CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
+        |c1l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c1 GROUP BY cell),
+        |a2 AS (SELECT vec_id, emb, cell FROM (
+        |  SELECT e.vec_id, e.emb, c.cell, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_dot_product(e.emb, c.centroid) /
+        |      (sqrt(list_dot_product(e.emb, e.emb)) *
+        |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.cell) AS r
+        |  FROM e CROSS JOIN c1l c) WHERE r = 1),
+        |c2 AS (SELECT cell, d, round(avg(emb[d]), 6) AS c
+        |  FROM a2 CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
+        |c2l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c2 GROUP BY cell),
         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
         |  FROM embeddings WHERE vec_id < 10),
         |pr AS (
-        |  SELECT query_id, label,
+        |  SELECT query_id, cell,
         |    row_number() OVER (PARTITION BY query_id ORDER BY
         |      round(list_dot_product(qe, centroid) /
         |        (sqrt(list_dot_product(qe, qe)) *
         |         sqrt(list_dot_product(centroid, centroid))), 6) DESC,
-        |      label) AS r
-        |  FROM q CROSS JOIN cent2),
-        |cells AS (SELECT query_id, label FROM pr WHERE r <= 2),
+        |      cell) AS r
+        |  FROM q CROSS JOIN c2l),
+        |cells AS (SELECT query_id, cell FROM pr WHERE r <= 2),
         |cand AS (
-        |  SELECT c.query_id, e.vec_id AS neighbor_id,
-        |    round(list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+        |  SELECT c.query_id, m.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.qe, m.emb) /
         |      (sqrt(list_dot_product(q.qe, q.qe)) *
-        |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6)
+        |       sqrt(list_dot_product(m.emb, m.emb))), 6)
         |      AS cos_sim
         |  FROM cells c
-        |  JOIN embeddings e ON e.label = c.label
+        |  JOIN a2 m ON m.cell = c.cell
         |  JOIN q ON q.query_id = c.query_id
-        |  WHERE e.vec_id <> c.query_id)
+        |  WHERE m.vec_id <> c.query_id)
         |SELECT * FROM (
         |  SELECT query_id, neighbor_id, cos_sim,
         |    row_number() OVER (PARTITION BY query_id
@@ -335,13 +356,16 @@ object OracleSql {
         |    AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+    // mirror of the BMP fixture's generating arithmetic: Spark's side
+    // renders + REALLY decodes (javax.imageio) a 16x16 gray BMP whose
+    // pixel i is (i*37 + doc_id*11 + len) % 256; byte_len 822 = 54-byte
+    // header + 768 pixel bytes; mean_luma = sum(gray)/(255*256)
     "mm_features" ->
-      """SELECT doc_id AS media_id, strlen(text)::BIGINT AS byte_len,
-        |  md5(text) AS content_hash,
-        |  (strlen(text) % 640)::INT AS width,
-        |  (strlen(text) * 7 % 480)::INT AS height,
-        |  (('0x' || substr(md5(text), 1, 15))::BIGINT % 256)::DOUBLE / 255.0 AS mean_luma
-        |FROM documents ORDER BY media_id""".stripMargin
+      """SELECT doc_id AS media_id, 822::BIGINT AS byte_len,
+        |  16 AS width, 16 AS height,
+        |  (SELECT sum((i * 37 + d.doc_id * 11 + length(d.text)) % 256)::DOUBLE
+        |     FROM generate_series(0, 255) g(i)) / 65280 AS mean_luma
+        |FROM documents d ORDER BY media_id""".stripMargin
   )
 
   val all: Map[String, String] = textOracles ++ Map(

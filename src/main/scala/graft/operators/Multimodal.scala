@@ -1,23 +1,31 @@
 package graft.operators
 
+import java.io.ByteArrayInputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
 import graft.Tables
-import graft.functions.TextFunctions.hash60
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column operators (north-star extensions): media as opaque
   * `binary` payloads with typed metadata, decoded/feature-extracted in
-  * batches.
+  * batches with a REAL image decoder (javax.imageio — ships with the
+  * JDK, no external codec needed for BMP/PNG).
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * DETERMINISTIC FAKE decoder (clearly marked): it derives "features"
-  * from payload length and content hash only. Everything around it —
-  * schema, binary column handling, per-partition batch shape,
-  * partitioning — is real Spark plumbing: swap `decodeStub` for a JNI /
-  * library call and the pipeline is production-shaped. At 100 TB the
-  * payloads live in the parquet as binary chunks; the decode pass is
-  * narrow (no shuffle) and parallelizes by file split.
+  * Oracle strategy: the fixture generator writes each document a
+  * deterministic 16×16 grayscale BMP whose pixel levels are pure
+  * arithmetic of (pixel index, media_id, text length). The pipeline then
+  * round-trips those bytes through an ACTUAL ImageIO decode and derives
+  * features from the decoded raster — while the DuckDB oracle computes
+  * the same features from the generating arithmetic alone. A hash match
+  * therefore certifies the real encode→decode path bit-for-bit, not a
+  * stubbed stand-in.
+  *
+  * Scale shape: payloads live in parquet as binary chunks; encode and
+  * decode are narrow per-partition passes (no shuffle), parallel by file
+  * split. The mapPartitions boundary is where a heavier codec would
+  * amortize per-task decoder initialization.
   */
 object Multimodal {
 
@@ -26,46 +34,87 @@ object Multimodal {
     */
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
-  /** Extracted features (fake, deterministic — see decodeStub). */
+  /** Features extracted from the DECODED raster. */
   case class MediaFeatures(media_id: Long, kind: String, byte_len: Long,
-      content_hash: String, width: Int, height: Int, mean_luma: Double)
+      width: Int, height: Int, mean_luma: Double)
 
-  /** STUB — deterministic fake decode. A real build replaces this body
-    * with an actual codec; the signature (one media row in, one feature
-    * row out, called per-partition in batches) is the real contract.
+  /** Fixture image side; 16×16 @ 24bpp ⇒ 48-byte rows (4-aligned, no
+    * padding) ⇒ byte_len = 54 header + 768 data = 822, always.
     */
-  def decodeStub(m: MediaRow): MediaFeatures = {
-    val len = m.payload.length.toLong
-    val h = graft.functions.TextHash.hash60(m.payload)
-    val md5Hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(m.payload).map(b => f"$b%02x").mkString
-    MediaFeatures(m.media_id, m.kind, len,
-      md5Hex, (len % 640).toInt, (len * 7 % 480).toInt, (h % 256).toDouble / 255.0)
+  val Side = 16
+  val BmpBytes: Int = 54 + Side * Side * 3
+
+  /** Deterministic grayscale BMP: pixel i (row-major, top-left origin)
+    * has level (i·37 + media_id·11 + contentLen) mod 256. Handwritten
+    * BITMAPINFOHEADER so the layout is fixed rather than
+    * writer-dependent; rows are stored bottom-up per the format.
+    */
+  def encodeBmp(mediaId: Long, contentLen: Long): Array[Byte] = {
+    val b = ByteBuffer.allocate(BmpBytes).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+      .putInt(BmpBytes).putInt(0).putInt(54)            // file header
+    b.putInt(40).putInt(Side).putInt(Side)              // BITMAPINFOHEADER
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(Side * Side * 3)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = Side - 1                                    // bottom-up rows
+    while (y >= 0) {
+      var x = 0
+      while (x < Side) {
+        val i = y * Side + x
+        val g = (((i * 37 + mediaId * 11 + contentLen) % 256) + 256) % 256
+        val gb = g.toByte
+        b.put(gb).put(gb).put(gb)                       // BGR, gray
+        x += 1
+      }
+      y -= 1
+    }
+    b.array()
   }
 
-  /** Typed per-partition decode path (the mapPartitions batch shape a
-    * real codec needs — amortizes decoder init across a partition).
+  /** REAL decode: ImageIO parses the payload into a raster; features are
+    * computed from decoded pixels. mean_luma = Σ gray / (255·w·h) with an
+    * exact integer sum, so the value is order-independent and the single
+    * final IEEE division matches any engine computing the same integers.
+    */
+  def decodeImage(m: MediaRow): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(m.payload))
+    require(img != null, s"payload of media ${m.media_id} is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, w, h,
+      sum.toDouble / (255.0 * w * h))
+  }
+
+  /** Per-partition batch decode (where a heavier codec amortizes its
+    * per-task init).
     */
   def decodeAll(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { rows => rows.map(decodeStub) }
+    media.mapPartitions(_.map(decodeImage))
   }
 
-  /** Documents-as-media: treat the text bytes as an opaque payload and
-    * run the (fake) decode as pure column expressions — this is the
-    * oracle-checked twin of `decodeAll` (same arithmetic, codegen'd).
+  /** Documents as media: render each doc's fixture BMP, decode it for
+    * real, and emit raster-derived features. The oracle recomputes
+    * mean_luma from the generating arithmetic — matching hashes prove the
+    * decode.
     */
-  def mmFeatures(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id").as("media_id"),
-        col("text").cast(BinaryType).as("payload"))
-      .select(col("media_id"),
-        octet_length(col("payload")).cast(LongType).as("byte_len"),
-        md5(col("payload")).as("content_hash"),
-        hash60(col("payload")).as("hash60"))
-      .select(col("media_id"), col("byte_len"), col("content_hash"),
-        (col("byte_len") % 640).cast(IntegerType).as("width"),
-        (col("byte_len") * 7 % 480).cast(IntegerType).as("height"),
-        ((col("hash60") % 256).cast(DoubleType) / 255.0).as("mean_luma"))
+  def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen"))
+      .as[(Long, Long)]
+      .map { case (id, clen) => MediaRow(id, "image/bmp", encodeBmp(id, clen)) }
+    decodeAll(media)
+      .select(col("media_id"), col("byte_len"), col("width"), col("height"),
+        col("mean_luma"))
       .orderBy(col("media_id"))
+  }
 }

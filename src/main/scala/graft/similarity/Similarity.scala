@@ -159,29 +159,71 @@ object Similarity {
     * per query. Centroid components are rounded to 6 dp so the cell
     * assignment (and hence the result) is engine-independent.
     */
-  def embIvfTopk(s: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val cent = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
+  /** Per-dimension mean centroids of a (cell, embedding) relation,
+    * rounded to 6 dp so cell geometry is engine-independent.
+    */
+  private def meanCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
       .agg(round(avg(col("v").cast(DoubleType)), 6).as("c"))
-      .groupBy(col("label"))
+      .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("centroid"))
+
+  /** Data-driven IVF coarse quantizer: deterministic Lloyd iterations.
+    * Seeds = per-label mean centroids; each round assigns every vector
+    * to its max-cosine cell (6-dp rounded, ties to the lowest cell id)
+    * and recomputes per-dim means. The driver loop iterates ROUNDS (2-3
+    * for a coarse quantizer), never rows — the same shape as
+    * Dedup.dedupClustersDf. Returns (assignment, centroids) after
+    * `iters` rounds; both are fully mirrorable in SQL (the oracle
+    * unrolls the same rounds as chained CTEs), which is why cosines and
+    * means are rounded at every step.
+    *
+    * Scale shape: centroids are k tiny rows → broadcast; assignment is a
+    * narrow n×k scan (k = cells ≪ n); the update is one shuffle on the
+    * cell key per round.
+    */
+  def kmeansCells(emb: DataFrame, iters: Int = 2): (DataFrame, DataFrame) = {
+    var cent = meanCentroids(
+      emb.select(col("label").as("cell"), col("embedding")))
+    var assigned: DataFrame = null
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cell"))
+    for (_ <- 1 to iters) {
+      assigned = emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          round(ddot(col("embedding"), col("centroid")) /
+            (sqrt(ddot(col("embedding"), col("embedding"))) *
+             sqrt(ddot(col("centroid"), col("centroid")))), 6).as("cos_c"))
+        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      cent = meanCentroids(assigned)
+    }
+    (assigned.select(col("vec_id"), col("cell")), cent)
+  }
+
+  def embIvfTopk(s: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2,
+      lloydIters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (cells, cent) = kmeansCells(emb, lloydIters)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val qc = queries.crossJoin(broadcast(cent))
-      .select(col("query_id"), col("q_emb"), col("label"),
+      .select(col("query_id"), col("q_emb"), col("cell"),
         round(ddot(col("q_emb"), col("centroid")) /
           (sqrt(ddot(col("q_emb"), col("q_emb"))) *
            sqrt(ddot(col("centroid"), col("centroid")))), 6).as("cos_c"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("label"))
-    val cells = qc.withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
-      .select(col("query_id"), col("q_emb"), col("label"))
-    val cand = cells
-      .join(emb.select(col("vec_id").as("neighbor_id"), col("label"), col("embedding")),
-        Seq("label"))
+      .partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cell"))
+    val probed = qc.withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val cand = probed
+      .join(cells.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+          .select(col("vec_id").as("neighbor_id"), col("cell"), col("embedding")),
+        Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))

@@ -108,6 +108,27 @@ object Lifecycle {
     filesystem.delete(new Path(old), true)
   }
 
+  /** O2 at scale: maintain anomalies as a filtered SIDE-TABLE written at
+    * ingest (date-partitioned, clustered by device) instead of running
+    * the anomalous-readings view as a full-table filter + global sort.
+    * At 100 TB the ad-hoc view scans everything to keep ~0.1% of rows;
+    * this table holds only those rows, so "all anomalies, newest first"
+    * is a partition-pruned scan of an already-tiny table. The ad-hoc
+    * query (EventAnalytics.o2AnomalousReadings) stays as the fallback
+    * and as this table's correctness oracle.
+    */
+  def writeAnomalies(events: DataFrame, outDir: String): Unit =
+    writeClustered(
+      events.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value")),
+      outDir, keyCol = "user_id", tsCol = "ts")
+
+  /** The maintained-view read path, same shape/order as the ad-hoc O2. */
+  def readAnomalies(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .orderBy(col("ts").desc)
+
   /** L9-ish introspection: per-partition file count + bytes. */
   def tableStats(spark: SparkSession, dir: String): Seq[(String, Int, Long)] =
     partitionDates(spark, dir).sortBy(_._1.toString).map { case (d, p) =>

@@ -8,6 +8,23 @@ import org.apache.spark.sql.functions._
 
 class LifecycleSpec extends SparkSpec {
 
+  test("O2 side-table equals the ad-hoc anomaly view; partitioned + pruned") {
+    val dir = Files.createTempDirectory("anomalies").toString
+    Lifecycle.writeAnomalies(Tables.events(spark, Sf0001), dir)
+    val fromStore = Lifecycle.readAnomalies(spark, dir)
+      .collect().map(r => (r.getLong(0), r.get(1), r.getLong(2), r.getDouble(3)))
+    val adHoc = graft.analytics.EventAnalytics.o2AnomalousReadings(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.get(1), r.getLong(2), r.getDouble(3)))
+    assert(fromStore.toSet == adHoc.toSet)
+    assert(fromStore.map(_._2.toString).toSeq == adHoc.map(_._2.toString).toSeq) // newest-first order
+    assert(fromStore.nonEmpty)
+    // side-table is date-partitioned → the recency query prunes partitions
+    val stats = Lifecycle.tableStats(spark, dir)
+    assert(stats.size > 1)
+    val oneDay = spark.read.parquet(dir).filter(col("event_date") === stats.head._1)
+    assert(oneDay.count() < fromStore.length)
+  }
+
   test("clustered write → archive → retention → compaction round-trip") {
     val main = Files.createTempDirectory("tbl_main").toString
     val arch = Files.createTempDirectory("tbl_arch").toString
