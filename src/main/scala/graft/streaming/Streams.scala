@@ -109,41 +109,86 @@ object Streams {
       }
   }
 
-  /** S5/L5: idempotent micro-batch sink (the reference's ON CONFLICT DO
-    * NOTHING, timescaledb_sink.py:169-237): dedup on the natural key
-    * within the batch, then anti-join against the keys ALREADY IN THE
-    * SINK before appending — duplicates arriving in different batches
-    * (or a replayed batch after restart) insert nothing. The existing-key
-    * scan is restricted to the date partitions the batch touches, so its
-    * cost tracks the batch's time span, not the table size. Partitioned
-    * by event date so retention (L2/L3) is a partition drop.
+  /** Crash-injection points for the transactional sink's replay test. */
+  sealed trait CrashPoint
+  case object NoCrash extends CrashPoint
+  case object CrashAfterStage extends CrashPoint
+  case object CrashAfterPromote extends CrashPoint
+
+  /** S5/L5: TRANSACTIONAL idempotent micro-batch commit (the reference's
+    * ON CONFLICT DO NOTHING, timescaledb_sink.py:169-237, plus the
+    * rename-promotion discipline of Lifecycle.compact):
     *
-    * Caveat (docstring honesty): parquet append is not transactional — a
-    * crash mid-append can leave a partial file that duplicates within
-    * that one batch on retry; true exactly-once needs a transactional
-    * table format underneath the same anti-join shape.
+    *  1. a `_committed/batch-N` marker short-circuits a fully committed
+    *     batch replayed after a crash between commit and checkpoint;
+    *  2. the batch is deduped on the natural key and anti-joined against
+    *     the keys ALREADY IN THE SINK (scan pruned to the date
+    *     partitions the batch touches), then written to a `_staging`
+    *     dir — never directly into the live tree;
+    *  3. staged files are promoted by per-file rename into the live
+    *     partition dirs, then the marker is written and staging dropped.
+    *
+    * Crash safety: `_staging`/`_committed` start with '_' so readers
+    * never see them. A crash mid-promote leaves some rows live without a
+    * marker — the REPLAY's anti-join then sees exactly those rows and
+    * stages only the remainder, so the protocol converges to
+    * exactly-once with no compensating reads. (The anti-join is the
+    * idempotency mechanism; the marker is the fast path.)
     */
+  def commitBatch(batch: DataFrame, outDir: String, batchId: Long,
+      crash: CrashPoint = NoCrash): Unit = {
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(hconf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val marker = p(s"$outDir/_committed/batch-$batchId")
+    if (fs.exists(marker)) return
+    val staging = p(s"$outDir/_staging/batch-$batchId")
+    fs.delete(staging, true) // leftover from a crashed attempt
+    val fresh = batch.dropDuplicates(Seq("user_id", "ts"))
+      .withColumn("event_date", to_date(col("ts")))
+    val touched = fresh.select(col("event_date")).distinct()
+      .collect().map(_.get(0))
+    val existing =
+      try spark.read.parquet(outDir)
+        .filter(col("event_date").isInCollection(touched.toSeq))
+        .select(col("user_id"), col("ts"))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        fresh.select(col("user_id"), col("ts")).limit(0) // first batch
+      }
+    fresh.join(existing, Seq("user_id", "ts"), "left_anti")
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(staging.toString)
+    if (crash == CrashAfterStage) throw new RuntimeException("injected crash: after stage")
+    // promote: move each staged partition's data files into the live tree
+    fs.listStatus(staging).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("event_date="))
+      .foreach { part =>
+        val target = p(s"$outDir/${part.getPath.getName}")
+        fs.mkdirs(target)
+        fs.listStatus(part.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .foreach { f =>
+            val dst = new org.apache.hadoop.fs.Path(target,
+              s"batch$batchId-${f.getPath.getName}")
+            fs.delete(dst, true) // idempotent re-promote
+            if (!fs.rename(f.getPath, dst))
+              throw new java.io.IOException(s"promote: cannot move ${f.getPath}")
+          }
+      }
+    if (crash == CrashAfterPromote) throw new RuntimeException("injected crash: after promote")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    fs.delete(staging, true)
+  }
+
   def startDedupSink(events: DataFrame, outDir: String, checkpointDir: String) =
     events.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val fresh = batch.dropDuplicates(Seq("user_id", "ts"))
-          .withColumn("event_date", to_date(col("ts")))
-        val touched = fresh.select(col("event_date")).distinct()
-          .collect().map(_.get(0))
-        val existing =
-          try spark.read.parquet(outDir)
-            .filter(col("event_date").isInCollection(touched.toSeq))
-            .select(col("user_id"), col("ts"))
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            fresh.select(col("user_id"), col("ts")).limit(0) // first batch
-          }
-        fresh.join(existing, Seq("user_id", "ts"), "left_anti")
-          .write.mode("append")
-          .partitionBy("event_date")
-          .parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch, outDir, batchId)
       }
       .start()
 }

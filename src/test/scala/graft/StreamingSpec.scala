@@ -108,4 +108,44 @@ class StreamingSpec extends SparkSpec {
         .exists(_.getFileName.toString.startsWith("event_date=")))
     } finally q.stop()
   }
+
+  test("transactional sink: crash between write and checkpoint replays with no dupes") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("tx_out").toString
+    val b1 = sampleRows.take(3).toDF()
+    val b2 = sampleRows.drop(3).toDF()
+
+    Streams.commitBatch(b1, outDir, 0)
+    assert(spark.read.parquet(outDir).count() == 3)
+
+    // crash AFTER promote, BEFORE the marker/checkpoint: rows are live,
+    // batch not marked committed
+    intercept[RuntimeException] {
+      Streams.commitBatch(b2, outDir, 1, Streams.CrashAfterPromote)
+    }
+    assert(spark.read.parquet(outDir).count() == sampleRows.size)
+    // replay of batch 1 (checkpoint never advanced): anti-join sees the
+    // promoted rows, stages nothing new — still exactly-once
+    Streams.commitBatch(b2, outDir, 1)
+    val afterReplay = spark.read.parquet(outDir)
+    assert(afterReplay.count() == sampleRows.size)
+    assert(afterReplay.select("user_id", "ts").distinct().count() == sampleRows.size)
+    // second replay: the marker short-circuits before any work
+    Streams.commitBatch(b2, outDir, 1)
+    assert(spark.read.parquet(outDir).count() == sampleRows.size)
+
+    // crash AFTER stage, BEFORE promote: nothing visible; replay lands
+    // the batch exactly once
+    val b3 = Seq(EventRow(9, ts("2024-01-02 10:00:00"), 9, "view", 5.0)).toDF()
+    intercept[RuntimeException] {
+      Streams.commitBatch(b3, outDir, 2, Streams.CrashAfterStage)
+    }
+    assert(spark.read.parquet(outDir).count() == sampleRows.size) // staged ≠ visible
+    Streams.commitBatch(b3, outDir, 2)
+    assert(spark.read.parquet(outDir).count() == sampleRows.size + 1)
+    // no leftover staging; marker recorded
+    val root = java.nio.file.Paths.get(outDir)
+    assert(!Files.exists(root.resolve("_staging/batch-2")))
+    assert(Files.exists(root.resolve("_committed/batch-2")))
+  }
 }
