@@ -24,6 +24,17 @@ object OracleSql {
   val rev: String =
     "sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(38,4))::DOUBLE"
 
+  /** The emb_lsh_buckets hyperplane sign matrix (8 planes × 64 dims) as
+    * SQL VALUES rows — same deterministic splitmix64 family the native
+    * LshBucketsExpr evaluates.
+    */
+  private val lshSignRows: String = (0 until 8).map { p =>
+    val sv = (0 until 64)
+      .map(d => if (graft.functions.LshHash.planeSign(p, d.toLong) > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+    s"  ($p, $sv::DOUBLE[])"
+  }.mkString(",\n")
+
   /** Shared CTE fragments for the text/dedup oracles. */
   private val toksCte =
     """t AS (SELECT doc_id, text, lang,
@@ -355,6 +366,21 @@ object OracleSql {
         |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
         |    AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // the splitmix64 hyperplane signs are deterministic constants —
+    // embedded below as literal ±1 vectors (computed from the SAME
+    // LshHash.planeSign the Spark expression uses), so the only float
+    // math left to mirror is the sequential ±1 dot-product fold, which
+    // list_dot_product performs in the same element order
+    "emb_lsh_buckets" ->
+      s"""WITH signs(j, sv) AS (VALUES
+         |$lshSignRows),
+         |b AS (SELECT e.vec_id, e.label, s.j,
+         |  CASE WHEN list_dot_product(e.embedding::DOUBLE[], s.sv) > 0
+         |    THEN 1::BIGINT << s.j ELSE 0 END AS bit
+         |  FROM embeddings e CROSS JOIN signs s)
+         |SELECT vec_id, label, sum(bit)::BIGINT AS bucket
+         |FROM b GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
 
     // mirror of the BMP fixture's generating arithmetic: Spark's side
     // renders + REALLY decodes (javax.imageio) a 16x16 gray BMP whose
