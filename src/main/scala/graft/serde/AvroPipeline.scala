@@ -84,7 +84,15 @@ object AvroPipeline {
     * direct projection oracle.
     */
   def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
+    val base = Tables.events(s, dir)
+    // the codec is CPU-bound, narrow, per-row work: make sure it runs at
+    // session parallelism even when the local scan yields one split (the
+    // driver fixtures are single-row-group parquet; a production table's
+    // many splits make this a no-op)
+    val e =
+      if (base.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+        base.repartition(s.sparkContext.defaultParallelism)
+      else base
     val framed = e.select(col("event_id"),
       AvroWire.frame(
         AvroWire.toAvro(sensorFromEvents(), AvroWire.sensorSchemaJson),
