@@ -100,6 +100,18 @@ object OracleSql {
          |FROM (SELECT t.*, d.source FROM t JOIN documents d USING (doc_id))
          |GROUP BY source ORDER BY source""".stripMargin,
 
+    // entropy from exact integer counts: log2(n) − Σ c·log2(c)/n;
+    // per-term float work is a single log2, combination rounded at 6 dp
+    "tx_entropy" ->
+      s"""WITH $toksCte,
+         |tc AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |cnt AS (SELECT doc_id, tok, count(*) AS c FROM tc GROUP BY 1, 2)
+         |SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct,
+         |  round(log2(sum(c)::DOUBLE) -
+         |    sum(c::DOUBLE * log2(c::DOUBLE)) / sum(c), 6) AS token_entropy,
+         |  round(max(c)::DOUBLE / sum(c), 6) AS top_token_share
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "sample_documents" ->
       """SELECT doc_id, lang, source, n_chars,
         |  (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100) AS bucket

@@ -69,6 +69,7 @@ object SparkEntry {
     "tx_langid"      -> (TX.txLangid(_, _)),
     "tx_fingerprint" -> (TX.txFingerprint(_, _)),
     "tx_contains"    -> (TX.txContains(_, _)),
+    "tx_entropy"     -> (TX.txEntropy(_, _)),
     "sample_documents" -> (TX.txSample(_, _)),
     "pack_sequences"   -> (TX.txPack(_, _)),
     "a6_approx_distribution" -> (TX.approxDistribution(_, _)),

@@ -92,6 +92,40 @@ object TextAnalysis {
         percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_approx"))
       .orderBy(col("bucket"), col("event_type"))
 
+  /** Token-distribution signals for LLM data-quality filtering:
+    * per-doc Shannon entropy of the token distribution (low = repetitive
+    * boilerplate, near-log2(n) = no reuse) and the top-token share (the
+    * classic most-common-word repetition filter). Entropy is computed as
+    * log2(n) − Σ c·log2(c)/n from exact integer counts, so the only
+    * float work is one log per distinct token and a final rounded
+    * combination — engine-independent at 6 dp.
+    *
+    * Shape at scale: (doc, token) count then per-doc combine — two
+    * partial-aggregated shuffles, no windows, no driver state.
+    */
+  def txEntropy(s: SparkSession, dir: String): DataFrame =
+    txEntropyDf(Tables.documents(s, dir))
+
+  def txEntropyDf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"),
+        sum(col("c").cast(DoubleType) *
+          log(2.0, col("c").cast(DoubleType))).as("sclogc"))
+      .select(col("doc_id"),
+        col("n_tokens"),
+        col("n_distinct"),
+        round(log(2.0, col("n_tokens").cast(DoubleType)) -
+          col("sclogc") / col("n_tokens"), 6).as("token_entropy"),
+        round(col("top_count").cast(DoubleType) / col("n_tokens"), 6)
+          .as("top_token_share"))
+      .orderBy(col("doc_id"))
+
   /** Document fingerprinting: full-content MD5, 60-bit content hash, and
     * the SimHash near-dup fingerprint (native codegen'd expression).
     */

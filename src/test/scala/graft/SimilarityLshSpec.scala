@@ -36,6 +36,30 @@ class SimilarityLshSpec extends SparkSpec {
     assert(lsh.nonEmpty) // 14 qualifying pairs in the sf0.01 corpus
   }
 
+  test("token entropy: analytic cases and corpus invariants") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, log}
+    // uniform distinct tokens → log2(4)=2 bits; one repeated token → 0
+    // bits / share 1; half-half → exactly 1 bit
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "x x x x"), (3L, "y y z z"))
+      .toDF("doc_id", "text")
+    val e = graft.analytics.TextAnalysis.txEntropyDf(docs)
+      .select("doc_id", "token_entropy", "top_token_share")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(e(1L) == ((2.0, 0.25)))
+    assert(e(2L) == ((0.0, 1.0)))
+    assert(e(3L) == ((1.0, 0.5)))
+    // corpus: 0 ≤ entropy ≤ log2(n_tokens), share ∈ (0, 1]
+    val corpus = graft.analytics.TextAnalysis.txEntropy(spark, Sf001)
+    assert(corpus.count() == 500)
+    val bad = corpus.filter(col("token_entropy") < 0 ||
+      col("token_entropy") > log(2.0, col("n_tokens").cast("double")) + 1e-6 ||
+      col("top_token_share") <= 0 || col("top_token_share") > 1).count()
+    assert(bad == 0)
+  }
+
   test("oversized buckets get split; row multiplicity is preserved") {
     import spark.implicits._
     // deterministic direction-free cloud: every bucket is hot relative
