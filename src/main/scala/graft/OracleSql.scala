@@ -56,6 +56,38 @@ object OracleSql {
       |  sum(CASE WHEN cnt > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS fp
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** The planted-near-dup corpus (Similarity.augmentedEmbeddings):
+    * perturbation arithmetic double-computed, float-cast — IEEE
+    * round-to-nearest in both engines, so the derived corpus is
+    * bit-identical.
+    */
+  private val augEmbCte = {
+    // one UNION branch per planted copy, generated from the SAME
+    // (offset, factor) list the Spark side folds over — double literals
+    // render identically (shortest-repr toString) in both engines
+    val branches = graft.similarity.Similarity.PlantFactors.map { case (off, f) =>
+      s"""  SELECT vec_id + $off, list_transform(range(1, 65), i ->
+         |    (embedding[i]::DOUBLE + $f * embedding[(i % 64) + 1]::DOUBLE)::FLOAT)
+         |  FROM embeddings""".stripMargin
+    }
+    "aug AS (\n  SELECT vec_id, embedding FROM embeddings\n  UNION ALL\n" +
+      branches.mkString("\n  UNION ALL\n") + ")"
+  }
+
+  /** Exact all-pairs cosine over the aug corpus at threshold 0.9 —
+    * norms precomputed per vector (bit-identical to the per-pair
+    * formulation: same dot fold, same dot/(√sa·√sb) IEEE tree — and the
+    * same shape the Spark side uses). `cand` carries every ordered pair
+    * with its rounded cosine; consumers filter on >= 0.9.
+    */
+  private val augPairCtes =
+    """an AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+      |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM aug),
+      |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_sim
+      |  FROM an a JOIN an b ON a.vec_id < b.vec_id)""".stripMargin
+
   val textOracles: Map[String, String] = Map(
     "tx_tokens" ->
       s"""WITH $toksCte
@@ -292,6 +324,39 @@ object OracleSql {
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // the TRUE near-dup operating point (threshold 0.9) over the
+    // planted-near-dup corpus — exact twin of the LSH showcase
+    "dedup_embedding_090" ->
+      s"""WITH $augEmbCte,
+         |$augPairCtes
+         |SELECT vec_a, vec_b, cos_sim FROM cand WHERE cos_sim >= 0.9
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // exact O(n²) pair set over the same corpus — a full hash match
+    // certifies 100% LSH recall at the showcase operating point
+    "dedup_embedding_lsh_090" ->
+      s"""WITH $augEmbCte,
+         |$augPairCtes
+         |SELECT vec_a, vec_b, cos_sim FROM cand WHERE cos_sim >= 0.9
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // clustering over the embedding-LSH pair graph (detect → cluster →
+    // keep-canonical, the full scale pipeline): recursive min-label
+    // flooding over the exact pair set at threshold 0.9
+    "dedup_clusters_embedding" ->
+      s"""WITH RECURSIVE $augEmbCte,
+         |$augPairCtes,
+         |pairs AS (SELECT vec_a, vec_b FROM cand WHERE cos_sim >= 0.9),
+         |edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+         |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+         |reach(u, root) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.u)
+         |SELECT u AS vec_id, min(root)::BIGINT AS cluster_rep,
+         |  (u = min(root)) AS is_canonical
+         |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin,
 
     "emb_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

@@ -84,9 +84,17 @@ object SparkEntry {
     // exact O(n^2) path at the LSH operating threshold — benched
     // head-to-head against dedup_embedding_lsh (same result set)
     "dedup_embedding_045" -> (Similarity.dedupEmbedding(_, _, 0.45)),
-    // the scale default: LSH buckets -> exact refine, hash-checked
-    // against the full O(n^2) pair set
+    // the scale default: threshold-aware dispatch — LSH buckets -> exact
+    // refine when the derived index is selective, exact scan when the
+    // threshold sits below the LSH break-even (0.45 does); hash-checked
+    // against the full O(n^2) pair set either way
     "dedup_embedding_lsh" -> (Similarity.dedupEmbeddingLsh(_, _)),
+    // the showcase at the TRUE near-dup operating point (0.9, planted
+    // 3-clique near-dups): LSH vs exact twin, benched head-to-head
+    "dedup_embedding_090"     -> (Similarity.dedupEmbedding090(_, _)),
+    "dedup_embedding_lsh_090" -> (Similarity.dedupEmbeddingLsh090(_, _)),
+    // detect -> cluster -> keep-canonical over the embedding-LSH pairs
+    "dedup_clusters_embedding" -> (Dedup.dedupClustersEmbedding(_, _)),
     // similarity search (north-star extensions)
     "emb_topk"            -> (Similarity.embTopk(_, _)),
     "emb_ivf_topk"        -> (Similarity.embIvfTopk(_, _)),
@@ -113,5 +121,6 @@ object SparkEntry {
     "w1_gap_detection", "w2_moving_avg", "o3_recent_topn",
     "t1_fanout", "t9_anomaly_flags", "l8_integrity",
     "dedup_minhash_lsh", "emb_topk", "tx_fingerprint",
-    "avro_roundtrip", "dedup_embedding_045", "dedup_embedding_lsh")
+    "avro_roundtrip", "dedup_embedding_045", "dedup_embedding_lsh",
+    "dedup_embedding_090", "dedup_embedding_lsh_090")
 }

@@ -146,6 +146,18 @@ object Dedup {
   def dedupClustersSimhash(s: SparkSession, dir: String): DataFrame =
     dedupClustersDf(dedupSimhash(s, dir))
 
+  /** Embedding-detector variant: clustering over the embedding-LSH
+    * near-dup pairs at the 0.9 operating point — the complete scale
+    * pipeline (LSH detect → cluster → keep-canonical) in one query.
+    * Planted 3-cliques {v, v′, v″} become components whose canonical is
+    * the original vec_id. Ids in/out are vec_ids.
+    */
+  def dedupClustersEmbedding(s: SparkSession, dir: String): DataFrame =
+    dedupClustersDf(
+      graft.similarity.Similarity.dedupEmbeddingLsh090(s, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .withColumnRenamed("doc_id", "vec_id")
+
   /** Connected components over any (doc_a, doc_b) pair DataFrame.
     * Iterates until a full round changes no label: stopping early would
     * silently return wrong cluster_rep/is_canonical for any component

@@ -81,20 +81,46 @@ object TextHash {
   /** XOR constant for function f: hash60("mh|" + f). */
   def mhConst(f: Int): Long = hash60("mh|" + f)
 
-  /** Cosine similarity over float arrays, double accumulation,
-    * sequential fold order (mirrors dot/(√sa·√sb) as separate IEEE ops).
+  /** Cosine similarity with double accumulation, sequential fold order
+    * (mirrors dot/(√sa·√sb) as separate IEEE ops). `aFloat`/`bFloat`
+    * pick the element getter — FLOAT[] corpus columns and DOUBLE[]
+    * derived columns (centroids) share one kernel; the flags are baked
+    * as literals at codegen so the JIT hoists the branch out of the
+    * loop.
     */
-  def cosine(a: ArrayData, b: ArrayData): Double = {
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var sa = 0.0; var sb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; sa += x * x; sb += y * y
       i += 1
     }
     dot / (math.sqrt(sa) * math.sqrt(sb))
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = cosine(a, b, true, true)
+
+  /** Plain dot product, same fold order as `cosine`'s dot accumulator
+    * (bit-identical to it, and to a SQL engine's sequential
+    * list_dot_product fold). Lets the O(n²) exact-dedup path precompute
+    * per-vector norms ONCE and pay only one multiply-add per dimension
+    * per pair — cosine() recomputes both self-products per pair, 3× the
+    * flops where the pair count, not the vector count, dominates.
+    */
+  def dotProduct(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      i += 1
+    }
+    dot
   }
 
   /** Distinct space-joined n-grams over a token array (first-seen order). */
@@ -180,12 +206,39 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
 case class CosineSimExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    TextHash.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    TextHash.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHash.cosine($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHash.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)})")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `dot_product(a, b)` — the norm-precomputed pair kernel of the exact
+  * O(n²) dedup path (see TextHash.dotProduct's scaladoc).
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.dotProduct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHash.dotProduct($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
 }
 
