@@ -379,7 +379,8 @@ object Similarity {
     * (IEEE round-to-nearest in any engine), so a SQL oracle rebuilds
     * the identical corpus bit-for-bit.
     */
-  def augmentedEmbeddings(emb: DataFrame, dim: Int = 64): DataFrame = {
+  def augmentedEmbeddings(emb: DataFrame, dim: Int = 64,
+      factors: Seq[(Long, Double)] = PlantFactors): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"))
     def perturbed(idOffset: Long, f: Double): DataFrame =
       base.select((col("vec_id") + idOffset).as("vec_id"),
@@ -387,7 +388,7 @@ object Similarity {
           (element_at(col("embedding"), i).cast(DoubleType) +
             lit(f) * element_at(col("embedding"), (i % dim) + 1).cast(DoubleType))
             .cast(FloatType)).as("embedding"))
-    PlantFactors.foldLeft(base) { case (acc, (off, f)) =>
+    factors.foldLeft(base) { case (acc, (off, f)) =>
       acc.unionByName(perturbed(off, f))
     }
   }

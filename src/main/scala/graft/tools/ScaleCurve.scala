@@ -1,0 +1,51 @@
+package graft.tools
+
+import graft.Tables
+import graft.similarity.{LshParams, Similarity}
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: LSH-vs-exact timing at multiple corpus sizes, so the
+  * derive curve's scaling claim rests on measured points instead of an
+  * argument. Corpus size is scaled by planting k perturbed copies per
+  * base vector (factors spread over [0.2, 0.3], the same family the
+  * registered showcase uses); threshold 0.9.
+  *
+  * Output feeds the scale-curve table in COVERAGE.md.
+  */
+object ScaleCurve {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val base = Tables.embeddings(spark, dir)
+    // warm-up: codegen, parquet footers
+    noop(Similarity.dedupEmbeddingDf(base, 0.9))
+
+    println(f"${"copies"}%8s ${"n"}%8s ${"(b,t)"}%10s ${"lsh_s"}%8s ${"exact_s"}%8s ${"ratio"}%6s")
+    for (k <- Seq(2, 5, 11)) {
+      val factors = (1 to k).map(j =>
+        (j * 1000000L, 0.2 + 0.1 * (j - 1) / math.max(1, k - 1)))
+      val corpus = Similarity.augmentedEmbeddings(base, factors = factors)
+      val n = corpus.count()
+      val params = LshParams.derive(n, 0.9, 0.9999, 4)
+      val lsh = Seq.fill(2)(timed(noop(
+        Similarity.dedupEmbeddingLshDf(corpus, 0.9, params, 4096, 4)))).min
+      val exact = Seq.fill(2)(timed(noop(
+        Similarity.dedupEmbeddingDf(corpus, 0.9)))).min
+      val bt = s"(${params.planesPerTable},${params.nTables})"
+      println(f"$k%8d $n%8d $bt%10s $lsh%8.2f $exact%8.2f ${exact / lsh}%6.2f")
+    }
+    spark.stop()
+  }
+}
