@@ -56,20 +56,34 @@ object Lifecycle {
   }
 
   /** L1 archive_old_data: move partitions older than `cutoff` from the
-    * main table to the archive — append to archive, then drop from main.
-    * Returns the number of partitions moved. Pure partition surgery, no
-    * row-level work.
+    * main table to the archive. Pure partition surgery — directory
+    * renames through the FileSystem API, NO Spark job and no row
+    * rewrite, so the op is metadata-cheap at any table size (the same
+    * discipline `compact` uses for its promotion step). If the archive
+    * already holds data for a partition date, the partition's files are
+    * renamed in individually (part-file names carry job UUIDs, so they
+    * cannot collide). Assumes main and archive live on the same
+    * FileSystem, the normal layout for a table and its archive tier.
+    * Returns the number of partitions moved.
     */
   def archiveOlderThan(spark: SparkSession, mainDir: String,
       archiveDir: String, cutoff: LocalDate): Int = {
     val old = partitionDates(spark, mainDir).filter(_._1.isBefore(cutoff))
-    if (old.nonEmpty) {
-      spark.read
-        .option("basePath", mainDir)
-        .parquet(old.map(_._2.toString): _*)
-        .write.mode("append").partitionBy("event_date").parquet(archiveDir)
-      val filesystem = fs(spark, mainDir)
-      old.foreach { case (_, p) => filesystem.delete(p, true) }
+    if (old.isEmpty) return 0
+    val filesystem = fs(spark, mainDir)
+    val archRoot = new Path(archiveDir)
+    filesystem.mkdirs(archRoot)
+    old.foreach { case (_, p) =>
+      val target = new Path(archRoot, p.getName)
+      if (filesystem.exists(target)) {
+        filesystem.listStatus(p).foreach { st =>
+          if (!filesystem.rename(st.getPath, new Path(target, st.getPath.getName)))
+            throw new java.io.IOException(
+              s"archive: cannot move ${st.getPath} into $target")
+        }
+        filesystem.delete(p, true)
+      } else if (!filesystem.rename(p, target))
+        throw new java.io.IOException(s"archive: cannot move $p to $target")
     }
     old.size
   }

@@ -97,6 +97,18 @@ object Metrics {
       count_if(col("value").isNull || col("user_id").isNull ||
         col("ts").isNull).as("validation_failures"))
 
+  /** The readings-shaped twin of `observed` for the sensor ingest DAG
+    * (post-decode side of the Avro wire): same counter taxonomy, keyed
+    * off the canonical readings schema (device_id, ts, value,
+    * is_anomaly).
+    */
+  def observedReadings(readings: DataFrame): DataFrame =
+    readings.observe(ObservationName,
+      count(lit(1)).as("messages_received"),
+      count_if(col("is_anomaly")).as("anomalies"),
+      count_if(col("value").isNull || col("device_id").isNull ||
+        col("ts").isNull).as("validation_failures"))
+
   /** Control-plane listener: one registry update per micro-batch
     * progress + connection status on start/stop (the reference's
     * consumer-loop middleware, metrics.py:229-286).

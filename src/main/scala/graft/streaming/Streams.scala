@@ -136,7 +136,8 @@ object Streams {
     * idempotency mechanism; the marker is the fast path.)
     */
   def commitBatch(batch: DataFrame, outDir: String, batchId: Long,
-      crash: CrashPoint = NoCrash): Unit = {
+      crash: CrashPoint = NoCrash,
+      keys: Seq[String] = Seq("user_id", "ts")): Unit = {
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(hconf)
@@ -145,21 +146,32 @@ object Streams {
     if (fs.exists(marker)) return
     val staging = p(s"$outDir/_staging/batch-$batchId")
     fs.delete(staging, true) // leftover from a crashed attempt
-    val fresh = batch.dropDuplicates(Seq("user_id", "ts"))
+    // persist + materialize ONCE: the micro-batch's upstream plan (e.g.
+    // the full decode pipeline, plus any observe() counters riding it)
+    // would otherwise re-execute for each action below — paying the
+    // decode twice per commit and double-counting observed metrics
+    val fresh = batch.dropDuplicates(keys)
       .withColumn("event_date", to_date(col("ts")))
-    val touched = fresh.select(col("event_date")).distinct()
-      .collect().map(_.get(0))
-    val existing =
-      try spark.read.parquet(outDir)
-        .filter(col("event_date").isInCollection(touched.toSeq))
-        .select(col("user_id"), col("ts"))
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        fresh.select(col("user_id"), col("ts")).limit(0) // first batch
-      }
-    fresh.join(existing, Seq("user_id", "ts"), "left_anti")
-      .write.mode("overwrite")
-      .partitionBy("event_date")
-      .parquet(staging.toString)
+      .persist()
+    try {
+      val touched = fresh.select(col("event_date")).distinct()
+        .collect().map(_.get(0))
+      val existing =
+        try spark.read.parquet(outDir)
+          .filter(col("event_date").isInCollection(touched.toSeq))
+          .select(keys.map(col): _*)
+        catch {
+          // first batch: the sink dir is empty (schema inference fails)
+          // or does not exist yet
+          case _: org.apache.spark.sql.AnalysisException |
+               _: java.io.FileNotFoundException =>
+            fresh.select(keys.map(col): _*).limit(0)
+        }
+      fresh.join(existing, keys, "left_anti")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(staging.toString)
+    } finally fresh.unpersist()
     if (crash == CrashAfterStage) throw new RuntimeException("injected crash: after stage")
     // promote: move each staged partition's data files into the live tree
     fs.listStatus(staging).filter(_.isDirectory)

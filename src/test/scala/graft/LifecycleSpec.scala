@@ -47,10 +47,28 @@ class LifecycleSpec extends SparkSpec {
       pruned.count() == spark.read.parquet(main)
         .where(col("event_date") === stats.head._1).count())
 
-    // L1 archive: move everything before day 10
+    // L1 archive: move everything before day 10 — a pure file-level
+    // move: the archived partitions hold the IDENTICAL files (same
+    // names, same bytes — a rewrite would mint new part-file UUIDs),
+    // and the partitions are gone from main
     val cutoff = LocalDate.parse("2024-01-10")
+    def fileInventory(dir: String): Set[(String, String, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val b = Set.newBuilder[(String, String, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += ((f.getPath.getParent.getName, f.getPath.getName, f.getLen))
+      }
+      b.result()
+    }
+    val preMove = fileInventory(main)
+      .filter(e => LocalDate.parse(e._1.stripPrefix("event_date=")).isBefore(cutoff))
     val moved = Lifecycle.archiveOlderThan(spark, main, arch, cutoff)
     assert(moved > 0)
+    assert(fileInventory(arch) == preMove) // same files, byte-for-byte sizes
     val archCount = spark.read.parquet(arch).count()
     val mainCount = spark.read.parquet(main).count()
     assert(archCount + mainCount == total)
