@@ -36,6 +36,24 @@ class SimilarityLshSpec extends SparkSpec {
     assert(lsh.nonEmpty) // 14 qualifying pairs in the sf0.01 corpus
   }
 
+  test("threshold-aware dispatch: low thresholds run the exact scan, high thresholds the LSH index") {
+    // random-pair admission drives the routing decision
+    assert(LshParams.randomAdmission(LshParams(6, 60)) > 0.5) // 0.45 regime
+    assert(LshParams.randomAdmission(LshParams(11, 46)) < 0.05) // 0.9 regime
+    val emb = Tables.embeddings(spark, Sf001)
+    // the exact path is the all-pairs non-equi join (BNLJ); the LSH
+    // path is equi-joins over the (checkpointed) bucket index — the
+    // pair enumeration strategy IS the routing decision
+    def isExactScan(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin")
+    // 0.45: derived index would admit ~79% of random pairs → exact scan
+    assert(isExactScan(Similarity.dedupEmbeddingLshAuto(emb, 0.45)))
+    // 0.9 on the showcase corpus: selective index → LSH bucket joins
+    assert(!isExactScan(Similarity.dedupEmbeddingLshAuto(
+      Similarity.augmentedEmbeddings(emb), 0.9,
+      targetRecall = 0.9999, targetBucketRows = 4)))
+  }
+
   test("token entropy: analytic cases and corpus invariants") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, log}
