@@ -219,6 +219,54 @@ object OracleSql {
          |  (u = min(root)) AS is_canonical
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
 
+    // composite quality gate: first failing rule = drop reason
+    "tx_filter" ->
+      s"""WITH $toksCte,
+         |q AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |  len(list_distinct(toks))::DOUBLE / len(toks) AS distinct_ratio,
+         |  len(list_filter(toks, x -> x IN ('the', 'a')))::DOUBLE / len(toks) AS en_score,
+         |  list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) AS mean_token_len
+         |FROM t),
+         |r AS (SELECT *, CASE WHEN n_tokens < 10 THEN 'too_short'
+         |  WHEN n_tokens > 5000 THEN 'too_long'
+         |  WHEN distinct_ratio < 0.3 THEN 'repetitive'
+         |  WHEN en_score < 0.04 THEN 'non_english'
+         |  WHEN mean_token_len < 2.0 OR mean_token_len > 12.0 THEN 'token_shape'
+         |  END AS reason FROM q)
+         |SELECT doc_id, n_tokens, distinct_ratio, en_score, mean_token_len,
+         |  reason, reason IS NULL AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the deduplicated corpus: exact-dup removal (min doc_id per md5)
+    // + near-dup non-canonical removal over the ngram cluster graph
+    "dedup_apply" ->
+      s"""WITH RECURSIVE $toksCte, $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 10000),
+         |pr AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |commonc AS (SELECT co.* FROM common co JOIN cand USING (doc_a, doc_b)),
+         |pairs AS (SELECT doc_a, doc_b FROM commonc
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, root) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.u),
+         |cl AS (SELECT u AS doc_id, min(root) AS rep FROM reach GROUP BY u),
+         |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |JOIN exact_keep USING (doc_id)
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> rep)
+         |ORDER BY doc_id""".stripMargin,
+
     // same clustering stage over the SimHash detector's pair graph
     // (dedupClustersDf takes the pair DataFrame as a parameter)
     "dedup_clusters_simhash" ->

@@ -70,6 +70,7 @@ object SparkEntry {
     "tx_fingerprint" -> (TX.txFingerprint(_, _)),
     "tx_contains"    -> (TX.txContains(_, _)),
     "tx_entropy"     -> (TX.txEntropy(_, _)),
+    "tx_filter"      -> (TX.txFilter(_, _)),
     "sample_documents" -> (TX.txSample(_, _)),
     "pack_sequences"   -> (TX.txPack(_, _)),
     "a6_approx_distribution" -> (TX.approxDistribution(_, _)),
@@ -79,6 +80,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh(_, _)),
     "dedup_simhash"       -> (Dedup.dedupSimhash(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
+    "dedup_apply"         -> (Dedup.dedupApply(_, _)),
     "dedup_clusters_simhash" -> (Dedup.dedupClustersSimhash(_, _)),
     "dedup_embedding"     -> (Similarity.dedupEmbedding(_, _)),
     // exact O(n^2) path at the LSH operating threshold — benched

@@ -126,6 +126,35 @@ object TextAnalysis {
           .as("top_token_share"))
       .orderBy(col("doc_id"))
 
+  /** The composite quality GATE (the C4/Gopher-style keep/drop decision
+    * that sits downstream of the individual signals): every document
+    * gets a keep flag and the FIRST failing rule as its drop reason —
+    * length band, repetition (distinct ratio), language, token shape.
+    * One narrow zero-shuffle pass; rules are plain comparisons over
+    * exact-arithmetic signals, so the decision is engine-independent.
+    */
+  def txFilter(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"),
+        (size(array_distinct(toks)).cast(DoubleType) / size(toks))
+          .as("distinct_ratio"),
+        (stopwordCount(toks, Seq("the", "a")).cast(DoubleType) / size(toks))
+          .as("en_score"),
+        (aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+          .cast(DoubleType) / size(toks)).as("mean_token_len"))
+      .withColumn("reason",
+        when(col("n_tokens") < 10, "too_short")
+          .when(col("n_tokens") > 5000, "too_long")
+          .when(col("distinct_ratio") < 0.3, "repetitive")
+          .when(col("en_score") < 0.04, "non_english")
+          .when(col("mean_token_len") < 2.0 || col("mean_token_len") > 12.0,
+            "token_shape"))
+      .withColumn("keep", col("reason").isNull)
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprinting: full-content MD5, 60-bit content hash, and
     * the SimHash near-dup fingerprint (native codegen'd expression).
     */

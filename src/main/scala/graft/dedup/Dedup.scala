@@ -201,6 +201,29 @@ object Dedup {
     out
   }
 
+  /** The APPLY step that makes dedup a pipeline, not a report: the
+    * deduplicated corpus itself. Keeps one doc per byte-identical text
+    * (min doc_id per content hash) and drops every non-canonical
+    * member of the near-dup clusters — detect → cluster → keep-
+    * canonical, materialized. Both removals are key-joins against
+    * small derived relations; the corpus itself streams through.
+    */
+  def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exactKeep = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val dropNear = dedupClusters(s, dir)
+      .filter(!col("is_canonical"))
+      .select(col("doc_id"))
+    docs
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(dropNear, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup detection: 60-bit fingerprint, banded into 4×15-bit
     * keys for candidate generation, Hamming-verified (≤ 4 bits — the
     * usual SimHash dedup operating point; planted near-dups in the
