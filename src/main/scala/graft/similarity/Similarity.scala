@@ -23,13 +23,18 @@ case class ScoredNbr(neighbor_id: Long, cos_sim: Double)
   * rank-window formulation).
   */
 class TopKByCos(k: Int) extends Aggregator[ScoredNbr, Seq[ScoredNbr], Seq[ScoredNbr]] {
-  // java.lang.Double.compare (not >/==) so NaN is totally ordered: a
-  // zero-norm embedding's NaN cosine would otherwise make both > and ==
-  // false, skip the id tiebreak, and leave the k-survivor set
-  // partition-dependent.
+  // Total order even for NaN (a zero-norm embedding's cosine): plain
+  // >/== are both false for NaN, which would skip the id tiebreak and
+  // leave the k-survivor set partition-dependent. NaN ranks BELOW every
+  // real similarity (a degenerate vector must not displace real
+  // neighbors); among themselves NaNs order by id via Double.compare.
   private def better(a: ScoredNbr, b: ScoredNbr): Boolean = {
-    val c = java.lang.Double.compare(a.cos_sim, b.cos_sim)
-    c > 0 || (c == 0 && a.neighbor_id < b.neighbor_id)
+    val an = a.cos_sim.isNaN
+    if (an != b.cos_sim.isNaN) !an // the non-NaN side wins
+    else {
+      val c = java.lang.Double.compare(a.cos_sim, b.cos_sim)
+      c > 0 || (c == 0 && a.neighbor_id < b.neighbor_id)
+    }
   }
   private def trim(xs: Seq[ScoredNbr]): Seq[ScoredNbr] =
     xs.sortWith(better).take(k)

@@ -54,6 +54,26 @@ class SimilarityLshSpec extends SparkSpec {
       targetRecall = 0.9999, targetBucketRows = 4)))
   }
 
+  test("top-k aggregator totally orders NaN cosines: k-set independent of arrival order") {
+    // a zero-norm embedding produces NaN cosine; with >/== both false
+    // NaN would skip the id tiebreak and make the k-survivor set
+    // partition-dependent — the aggregator ranks NaN below every real
+    // similarity and totally orders it, so any arrival order yields one
+    // answer and degenerate vectors never displace real neighbors
+    import graft.similarity.{ScoredNbr, TopKByCos}
+    val agg = new TopKByCos(3)
+    val xs = Seq(ScoredNbr(1, 0.9), ScoredNbr(2, Double.NaN),
+      ScoredNbr(3, 0.7), ScoredNbr(4, Double.NaN), ScoredNbr(5, 0.8))
+    val results = xs.permutations.take(24).map { perm =>
+      val (l, r) = perm.splitAt(2)
+      agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))).map(_.neighbor_id)
+    }.toSeq
+    assert(results.distinct.size == 1, s"order-dependent: ${results.distinct}")
+    assert(results.head == Seq(1L, 5L, 3L)) // real cosines only; NaN last
+  }
+
   test("token entropy: analytic cases and corpus invariants") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, log}
