@@ -164,13 +164,22 @@ object Dedup {
     * whose propagation distance exceeds the cutoff, so the safety bound
     * (far above any near-dup component's diameter) THROWS instead of
     * truncating.
+    *
+    * Each round's labels are EAGERLY local-checkpointed, not persisted:
+    * a cached plan still NESTS the previous round's subtree, so with
+    * persist the lineage (and its canonicalized/printed form — Spark
+    * renders the full child plan string when building a cache entry)
+    * grows geometrically with the round count and OOMs the driver once
+    * a component's diameter pushes past ~15 rounds. Checkpointing
+    * replaces each round's plan with a constant-size leaf — the same
+    * lineage-truncation discipline GraphX's Pregel loop uses.
     */
   def dedupClustersDf(pairDf: DataFrame, safetyMaxIter: Int = 100): DataFrame = {
     val pairs = pairDf.select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("u", "v").persist()
+      .toDF("u", "v").localCheckpoint(true)
     var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("root", col("node")).persist()
+      .withColumn("root", col("node")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged) {
@@ -183,22 +192,18 @@ object Dedup {
         .select(col("u").as("node"), col("root"))
       val next = labels.union(viaNbr)
         .groupBy(col("node")).agg(min(col("root")).as("root"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next
         .join(labels.withColumnRenamed("root", "prev"), "node")
         .filter(col("root") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
     }
-    val out = labels
+    labels
       .select(col("node").as("doc_id"), col("root").as("cluster_rep"),
         (col("node") === col("root")).as("is_canonical"))
       .orderBy(col("doc_id"))
-      .localCheckpoint(true)
-    labels.unpersist(); edges.unpersist()
-    out
   }
 
   /** The APPLY step that makes dedup a pipeline, not a report: the
