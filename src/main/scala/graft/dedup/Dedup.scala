@@ -84,11 +84,14 @@ object Dedup {
     * with the exact Jaccard. Output = verified pairs (j ≥ 0.5) with both
     * the MinHash estimate and the exact similarity.
     */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    dedupMinhashLshDf(Tables.documents(s, dir))
+
+  def dedupMinhashLshDf(documents: DataFrame): DataFrame = {
     // persisted: the shingle+signature relation feeds the bucket explode
     // AND both sides of the candidate join — without it the text-hashing
     // scan re-executes per use (3× the hash work)
-    val docs = Tables.documents(s, dir)
+    val docs = documents
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .select(col("doc_id"), col("sh"), minhashSig(col("sh"), 16).as("sig"))
       .persist()

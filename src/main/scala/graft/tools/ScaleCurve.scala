@@ -32,6 +32,23 @@ object ScaleCurve {
     // warm-up: codegen, parquet footers
     noop(Similarity.dedupEmbeddingDf(base, 0.9))
 
+    // MinHash+LSH at two doc-corpus sizes: k near-identical copies per
+    // document (distinct ids, a marker token appended so texts differ);
+    // the banded bucket join should scale near-linearly in n while the
+    // planted copy groups keep the verify stage honest.
+    val baseDocs = Tables.documents(spark, dir)
+    import org.apache.spark.sql.functions._
+    for (k <- Seq(1, 4)) {
+      val docs = (0 until k).map(j =>
+        baseDocs.select((col("doc_id") + lit(j * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" copymarker$j")).as("text")))
+        .reduce(_ unionByName _)
+      val n = docs.count()
+      val t = Seq.fill(2)(timed(noop(
+        graft.dedup.Dedup.dedupMinhashLshDf(docs)))).min
+      println(f"minhash  n=$n%-8d $t%8.2f s")
+    }
+
     println(f"${"copies"}%8s ${"n"}%8s ${"(b,t)"}%10s ${"lsh_s"}%8s ${"exact_s"}%8s ${"ratio"}%6s")
     for (k <- Seq(2, 5, 11)) {
       val factors = (1 to k).map(j =>
