@@ -134,17 +134,26 @@ object Streams {
     * stages only the remainder, so the protocol converges to
     * exactly-once with no compensating reads. (The anti-join is the
     * idempotency mechanism; the marker is the fast path.)
+    *
+    * `epoch` scopes the marker to one sink INCARNATION: batch ids are
+    * only meaningful within a single checkpoint lineage, so a stream
+    * restarted against the same table with a FRESH checkpoint (new ids,
+    * different batch composition) must not match the old incarnation's
+    * markers — its batches take the content-keyed anti-join path
+    * instead, which is composition-independent. `startDedupSink`
+    * derives the epoch from the checkpoint location.
     */
   def commitBatch(batch: DataFrame, outDir: String, batchId: Long,
       crash: CrashPoint = NoCrash,
-      keys: Seq[String] = Seq("user_id", "ts")): Unit = {
+      keys: Seq[String] = Seq("user_id", "ts"),
+      epoch: String = ""): Unit = {
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(hconf)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val marker = p(s"$outDir/_committed/batch-$batchId")
+    val marker = p(s"$outDir/_committed/${epoch}batch-$batchId")
     if (fs.exists(marker)) return
-    val staging = p(s"$outDir/_staging/batch-$batchId")
+    val staging = p(s"$outDir/_staging/${epoch}batch-$batchId")
     fs.delete(staging, true) // leftover from a crashed attempt
     // persist + materialize ONCE: the micro-batch's upstream plan (e.g.
     // the full decode pipeline, plus any observe() counters riding it)
@@ -195,12 +204,18 @@ object Streams {
     fs.delete(staging, true)
   }
 
-  def startDedupSink(events: DataFrame, outDir: String, checkpointDir: String) =
+  def startDedupSink(events: DataFrame, outDir: String, checkpointDir: String) = {
+    // one epoch per checkpoint lineage: same checkpoint -> same epoch
+    // (crash/restart replays hit their own markers), new checkpoint ->
+    // new epoch (content-keyed dedup, never a stale-marker skip)
+    val epoch = java.lang.Long.toHexString(
+      graft.functions.TextHash.hash60(checkpointDir)) + "-"
     events.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(batch, outDir, batchId)
+        commitBatch(batch, outDir, batchId, epoch = epoch)
       }
       .start()
+  }
 }

@@ -52,7 +52,7 @@ class E2EPipelineSpec extends SparkSpec {
       .option("checkpointLocation", ckpt2)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Streams.commitBatch(batch, outDir, batchId,
-          keys = Seq("device_id", "ts"))
+          keys = Seq("device_id", "ts"), epoch = "run1-")
       }
       .start()
     q2.processAllAvailable(); q2.stop()
@@ -80,6 +80,26 @@ class E2EPipelineSpec extends SparkSpec {
     val batched = norm(batchValid)
     assert(streamed.nonEmpty)
     assert(streamed == batched)
+
+    // a NEW sink incarnation (fresh checkpoint ⇒ fresh batch ids and a
+    // different epoch) re-delivers every record against the same table:
+    // its batches must not match the old incarnation's commit markers,
+    // and the content-keyed anti-join must keep the table exactly-once
+    val ckpt3 = Files.createTempDirectory("ckpt_replay").toString
+    val q3 = KafkaWire.fromKafkaRecords(
+        KafkaWire.readRecordStream(spark,
+          KafkaWire.Transport("parquet", topic = recDir)))
+      .drop("key_device_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt3)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Streams.commitBatch(batch, outDir, batchId,
+          keys = Seq("device_id", "ts"), epoch = "run2-")
+      }
+      .start()
+    q3.processAllAvailable(); q3.stop()
+    assert(norm(spark.read.parquet(outDir).drop("event_date")) == batched)
 
     // counters mirror the true row counts (observation rides the plan)
     val n = batchValid.count()
