@@ -81,6 +81,9 @@ object SparkEntry {
     "dedup_simhash"       -> (Dedup.dedupSimhash(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
     "dedup_apply"         -> (Dedup.dedupApply(_, _)),
+    // apply over the UNIONED pair graphs of all three near-dup
+    // detectors (ngram ∪ simhash ∪ embedding) — the full-stack corpus
+    "dedup_apply_all"     -> (Dedup.dedupApplyAll(_, _)),
     "dedup_clusters_simhash" -> (Dedup.dedupClustersSimhash(_, _)),
     "dedup_embedding"     -> (Similarity.dedupEmbedding(_, _)),
     // exact O(n^2) path at the LSH operating threshold — benched

@@ -244,6 +244,40 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The APPLY step over the FULL detector stack: the ngram-Jaccard,
+    * SimHash and embedding-cosine pair graphs are UNIONED before
+    * clustering, so a document is dropped if ANY detector links it into
+    * a near-dup component whose canonical it isn't — the real
+    * pipeline's apply semantics (each detector catches a different dup
+    * modality: shingle overlap, bit-level fingerprint, semantic
+    * embedding). Embedding pairs join on vec_id = doc_id (one embedding
+    * per document in this corpus). Scale shape is unchanged from
+    * `dedupApply`: every detector is its own bucketed/indexed pair
+    * generator, the union is a cheap append of three small pair
+    * relations, and the corpus itself only ever streams through two
+    * key-joins against small derived relations.
+    */
+  def dedupApplyAll(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exactKeep = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val ngramPairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val simhashPairs = dedupSimhash(s, dir).select(col("doc_a"), col("doc_b"))
+    val embPairs = graft.similarity.Similarity.dedupEmbeddingLsh(s, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val dropNear = dedupClustersDf(
+        ngramPairs.unionByName(simhashPairs).unionByName(embPairs))
+      .filter(!col("is_canonical"))
+      .select(col("doc_id"))
+    docs
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(dropNear, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup detection: 60-bit fingerprint, banded into 4×15-bit
     * keys for candidate generation, Hamming-verified (≤ 4 bits — the
     * usual SimHash dedup operating point; planted near-dups in the

@@ -221,15 +221,22 @@ object Similarity {
     var cent = meanCentroids(
       emb.select(col("label").as("cell"), col("embedding")))
     var assigned: DataFrame = null
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cell"))
     for (_ <- 1 to iters) {
+      // Arg-max as a PARTIAL AGGREGATE, not a rank window: max_by on the
+      // (cos_c, -cell) struct picks the max-cosine cell (ties → lowest
+      // cell id, matching the old row_number ordering) with a map-side
+      // combine — each scan partition reduces its n×k assignment rows to
+      // one row per vec_id BEFORE the shuffle. The window formulation
+      // sort-shuffled the full n×k relation on vec_id first.
       assigned = emb.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(cent))
         .select(col("vec_id"), col("embedding"), col("cell"),
           round(cosine(col("embedding"), col("centroid")), 6).as("cos_c"))
-        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cell"), col("embedding")),
+          struct(col("cos_c"), -col("cell"))).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.cell").as("cell"))
       cent = meanCentroids(assigned)
     }
     (assigned.select(col("vec_id"), col("cell")), cent)

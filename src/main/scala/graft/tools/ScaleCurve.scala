@@ -50,7 +50,14 @@ object ScaleCurve {
     }
 
     println(f"${"copies"}%8s ${"n"}%8s ${"(b,t)"}%10s ${"lsh_s"}%8s ${"exact_s"}%8s ${"ratio"}%6s")
-    for (k <- Seq(2, 5, 11)) {
+    // Past n=24k the exact twin's measured quadratic already puts it in
+    // the minutes — the 48k point runs the LSH side ONLY and projects
+    // the exact cost from the last measured point × (n ratio)², which
+    // is the point of the curve: the exact path leaves the feasible
+    // envelope while the bucketed path keeps scaling ~n·t.
+    var lastExact = 0.0
+    var lastN = 0L
+    for (k <- Seq(2, 5, 11, 23)) {
       val factors = (1 to k).map(j =>
         (j * 1000000L, 0.2 + 0.1 * (j - 1) / math.max(1, k - 1)))
       val corpus = Similarity.augmentedEmbeddings(base, factors = factors)
@@ -58,10 +65,17 @@ object ScaleCurve {
       val params = LshParams.derive(n, 0.9, 0.9999, 4)
       val lsh = Seq.fill(2)(timed(noop(
         Similarity.dedupEmbeddingLshDf(corpus, 0.9, params, 4096, 4)))).min
-      val exact = Seq.fill(2)(timed(noop(
-        Similarity.dedupEmbeddingDf(corpus, 0.9)))).min
       val bt = s"(${params.planesPerTable},${params.nTables})"
-      println(f"$k%8d $n%8d $bt%10s $lsh%8.2f $exact%8.2f ${exact / lsh}%6.2f")
+      if (k <= 11) {
+        val exact = Seq.fill(2)(timed(noop(
+          Similarity.dedupEmbeddingDf(corpus, 0.9)))).min
+        lastExact = exact; lastN = n
+        println(f"$k%8d $n%8d $bt%10s $lsh%8.2f $exact%8.2f ${exact / lsh}%6.2f")
+      } else {
+        val proj = lastExact * math.pow(n.toDouble / lastN, 2)
+        println(f"$k%8d $n%8d $bt%10s $lsh%8.2f ${f"~$proj%.0f(proj)"}%8s ${proj / lsh}%6.2f")
+      }
+      graft.store.Checkpoints.free(spark)
     }
     spark.stop()
   }
