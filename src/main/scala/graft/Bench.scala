@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /** Per-round benchmark main (driver contract): times the headline
   * queries on SPARK_GRAFT_SF_DIR and prints ONE JSON line.
@@ -63,13 +64,26 @@ object Bench {
     // 7.5s steady-state at n=12 000 — C2 compilation of the codegen'd
     // pair loop), so warm it on a small slice to keep run 1 comparable
     run(graft.similarity.Similarity.dedupEmbeddingDf(
-      graft.Tables.embeddings(spark, sfDir).limit(500), 0.9))
+      graft.Tables.embeddings(spark, sfDir).limit(2000), 0.9))
     graft.store.Checkpoints.free(spark)
     val errors = mutable.LinkedHashMap.empty[String, String]
     def footprint(): String = {
       val (n, mem, disk) = graft.store.Checkpoints.storageFootprint(spark)
       f"cachedRdds=$n memMB=${mem / 1e6}%.1f diskMB=${disk / 1e6}%.1f"
     }
+    // Per-run process-CPU and GC deltas: the discriminator between "the
+    // query did more work" (cpu inflates with wall — recompute/GC) and
+    // "the environment stalled the JVM" (wall inflates, cpu flat — the
+    // r4 dedup_embedding_090 pathology: a multi-minute host-side
+    // throughput-degradation window reproduced locally on the r5
+    // machine with PSI zero, 96% idle, and a concurrently-launched
+    // fresh process spinning at full 32-core speed).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuSeconds(): Double = osBean.getProcessCpuTime / 1e9
+    def gcSeconds(): Double =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum / 1e3
     def benchOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Option[(String, (Double, Seq[Double]))] = {
@@ -77,6 +91,7 @@ object Bench {
       // the between-run block-manager cleanup happens OUTSIDE the
       // timed window so the measurement stays "cost of the plan".
       def once(i: Int): Option[Double] = {
+        val (cpu0, gc0) = (cpuSeconds(), gcSeconds())
         val t0 = System.nanoTime()
         val r =
           try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
@@ -92,7 +107,8 @@ object Bench {
         // "every run slow" after the fact — exactly the ambiguity that
         // made r4's dedup_embedding_090 driver reading undiagnosable
         System.err.println(
-          f"[bench] $name run $i ${r.map(t => f"$t%.2fs").getOrElse("ERR")}%-8s ${footprint()}")
+          f"[bench] $name run $i ${r.map(t => f"$t%.2fs").getOrElse("ERR")}%-8s " +
+            f"cpu=${cpuSeconds() - cpu0}%.1fs gc=${gcSeconds() - gc0}%.2fs ${footprint()}")
         if (freeBetween) graft.store.Checkpoints.free(spark)
         r
       }
