@@ -123,6 +123,23 @@ object OracleSql {
          |FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // the registered-SQL-function surface (GraftFunctions.sqlSurface):
+    // same kernels as tx_fingerprint/tx_tokens, reached through SQL text
+    "sql_surface" ->
+      s"""WITH $toksCte, $simhashCtes
+         |SELECT d.doc_id,
+         |  ('0x' || substr(md5(d.text), 1, 15))::BIGINT AS content_hash60,
+         |  coalesce(fp.fp, 0)::BIGINT AS simhash60,
+         |  len(t.toks)::BIGINT AS n_tokens,
+         |  (CASE WHEN len(t.toks) >= 3 THEN len(list_distinct(list_transform(
+         |    generate_series(1, len(t.toks) - 2),
+         |    i -> array_to_string(list_slice(t.toks, i, i + 2), ' ')))) ELSE 0 END)::BIGINT
+         |    AS n_shingles
+         |FROM documents d
+         |JOIN t ON t.doc_id = d.doc_id
+         |LEFT JOIN fp ON fp.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "tx_contains" ->
       s"""WITH $toksCte
          |SELECT source, count(*) AS n_docs,

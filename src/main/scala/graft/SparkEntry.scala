@@ -74,6 +74,9 @@ object SparkEntry {
     "sample_documents" -> (TX.txSample(_, _)),
     "pack_sequences"   -> (TX.txPack(_, _)),
     "a6_approx_distribution" -> (TX.approxDistribution(_, _)),
+    // the registered-SQL-function surface (SparkSessionExtensions /
+    // FunctionRegistry): native kernels reached through pure SQL text
+    "sql_surface" -> (graft.functions.GraftFunctions.sqlSurface(_, _)),
     // deduplication (north-star extensions)
     "dedup_exact"         -> (Dedup.dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard(_, _)),
