@@ -142,11 +142,16 @@ object Streams {
     * markers — its batches take the content-keyed anti-join path
     * instead, which is composition-independent. `startDedupSink`
     * derives the epoch from the checkpoint location.
+    *
+    * `keyedDedup = false` swaps step 2's anti-join for rollback-by-
+    * prefix replay (append-exactly-once, no read-back) — see
+    * `startDedupSink`'s scaladoc for the semantics trade.
     */
   def commitBatch(batch: DataFrame, outDir: String, batchId: Long,
       crash: CrashPoint = NoCrash,
       keys: Seq[String] = Seq("user_id", "ts"),
-      epoch: String = ""): Unit = {
+      epoch: String = "",
+      keyedDedup: Boolean = true): Unit = {
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(hconf)
@@ -154,7 +159,16 @@ object Streams {
     val marker = p(s"$outDir/_committed/${epoch}batch-$batchId")
     if (fs.exists(marker)) return
     val staging = p(s"$outDir/_staging/${epoch}batch-$batchId")
+    // staging residue is the ATTEMPT detector: the staging dir is only
+    // removed AFTER the marker lands, so "no marker AND no residue"
+    // proves no prior attempt of this (epoch, batch) ever staged —
+    // nothing from it can be live
+    val priorAttempt = fs.exists(staging)
     fs.delete(staging, true) // leftover from a crashed attempt
+    // every live file this commit promotes is prefixed with
+    // "{epoch}batch{id}-", so a crashed attempt's partial promote can be
+    // rolled back by name, without reading any data
+    val filePrefix = s"${epoch}batch$batchId-"
     // persist + materialize ONCE: the micro-batch's upstream plan (e.g.
     // the full decode pipeline, plus any observe() counters riding it)
     // would otherwise re-execute for each action below — paying the
@@ -165,19 +179,41 @@ object Streams {
     try {
       val touched = fresh.select(col("event_date")).distinct()
         .collect().map(_.get(0))
-      val existing =
-        try spark.read.parquet(outDir)
-          .filter(col("event_date").isInCollection(touched.toSeq))
-          .select(keys.map(col): _*)
-        catch {
-          // first batch: the sink dir is empty (schema inference fails)
-          // or does not exist yet
-          case _: org.apache.spark.sql.AnalysisException |
-               _: java.io.FileNotFoundException =>
-            fresh.select(keys.map(col): _*).limit(0)
+      if (!keyedDedup && priorAttempt) {
+        // append mode replay: the replayed batch has the same rows (same
+        // id, same lineage), hence the same touched partitions — drop
+        // the partial promote by prefix instead of a content read-back
+        touched.foreach { d =>
+          val dir = p(s"$outDir/event_date=$d")
+          if (fs.exists(dir))
+            fs.listStatus(dir)
+              .filter(f => f.isFile && f.getPath.getName.startsWith(filePrefix))
+              .foreach(f => fs.delete(f.getPath, false))
         }
-      fresh.join(existing, keys, "left_anti")
-        .write.mode("overwrite")
+      }
+      val staged =
+        if (!keyedDedup) fresh
+        else {
+          // keyed mode (the ON CONFLICT DO NOTHING twin): anti-join the
+          // batch against keys already live, scan pruned to the touched
+          // date partitions and the key columns. This is the per-commit
+          // cost that grows with a hot partition — streams whose source
+          // delivers each key once should run keyedDedup = false, where
+          // exactly-once costs O(batch) regardless of sink size.
+          val existing =
+            try spark.read.parquet(outDir)
+              .filter(col("event_date").isInCollection(touched.toSeq))
+              .select(keys.map(col): _*)
+            catch {
+              // first batch: the sink dir is empty (schema inference
+              // fails) or does not exist yet
+              case _: org.apache.spark.sql.AnalysisException |
+                   _: java.io.FileNotFoundException =>
+                fresh.select(keys.map(col): _*).limit(0)
+            }
+          fresh.join(existing, keys, "left_anti")
+        }
+      staged.write.mode("overwrite")
         .partitionBy("event_date")
         .parquet(staging.toString)
     } finally fresh.unpersist()
@@ -192,7 +228,7 @@ object Streams {
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
           .foreach { f =>
             val dst = new org.apache.hadoop.fs.Path(target,
-              s"batch$batchId-${f.getPath.getName}")
+              s"$filePrefix${f.getPath.getName}")
             fs.delete(dst, true) // idempotent re-promote
             if (!fs.rename(f.getPath, dst))
               throw new java.io.IOException(s"promote: cannot move ${f.getPath}")
@@ -204,7 +240,19 @@ object Streams {
     fs.delete(staging, true)
   }
 
-  def startDedupSink(events: DataFrame, outDir: String, checkpointDir: String) = {
+  /** `keyedDedup = true` (default) keeps the reference's idempotent-
+    * insert semantics: duplicate natural keys arriving in ANY batch (or
+    * a different sink incarnation) are dropped against the live table —
+    * the TimescaleDB `ON CONFLICT DO NOTHING` twin, at the price of a
+    * key-column read-back of the touched date partitions per commit.
+    * `keyedDedup = false` is append-exactly-once: each delivered row is
+    * stored exactly once per checkpoint lineage (marker fast path +
+    * rollback-by-prefix replay), with NO read-back — per-commit cost is
+    * O(batch) no matter how large the hot partition grows, the mode a
+    * source with unique delivery (Kafka, file replay) wants at scale.
+    */
+  def startDedupSink(events: DataFrame, outDir: String, checkpointDir: String,
+      keyedDedup: Boolean = true) = {
     // one epoch per checkpoint lineage: same checkpoint -> same epoch
     // (crash/restart replays hit their own markers), new checkpoint ->
     // new epoch (content-keyed dedup, never a stale-marker skip)
@@ -214,7 +262,8 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(batch, outDir, batchId, epoch = epoch)
+        commitBatch(batch, outDir, batchId, epoch = epoch,
+          keyedDedup = keyedDedup)
       }
       .start()
   }

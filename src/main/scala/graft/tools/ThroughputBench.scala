@@ -101,6 +101,32 @@ object ThroughputBench {
     println(f"end-to-end (gateway JSON -> Avro wire -> decode -> txn sink): " +
       f"${stored / (tProd + tCons)}%.0f rows/s over ${tProd + tCons}%.2f s " +
       f"(${total / (tProd + tCons)}%.0f gateway msgs/s)")
+
+    // ---- same consumer leg in append-exactly-once mode (keyedDedup =
+    // false): no per-commit read-back of the hot date partition, so
+    // commit cost should stay flat through the run instead of growing
+    val outDir2 = Files.createTempDirectory("tp_out_ap").toString + "/readings"
+    val ckpt3 = Files.createTempDirectory("tp_ck3").toString
+    commits.clear()
+    val tCons2 = timed {
+      val q = decoded.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt3)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val t = timed(Streams.commitBatch(batch, outDir2, batchId,
+            keys = Seq("device_id", "ts"), epoch = "tp-", keyedDedup = false))
+          commits += ((batchId, t))
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    val stored2 = spark.read.parquet(outDir2).count()
+    println(f"consumer (append-exactly-once): $stored2 rows / ${commits.size} commits " +
+      f"in $tCons2%.2f s = ${stored2 / tCons2}%.0f rows/s")
+    commits.foreach { case (id, t) =>
+      println(f"  commit batch $id: $t%.2f s (~${stored2 / commits.size / t}%.0f rows/s)")
+    }
     spark.stop()
   }
 }

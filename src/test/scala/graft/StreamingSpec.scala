@@ -148,4 +148,39 @@ class StreamingSpec extends SparkSpec {
     assert(!Files.exists(root.resolve("_staging/batch-2")))
     assert(Files.exists(root.resolve("_committed/batch-2")))
   }
+
+  test("append-exactly-once sink: crash replay converges with no read-back") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("ap_out").toString
+    val b1 = sampleRows.take(3).toDF()
+    val b2 = sampleRows.drop(3).toDF()
+
+    Streams.commitBatch(b1, outDir, 0, keyedDedup = false)
+    assert(spark.read.parquet(outDir).count() == 3)
+
+    // crash AFTER promote, BEFORE marker: rows live, no marker. The
+    // replay must roll the partial promote back by file prefix and land
+    // the batch exactly once — no key-column scan of the live table.
+    intercept[RuntimeException] {
+      Streams.commitBatch(b2, outDir, 1, Streams.CrashAfterPromote,
+        keyedDedup = false)
+    }
+    assert(spark.read.parquet(outDir).count() == sampleRows.size)
+    Streams.commitBatch(b2, outDir, 1, keyedDedup = false)
+    val afterReplay = spark.read.parquet(outDir)
+    assert(afterReplay.count() == sampleRows.size)
+    assert(afterReplay.select("user_id", "ts").distinct().count() == sampleRows.size)
+    // batch 0's files were untouched by batch 1's rollback
+    assert(spark.read.parquet(outDir).filter($"user_id".isin(
+      sampleRows.take(3).map(_.user_id): _*)).count() >= 3)
+    // marker short-circuit
+    Streams.commitBatch(b2, outDir, 1, keyedDedup = false)
+    assert(spark.read.parquet(outDir).count() == sampleRows.size)
+
+    // semantic trade vs keyed mode: a key REDELIVERED IN A LATER BATCH
+    // is appended, not dropped (unique-delivery sources never do this;
+    // keyed mode is the ON CONFLICT DO NOTHING twin that absorbs it)
+    Streams.commitBatch(b1, outDir, 2, keyedDedup = false)
+    assert(spark.read.parquet(outDir).count() == sampleRows.size + 3)
+  }
 }
