@@ -123,6 +123,42 @@ object OracleSql {
          |FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // substring-level dedup: positional 8-gram hashes, document
+    // frequency >= 2 flags a span, union-of-intervals coverage per doc
+    // via the same gaps-and-islands window the Spark side runs
+    "tx_boilerplate" ->
+      s"""WITH $toksCte,
+         |g0 AS (SELECT doc_id, CASE WHEN len(toks) >= 8 THEN list_transform(
+         |    generate_series(1, len(toks) - 7),
+         |    i -> {'pos': i - 1, 'gh': ('0x' || substr(md5(
+         |      array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15))::BIGINT})
+         |  ELSE []::STRUCT(pos BIGINT, gh BIGINT)[] END AS gl FROM t),
+         |g AS (SELECT doc_id, unnest(gl, recursive := true) FROM g0),
+         |hot AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+         |f AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (gh)),
+         |w1 AS (SELECT doc_id, pos,
+         |  max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM f),
+         |w2 AS (SELECT doc_id, pos,
+         |  sum(CASE WHEN prev_end IS NULL OR pos >= prev_end THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM w1),
+         |isl AS (SELECT doc_id, island,
+         |  max(pos) + 8 - min(pos) AS cov, count(*) AS nf
+         |  FROM w2 GROUP BY doc_id, island),
+         |cov AS (SELECT doc_id, sum(cov)::BIGINT AS covered_tokens,
+         |  sum(nf)::BIGINT AS n_flagged FROM isl GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+         |  greatest(len(t.toks) - 7, 0)::BIGINT AS n_grams,
+         |  coalesce(cov.n_flagged, 0)::BIGINT AS n_flagged,
+         |  coalesce(cov.covered_tokens, 0)::BIGINT AS covered_tokens,
+         |  CASE WHEN len(t.toks) > 0 THEN
+         |    round(coalesce(cov.covered_tokens, 0)::DOUBLE / len(t.toks), 6)
+         |  ELSE 0.0 END AS boilerplate_ratio
+         |FROM t LEFT JOIN cov ON cov.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
     // the registered-SQL-function surface (GraftFunctions.sqlSurface):
     // same kernels as tx_fingerprint/tx_tokens, reached through SQL text
     "sql_surface" ->

@@ -70,6 +70,9 @@ object SparkEntry {
     "tx_fingerprint" -> (TX.txFingerprint(_, _)),
     "tx_contains"    -> (TX.txContains(_, _)),
     "tx_entropy"     -> (TX.txEntropy(_, _)),
+    // substring-level dedup signals: spans covered by cross-document
+    // repeated 8-grams (the boilerplate stage doc-level dedup misses)
+    "tx_boilerplate" -> (TX.txBoilerplate(_, _)),
     "tx_filter"      -> (TX.txFilter(_, _)),
     "sample_documents" -> (TX.txSample(_, _)),
     "pack_sequences"   -> (TX.txPack(_, _)),

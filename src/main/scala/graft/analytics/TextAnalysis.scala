@@ -155,6 +155,62 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Substring-level dedup signals (the repeated-span stage doc-level
+    * dedup misses — boilerplate headers, license blocks, templated spans
+    * shared across otherwise-distinct documents): flag every token span
+    * covered by a word n-gram that occurs in >= minDf DISTINCT documents,
+    * and report the exact union-of-intervals coverage per document.
+    *
+    * Shape at scale: positional gram hashes from one native codegen'd
+    * pass (no gram strings materialized), one shuffle to count document
+    * frequency per gram hash, a join back (the hot-gram set is small —
+    * AQE broadcasts it), then per-doc interval union via a gaps-and-
+    * islands window (bounded by document length, like every other per-doc
+    * window here). The output ratio is the trim/drop signal; the flagged
+    * (doc, pos) spans are exactly what a span-removal rewrite would cut.
+    */
+  def txBoilerplate(s: SparkSession, dir: String): DataFrame =
+    txBoilerplateDf(Tables.documents(s, dir))
+
+  def txBoilerplateDf(docs: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+      gramHashes(tokens(col("text")), n).as("ghs"))
+    val grams = base.select(col("doc_id"), posexplode(col("ghs")).as(Seq("pos", "gh")))
+    val hot = grams.groupBy(col("gh"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gh"))
+    val flagged = grams.join(hot, Seq("gh")).select(col("doc_id"), col("pos"))
+    // gaps-and-islands over the flagged starts: intervals are all length
+    // n and starts are sorted, so a run of starts with gaps < n covers
+    // max(pos) + n - min(pos) tokens
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = flagged
+      .withColumn("prev_end",
+        max(col("pos") + n).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("pos") >= col("prev_end"), 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(wOrd))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) + n - min(col("pos"))).as("cov"),
+        count(lit(1)).as("nf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cov")).cast(LongType).as("covered_tokens"),
+        sum(col("nf")).cast(LongType).as("n_flagged"))
+    base.select(col("doc_id"), col("n_tokens"),
+        size(col("ghs")).cast(LongType).as("n_grams"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("covered_tokens"), lit(0L)).cast(DoubleType) /
+            col("n_tokens"), 6)).otherwise(0.0).as("boilerplate_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprinting: full-content MD5, 60-bit content hash, and
     * the SimHash near-dup fingerprint (native codegen'd expression).
     */

@@ -144,6 +144,32 @@ object TextHash {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** 60-bit hash of the word n-gram STARTING AT EACH POSITION (one
+    * element per start, duplicates kept — unlike `shingles`, which is a
+    * set). The positional form is what substring-level dedup needs: a
+    * flagged hash maps back to the exact token span [pos, pos+n) it
+    * covers. Hashing in place skips materializing the gram strings.
+    */
+  def gramHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    val sb = new StringBuilder(64)
+    var i = 0
+    while (i <= len - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = hash60(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minhashSig(elems: ArrayData, k: Int): ArrayData = {
     val rots = Array.tabulate(k)(mhRot)
     val consts = Array.tabulate(k)(mhConst)
@@ -240,6 +266,19 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** `gram_hashes(tokens, n)` as a native Catalyst expression with
+  * codegen — positional n-gram hashes for substring-level dedup.
+  */
+case class GramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.gramHashes(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.gramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): GramHashesExpr =
+    copy(child = newChild)
 }
 
 /** `minhash_sig(elems, k)` as a native Catalyst expression with codegen. */
@@ -342,6 +381,10 @@ object TextFunctions {
 
   def minhashSig(elemsCol: Column, k: Int): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(elemsCol), k))
+
+  /** Positional n-gram hashes (one per start index, duplicates kept). */
+  def gramHashes(tokensCol: Column, n: Int): Column =
+    ColumnBridge.column(GramHashesExpr(ColumnBridge.expression(tokensCol), n))
 
   /** Count of tokens found in a (small, broadcast-as-literal) stopword set. */
   def stopwordCount(toks: Column, words: Seq[String]): Column =

@@ -111,4 +111,30 @@ class TextHashSpec extends SparkSpec {
     val recall = (exact & got).size.toDouble / exact.size
     assert(recall >= 0.3, s"recall@5=$recall")
   }
+
+  test("boilerplate spans: planted shared spans give exact interval-union coverage") {
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
+    val span1 = (1 to 12).map(i => s"shared$i")   // 12 tokens → 5 flagged 8-grams
+    val span2 = (1 to 8).map(i => s"block$i")     //  8 tokens → 1 flagged 8-gram
+    val docs = Seq(
+      // A and B share span1 inside distinct contexts → covered = 12 each
+      (1L, (toks("a", 6) ++ span1 ++ toks("b", 6)).mkString(" ")),
+      (2L, (toks("c", 6) ++ span1 ++ toks("d", 6)).mkString(" ")),
+      // D and E share TWO disjoint spans → two islands, covered = 12 + 8
+      (3L, (toks("e", 4) ++ span1 ++ toks("f", 4) ++ span2 ++ toks("g", 4)).mkString(" ")),
+      (4L, (toks("h", 4) ++ span1 ++ toks("i", 4) ++ span2 ++ toks("j", 4)).mkString(" ")),
+      // unique doc → nothing flagged; short doc → no grams at all
+      (5L, toks("k", 24).mkString(" ")),
+      (6L, toks("m", 5).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.analytics.TextAnalysis.txBoilerplateDf(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("covered_tokens"))).toMap
+    assert(out(1L) == (17L, 12L)) // 24 tokens → 17 grams; span1 covered
+    assert(out(2L) == (17L, 12L))
+    assert(out(3L)._2 == 20L)     // 12 + 8, two islands
+    assert(out(4L)._2 == 20L)
+    assert(out(5L) == (17L, 0L))
+    assert(out(6L) == (0L, 0L))
+  }
 }
