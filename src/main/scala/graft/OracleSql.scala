@@ -35,6 +35,31 @@ object OracleSql {
     s"  ($p, $sv::DOUBLE[])"
   }.mkString(",\n")
 
+  /** Boilerplate-span detection (TextAnalysis.boilerplateIslands):
+    * positional 8-gram hashes → df >= 2 hot set → flagged starts →
+    * gaps-and-islands merge. Ends at `isl(doc_id, island, s, e, nf)`.
+    */
+  private val boilerplateCtes =
+    """g0 AS (SELECT doc_id, CASE WHEN len(toks) >= 8 THEN list_transform(
+      |    generate_series(1, len(toks) - 7),
+      |    i -> {'pos': i - 1, 'gh': ('0x' || substr(md5(
+      |      array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15))::BIGINT})
+      |  ELSE []::STRUCT(pos BIGINT, gh BIGINT)[] END AS gl FROM t),
+      |g AS (SELECT doc_id, unnest(gl, recursive := true) FROM g0),
+      |hot AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      |f AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (gh)),
+      |w1 AS (SELECT doc_id, pos,
+      |  max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM f),
+      |w2 AS (SELECT doc_id, pos,
+      |  sum(CASE WHEN prev_end IS NULL OR pos >= prev_end THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM w1),
+      |isl AS (SELECT doc_id, island,
+      |  min(pos) AS s, max(pos) + 8 AS e, count(*) AS nf
+      |  FROM w2 GROUP BY doc_id, island)""".stripMargin
+
   /** Shared CTE fragments for the text/dedup oracles. */
   private val toksCte =
     """t AS (SELECT doc_id, text, lang,
@@ -127,27 +152,8 @@ object OracleSql {
     // frequency >= 2 flags a span, union-of-intervals coverage per doc
     // via the same gaps-and-islands window the Spark side runs
     "tx_boilerplate" ->
-      s"""WITH $toksCte,
-         |g0 AS (SELECT doc_id, CASE WHEN len(toks) >= 8 THEN list_transform(
-         |    generate_series(1, len(toks) - 7),
-         |    i -> {'pos': i - 1, 'gh': ('0x' || substr(md5(
-         |      array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15))::BIGINT})
-         |  ELSE []::STRUCT(pos BIGINT, gh BIGINT)[] END AS gl FROM t),
-         |g AS (SELECT doc_id, unnest(gl, recursive := true) FROM g0),
-         |hot AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
-         |f AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (gh)),
-         |w1 AS (SELECT doc_id, pos,
-         |  max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-         |  FROM f),
-         |w2 AS (SELECT doc_id, pos,
-         |  sum(CASE WHEN prev_end IS NULL OR pos >= prev_end THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         |  FROM w1),
-         |isl AS (SELECT doc_id, island,
-         |  max(pos) + 8 - min(pos) AS cov, count(*) AS nf
-         |  FROM w2 GROUP BY doc_id, island),
-         |cov AS (SELECT doc_id, sum(cov)::BIGINT AS covered_tokens,
+      s"""WITH $toksCte, $boilerplateCtes,
+         |cov AS (SELECT doc_id, sum(e - s)::BIGINT AS covered_tokens,
          |  sum(nf)::BIGINT AS n_flagged FROM isl GROUP BY doc_id)
          |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
          |  greatest(len(t.toks) - 7, 0)::BIGINT AS n_grams,
@@ -158,6 +164,24 @@ object OracleSql {
          |  ELSE 0.0 END AS boilerplate_ratio
          |FROM t LEFT JOIN cov ON cov.doc_id = t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    // the APPLY step: every doc rewritten with its flagged spans cut
+    "tx_boilerplate_apply" ->
+      s"""WITH $toksCte, $boilerplateCtes,
+         |spans AS (SELECT doc_id, list({'s': s, 'e': e}) AS sp
+         |  FROM isl GROUP BY doc_id),
+         |k AS (SELECT t.doc_id, t.toks,
+         |  list_transform(list_filter(generate_series(1, len(t.toks)),
+         |    i -> coalesce(len(list_filter(sp.sp,
+         |      p -> i - 1 >= p.s AND i - 1 < p.e)), 0) = 0),
+         |    i -> t.toks[i]) AS kept
+         |  FROM t LEFT JOIN spans sp ON sp.doc_id = t.doc_id)
+         |SELECT doc_id, len(toks)::BIGINT AS n_before,
+         |  len(kept)::BIGINT AS n_after,
+         |  -- DuckDB: array_to_string of an empty list is NULL; Spark's
+         |  -- array_join is '' (a fully-covered doc must compare equal)
+         |  coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     // the registered-SQL-function surface (GraftFunctions.sqlSurface):
     // same kernels as tx_fingerprint/tx_tokens, reached through SQL text

@@ -73,6 +73,7 @@ object SparkEntry {
     // substring-level dedup signals: spans covered by cross-document
     // repeated 8-grams (the boilerplate stage doc-level dedup misses)
     "tx_boilerplate" -> (TX.txBoilerplate(_, _)),
+    "tx_boilerplate_apply" -> (TX.txBoilerplateApply(_, _)),
     "tx_filter"      -> (TX.txFilter(_, _)),
     "sample_documents" -> (TX.txSample(_, _)),
     "pack_sequences"   -> (TX.txPack(_, _)),

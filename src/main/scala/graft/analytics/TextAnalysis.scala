@@ -172,35 +172,43 @@ object TextAnalysis {
   def txBoilerplate(s: SparkSession, dir: String): DataFrame =
     txBoilerplateDf(Tables.documents(s, dir))
 
-  def txBoilerplateDf(docs: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
+  /** Shared detection for the boilerplate pair: merged flagged-span
+    * islands per doc — (doc_id, island, span_start, span_end, nf).
+    * Gaps-and-islands over the flagged starts: intervals are all length
+    * n and starts are sorted, so a run of starts with gaps < n merges
+    * into one island covering [min(pos), max(pos) + n).
+    */
+  private def boilerplateIslands(docs: DataFrame, n: Int, minDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col("doc_id"),
-      size(tokens(col("text"))).cast(LongType).as("n_tokens"),
-      gramHashes(tokens(col("text")), n).as("ghs"))
-    val grams = base.select(col("doc_id"), posexplode(col("ghs")).as(Seq("pos", "gh")))
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(gramHashes(tokens(col("text")), n)).as(Seq("pos", "gh")))
     val hot = grams.groupBy(col("gh"))
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
       .select(col("gh"))
     val flagged = grams.join(hot, Seq("gh")).select(col("doc_id"), col("pos"))
-    // gaps-and-islands over the flagged starts: intervals are all length
-    // n and starts are sorted, so a run of starts with gaps < n covers
-    // max(pos) + n - min(pos) tokens
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val covered = flagged
+    flagged
       .withColumn("prev_end",
         max(col("pos") + n).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_island",
         when(col("prev_end").isNull || col("pos") >= col("prev_end"), 1).otherwise(0))
       .withColumn("island", sum(col("new_island")).over(wOrd))
       .groupBy(col("doc_id"), col("island"))
-      .agg((max(col("pos")) + n - min(col("pos"))).as("cov"),
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n).as("span_end"),
         count(lit(1)).as("nf"))
+  }
+
+  def txBoilerplateDf(docs: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
+    val covered = boilerplateIslands(docs, n, minDf)
       .groupBy(col("doc_id"))
-      .agg(sum(col("cov")).cast(LongType).as("covered_tokens"),
+      .agg(sum(col("span_end") - col("span_start")).cast(LongType).as("covered_tokens"),
         sum(col("nf")).cast(LongType).as("n_flagged"))
-    base.select(col("doc_id"), col("n_tokens"),
-        size(col("ghs")).cast(LongType).as("n_grams"))
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+        size(gramHashes(tokens(col("text")), n)).cast(LongType).as("n_grams"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_grams"),
         coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
@@ -208,6 +216,32 @@ object TextAnalysis {
         when(col("n_tokens") > 0,
           round(coalesce(col("covered_tokens"), lit(0L)).cast(DoubleType) /
             col("n_tokens"), 6)).otherwise(0.0).as("boilerplate_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The APPLY step of substring-level dedup: rewrite each document with
+    * its flagged spans CUT — the span-removal transform whose inputs
+    * `txBoilerplate` reports on. Token positions are filtered against the
+    * doc's merged island list with higher-order functions (no second
+    * explode of the corpus; the spans array per doc is tiny), then
+    * re-joined into text.
+    */
+  def txBoilerplateApply(s: SparkSession, dir: String): DataFrame =
+    txBoilerplateApplyDf(Tables.documents(s, dir))
+
+  def txBoilerplateApplyDf(docs: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
+    val spans = boilerplateIslands(docs, n, minDf)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val sp = coalesce(col("spans"),
+      array().cast("array<struct<span_start:int,span_end:int>>"))
+    val kept = filter(tokens(col("text")), (_, i) =>
+      !exists(sp, p => i >= p("span_start") && i < p("span_end")))
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_before"),
+        size(kept).cast(LongType).as("n_after"),
+        array_join(kept, " ").as("cleaned_text"))
       .orderBy(col("doc_id"))
   }
 

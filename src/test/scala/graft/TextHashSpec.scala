@@ -136,5 +136,15 @@ class TextHashSpec extends SparkSpec {
     assert(out(4L)._2 == 20L)
     assert(out(5L) == (17L, 0L))
     assert(out(6L) == (0L, 0L))
+
+    // the APPLY step cuts exactly the flagged spans
+    val cleaned = graft.analytics.TextAnalysis.txBoilerplateApplyDf(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_after"), r.getAs[String]("cleaned_text"))).toMap
+    assert(cleaned(1L) == (12L, (toks("a", 6) ++ toks("b", 6)).mkString(" ")))
+    assert(cleaned(3L) == (12L,
+      (toks("e", 4) ++ toks("f", 4) ++ toks("g", 4)).mkString(" ")))
+    assert(cleaned(5L) == (24L, toks("k", 24).mkString(" "))) // untouched
+    assert(cleaned(6L) == (5L, toks("m", 5).mkString(" ")))
   }
 }
