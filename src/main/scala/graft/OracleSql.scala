@@ -641,7 +641,33 @@ object OracleSql {
         |  16 AS width, 16 AS height,
         |  (SELECT sum((i * 37 + d.doc_id * 11 + length(d.text)) % 256)::DOUBLE
         |     FROM generate_series(0, 255) g(i)) / 65280 AS mean_luma
-        |FROM documents d ORDER BY media_id""".stripMargin
+        |FROM documents d ORDER BY media_id""".stripMargin,
+
+    // box-average 16×16 → 4×4 resize: output pixel P's level is the
+    // floor-mean of its 4×4 source block, recomputed from the fixture
+    // arithmetic (the Spark side computes it from DECODED pixels)
+    "mm_resize" ->
+      """WITH r AS (SELECT doc_id AS media_id,
+        |  list_transform(generate_series(0, 15), P ->
+        |    list_sum(list_transform(generate_series(0, 15), q ->
+        |      ((((P // 4) * 4 + (q // 4)) * 16 + ((P % 4) * 4 + (q % 4))) * 37
+        |        + doc_id * 11 + length(text)) % 256)) // 16)
+        |  AS px FROM documents)
+        |SELECT media_id, 4 AS width, 4 AS height,
+        |  array_to_string(px, '-') AS px_csv,
+        |  list_sum(px)::DOUBLE / (255.0 * 16) AS mean_luma
+        |FROM r ORDER BY media_id""".stripMargin,
+
+    // frame sampling over the 6-frame fixture videos (stride 2): each
+    // sampled frame's luma from the generating arithmetic, frame f
+    // shifting every level by f·53
+    "mm_frames" ->
+      """SELECT d.doc_id AS media_id, f.f::BIGINT AS frame_idx,
+        |  822::BIGINT AS byte_len,
+        |  (SELECT sum((i * 37 + d.doc_id * 11 + length(d.text) + f.f * 53) % 256)::DOUBLE
+        |     FROM generate_series(0, 255) g(i)) / 65280 AS mean_luma
+        |FROM documents d CROSS JOIN (SELECT unnest([0, 2, 4]) AS f) f
+        |ORDER BY media_id, frame_idx""".stripMargin
   )
 
   val all: Map[String, String] = textOracles ++ Map(

@@ -113,8 +113,11 @@ object SparkEntry {
     "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),
     "emb_norms"           -> (Similarity.embNorms(_, _)),
     "emb_lsh_buckets"     -> (Similarity.embLshBuckets(_, _)),
-    // multimodal columns (north-star extensions)
+    // multimodal columns (north-star extensions): decode+features,
+    // box-average resize, frame sampling — all through a REAL decode
     "mm_features" -> (Multimodal.mmFeatures(_, _)),
+    "mm_resize"   -> (Multimodal.mmResize(_, _)),
+    "mm_frames"   -> (Multimodal.mmFrames(_, _)),
     // Avro wire format (S4 core: Confluent frame + union normalization)
     "avro_roundtrip" -> (AvroPipeline.avroRoundtrip(_, _))
   )

@@ -117,4 +117,122 @@ object Multimodal {
         col("mean_luma"))
       .orderBy(col("media_id"))
   }
+
+  /** Box-average resize of a DECODED raster: output pixel (X, Y) is the
+    * integer mean (floor) of its factor×factor source block's gray
+    * levels. Integer sums → the result is engine-independent, so the
+    * oracle can recompute it from the fixture arithmetic while the
+    * pipeline computes it from actually-decoded pixels.
+    */
+  def resizeBoxPixels(img: java.awt.image.BufferedImage, factor: Int): Array[Long] = {
+    val w = img.getWidth / factor
+    val h = img.getHeight / factor
+    val out = new Array[Long](w * h)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        var sum = 0L
+        var dy = 0
+        while (dy < factor) {
+          var dx = 0
+          while (dx < factor) {
+            sum += (img.getRGB(xx * factor + dx, yy * factor + dy) & 0xff)
+            dx += 1
+          }
+          dy += 1
+        }
+        out(yy * w + xx) = sum / (factor.toLong * factor)
+        xx += 1
+      }
+      yy += 1
+    }
+    out
+  }
+
+  case class ResizedMedia(media_id: Long, width: Int, height: Int,
+      px_csv: String, mean_luma: Double)
+
+  /** Resize operator: encode → REAL decode → box-average downsample
+    * 16×16 → 4×4. Emits the resized pixel levels (joined as a string so
+    * the hash compare is scalar) and the resized-raster mean luma from
+    * an exact integer sum. Same narrow mapPartitions shape as decode.
+    */
+  def mmResize(s: SparkSession, dir: String, factor: Int = 4): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, clen) =>
+        val img = javax.imageio.ImageIO.read(
+          new ByteArrayInputStream(encodeBmp(id, clen)))
+        val px = resizeBoxPixels(img, factor)
+        val side = Side / factor
+        ResizedMedia(id, side, side, px.mkString("-"),
+          px.sum.toDouble / (255.0 * px.length))
+      })
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  /** Fixture "video": nFrames concatenated BMPs; frame f's pixel i has
+    * level (i·37 + media_id·11 + contentLen + f·53) mod 256 (frame 0 ≡
+    * the still fixture).
+    */
+  def encodeVideo(mediaId: Long, contentLen: Long, nFrames: Int): Array[Byte] = {
+    val out = new Array[Byte](BmpBytes * nFrames)
+    var f = 0
+    while (f < nFrames) {
+      System.arraycopy(encodeBmp(mediaId, contentLen + f * 53L), 0,
+        out, f * BmpBytes, BmpBytes)
+      f += 1
+    }
+    out
+  }
+
+  case class FrameFeatures(media_id: Long, frame_idx: Long, byte_len: Long,
+      mean_luma: Double)
+
+  /** Frame sampling: slice every `stride`-th frame out of the packed
+    * payload and decode IT alone — the video analog of a thumbnail
+    * extractor (decode cost ∝ sampled frames, not stored frames). Each
+    * sampled frame goes through the real ImageIO decode.
+    */
+  def sampleFrames(m: MediaRow, stride: Int): Iterator[FrameFeatures] = {
+    val nFrames = m.payload.length / BmpBytes
+    (0 until nFrames by stride).iterator.map { f =>
+      val bytes = java.util.Arrays.copyOfRange(
+        m.payload, f * BmpBytes, (f + 1) * BmpBytes)
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, s"frame $f of media ${m.media_id} is not decodable")
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      FrameFeatures(m.media_id, f.toLong, BmpBytes.toLong,
+        sum.toDouble / (255.0 * img.getWidth * img.getHeight))
+    }
+  }
+
+  /** Frame-sample operator over the 6-frame fixture videos, stride 2
+    * (frames 0, 2, 4). The oracle recomputes each sampled frame's luma
+    * from the generating arithmetic — matching hashes certify the
+    * slice + per-frame decode.
+    */
+  def mmFrames(s: SparkSession, dir: String, nFrames: Int = 6,
+      stride: Int = 2): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen"))
+      .as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, clen) =>
+        sampleFrames(MediaRow(id, "video/x-fixture",
+          encodeVideo(id, clen, nFrames)), stride)
+      })
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
 }

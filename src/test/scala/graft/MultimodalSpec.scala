@@ -47,6 +47,51 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("box resize: decoded-then-resized pixels equal block means of the arithmetic") {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodeBmp(3L, 42L)))
+    val px = Multimodal.resizeBoxPixels(img, 4)
+    assert(px.length == 16)
+    def level(i: Int): Long = (i * 37 + 3L * 11 + 42L) % 256
+    val expected = (0 until 16).map { p =>
+      val (bx, by) = (p % 4, p / 4)
+      val sum = (for (dy <- 0 until 4; dx <- 0 until 4)
+        yield level((by * 4 + dy) * 16 + (bx * 4 + dx))).sum
+      sum / 16
+    }
+    assert(px.toSeq == expected)
+    // degenerate resize (factor 1) is the identity raster
+    val id16 = Multimodal.resizeBoxPixels(img, 1)
+    assert(id16.length == 256 && (0 until 256).forall(i => id16(i) == level(i)))
+  }
+
+  test("frame sampling: every sampled frame decodes to its own arithmetic") {
+    val m = MediaRow(5L, "video/x-fixture", Multimodal.encodeVideo(5L, 99L, 6))
+    assert(m.payload.length == 6 * Multimodal.BmpBytes)
+    val frames = Multimodal.sampleFrames(m, 2).toSeq
+    assert(frames.map(_.frame_idx) == Seq(0L, 2L, 4L))
+    frames.foreach { fr =>
+      val expected = (0 until 256)
+        .map(i => (i * 37 + 5L * 11 + 99L + fr.frame_idx * 53) % 256)
+        .sum.toDouble / (255.0 * 256)
+      assert(fr.mean_luma == expected, s"frame ${fr.frame_idx}")
+    }
+    // NOTE: every frame's MEAN is exactly 0.5 by construction (i·37 mod
+    // 256 is a bijection, so each frame's pixel sum is the full residue
+    // sum) — frame distinctness must be asserted on the RASTER
+    val all = Multimodal.sampleFrames(m, 1).toSeq
+    assert(all.length == 6)
+    def raster(f: Int): Seq[Long] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        java.util.Arrays.copyOfRange(m.payload,
+          f * Multimodal.BmpBytes, (f + 1) * Multimodal.BmpBytes)))
+      Multimodal.resizeBoxPixels(img, 1).toSeq
+    }
+    assert(raster(0) != raster(2) && raster(2) != raster(4))
+    // pixel-level parity of a sampled frame with its arithmetic
+    assert(raster(2) == (0 until 256).map(i => (i * 37 + 5L * 11 + 99L + 2 * 53) % 256))
+  }
+
   private implicit class TupleOps(rows: Array[(Long, Long, Int, Int, Double)]) {
     def toMap2: Map[Long, (Long, Int, Int, Double)] =
       rows.map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
