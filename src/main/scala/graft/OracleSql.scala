@@ -667,7 +667,20 @@ object OracleSql {
         |  (SELECT sum((i * 37 + d.doc_id * 11 + length(d.text) + f.f * 53) % 256)::DOUBLE
         |     FROM generate_series(0, 255) g(i)) / 65280 AS mean_luma
         |FROM documents d CROSS JOIN (SELECT unnest([0, 2, 4]) AS f) f
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // audio features from the 8-bit PCM fixture arithmetic (the Spark
+    // side computes them from a REAL javax.sound.sampled WAV decode)
+    "mm_audio" ->
+      """SELECT d.doc_id AS media_id, 1024::BIGINT AS n_samples,
+        |  8000 AS sample_rate,
+        |  ((d.doc_id * 11 + length(d.text)) % 256)::BIGINT AS first_sample,
+        |  (SELECT sum((i * 37 + d.doc_id * 11 + length(d.text)) % 256)::DOUBLE
+        |     FROM generate_series(0, 1023) g(i)) / (255.0 * 1024) AS mean_level,
+        |  sqrt((SELECT sum(((i * 37 + d.doc_id * 11 + length(d.text)) % 256 - 128)
+        |      * ((i * 37 + d.doc_id * 11 + length(d.text)) % 256 - 128))::DOUBLE
+        |     FROM generate_series(0, 1023) g(i)) / 1024.0) AS rms
+        |FROM documents d ORDER BY media_id""".stripMargin
   )
 
   val all: Map[String, String] = textOracles ++ Map(

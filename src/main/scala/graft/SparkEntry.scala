@@ -118,6 +118,7 @@ object SparkEntry {
     "mm_features" -> (Multimodal.mmFeatures(_, _)),
     "mm_resize"   -> (Multimodal.mmResize(_, _)),
     "mm_frames"   -> (Multimodal.mmFrames(_, _)),
+    "mm_audio"    -> (Multimodal.mmAudio(_, _)),
     // Avro wire format (S4 core: Confluent frame + union normalization)
     "avro_roundtrip" -> (AvroPipeline.avroRoundtrip(_, _))
   )

@@ -92,6 +92,24 @@ class MultimodalSpec extends SparkSpec {
     assert(raster(2) == (0 until 256).map(i => (i * 37 + 5L * 11 + 99L + 2 * 53) % 256))
   }
 
+  test("audio: real WAV decode equals the sample arithmetic") {
+    val m = MediaRow(9L, "audio/wav", Multimodal.encodeWav(9L, 77L))
+    assert(m.payload.length == Multimodal.WavBytes)
+    val f = Multimodal.decodeAudio(m)
+    assert(f.n_samples == 1024 && f.sample_rate == 8000)
+    def level(i: Int): Long = (i * 37 + 9L * 11 + 77L) % 256
+    assert(f.first_sample == level(0))
+    val levels = (0 until 1024).map(level)
+    assert(f.mean_level == levels.sum.toDouble / (255.0 * 1024))
+    assert(f.rms == math.sqrt(
+      levels.map(l => (l - 128) * (l - 128)).sum.toDouble / 1024))
+    // a truncated container fails loudly, not silently
+    intercept[Exception] {
+      Multimodal.decodeAudio(MediaRow(9L, "audio/wav",
+        java.util.Arrays.copyOfRange(m.payload, 0, 20)))
+    }
+  }
+
   private implicit class TupleOps(rows: Array[(Long, Long, Int, Int, Double)]) {
     def toMap2: Map[Long, (Long, Int, Int, Double)] =
       rows.map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
