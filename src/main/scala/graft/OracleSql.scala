@@ -314,6 +314,29 @@ object OracleSql {
          |  reason, reason IS NULL AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
 
+    // PII redaction over the planted corpus: identical Java-regex/RE2
+    // subset patterns, same plant arithmetic, same email→ip→phone
+    // replacement order; counts taken before redaction
+    "tx_redact" ->
+      """WITH a AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' ||
+        |    doc_id::VARCHAR || '@mail.example.com from 10.0.' ||
+        |    (doc_id % 256)::VARCHAR || '.7 call 555-' ||
+        |    lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199'
+        |  ELSE text END AS text FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+        |  len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted_text,
+        |  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |   len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) +
+        |   len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))) > 0 AS pii_found
+        |FROM a ORDER BY doc_id""".stripMargin,
+
     // the deduplicated corpus: exact-dup removal (min doc_id per md5)
     // + near-dup non-canonical removal over the ngram cluster graph
     "dedup_apply" ->
@@ -840,6 +863,22 @@ object OracleSql {
         |  coalesce(sum(c - 1), 0)::BIGINT AS n_excess_rows
         |FROM (SELECT user_id, ts, count(*) AS c FROM events
         |      GROUP BY user_id, ts HAVING count(*) > 1)""".stripMargin,
+
+    // as-of join (AsofJoin.asofPurchaseJoin): DuckDB has the operator
+    // natively; the Spark side composes union + running-last window.
+    // Build side pre-aggregated to one row per (user_id, ts) so the
+    // greatest-ts-<= match is deterministic in both engines.
+    "asof_join_purchase" ->
+      """WITH b AS (SELECT user_id, ts AS purchase_ts,
+        |    max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts, event_type FROM events
+        |  WHERE event_type <> 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, p.event_type,
+        |  b.purchase_ts, b.purchase_id
+        |FROM p ASOF LEFT JOIN b
+        |  ON p.user_id = b.user_id AND p.ts >= b.purchase_ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "w4_session_windows" ->
       s"""WITH g AS (

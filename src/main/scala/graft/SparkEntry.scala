@@ -50,6 +50,9 @@ object SparkEntry {
     "w4_session_windows" -> (EA.w4SessionWindows(_, _)),
     "agg_rollup"         -> (EA.aggRollup(_, _)),
     "pivot_user_type"    -> (EA.pivotUserType(_, _)),
+    // as-of join (most-recent-prior-state; union + running-last window —
+    // sort-merge-join cost, no range-join pair explosion)
+    "asof_join_purchase" -> (graft.operators.AsofJoin.asofPurchaseJoin(_, _)),
     // sorts / limits (SURVEY §2.6)
     "o1_recent_readings"   -> (EA.o1RecentReadings(_, _)),
     "o2_anomalous_readings"-> (EA.o2AnomalousReadings(_, _)),
@@ -75,6 +78,9 @@ object SparkEntry {
     "tx_boilerplate" -> (TX.txBoilerplate(_, _)),
     "tx_boilerplate_apply" -> (TX.txBoilerplateApply(_, _)),
     "tx_filter"      -> (TX.txFilter(_, _)),
+    // PII scrub: regex redaction (email/IP/phone) with audit counts over
+    // a deterministically-planted corpus — oracle runs the same automaton
+    "tx_redact"      -> (TX.txRedact(_, _)),
     "sample_documents" -> (TX.txSample(_, _)),
     "pack_sequences"   -> (TX.txPack(_, _)),
     "a6_approx_distribution" -> (TX.approxDistribution(_, _)),

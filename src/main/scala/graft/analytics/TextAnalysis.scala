@@ -245,6 +245,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction (the scrub stage every training-data pipeline runs
+    * before anything else sees the text): emails, IPv4 addresses and
+    * NNN-NNN-NNNN phone numbers replaced by typed placeholder tokens,
+    * with per-doc match counts (counted BEFORE redaction) as the audit
+    * signal. Patterns are written in the common Java-regex/RE2 subset
+    * (\d, \b, character classes) so Spark and the DuckDB oracle execute
+    * the identical automaton; replacement order (email → ip → phone) is
+    * part of the operator contract since the classes can overlap.
+    *
+    * The synthetic corpus contains no PII, so the registered query
+    * PLANTS deterministic PII on every 5th document — from `doc_id`
+    * arithmetic, mirrored in the oracle — and the hash match then
+    * certifies the actual match+replace machinery, not a no-op scan.
+    * Shape at scale: one narrow codegen'd pass, zero shuffle.
+    */
+  val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val ipPat    = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val phonePat = """\b\d{3}-\d{3}-\d{4}\b"""
+
+  def txRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"),
+      lit("@mail.example.com from 10.0."), col("doc_id") % 256,
+      lit(".7 call 555-"),
+      lpad((col("doc_id") % 1000).cast(StringType), 3, "0"), lit("-0199"))
+    txRedactDf(Tables.documents(s, dir)
+      .withColumn("text", when(col("doc_id") % 5 === 0, planted).otherwise(col("text"))))
+  }
+
+  def txRedactDf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(emailPat)).cast(LongType).as("n_emails"),
+        regexp_count(col("text"), lit(ipPat)).cast(LongType).as("n_ips"),
+        regexp_count(col("text"), lit(phonePat)).cast(LongType).as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), emailPat, "<EMAIL>"),
+            ipPat, "<IP>"),
+          phonePat, "<PHONE>").as("redacted_text"))
+      .withColumn("pii_found",
+        col("n_emails") + col("n_ips") + col("n_phones") > 0)
+      .orderBy(col("doc_id"))
+
   /** Document fingerprinting: full-content MD5, 60-bit content hash, and
     * the SimHash near-dup fingerprint (native codegen'd expression).
     */

@@ -147,4 +147,27 @@ class TextHashSpec extends SparkSpec {
     assert(cleaned(5L) == (24L, toks("k", 24).mkString(" "))) // untouched
     assert(cleaned(6L) == (5L, toks("m", 5).mkString(" ")))
   }
+
+  test("PII redaction: typed placeholders, counts before redaction, order email→ip→phone") {
+    val docs = Seq(
+      (1L, "mail a.b+c@sub.example.org and x@y.io twice"),
+      (2L, "server 192.168.0.1 and 10.0.255.7 here"),
+      (3L, "call 555-123-4567 now"),
+      (4L, "mixed u1@ex.com at 10.0.0.1 dial 555-000-1111"),
+      (5L, "clean text, no pii at all"),
+      // version strings must NOT match the IP pattern (word boundary +
+      // exactly four octets), 5-octet strings match only their prefix
+      (6L, "v1.2.3 is fine but 1.2.3.4.5 has an ip prefix")
+    ).toDF("doc_id", "text")
+    val out = graft.analytics.TextAnalysis.txRedactDf(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips"), r.getAs[Long]("n_phones")),
+          r.getAs[String]("redacted_text"), r.getAs[Boolean]("pii_found"))).toMap
+    assert(out(1L) == ((2L, 0L, 0L), "mail <EMAIL> and <EMAIL> twice", true))
+    assert(out(2L) == ((0L, 2L, 0L), "server <IP> and <IP> here", true))
+    assert(out(3L) == ((0L, 0L, 1L), "call <PHONE> now", true))
+    assert(out(4L) == ((1L, 1L, 1L), "mixed <EMAIL> at <IP> dial <PHONE>", true))
+    assert(out(5L) == ((0L, 0L, 0L), "clean text, no pii at all", false))
+    assert(out(6L)._1._1 == 0L && out(6L)._3 == true)
+  }
 }
