@@ -228,6 +228,23 @@ object OracleSql {
         |WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100) < 10
         |ORDER BY doc_id""".stripMargin,
 
+    // corpus mix: ONE cumsum per language over the global admission
+    // order (bucket, hash, doc_id) — semantically identical to the
+    // Spark side's two-phase bucketed plan
+    "corpus_mix" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, lang, len(toks)::BIGINT AS n_tokens,
+         |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM t),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY lang
+         |    ORDER BY h % 256, h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |    AS admit_offset
+         |  FROM d)
+         |SELECT doc_id, lang, n_tokens, admit_offset FROM c
+         |WHERE admit_offset < 2000 ORDER BY doc_id""".stripMargin,
+
     // shard = same 60-bit id hash as sample_documents, mod nShards=16 —
     // the bounded window key txPack uses (one cumsum per (lang, shard))
     "pack_sequences" ->
@@ -336,6 +353,36 @@ object OracleSql {
         |   len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) +
         |   len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))) > 0 AS pii_found
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // decontamination: same hash split (buckets >= 97 eval), same
+    // planted 12-token quote into every 25th train doc, same distinct
+    // 8-gram hashes; counts = matched grams + matching eval docs
+    "decontaminate" ->
+      s"""WITH $toksCte,
+         |b AS (SELECT doc_id, text, toks,
+         |  ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) % 100) AS bucket
+         |  FROM t),
+         |sn AS (SELECT array_to_string(toks[1:12], ' ') AS snippet
+         |  FROM b WHERE bucket >= 97 ORDER BY doc_id LIMIT 1),
+         |p AS (SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 97 AND doc_id % 25 = 0
+         |    THEN text || ' ' || (SELECT snippet FROM sn) ELSE text END AS text
+         |  FROM b),
+         |t2 AS (SELECT doc_id, bucket,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM p),
+         |g AS (SELECT doc_id, bucket, unnest(list_distinct(
+         |  CASE WHEN len(toks) >= 8 THEN list_transform(
+         |    generate_series(1, len(toks) - 7),
+         |    i -> ('0x' || substr(md5(array_to_string(
+         |      list_slice(toks, i, i + 7), ' ')), 1, 15))::BIGINT)
+         |  ELSE []::BIGINT[] END)) AS gh FROM t2),
+         |tr AS (SELECT doc_id, gh FROM g WHERE bucket < 97),
+         |ev AS (SELECT doc_id AS eval_id, gh FROM g WHERE bucket >= 97)
+         |SELECT tr.doc_id, count(DISTINCT tr.gh)::BIGINT AS n_matched_grams,
+         |  count(DISTINCT ev.eval_id)::BIGINT AS n_eval_docs
+         |FROM tr JOIN ev USING (gh)
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
     // the deduplicated corpus: exact-dup removal (min doc_id per md5)
     // + near-dup non-canonical removal over the ngram cluster graph

@@ -81,7 +81,13 @@ object SparkEntry {
     // PII scrub: regex redaction (email/IP/phone) with audit counts over
     // a deterministically-planted corpus — oracle runs the same automaton
     "tx_redact"      -> (TX.txRedact(_, _)),
+    // train/eval verbatim-overlap audit over the hash-split corpus with
+    // planted contamination (the eval gram set is the broadcast side)
+    "decontaminate"  -> (TX.decontaminate(_, _)),
     "sample_documents" -> (TX.txSample(_, _)),
+    // per-language token-budget admission (training-mix rebalancing);
+    // two-phase bucketed cumsum — no whole-language window partitions
+    "corpus_mix"       -> (TX.corpusMix(_, _)),
     "pack_sequences"   -> (TX.txPack(_, _)),
     "a6_approx_distribution" -> (TX.approxDistribution(_, _)),
     // the registered-SQL-function surface (SparkSessionExtensions /

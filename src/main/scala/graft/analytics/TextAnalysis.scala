@@ -289,6 +289,63 @@ object TextAnalysis {
         col("n_emails") + col("n_ips") + col("n_phones") > 0)
       .orderBy(col("doc_id"))
 
+  /** Benchmark decontamination (the train/eval overlap audit run before
+    * any training corpus ships): flag every training document sharing a
+    * verbatim word n-gram with the evaluation set, with the matched-gram
+    * and matching-eval-doc counts as evidence. Generic form takes the
+    * two corpora; the registered query derives them from the documents
+    * table by the same deterministic 60-bit id-hash split `txSample`
+    * uses (buckets >= 97 ≈ 3% eval slice) and — because the synthetic
+    * corpus has almost no natural 8-gram overlap — PLANTS contamination
+    * by appending a 12-token verbatim quote of the first eval document
+    * to every 25th training document, mirrored in the oracle, so the
+    * hash match certifies real gram-level detection.
+    *
+    * Shape at scale: eval benchmarks are tiny next to a 100 TB train
+    * corpus, so the eval gram set broadcasts (here left to AQE — the
+    * eval side derives from the corpus and grows with SF, the same
+    * forced-broadcast discipline as every SF-scaled dimension); the
+    * train side is one narrow scan + explode with no shuffle before the
+    * per-doc partial aggregate. Distinct-gram semantics per doc, so a
+    * repeated quote counts once.
+    */
+  def decontaminate(s: SparkSession, dir: String, n: Int = 8,
+      evalLo: Int = 97, plantEvery: Int = 25): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("bucket",
+        (hash60(col("doc_id").cast(StringType)) % 100).cast(LongType))
+    // the planted quote: first 12 tokens of the smallest-id eval doc
+    // (a genuinely fixed-size scalar -> forced broadcast is correct)
+    val snippet = docs.filter(col("bucket") >= evalLo)
+      .orderBy(col("doc_id")).limit(1)
+      .select(array_join(slice(tokens(col("text")), 1, 12), " ").as("snippet"))
+    val planted = docs.crossJoin(broadcast(snippet))
+      .withColumn("text",
+        when(col("bucket") < evalLo && col("doc_id") % plantEvery === 0,
+          concat(col("text"), lit(" "), col("snippet")))
+          .otherwise(col("text")))
+    decontaminateDf(
+      planted.filter(col("bucket") < evalLo).select(col("doc_id"), col("text")),
+      planted.filter(col("bucket") >= evalLo).select(col("doc_id"), col("text")),
+      n)
+  }
+
+  /** Generic core: training docs sharing >= 1 verbatim n-gram with any
+    * eval doc, with evidence counts. Both inputs are (doc_id, text).
+    */
+  def decontaminateDf(train: DataFrame, evalSet: DataFrame, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, idAs: String) =
+      df.select(col("doc_id").as(idAs),
+        explode(array_distinct(gramHashes(tokens(col("text")), n))).as("gh"))
+    grams(train, "doc_id")
+      .join(grams(evalSet, "eval_id"), Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gh")).as("n_matched_grams"),
+        count_distinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprinting: full-content MD5, 60-bit content hash, and
     * the SimHash near-dup fingerprint (native codegen'd expression).
     */
@@ -312,6 +369,51 @@ object TextAnalysis {
       .filter(col("bucket") < pct)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("bucket"))
       .orderBy(col("doc_id"))
+
+  /** Token-budget corpus mix (stratified sampling): per language, admit
+    * documents in deterministic pseudo-random order — (60-bit id hash,
+    * doc_id) — until the language's token budget is reached; a doc is
+    * admitted iff the tokens BEFORE it in that order are under budget.
+    * This is the training-mix rebalancer (cap English, keep all of a
+    * low-resource language) with engine/partitioning/rerun-reproducible
+    * selection, same hash family as `txSample`.
+    *
+    * Scale shape: the naive form is one window per language — and
+    * language cardinality is near-constant, so that window piles a
+    * whole language onto one task. Instead the admission offset is
+    * computed in two phases: (1) per-(lang, bucket) token sums — a tiny
+    * aggregate of #langs × nBuckets rows — cumsummed per lang over the
+    * bucket id (a window over the TINY table, then force-broadcast: its
+    * size is bounded by nBuckets × #languages, not by the corpus);
+    * (2) a per-doc cumsum windowed by (lang, bucket) — every window
+    * partition holds ~1/nBuckets of a language. Global admission order
+    * is (bucket, hash, doc_id), which the oracle reproduces as ONE
+    * cumsum per language — identical semantics, different plan.
+    */
+  def corpusMix(s: SparkSession, dir: String, budget: Long = 2000L,
+      nBuckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("h", hash60(col("doc_id").cast(StringType)))
+      .withColumn("bucket", (col("h") % nBuckets).cast(LongType))
+    val wB = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val starts = docs.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("bucket_start", coalesce(sum(col("bt")).over(wB), lit(0L)))
+      .select(col("lang"), col("bucket"), col("bucket_start"))
+    val wD = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(starts), Seq("lang", "bucket"))
+      .withColumn("admit_offset",
+        col("bucket_start") + coalesce(sum(col("n_tokens")).over(wD), lit(0L)))
+      .filter(col("admit_offset") < budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("admit_offset"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Sequence packing (the greedy concat-then-chop scheme): docs are
     * laid end-to-end in (shard, doc_id) order and each one's bin is its

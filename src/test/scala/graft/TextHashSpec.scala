@@ -170,4 +170,59 @@ class TextHashSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0L, 0L), "clean text, no pii at all", false))
     assert(out(6L)._1._1 == 0L && out(6L)._3 == true)
   }
+
+  test("decontamination flags exactly the train docs quoting the eval set") {
+    val evalSet = Seq(
+      (100L, (1 to 20).map(i => s"e$i").mkString(" ")),
+      (101L, (1 to 20).map(i => s"f$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val quote = (5 to 14).map(i => s"e$i").mkString(" ") // 10 toks -> 3 8-grams
+    val train = Seq(
+      (1L, s"x1 x2 $quote y1 y2"),
+      (2L, (1 to 30).map(i => s"t$i").mkString(" ")),     // clean
+      // quotes BOTH eval docs: 8 toks of e (1 gram), 9 toks of f (2 grams)
+      (3L, (3 to 10).map(i => s"e$i").mkString(" ") + " z " +
+        (2 to 10).map(i => s"f$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.analytics.TextAnalysis.decontaminateDf(train, evalSet)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L, 1L), (3L, 3L, 2L)))
+  }
+
+  test("corpus mix: two-phase bucketed admission == naive per-language cumsum") {
+    import graft.functions.TextFunctions.{hash60, tokens}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val budget = 2000L
+    val got = graft.analytics.TextAnalysis.corpusMix(spark, Sf001, budget)
+    val rows = got.collect()
+    assert(rows.forall(_.getAs[Long]("admit_offset") < budget))
+    // every language here holds > budget tokens, so each is cut AND the
+    // crossing doc is still admitted: admitted tokens land in
+    // [budget, budget + max admitted doc)
+    val perLang = got.groupBy("lang")
+      .agg(sum("n_tokens").as("adm"), max("n_tokens").as("mx"))
+      .collect()
+    assert(perLang.length == 5)
+    perLang.foreach { r =>
+      val (adm, mx) = (r.getAs[Long]("adm"), r.getAs[Long]("mx"))
+      assert(adm >= budget && adm < budget + mx, s"${r.getString(0)}: $adm")
+    }
+    // equivalence with the naive (whole-language window) formulation
+    val docs = Tables.documents(spark, Sf001)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("h", hash60(col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h") % 256, col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("off") < budget)
+      .select(col("doc_id"), col("off")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotMap = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("admit_offset")).toMap
+    assert(gotMap == naive)
+  }
 }
