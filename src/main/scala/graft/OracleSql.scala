@@ -911,6 +911,18 @@ object OracleSql {
         |FROM (SELECT user_id, ts, count(*) AS c FROM events
         |      GROUP BY user_id, ts HAVING count(*) > 1)""".stripMargin,
 
+    // keyless interval join (RangeJoin.rangeJoinBurst): DuckDB plans
+    // the inequality join natively (IEJoin); the Spark side buckets the
+    // epoch at the lookback width and refines exactly
+    "range_join_burst" ->
+      """SELECT p.event_id, p.ts, count(b.ts)::BIGINT AS n_preceding
+        |FROM events p LEFT JOIN events b
+        |  ON epoch_us(b.ts) >= epoch_us(p.ts) - 60000000
+        | AND epoch_us(b.ts) < epoch_us(p.ts)
+        |WHERE p.event_type = 'error'
+        |GROUP BY p.event_id, p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
     // as-of join (AsofJoin.asofPurchaseJoin): DuckDB has the operator
     // natively; the Spark side composes union + running-last window.
     // Build side pre-aggregated to one row per (user_id, ts) so the

@@ -53,6 +53,9 @@ object SparkEntry {
     // as-of join (most-recent-prior-state; union + running-last window —
     // sort-merge-join cost, no range-join pair explosion)
     "asof_join_purchase" -> (graft.operators.AsofJoin.asofPurchaseJoin(_, _)),
+    // keyless interval join via epoch bucketing + exact refine (the
+    // shape Catalyst alone can only plan as a nested loop)
+    "range_join_burst" -> (graft.operators.RangeJoin.rangeJoinBurst(_, _)),
     // sorts / limits (SURVEY §2.6)
     "o1_recent_readings"   -> (EA.o1RecentReadings(_, _)),
     "o2_anomalous_readings"-> (EA.o2AnomalousReadings(_, _)),
