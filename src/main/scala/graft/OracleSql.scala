@@ -617,6 +617,40 @@ object OracleSql {
         |  FROM p)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // int8 quantization + rescored top-k: scale = 127/max|x|,
+    // q = floor(x·scale + 0.5) (floor, not round — HALF_UP vs
+    // half-away-from-zero differ on negative midpoints); candidate cut
+    // ranks by the EXACT-integer dot over quantized vectors, final rank
+    // by full-precision cosine over the survivors only
+    "emb_quantized_topk" ->
+      """WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+        |  FROM embeddings),
+        |qz AS (SELECT vec_id, e,
+        |    list_transform(e, x -> floor(x * (127.0 / amax) + 0.5)::BIGINT) AS qv
+        |  FROM m),
+        |qn AS (SELECT vec_id, e, qv,
+        |    sqrt(list_sum(list_transform(qv, v -> v * v))::DOUBLE) AS qn
+        |  FROM qz),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |      i -> q.qv[i] * c.qv[i]))::DOUBLE / (q.qn * c.qn), 6) AS qcos_sim,
+        |    round(list_dot_product(q.e, c.e) /
+        |      (sqrt(list_dot_product(q.e, q.e)) *
+        |       sqrt(list_dot_product(c.e, c.e))), 6) AS cos_sim
+        |  FROM qn q JOIN qn c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |cand AS (SELECT * FROM (
+        |  SELECT query_id, neighbor_id, qcos_sim, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY qcos_sim DESC, neighbor_id) AS qrank
+        |  FROM p) WHERE qrank <= 15)
+        |SELECT query_id, neighbor_id, qcos_sim, cos_sim, rank FROM (
+        |  SELECT query_id, neighbor_id, qcos_sim, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rank
+        |  FROM cand)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // IVF probe: centroid per label cell (6-dp rounded → engine-
     // independent cell ranking), nprobe=2 nearest cells per query,
     // exact cosine top-5 within the probed cells only

@@ -124,6 +124,9 @@ object SparkEntry {
     "dedup_clusters_embedding" -> (Dedup.dedupClustersEmbedding(_, _)),
     // similarity search (north-star extensions)
     "emb_topk"            -> (Similarity.embTopk(_, _)),
+    // int8 symmetric quantization + integer-dot candidate cut + exact
+    // rescore: the memory-bound ANN path (4x scan/shuffle shrink)
+    "emb_quantized_topk"  -> (Similarity.embQuantizedTopk(_, _)),
     "emb_ivf_topk"        -> (Similarity.embIvfTopk(_, _)),
     "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),
     "emb_norms"           -> (Similarity.embNorms(_, _)),

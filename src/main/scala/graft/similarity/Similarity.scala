@@ -166,6 +166,71 @@ object Similarity {
   def dedupEmbedding(s: SparkSession, dir: String, minCos: Double = 0.95): DataFrame =
     dedupEmbeddingDf(Tables.embeddings(s, dir), minCos)
 
+  /** Int8-quantized top-k with exact rescoring — the MEMORY-bound ANN
+    * path: a 100 TB float corpus shrinks 4× as int8 (scan bandwidth,
+    * cache residency, shuffle bytes), the cheap integer dot product
+    * ranks a candidate cut per query, and only the ≤`cut` survivors per
+    * query are rescored at full precision.
+    *
+    * Quantization is symmetric per vector: scale = 127 / max|x_i|,
+    * q_i = floor(x_i·scale + 0.5) — floor(+0.5) instead of round()
+    * because Java HALF_UP and SQL engines' half-away-from-zero disagree
+    * on negative midpoints, while floor is identical everywhere. All
+    * candidate scoring is then EXACT integer arithmetic (int dot, int
+    * self-norms) with one double division at the end, so the quantized
+    * ranking is engine-independent, and the hash match against the
+    * oracle certifies both stages.
+    *
+    * Stage shape mirrors `embTopk`: the n×q quantized pair stream folds
+    * through the bounded top-`cut` aggregator (map-side partial, only
+    * k-row states shuffle); the rescore then touches q×cut rows — a
+    * window over ≤cut-row groups is fine there because stage 1 already
+    * did the reduction.
+    */
+  def embQuantizedTopk(s: SparkSession, dir: String, k: Int = 5,
+      cut: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val qemb = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("amax",
+        array_max(transform(col("embedding"), x => abs(x.cast(DoubleType)))))
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * (lit(127.0) / col("amax")) + lit(0.5))))
+      .withColumn("qn",
+        sqrt(aggregate(col("qv"), lit(0L), (a, v) => a + v * v).cast(DoubleType)))
+      .select(col("vec_id"), col("embedding"), col("qv"), col("qn"))
+    val queries = qemb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("qv").as("q_qv"), col("qn").as("q_qn"))
+    val qdot = aggregate(
+      zip_with(col("q_qv"), col("qv"), (a, b) => a * b), lit(0L), (a, v) => a + v)
+    val pairs = qemb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("embedding"), col("q_emb"),
+        round(qdot.cast(DoubleType) / (col("q_qn") * col("qn")), 6).as("qcos_sim"))
+    val topCut = udaf(new TopKByCos(cut))
+    val cand = pairs
+      .groupBy(col("query_id"))
+      .agg(topCut(col("neighbor_id"), col("qcos_sim")).as("nbrs"))
+      .select(col("query_id"), explode(col("nbrs")).as("nbr"))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
+        col("nbr.cos_sim").as("qcos_sim"))
+    val rescored = cand
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("q_emb"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qcos_sim"),
+        round(cosine(col("q_emb"), col("n_emb")), 6).as("cos_sim"))
+    rescored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("qcos_sim"),
+        col("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Sign-random-projection LSH bucketing (Charikar hyperplane hashing
     * without pre-materialized planes): plane p's component for dimension
     * d is a deterministic ±1 derived from a 64-bit integer mix of

@@ -98,6 +98,33 @@ class SimilarityLshSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("int8 quantized top-k: bounded codes, high agreement with exact top-k") {
+    import org.apache.spark.sql.functions._
+    val q = graft.similarity.Similarity.embQuantizedTopk(spark, Sf001)
+    val rows = q.collect()
+    assert(rows.length == 50) // 10 queries x top-5
+    // quantized and exact cosines agree closely on unit vectors
+    rows.foreach { r =>
+      val d = math.abs(r.getAs[Double]("qcos_sim") - r.getAs[Double]("cos_sim"))
+      assert(d < 0.01, s"quantization error $d")
+    }
+    // the rescored top-5 should essentially match the exact top-5
+    val exact = graft.similarity.Similarity.embTopk(spark, Sf001)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val overlap = (exact & got).size.toDouble / exact.size
+    assert(overlap >= 0.9, s"recall vs exact = $overlap")
+    // codes are genuine int8 range
+    val mx = Tables.embeddings(spark, Sf001)
+      .select(array_max(transform(
+        transform(col("embedding"),
+          x => floor(x.cast("double") * (lit(127.0) /
+            array_max(transform(col("embedding"), y => abs(y.cast("double"))))) + lit(0.5))),
+        v => abs(v))).as("m"))
+      .agg(max(col("m"))).head().getLong(0)
+    assert(mx <= 127L)
+  }
+
   test("oversized buckets get split; row multiplicity is preserved") {
     import spark.implicits._
     // deterministic direction-free cloud: every bucket is hot relative
