@@ -155,6 +155,8 @@ object SparkEntry {
     "w1_gap_detection", "w2_moving_avg", "o3_recent_topn",
     "t1_fanout", "t9_anomaly_flags", "l8_integrity",
     "dedup_minhash_lsh", "emb_topk", "tx_fingerprint", "tx_boilerplate",
+    "asof_join_purchase", "range_join_burst", "decontaminate",
+    "emb_quantized_topk",
     "avro_roundtrip", "dedup_embedding_045", "dedup_embedding_lsh",
     "dedup_embedding_090", "dedup_embedding_lsh_090")
 }

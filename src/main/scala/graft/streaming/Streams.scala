@@ -59,6 +59,24 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Source-side duplicate-delivery dedup with BOUNDED state (L5's
+    * in-flight half): `dropDuplicatesWithinWatermark` keeps each key's
+    * fingerprint only until the event-time watermark passes it, so
+    * state is O(keys per horizon) instead of O(all keys ever) — the
+    * difference between a dedup stage that survives a year of uptime
+    * and one that OOMs. Duplicates delivered WITHIN the horizon (the
+    * at-least-once-source case: retries, rebalances, replays) are
+    * dropped in-flight; anything later than the horizon is by contract
+    * the transactional sink's anti-join's job (`startDedupSink`), which
+    * is exactly how the two layers compose in the reference's
+    * batch+ON CONFLICT pipeline.
+    */
+  def streamDedup(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** T10 as a stream: alert classification, non-alerts dropped. */
   def alerts(events: DataFrame): DataFrame =
     events

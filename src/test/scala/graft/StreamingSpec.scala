@@ -45,6 +45,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked stream dedup drops in-horizon redeliveries, state stays bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = Streams.streamDedup(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events + an immediate duplicate of event 0
+      mem.addData(
+        EventRow(0, ts("2024-01-01 00:10:00"), 1, "click", 10.0),
+        EventRow(0, ts("2024-01-01 00:10:00"), 1, "click", 10.0),
+        EventRow(1, ts("2024-01-01 00:20:00"), 1, "error", 500.0))
+      q.processAllAvailable()
+      // batch 2: cross-batch redelivery of 0 (within the 1h horizon) + new event
+      mem.addData(
+        EventRow(0, ts("2024-01-01 00:10:00"), 1, "click", 10.0),
+        EventRow(2, ts("2024-01-01 00:40:00"), 2, "view", 20.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq == Seq(0L, 1L, 2L), s"got ${ids.toSeq}")
+      // state metric exists and is bounded by the distinct keys seen
+      val progress = q.lastProgress
+      val stateRows = progress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 3, s"state rows = $stateRows")
+    } finally q.stop()
+  }
+
   test("session windows: 30-min-gap sessions close past the watermark, match batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
