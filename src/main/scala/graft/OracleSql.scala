@@ -221,6 +221,19 @@ object OracleSql {
          |  round(max(c)::DOUBLE / sum(c), 6) AS top_token_share
          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // corpus-unigram surprisal: same count model, same
+    // log2(c) − log2(N) expression tree, 6-dp rounded mean
+    "tx_unigram_bits" ->
+      s"""WITH $toksCte,
+         |tc AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |v AS (SELECT tok, count(*) AS c FROM tc GROUP BY tok),
+         |n AS (SELECT sum(c)::DOUBLE AS total FROM v)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  round(sum(-(log2(c::DOUBLE) - log2((SELECT total FROM n))))
+         |    / count(*), 6) AS bits_per_token
+         |FROM tc JOIN v USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "sample_documents" ->
       """SELECT doc_id, lang, source, n_chars,
         |  (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100) AS bucket

@@ -76,6 +76,9 @@ object SparkEntry {
     "tx_fingerprint" -> (TX.txFingerprint(_, _)),
     "tx_contains"    -> (TX.txContains(_, _)),
     "tx_entropy"     -> (TX.txEntropy(_, _)),
+    // corpus-unigram surprisal (perplexity-filter core): model = one
+    // token-count agg, scoring = shuffle join on token + per-doc agg
+    "tx_unigram_bits" -> (TX.txUnigramBits(_, _)),
     // substring-level dedup signals: spans covered by cross-document
     // repeated 8-grams (the boilerplate stage doc-level dedup misses)
     "tx_boilerplate" -> (TX.txBoilerplate(_, _)),

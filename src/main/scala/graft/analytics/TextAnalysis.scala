@@ -126,6 +126,35 @@ object TextAnalysis {
           .as("top_token_share"))
       .orderBy(col("doc_id"))
 
+  /** Unigram-model surprisal (the poor man's perplexity filter): score
+    * every document by its mean -log2 p(token) under the unigram model
+    * estimated from the corpus ITSELF — low bits/token = boilerplate of
+    * globally common tokens, high = rare-token-heavy (gibberish, OCR
+    * noise, novel jargon). The classic perplexity-filter shape with the
+    * LM reduced to its exactly-computable core.
+    *
+    * Scale shape: one (token) count aggregate builds the model — vocab
+    * is corpus-scale, so scoring joins token instances to the model on
+    * the token key (an ordinary shuffle join; Zipf skew on hot tokens
+    * is AQE's skew-join case) — then one per-doc partial aggregate.
+    * The corpus total rides as a broadcast 1-row scalar. Surprisal is
+    * computed as log2(c) - log2(N) (NOT log2(c/N)) so both engines run
+    * the identical floating expression tree.
+    */
+  def txUnigramBits(s: SparkSession, dir: String): DataFrame = {
+    val inst = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = inst.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).cast(DoubleType).as("total"))
+    inst.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(-(log(2.0, col("c").cast(DoubleType)) - log(2.0, col("total"))))
+          / count(lit(1)), 6).as("bits_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The composite quality GATE (the C4/Gopher-style keep/drop decision
     * that sits downstream of the individual signals): every document
     * gets a keep flag and the FIRST failing rule as its drop reason —

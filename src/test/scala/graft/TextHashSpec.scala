@@ -189,6 +189,31 @@ class TextHashSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L, 1L), (3L, 3L, 2L)))
   }
 
+  test("unigram surprisal: analytic bits/token on a hand-built corpus") {
+    // corpus of 8 token instances: 'a'x4 in d1; four singletons in d2
+    // d1: -(log2(4) - log2(8)) = 1 bit/token; d2: log2(8) = 3 bits/token
+    val docs = Seq((1L, "a a a a"), (2L, "b c d e")).toDF("doc_id", "text")
+      .createOrReplaceTempView("tmp_unigram")
+    val inst = spark.table("tmp_unigram")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val vocab = inst.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).cast("double").as("total"))
+    val got = inst.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(-(log(2.0, col("c").cast("double")) - log(2.0, col("total"))))
+        / count(lit(1)), 6).as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("bits")).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 3.0))
+    // corpus invariant at sf0.001: common-token docs score lower than
+    // the corpus-wide max; all scores positive and finite
+    val corpus = graft.analytics.TextAnalysis.txUnigramBits(spark, Sf0001).collect()
+    assert(corpus.forall { r =>
+      val b = r.getAs[Double]("bits_per_token"); b > 0 && !b.isInfinite
+    })
+  }
+
   test("corpus mix: two-phase bucketed admission == naive per-language cumsum") {
     import graft.functions.TextFunctions.{hash60, tokens}
     import org.apache.spark.sql.expressions.Window
