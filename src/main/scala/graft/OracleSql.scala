@@ -234,6 +234,40 @@ object OracleSql {
          |FROM tc JOIN v USING (tok)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // chunking: stride 48 (= 64 − 16 overlap), chunk k = toks[k·48+1 ..
+    // k·48+64] 1-based inclusive, last chunk short; same start set
+    "tx_chunk" ->
+      s"""WITH $toksCte,
+         |c AS (SELECT doc_id, toks,
+         |    unnest(generate_series(0, (len(toks) - 1) // 48)) AS chunk_id
+         |  FROM t WHERE len(toks) > 0),
+         |s AS (SELECT doc_id, chunk_id,
+         |    list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64) AS ctoks
+         |  FROM c)
+         |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+         |  len(ctoks)::BIGINT AS n_chunk_tokens,
+         |  array_to_string(ctoks, ' ') AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // tf-idf keywords: score = tf · (log2(N) − log2(df)), 6-dp rounded
+    // before the rank; ties break lexically on the token
+    "tx_keywords" ->
+      s"""WITH $toksCte,
+         |tc AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tc GROUP BY 1, 2),
+         |idf AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, tok, tf,
+         |    round(tf::DOUBLE * (log2((SELECT n_docs FROM n)) -
+         |      log2(df::DOUBLE)), 6) AS score
+         |  FROM tf JOIN idf USING (tok))
+         |SELECT doc_id, tok, tf, score, rk FROM (
+         |  SELECT doc_id, tok, tf, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, tok)::BIGINT AS rk
+         |  FROM sc)
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
     "sample_documents" ->
       """SELECT doc_id, lang, source, n_chars,
         |  (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100) AS bucket

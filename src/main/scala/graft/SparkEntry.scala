@@ -79,6 +79,10 @@ object SparkEntry {
     // corpus-unigram surprisal (perplexity-filter core): model = one
     // token-count agg, scoring = shuffle join on token + per-doc agg
     "tx_unigram_bits" -> (TX.txUnigramBits(_, _)),
+    // fixed-window chunking with overlap (context-window prep) and
+    // per-doc TF-IDF keyword extraction (search/tagging surface)
+    "tx_chunk"    -> (TX.txChunk(_, _)),
+    "tx_keywords" -> (TX.txKeywords(_, _)),
     // substring-level dedup signals: spans covered by cross-document
     // repeated 8-grams (the boilerplate stage doc-level dedup misses)
     "tx_boilerplate" -> (TX.txBoilerplate(_, _)),

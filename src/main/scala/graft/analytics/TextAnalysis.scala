@@ -399,6 +399,61 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** Fixed-window document chunking with overlap (the context-window
+    * prep step for training/RAG): chunk k covers token positions
+    * [k·stride, k·stride + capacity) with stride = capacity − overlap;
+    * the last chunk may run short. Pure per-row expansion — sequence +
+    * slice, no shuffle, chunk count bounded by doc length. Chunk ids
+    * are per-doc ordinals so downstream exact-dedup at chunk level
+    * composes directly.
+    */
+  def txChunk(s: SparkSession, dir: String, capacity: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(capacity > overlap && overlap >= 0)
+    val stride = capacity - overlap
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / stride).cast(IntegerType)))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+        slice(col("toks"), col("chunk_id") * stride + 1, lit(capacity)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).cast(LongType).as("n_chunk_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** TF-IDF keyword extraction (the per-doc salient-term surface a
+    * search/tagging layer needs): score = tf · log2(N/df), top 3 terms
+    * per document, ties broken lexically. df comes from one
+    * distinct-(doc, token) aggregate; the per-doc rank window is
+    * bounded by a document's vocabulary, like every per-doc window
+    * here. Scores rank on the 6-dp rounded value so the cut is
+    * engine-independent.
+    */
+  def txKeywords(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val inst = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = inst.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf").cast(DoubleType) *
+          (log(2.0, col("n_docs")) - log(2.0, col("df").cast(DoubleType))), 6))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("score"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Token-budget corpus mix (stratified sampling): per language, admit
     * documents in deterministic pseudo-random order — (60-bit id hash,
     * doc_id) — until the language's token budget is reached; a doc is

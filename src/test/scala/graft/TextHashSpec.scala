@@ -214,6 +214,63 @@ class TextHashSpec extends SparkSpec {
     })
   }
 
+  test("chunking: stride/overlap cover every token; non-overlap parts reconstruct the doc") {
+    val out = graft.analytics.TextAnalysis.txChunk(spark, Sf0001)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    assert(out.keySet == docs.filter(_._2.nonEmpty).keySet)
+    out.foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_.getAs[Long]("chunk_id"))
+      val toks = docs(id)
+      // chunk k starts at k*48 and holds min(64, n - 48k) tokens
+      sorted.foreach { c =>
+        val k = c.getAs[Long]("chunk_id").toInt
+        val expect = toks.slice(k * 48, k * 48 + 64)
+        assert(c.getAs[String]("chunk_text") == expect.mkString(" "))
+        assert(c.getAs[Long]("n_chunk_tokens") == expect.length)
+      }
+      // dropping each chunk's 16-token overlap tail reconstructs the doc
+      val rebuilt = sorted.flatMap { c =>
+        val k = c.getAs[Long]("chunk_id").toInt
+        toks.slice(k * 48, math.min(k * 48 + 48, toks.length))
+      }
+      assert(rebuilt.toSeq == toks)
+    }
+  }
+
+  test("tf-idf keywords: rare terms beat ubiquitous ones, which score zero") {
+    val docs = Seq(
+      (1L, "x x common"), (2L, "y common"), (3L, "z common")
+    ).toDF("doc_id", "text")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.tokens
+    // run the same pipeline the operator uses, over the hand corpus
+    val inst = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = inst.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf").cast("double") *
+        (log(2.0, col("n_docs")) - log(2.0, col("df").cast("double"))), 6))
+      .withColumn("rk", row_number().over(w))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("tok")) ->
+        (r.getAs[Double]("score"), r.getAs[Int]("rk"))).toMap
+    assert(scored((1L, "x"))._2 == 1 && scored((1L, "x"))._1 == 3.169925)
+    assert(scored((1L, "common"))._1 == 0.0)
+    assert(scored((2L, "y"))._2 == 1 && scored((3L, "z"))._2 == 1)
+    // corpus run: exactly 3 keywords per doc, ranks 1..3
+    val corpus = graft.analytics.TextAnalysis.txKeywords(spark, Sf0001).collect()
+    val perDoc = corpus.groupBy(_.getAs[Long]("doc_id"))
+    assert(perDoc.values.forall(_.map(_.getAs[Long]("rk")).sorted.toSeq == Seq(1L, 2L, 3L)))
+  }
+
   test("corpus mix: two-phase bucketed admission == naive per-language cumsum") {
     import graft.functions.TextFunctions.{hash60, tokens}
     import org.apache.spark.sql.expressions.Window
