@@ -3,7 +3,7 @@ package graft.store
 import java.time.LocalDate
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Time-partitioned Parquet table layout + data lifecycle
@@ -45,6 +45,37 @@ object Lifecycle {
       .partitionBy("event_date")
       .parquet(outDir)
   }
+
+  /** Morton z-value: interleave the low `bits` bits of two non-negative
+    * integer dimensions — points close in z are close in BOTH
+    * dimensions, so range-partitioning + sorting by z gives every file
+    * a tight bounding BOX over (a, b) instead of a tight interval over
+    * one dimension and the full domain of the other. Pure bit
+    * arithmetic → whole-stage codegen, no UDF.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** L4's MULTI-dimensional sibling: cluster a table so parquet
+    * row-group/file min-max stats prune on TWO dimensions at once
+    * (device AND time, tenant AND date...). The 1-D clustering
+    * `writeClustered` does is optimal for one dimension and useless for
+    * the other; z-ordering trades a little of the first dimension's
+    * tightness for bounded spans on both — the layout a 100 TB store
+    * wants when queries filter on either dimension independently.
+    * `dimA`/`dimB` must be non-negative integers fitting `bits` bits
+    * (bucket/rank wider domains first).
+    */
+  def writeZClustered(df: DataFrame, outDir: String, dimA: String,
+      dimB: String, files: Int, bits: Int = 16): Unit =
+    df.withColumn("__z", zValue(col(dimA), col(dimB), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
 
   private def partitionDates(spark: SparkSession, dir: String): Seq[(LocalDate, Path)] = {
     val root = new Path(dir)

@@ -25,6 +25,52 @@ class LifecycleSpec extends SparkSpec {
     assert(oneDay.count() < fromStore.length)
   }
 
+  test("z-order clustering bounds per-file spans on BOTH dimensions") {
+    import java.nio.file.Files
+    val zDir = Files.createTempDirectory("tbl_z").toString
+    val linDir = Files.createTempDirectory("tbl_lin").toString
+    val raw = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("user_id"),
+        (Cols.epochUs(col("ts")) / 60000000L).cast("long").as("minute"))
+    val dom = raw.agg(max("user_id"), max("minute"), min("minute")).head()
+    val (uDomain, mDomain) =
+      (dom.getLong(0).toDouble, (dom.getLong(1) - dom.getLong(2)).toDouble)
+    // z-order contract: comparable bit scales — stretch the narrow user
+    // domain to the minute domain's width before interleaving
+    val uScale = math.max(1L, (mDomain / uDomain).toLong)
+    val events = raw.withColumn("user_scaled", col("user_id") * uScale)
+    val total = events.count()
+
+    Lifecycle.writeZClustered(events, zDir, "user_scaled", "minute", files = 8)
+    // the 1-D layout: perfectly clustered on time, oblivious to user
+    events.repartitionByRange(8, col("minute"))
+      .sortWithinPartitions(col("minute"))
+      .write.mode("overwrite").parquet(linDir)
+
+    assert(spark.read.parquet(zDir).count() == total)
+    // analytic z-value: a=5 (bits at even slots -> 17), b=3 (odd -> 10)
+    val z = Lifecycle.zValue(lit(5L), lit(3L), 16)
+    assert(spark.range(1).select(z).head().getLong(0) == 27L)
+
+    // mean per-file span of each dimension, as a fraction of its domain
+    def spans(dir: String): (Double, Double) = {
+      val byFile = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max("user_id") - min("user_id")).as("us"),
+          (max("minute") - min("minute")).as("ms"))
+        .agg(avg("us"), avg("ms")).head()
+      (byFile.getDouble(0) / uDomain, byFile.getDouble(1) / mDomain)
+    }
+    val (zu, zm) = spans(zDir)
+    val (lu, lm) = spans(linDir)
+    // the 1-D layout prunes perfectly on minute and not at all on user;
+    // z-order bounds BOTH — its worst dimension stays well under the
+    // linear layout's worst dimension (which is the whole user domain)
+    assert(lu > 0.9, s"linear user coverage $lu")
+    assert(math.max(zu, zm) < 0.7, s"z worst-dim coverage u=$zu m=$zm")
+    assert(zu < 0.7 && zm < 0.7, s"z spans u=$zu m=$zm")
+  }
+
   test("clustered write → archive → retention → compaction round-trip") {
     val main = Files.createTempDirectory("tbl_main").toString
     val arch = Files.createTempDirectory("tbl_arch").toString
