@@ -564,6 +564,52 @@ object OracleSql {
          |WHERE co.n_common::DOUBLE / (da.n_sh + db.n_sh - co.n_common) >= 0.5
          |ORDER BY e.doc_a, e.doc_b""".stripMargin,
 
+    // incremental two-delivery dedup: same sig/band family as
+    // dedup_minhash_lsh; delivery 1 = even doc_ids deduped within
+    // itself (drop the larger of any est>=0.5 bucket pair), delivery 2
+    // = odd ids deduped within itself AND against delivery-1 SURVIVORS
+    "dedup_incremental" ->
+      s"""WITH $toksCte, $shinglesCte,
+         |sh2 AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+         |ff AS (SELECT f, (f * 7 + 3) % 60 AS rr,
+         |    ('0x' || substr(md5('mh|' || f::VARCHAR), 1, 15))::BIGINT AS c
+         |  FROM generate_series(0, 15) g(f)),
+         |sig AS (SELECT doc_id, f,
+         |    min(xor((h >> rr) | ((h & ((1::BIGINT << rr) - 1)) << (60 - rr)), c)) AS h
+         |  FROM sh2 CROSS JOIN ff GROUP BY doc_id, f),
+         |bands AS (SELECT doc_id, f // 2 AS band,
+         |    string_agg(h::VARCHAR, '|' ORDER BY f) AS band_key
+         |  FROM sig GROUP BY doc_id, f // 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |ne AS (SELECT doc_a, doc_b FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    (count(*) FILTER (WHERE sa.h = sb.h))::DOUBLE / 16 AS est
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.f = sa.f
+         |  GROUP BY 1, 2) WHERE est >= 0.5),
+         |d1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+         |d2 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+         |surv1 AS (SELECT doc_id FROM d1 WHERE doc_id NOT IN (
+         |  SELECT n.doc_b FROM ne n
+         |  JOIN d1 a ON a.doc_id = n.doc_a JOIN d1 b ON b.doc_id = n.doc_b)),
+         |drop2 AS (
+         |  SELECT n.doc_b AS doc_id FROM ne n
+         |    JOIN d2 a ON a.doc_id = n.doc_a JOIN d2 b ON b.doc_id = n.doc_b
+         |  UNION
+         |  SELECT n.doc_b FROM ne n
+         |    JOIN surv1 s ON s.doc_id = n.doc_a JOIN d2 b ON b.doc_id = n.doc_b
+         |  UNION
+         |  SELECT n.doc_a FROM ne n
+         |    JOIN surv1 s ON s.doc_id = n.doc_b JOIN d2 b ON b.doc_id = n.doc_a),
+         |surv2 AS (SELECT doc_id FROM d2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drop2))
+         |SELECT doc_id, 1::BIGINT AS delivery FROM surv1
+         |UNION ALL SELECT doc_id, 2::BIGINT FROM surv2
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_simhash" ->
       s"""WITH $toksCte, $simhashCtes,
          |bands AS (SELECT doc_id, fp, b, (fp >> (b * 15)) & 32767 AS band_key

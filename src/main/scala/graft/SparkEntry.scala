@@ -113,6 +113,9 @@ object SparkEntry {
     // apply over the UNIONED pair graphs of all three near-dup
     // detectors (ngram ∪ simhash ∪ embedding) — the full-stack corpus
     "dedup_apply_all"     -> (Dedup.dedupApplyAll(_, _)),
+    // incremental (per-delivery) dedup against a signature index — the
+    // accumulated corpus's text is never re-read
+    "dedup_incremental"   -> (Dedup.dedupIncremental(_, _)),
     "dedup_clusters_simhash" -> (Dedup.dedupClustersSimhash(_, _)),
     "dedup_embedding"     -> (Similarity.dedupEmbedding(_, _)),
     // exact O(n^2) path at the LSH operating threshold — benched

@@ -171,6 +171,48 @@ class TextHashSpec extends SparkSpec {
     assert(out(6L)._1._1 == 0L && out(6L)._3 == true)
   }
 
+  test("incremental dedup: within- and cross-delivery dups die, index accumulates") {
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val textA = words("alpha", 30); val textB = words("beta", 30)
+    val d1 = Seq((1L, textA), (3L, textA), (5L, textB)).toDF("doc_id", "text")
+    val d2 = Seq((2L, textB), (4L, words("gamma", 30))).toDF("doc_id", "text")
+    val empty = d1.filter(lit(false))
+    val (s1, idx1) = graft.dedup.Dedup.incrementalStep(d1, emptyIndexFor(empty))
+    // within delivery 1: doc 3 is a verbatim copy of doc 1 -> dropped
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
+    assert(idx1.count() == 16) // 2 survivors x 8 band rows
+    val (s2, idx2) = graft.dedup.Dedup.incrementalStep(d2, idx1)
+    // cross delivery: doc 2 duplicates indexed doc 5 -> dropped; 4 is new
+    assert(s2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    assert(idx2.count() == 24)
+    // the registered two-delivery simulation matches batch minhash dedup's
+    // pair knowledge: no surviving pair is a near-dup
+    val surv = graft.dedup.Dedup.dedupIncremental(spark, Sf001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = graft.dedup.Dedup.dedupMinhashLsh(spark, Sf001)
+      .filter(col("est_jaccard") >= 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val bothSurvive = pairs.filter { case (a, b) => surv(a) && surv(b) }
+    assert(bothSurvive.isEmpty, s"surviving near-dup pairs: ${bothSurvive.toSeq}")
+  }
+
+  private def emptyIndexFor(emptyDocs: org.apache.spark.sql.DataFrame) = {
+    val (_, idx) = graft.dedup.Dedup.incrementalStep(emptyDocs,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sig",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType, containsNull = false)),
+          org.apache.spark.sql.types.StructField("band",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("band_key",
+            org.apache.spark.sql.types.StringType)))))
+    idx
+  }
+
   test("decontamination flags exactly the train docs quoting the eval set") {
     val evalSet = Seq(
       (100L, (1 to 20).map(i => s"e$i").mkString(" ")),
