@@ -1038,6 +1038,44 @@ object OracleSql {
         |FROM (SELECT user_id, ts, count(*) AS c FROM events
         |      GROUP BY user_id, ts HAVING count(*) > 1)""".stripMargin,
 
+    // funnel: stage mins chained by joins; exact integer-micros sums,
+    // one double division (mirrors the Spark expression tree)
+    "funnel_stages" ->
+      """WITH su AS (SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |cl AS (SELECT e.user_id, min(e.ts) AS t1, min(su.t0) AS t0
+        |  FROM events e JOIN su ON su.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= su.t0 GROUP BY e.user_id),
+        |pu AS (SELECT e.user_id, min(e.ts) AS t2, min(cl.t0) AS t0
+        |  FROM events e JOIN cl ON cl.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= cl.t1 GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1::BIGINT AS stage, 'signup' AS stage_name,
+        |    count(*) AS n_users,
+        |    round(sum(epoch_us(t0) - epoch_us(t0))::DOUBLE / count(*)
+        |      / 3600000000.0, 6) AS mean_hours_from_signup FROM su
+        |  UNION ALL
+        |  SELECT 2, 'click_after_signup', count(*),
+        |    round(sum(epoch_us(t1) - epoch_us(t0))::DOUBLE / count(*)
+        |      / 3600000000.0, 6) FROM cl
+        |  UNION ALL
+        |  SELECT 3, 'purchase_after_click', count(*),
+        |    round(sum(epoch_us(t2) - epoch_us(t0))::DOUBLE / count(*)
+        |      / 3600000000.0, 6) FROM pu)
+        |ORDER BY stage""".stripMargin,
+
+    // cohort triangle: first-seen day per user, distinct active users
+    // per (cohort, day offset)
+    "cohort_retention" ->
+      """WITH bd AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |  FROM events),
+        |co AS (SELECT user_id, min(day) AS cohort_day FROM bd GROUP BY user_id)
+        |SELECT co.cohort_day,
+        |  date_diff('day', co.cohort_day, bd.day)::BIGINT AS day_offset,
+        |  count(DISTINCT bd.user_id) AS n_users
+        |FROM bd JOIN co ON co.user_id = bd.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // keyless interval join (RangeJoin.rangeJoinBurst): DuckDB plans
     // the inequality join natively (IEJoin); the Spark side buckets the
     // epoch at the lookback width and refines exactly

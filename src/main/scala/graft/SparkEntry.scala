@@ -43,6 +43,13 @@ object SparkEntry {
     "a9_table_stats"          -> (EA.a9TableStats(_, _)),
     "a10_recent_distribution" -> (EA.a10RecentDistribution(_, _)),
     "a11_duplicate_detection" -> (EA.a11DuplicateDetection(_, _)),
+    // funnel + cohort analytics (three narrow aggregates / two
+    // aggregates and a key join — no full-stream windows)
+    "funnel_stages"    -> (EA.funnelStages(_, _)),
+    "cohort_retention" -> (EA.cohortRetention(_, _)),
+    // mergeable-sketch distinct counting (re-aggregation property);
+    // rows-only check by design — sketch bytes are engine-specific
+    "a6_sketch_merge"  -> (TX.a6SketchMerge(_, _)),
     // window analytics (SURVEY §2.4)
     "w1_gap_detection"  -> (EA.w1GapDetection(_, _)),
     "w2_moving_avg"     -> (EA.w2MovingAvg(_, _)),

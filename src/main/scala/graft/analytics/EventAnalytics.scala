@@ -194,6 +194,58 @@ object EventAnalytics {
   /** W1 gap detection (README.md:812-831): LAG over device timeline,
     * report gaps > 60 min. Gap computed on exact epoch-µs integers.
     */
+  /** Funnel analysis (signup → first subsequent click → first
+    * subsequent purchase): per-stage minimum timestamps chained through
+    * ordinary equi-joins with a time predicate — each stage is one
+    * groupBy over rows already filtered to its event type, so the whole
+    * funnel is three narrow aggregates and two key joins, no window
+    * over the full stream and no per-user state. Output: one row per
+    * stage with the surviving-user count and mean hours from signup.
+    */
+  def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    def stage(t: String) = ev.filter(col("event_type") === t)
+    val su = stage("signup").groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"))
+    val cl = stage("click").join(su, Seq("user_id"))
+      .filter(col("ts") >= col("t0"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"), min(col("t0")).as("t0"))
+    val pu = stage("purchase")
+      .join(cl.select(col("user_id"), col("t1"), col("t0")), Seq("user_id"))
+      .filter(col("ts") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t0")).as("t0"))
+    // exact integer micros summed, ONE double division at the end —
+    // a plain avg(double) would be accumulation-order dependent
+    def row(name: String, stageNo: Int, df: DataFrame, tCol: String) =
+      df.agg(
+        lit(stageNo.toLong).as("stage"),
+        lit(name).as("stage_name"),
+        count(lit(1)).as("n_users"),
+        round(sum(epochUs(col(tCol)) - epochUs(col("t0"))).cast(DoubleType)
+          / count(lit(1)) / lit(3.6e9), 6).as("mean_hours_from_signup"))
+    row("signup", 1, su.withColumn("t", col("t0")), "t")
+      .unionByName(row("click_after_signup", 2, cl, "t1"))
+      .unionByName(row("purchase_after_click", 3, pu, "t2"))
+      .orderBy(col("stage"))
+  }
+
+  /** Cohort retention triangle: users grouped by first-seen day, one
+    * row per (cohort_day, day_offset) with the distinct users active at
+    * that offset. Two aggregates and one key join — the (user, day)
+    * distinct set is the only intermediate, no windows.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val byDay = events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val cohorts = byDay.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    byDay.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast(LongType).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   def w1GapDetection(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .withColumn("prev_ts", lag(col("ts"), 1).over(deviceWindow))

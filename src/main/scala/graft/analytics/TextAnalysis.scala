@@ -92,6 +92,29 @@ object TextAnalysis {
         percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_approx"))
       .orderBy(col("bucket"), col("event_type"))
 
+  /** Mergeable-sketch distinct counting (the re-aggregation property
+    * continuous aggregates at 100 TB stand on): per-day HLL sketches of
+    * the device set are UNIONED into the global sketch instead of
+    * re-scanning raw data — `hll_sketch_agg` partials are associative,
+    * so day → week → month rollups each cost one pass over the previous
+    * level's sketches. The query emits the merged estimate next to the
+    * single-pass estimate (sketch algebra says they are the SAME
+    * sketch) and the exact count. No SQL oracle — sketch bytes are
+    * engine-specific (driver records rows-only); the spec asserts
+    * merged ≡ direct and bounds the estimate error against exact.
+    */
+  def a6SketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_estimate"))
+    val direct = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_estimate"),
+      count_distinct(col("user_id")).as("exact_distinct"))
+    merged.crossJoin(direct)
+  }
+
   /** Token-distribution signals for LLM data-quality filtering:
     * per-doc Shannon entropy of the token distribution (low = repetitive
     * boilerplate, near-log2(n) = no reuse) and the top-token share (the

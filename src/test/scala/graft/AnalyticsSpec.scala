@@ -29,6 +29,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(a2.agg(sum("n")).head().getLong(0) == Tables.events(spark, Sf0001).count())
   }
 
+  test("funnel stages are monotone and cohort triangle covers every active (user, day)") {
+    val f = EventAnalytics.funnelStages(spark, Sf0001).collect()
+    assert(f.map(_.getAs[Long]("stage")).toSeq == Seq(1L, 2L, 3L))
+    val counts = f.map(_.getAs[Long]("n_users"))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2), counts.toSeq)
+    assert(counts(0) > 0)
+    val hours = f.map(_.getAs[Double]("mean_hours_from_signup"))
+    assert(hours(0) == 0.0 && hours(1) >= 0.0 && hours(2) >= hours(1) - 1e-9)
+
+    val tri = EventAnalytics.cohortRetention(spark, Sf0001)
+    val total = tri.agg(sum("n_users")).head().getLong(0)
+    val activeDays = Tables.events(spark, Sf0001)
+      .select(col("user_id"), date_trunc("day", col("ts"))).distinct().count()
+    assert(total == activeDays)
+    assert(tri.filter(col("day_offset") < 0).count() == 0)
+  }
+
+  test("sketch merge: unioned daily sketches equal the single-pass sketch; error bounded") {
+    val r = graft.analytics.TextAnalysis.a6SketchMerge(spark, Sf001).head()
+    val (merged, direct, exact) =
+      (r.getAs[Long]("merged_estimate"), r.getAs[Long]("direct_estimate"),
+        r.getAs[Long]("exact_distinct"))
+    assert(merged == direct) // the re-aggregation identity
+    assert(math.abs(merged - exact).toDouble / exact < 0.05)
+  }
+
   test("w2: moving average stays within per-device min/max") {
     val bad = EventAnalytics.w2MovingAvg(spark, Sf0001)
       .join(EventAnalytics.a4DeviceStats(spark, Sf0001)
