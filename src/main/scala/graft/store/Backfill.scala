@@ -37,6 +37,29 @@ object Backfill {
     hourlyRollupPartitioned(events)
       .write.mode("overwrite").partitionBy("bucket_date").parquet(rollupDir)
 
+  /** REAL-TIME continuous-aggregate serving (TimescaleDB's
+    * `materialized_only = false` read path, init.sql:324-368): closed
+    * buckets come from the MATERIALIZED rollup — partition-pruned
+    * parquet, no raw scan — and only the live tail past `servedUntil`
+    * is aggregated on the fly from raw events. The union is exactly the
+    * rollup definition over the full stream (spec-proven), but the raw
+    * side's scan is bounded by the refresh lag instead of the table:
+    * at 100 TB the served query reads gigabytes of rollup plus the
+    * tail, not the raw history. Composed from existing operators — the
+    * semantics need no custom plan node.
+    */
+  def servedHourly(spark: SparkSession, events: DataFrame, rollupDir: String,
+      servedUntil: java.sql.Timestamp): DataFrame = {
+    // hour alignment, or one bucket would be split across both sides
+    require(servedUntil.getTime % 3600000L == 0, s"not hour-aligned: $servedUntil")
+    val closed = spark.read.parquet(rollupDir)
+      .filter(col("bucket") < lit(servedUntil))
+      .drop("bucket_date")
+    val tail = Streams.hourlyRollup(
+      events.filter(col("ts") >= lit(servedUntil)))
+    closed.unionByName(tail)
+  }
+
   /** Refresh [from, to): recompute the range from the raw table and
     * overwrite ONLY the affected bucket_date partitions.
     */

@@ -9,6 +9,31 @@ import org.apache.spark.sql.functions._
 
 class BackfillSpec extends SparkSpec {
 
+  test("real-time serving: rollup + live tail == full recompute; raw scan bounded to the tail") {
+    val dir = Files.createTempDirectory("rollup_rt").toString
+    val events = Tables.events(spark, Sf0001)
+    // materialize everything, then pretend the last ~2 days never got rolled up
+    val servedUntil = java.sql.Timestamp.valueOf("2024-01-28 00:00:00")
+    Backfill.materialize(
+      events.filter(col("ts") < lit(servedUntil)), dir)
+
+    val served = Backfill.servedHourly(spark, events, dir, servedUntil)
+    val full = Backfill.hourlyRollupPartitioned(events).drop("bucket_date")
+    assert(served.collect().map(_.toString).sorted.toSeq ==
+      full.collect().map(_.toString).sorted.toSeq)
+    // rollup side: bucket predicate pushed to the parquet scan; raw
+    // side: the tail filter is present (the events nanos shim converts
+    // ts post-scan, so it is a Filter node rather than a PushedFilter)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(bucket"), "rollup bucket filter not pushed")
+    assert(plan.contains(">= 2024-01-28 00:00:00"), "tail filter missing")
+    // misaligned serve point is refused, not silently wrong
+    intercept[IllegalArgumentException] {
+      Backfill.servedHourly(spark, events, dir,
+        java.sql.Timestamp.valueOf("2024-01-28 00:30:00"))
+    }
+  }
+
   test("A12 refresh: lost partition rebuilt to equal full recompute; others untouched") {
     val dir = Files.createTempDirectory("rollup").toString
     val events = Tables.events(spark, Sf0001)
