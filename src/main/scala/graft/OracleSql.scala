@@ -268,6 +268,17 @@ object OracleSql {
          |  FROM sc)
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
+    // per-epoch shuffle: hash60('epoch0|' || id) drives shard and rank
+    "shuffle_documents" ->
+      """SELECT doc_id, shard, pos FROM (
+        |  SELECT doc_id, h % 64 AS shard,
+        |    (row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id)
+        |      - 1)::BIGINT AS pos
+        |  FROM (SELECT doc_id,
+        |    ('0x' || substr(md5('epoch0|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
     "sample_documents" ->
       """SELECT doc_id, lang, source, n_chars,
         |  (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100) AS bucket

@@ -102,6 +102,8 @@ object SparkEntry {
     // planted contamination (the eval gram set is the broadcast side)
     "decontaminate"  -> (TX.decontaminate(_, _)),
     "sample_documents" -> (TX.txSample(_, _)),
+    // content-addressed per-epoch shuffle (reproducible training order)
+    "shuffle_documents" -> (TX.txShuffle(_, _)),
     // per-language token-budget admission (training-mix rebalancing);
     // two-phase bucketed cumsum — no whole-language window partitions
     "corpus_mix"       -> (TX.corpusMix(_, _)),

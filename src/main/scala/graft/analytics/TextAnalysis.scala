@@ -522,6 +522,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic global shuffle (per-epoch training order): the
+    * permutation is content-addressed — shard and in-shard position
+    * both derive from hash60(seed | doc_id) — so ANY engine, any
+    * partitioning, any rerun with the same seed yields the same order,
+    * and a new epoch seed is a fresh permutation with zero state. The
+    * rank window is per shard (≈ corpus/nShards rows), never global;
+    * shards ARE the training-reader parallelism.
+    */
+  def txShuffle(s: SparkSession, dir: String, seed: String = "epoch0",
+      nShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        hash60(concat(lit(seed), lit("|"), col("doc_id").cast(StringType))).as("h"))
+      .withColumn("shard", (col("h") % nShards).cast(LongType))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"))) - 1).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing (the greedy concat-then-chop scheme): docs are
     * laid end-to-end in (shard, doc_id) order and each one's bin is its
     * START offset divided by the bin capacity. One window cumsum per

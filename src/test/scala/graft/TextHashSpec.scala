@@ -313,6 +313,26 @@ class TextHashSpec extends SparkSpec {
     assert(perDoc.values.forall(_.map(_.getAs[Long]("rk")).sorted.toSeq == Seq(1L, 2L, 3L)))
   }
 
+  test("epoch shuffle: a valid permutation, stable per seed, fresh per epoch") {
+    val e0 = graft.analytics.TextAnalysis.txShuffle(spark, Sf001, "epoch0")
+    val rows = e0.collect()
+    assert(rows.length == 500)
+    // (shard, pos) is a bijection: positions within each shard are 0..n-1
+    rows.groupBy(_.getAs[Long]("shard")).values.foreach { g =>
+      assert(g.map(_.getAs[Long]("pos")).sorted.toSeq == (0L until g.length).toSeq)
+    }
+    // same seed → identical; different seed → a different permutation
+    val again = graft.analytics.TextAnalysis.txShuffle(spark, Sf001, "epoch0")
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == rows.map(_.toString).sorted.toSeq)
+    val e1 = graft.analytics.TextAnalysis.txShuffle(spark, Sf001, "epoch1")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toMap
+    val moved = rows.count(r => e1(r.getAs[Long]("doc_id")) !=
+      (r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    assert(moved > 400, s"only $moved docs moved between epochs")
+  }
+
   test("corpus mix: two-phase bucketed admission == naive per-language cumsum") {
     import graft.functions.TextFunctions.{hash60, tokens}
     import org.apache.spark.sql.expressions.Window
