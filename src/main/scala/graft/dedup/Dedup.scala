@@ -149,6 +149,19 @@ object Dedup {
     size(filter(zip_with(a, b, (x, y) => x === y), x => x))
       .cast(DoubleType) / 16
 
+  /** Empty signature index with the `signBand` schema — the seed of an
+    * incremental pipeline (first delivery dedups only against itself).
+    */
+  def emptyIndex(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("sig", ArrayType(LongType, containsNull = false)),
+        StructField("band", IntegerType),
+        StructField("band_key", StringType))))
+  }
+
   /** One INCREMENTAL dedup step — how a 100 TB pipeline actually runs
     * dedup: each delivery is checked against the accumulated corpus via
     * a SIGNATURE index, never by re-reading stored text. The index rows
@@ -198,8 +211,7 @@ object Dedup {
     */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val emptyIndex = signBand(docs.filter(lit(false)))
-    val (s1, idx1) = incrementalStep(docs.filter(col("doc_id") % 2 === 0), emptyIndex)
+    val (s1, idx1) = incrementalStep(docs.filter(col("doc_id") % 2 === 0), emptyIndex(s))
     val (s2, _) = incrementalStep(docs.filter(col("doc_id") % 2 === 1), idx1)
     s1.select(col("doc_id"), lit(1L).as("delivery"))
       .unionByName(s2.select(col("doc_id"), lit(2L).as("delivery")))

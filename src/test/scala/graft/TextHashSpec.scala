@@ -176,8 +176,8 @@ class TextHashSpec extends SparkSpec {
     val textA = words("alpha", 30); val textB = words("beta", 30)
     val d1 = Seq((1L, textA), (3L, textA), (5L, textB)).toDF("doc_id", "text")
     val d2 = Seq((2L, textB), (4L, words("gamma", 30))).toDF("doc_id", "text")
-    val empty = d1.filter(lit(false))
-    val (s1, idx1) = graft.dedup.Dedup.incrementalStep(d1, emptyIndexFor(empty))
+    val (s1, idx1) = graft.dedup.Dedup.incrementalStep(d1,
+      graft.dedup.Dedup.emptyIndex(spark))
     // within delivery 1: doc 3 is a verbatim copy of doc 1 -> dropped
     assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
     assert(idx1.count() == 16) // 2 survivors x 8 band rows
@@ -194,23 +194,6 @@ class TextHashSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
     val bothSurvive = pairs.filter { case (a, b) => surv(a) && surv(b) }
     assert(bothSurvive.isEmpty, s"surviving near-dup pairs: ${bothSurvive.toSeq}")
-  }
-
-  private def emptyIndexFor(emptyDocs: org.apache.spark.sql.DataFrame) = {
-    val (_, idx) = graft.dedup.Dedup.incrementalStep(emptyDocs,
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("sig",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.LongType, containsNull = false)),
-          org.apache.spark.sql.types.StructField("band",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("band_key",
-            org.apache.spark.sql.types.StringType)))))
-    idx
   }
 
   test("decontamination flags exactly the train docs quoting the eval set") {
