@@ -127,6 +127,36 @@ object Streams {
       }
   }
 
+  /** Stream-stream event-time join (J2's cross-STREAM form): every
+    * error event joined to the same device's click events within the
+    * preceding `windowSec` seconds, both sides watermarked so the join
+    * state is BOUNDED — a buffered click can be dropped once the error
+    * stream's watermark guarantees no error can still reach back to it
+    * (Spark derives the eviction bound from the time-interval predicate
+    * + both watermarks; without the interval condition the state would
+    * grow forever). Append mode: a pair emits once both sides are past
+    * doubt. The equi-key (user_id) keeps it one state-store shuffle.
+    */
+  def errorClickJoin(errors: DataFrame, clicks: DataFrame,
+      windowSec: Int = 600, delay: String = "1 hour"): DataFrame = {
+    val e = errors
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("ts").as("error_ts"), col("value").as("error_value"))
+    val c = clicks
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", delay)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    e.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("error_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("click_ts") < col("error_ts"))
+      .select(col("user_id"), col("error_id"), col("error_ts"),
+        col("error_value"), col("click_id"), col("click_ts"))
+  }
+
   /** Crash-injection points for the transactional sink's replay test. */
   sealed trait CrashPoint
   case object NoCrash extends CrashPoint

@@ -45,6 +45,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join: errors pick up preceding clicks, matches batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val errs = MemoryStream[EventRow]
+    val clicks = MemoryStream[EventRow]
+    val q = Streams.errorClickJoin(errs.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        EventRow(10, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+        EventRow(11, ts("2024-01-01 00:09:00"), 1, "click", 1.0),
+        EventRow(12, ts("2024-01-01 00:09:30"), 2, "click", 1.0), // other user
+        EventRow(13, ts("2024-01-01 00:20:00"), 1, "click", 1.0)) // after error
+      errs.addData(
+        EventRow(1, ts("2024-01-01 00:10:00"), 1, "error", 500.0))
+      q.processAllAvailable()
+      // advance both watermarks far so all pairs are emitted
+      clicks.addData(EventRow(14, ts("2024-01-01 06:00:00"), 3, "click", 1.0))
+      errs.addData(EventRow(2, ts("2024-01-01 06:00:00"), 3, "error", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin")
+        .select("error_id", "click_id").as[(Long, Long)].collect().toSet
+      // error 1 at 00:10 reaches back 10 min: clicks 10 (00:05) and 11
+      // (00:09) match; 12 is another user; 13 is after the error
+      assert(got == Set((1L, 10L), (1L, 11L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("streaming incremental dedup via foreachBatch: cross-batch dups die at ingest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("incr_sink")
+    val (outDir, idxDir, ckpt) = (s"$dir/out", s"$dir/idx", s"$dir/ckpt")
+    val mem = MemoryStream[(Long, String)]
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val idx =
+          try spark.read.parquet(idxDir)
+          catch { case _: Throwable => graft.dedup.Dedup.emptyIndex(spark) }
+        val (surv, newIdx) = graft.dedup.Dedup.incrementalStep(batch, idx)
+        surv.write.mode("append").parquet(outDir)
+        newIdx.write.mode("overwrite").parquet(s"$idxDir.next")
+        // swap: overwrite the index only after survivors are durable
+        val fs = new org.apache.hadoop.fs.Path(idxDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(s"$idxDir.next"),
+          new org.apache.hadoop.fs.Path(idxDir))
+        ()
+      }.start()
+    try {
+      mem.addData((1L, words("alpha", 30)), (5L, words("beta", 30)))
+      q.processAllAvailable()
+      mem.addData((2L, words("beta", 30)), (4L, words("gamma", 30)))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir)
+        .select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq == Seq(1L, 4L, 5L), s"kept ${kept.toSeq}")
+    } finally q.stop()
+  }
+
   test("watermarked stream dedup drops in-horizon redeliveries, state stays bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
