@@ -268,6 +268,18 @@ object OracleSql {
          |  FROM sc)
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
+    // A-ES weighted sample: key = (log2(h+1) − 60) / n_chars, 9-dp
+    // rounded before the rank, id tiebreak; top 50
+    "weighted_sample" ->
+      """SELECT doc_id, n_chars, es_key, rk FROM (
+        |  SELECT doc_id, n_chars, es_key,
+        |    row_number() OVER (ORDER BY es_key DESC, doc_id)::BIGINT AS rk
+        |  FROM (SELECT doc_id, n_chars,
+        |    round((log2((('0x' || substr(md5('ws|' || doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE + 1)
+        |      - 60.0) / n_chars, 9) AS es_key
+        |    FROM documents))
+        |WHERE rk <= 50 ORDER BY rk""".stripMargin,
+
     // per-epoch shuffle: hash60('epoch0|' || id) drives shard and rank
     "shuffle_documents" ->
       """SELECT doc_id, shard, pos FROM (

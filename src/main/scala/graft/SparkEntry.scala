@@ -104,6 +104,8 @@ object SparkEntry {
     "sample_documents" -> (TX.txSample(_, _)),
     // content-addressed per-epoch shuffle (reproducible training order)
     "shuffle_documents" -> (TX.txShuffle(_, _)),
+    // Efraimidis-Spirakis weighted sampling (deterministic u from hash)
+    "weighted_sample"   -> (TX.txWeightedSample(_, _)),
     // per-language token-budget admission (training-mix rebalancing);
     // two-phase bucketed cumsum — no whole-language window partitions
     "corpus_mix"       -> (TX.corpusMix(_, _)),

@@ -522,6 +522,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    * the distributed-systems standard): each item draws u ∈ (0,1) and
+    * ranks by log(u)/w — the top-k under that key is exactly a
+    * w-weighted sample. Here u is CONTENT-ADDRESSED (the same 60-bit id
+    * hash family as sampling/shuffle) instead of RNG, so the sample is
+    * reproducible on any engine/partitioning; weight = document length,
+    * so longer docs are proportionally likelier — the shape used for
+    * importance-weighted corpus subsetting. Keys are 9-dp rounded
+    * before ranking (id tiebreak) so the cut is engine-independent;
+    * global top-k plans as TakeOrderedAndProject, never a full sort.
+    */
+  def txWeightedSample(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = hash60(concat(lit("ws|"), col("doc_id").cast(StringType)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        // log2(u)/w with u = (h+1)/2^60, written as one expression tree
+        round((log(2.0, h.cast(DoubleType) + 1) - lit(60.0)) /
+          col("n_chars"), 9).as("es_key"))
+      // TakeOrderedAndProject does the global cut; the rank window then
+      // runs over only the k survivors
+      .orderBy(col("es_key").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("es_key").desc, col("doc_id"))).cast(LongType))
+      .orderBy(col("rk"))
+  }
+
   /** Deterministic global shuffle (per-epoch training order): the
     * permutation is content-addressed — shard and in-shard position
     * both derive from hash60(seed | doc_id) — so ANY engine, any

@@ -296,6 +296,24 @@ class TextHashSpec extends SparkSpec {
     assert(perDoc.values.forall(_.map(_.getAs[Long]("rk")).sorted.toSeq == Seq(1L, 2L, 3L)))
   }
 
+  test("weighted sample: long docs overrepresented, deterministic, top-k planned") {
+    val s50 = graft.analytics.TextAnalysis.txWeightedSample(spark, Sf001)
+    val rows = s50.collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq == (1L to 50L).toSeq)
+    // weight = n_chars: the sample's mean length must exceed the corpus mean
+    val sampleMean = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / 50
+    val corpusMean = Tables.documents(spark, Sf001)
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean * 1.1, s"sample $sampleMean corpus $corpusMean")
+    // reproducible: same engine, fresh plan, identical sample
+    val again = graft.analytics.TextAnalysis.txWeightedSample(spark, Sf001)
+      .collect().map(_.toString).toSeq
+    assert(again == rows.map(_.toString).toSeq)
+    // the global cut is TakeOrderedAndProject, not a full sort
+    assert(s50.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("epoch shuffle: a valid permutation, stable per seed, fresh per epoch") {
     val e0 = graft.analytics.TextAnalysis.txShuffle(spark, Sf001, "epoch0")
     val rows = e0.collect()
