@@ -117,6 +117,9 @@ object SparkEntry {
     // deduplication (north-star extensions)
     "dedup_exact"         -> (Dedup.dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard(_, _)),
+    // asymmetric containment (excerpt/superset duplication — the case
+    // size-mismatched Jaccard misses); directed (contained, container)
+    "dedup_containment"   -> (Dedup.dedupContainment(_, _)),
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh(_, _)),
     "dedup_simhash"       -> (Dedup.dedupSimhash(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),

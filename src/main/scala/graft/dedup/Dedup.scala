@@ -76,6 +76,50 @@ object Dedup {
     result
   }
 
+  /** Asymmetric CONTAINMENT detection — the case Jaccard is blind to:
+    * a short document wholly embedded in a longer one has
+    * |∩|/|∪| ≈ |A|/|B| (small), but containment c(A→B) = |∩|/|A| ≈ 1.
+    * This is how quote-of-a-document, excerpt and superset duplication
+    * get caught in corpus dedup. Candidate generation reuses the
+    * inverted shingle index with the same stop-shingle df cap; each
+    * unordered candidate pair then yields up to two DIRECTED rows
+    * (contained → container) at c ≥ minC, with the exact containment
+    * from full shingle sets.
+    */
+  def dedupContainment(s: SparkSession, dir: String, maxDf: Int = 10000,
+      minC: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .persist()
+    val idx = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = idx.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("s"))
+    val pruned = idx.join(rare, "s")
+    val cand = pruned.as("a").join(pruned.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_common"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+    val directed = withSets.select(col("doc_a").as("contained_id"),
+        col("doc_b").as("container_id"),
+        (col("n_common").cast(DoubleType) / col("n_a")).as("containment"))
+      .unionByName(withSets.select(col("doc_b").as("contained_id"),
+        col("doc_a").as("container_id"),
+        (col("n_common").cast(DoubleType) / col("n_b")).as("containment")))
+    val result = directed.filter(col("containment") >= minC)
+      .select(col("contained_id"), col("container_id"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy(col("contained_id"), col("container_id"))
+      .localCheckpoint(true)
+    docs.unpersist()
+    result
+  }
+
   /** MinHash+LSH near-dup detection: 16-function signature per doc
     * (native codegen'd expression, one text pass), bucketed as 8 bands ×
     * 2 rows — P(candidate | jaccard j) ≈ 1−(1−j²)⁸, so random pairs

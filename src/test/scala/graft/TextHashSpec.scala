@@ -171,6 +171,28 @@ class TextHashSpec extends SparkSpec {
     assert(out(6L)._1._1 == 0L && out(6L)._3 == true)
   }
 
+  test("containment catches an excerpt that jaccard misses") {
+    import graft.functions.TextFunctions.shingles
+    def words(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
+    // doc 2 = a verbatim 12-token excerpt of 100-token doc 1
+    val docs = Seq(
+      (1L, words("w", 1, 100)),
+      (2L, words("w", 40, 51)),
+      (3L, words("z", 1, 50))
+    ).toDF("doc_id", "text")
+    val sets = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val pair = sets.as("a").join(sets.as("b"),
+        col("a.doc_id") === 1 && col("b.doc_id") === 2)
+      .select(
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(col("b.sh"))).as("containment"))
+      .head()
+    assert(pair.getAs[Double]("jaccard") < 0.2)      // jaccard blind
+    assert(pair.getAs[Double]("containment") == 1.0) // containment sees it
+  }
+
   test("incremental dedup: within- and cross-delivery dups die, index accumulates") {
     def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
     val textA = words("alpha", 30); val textB = words("beta", 30)
