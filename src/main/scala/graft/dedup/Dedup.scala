@@ -245,6 +245,37 @@ object Dedup {
     (survivors, newIndex)
   }
 
+  /** The incremental pipeline as a STREAMING sink: each micro-batch of
+    * (doc_id, text) runs `incrementalStep` against the durable
+    * signature index, appends survivors to `outDir`, and swaps the
+    * index via write-aside + rename only AFTER the survivors are
+    * durable — a crash between the two leaves the old index in place,
+    * so a replayed batch re-dedups against the same state it saw
+    * (dropping is idempotent; the exactly-once survivor append is the
+    * transactional sink's job when composed, cf. `Streams.commitBatch`).
+    */
+  def startIncrementalSink(docs: DataFrame, outDir: String, indexDir: String,
+      checkpointDir: String, tau: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val idx =
+          try spark.read.parquet(indexDir)
+          catch { case _: Throwable => emptyIndex(spark) }
+        val (surv, newIdx) = incrementalStep(batch, idx, tau)
+        surv.write.mode("append").parquet(outDir)
+        newIdx.write.mode("overwrite").parquet(s"$indexDir.next")
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(s"$indexDir.next"),
+          new org.apache.hadoop.fs.Path(indexDir))
+        ()
+      }
+      .start()
+
   /** Registered two-delivery simulation of the incremental pipeline:
     * the corpus split by doc_id parity arrives as two deliveries; the
     * first builds the index from its own survivors, the second dedups

@@ -81,24 +81,8 @@ class StreamingSpec extends SparkSpec {
     val (outDir, idxDir, ckpt) = (s"$dir/out", s"$dir/idx", s"$dir/ckpt")
     val mem = MemoryStream[(Long, String)]
     def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
-    val q = mem.toDF().toDF("doc_id", "text")
-      .writeStream.option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val idx =
-          try spark.read.parquet(idxDir)
-          catch { case _: Throwable => graft.dedup.Dedup.emptyIndex(spark) }
-        val (surv, newIdx) = graft.dedup.Dedup.incrementalStep(batch, idx)
-        surv.write.mode("append").parquet(outDir)
-        newIdx.write.mode("overwrite").parquet(s"$idxDir.next")
-        // swap: overwrite the index only after survivors are durable
-        val fs = new org.apache.hadoop.fs.Path(idxDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
-        fs.rename(new org.apache.hadoop.fs.Path(s"$idxDir.next"),
-          new org.apache.hadoop.fs.Path(idxDir))
-        ()
-      }.start()
+    val q = graft.dedup.Dedup.startIncrementalSink(
+      mem.toDF().toDF("doc_id", "text"), outDir, idxDir, ckpt)
     try {
       mem.addData((1L, words("alpha", 30)), (5L, words("beta", 30)))
       q.processAllAvailable()
