@@ -22,10 +22,28 @@ import scala.jdk.CollectionConverters._
   *    (the A/B lever that exposed the r4 session-state effect; see
   *    COVERAGE.md's bench-methodology note).
   *
-  * Every individual run is logged to stderr with the block-manager
-  * footprint at its end, and all three raw times ride the JSON line in
-  * a `runs` field — min-of-3 alone cannot distinguish "one cold run"
-  * from "every run slow" after the fact.
+  * THE ARTIFACT IS SELF-DIAGNOSING. Three rounds of driver benches were
+  * contaminated by a host-side throughput-degradation window (multi-
+  * minute wall-time inflation with flat process CPU — PSI zero, 96%
+  * idle, reproduced in r5; COVERAGE.md's bench-methodology note), and
+  * the discriminator lived only in stderr lines the driver's capture
+  * discards. Now every accepted run's process-CPU and GC-time deltas
+  * ride the JSON line (`runsCpu`/`runsGc`, aligned with `runs`), so
+  * "the query did more work" (cpu inflates with wall) and "the
+  * environment stalled the JVM" (wall inflates, cpu flat) are
+  * distinguishable from the artifact alone. On top of that:
+  *
+  *  - STALL-AWARE RETRY: a run whose wall exceeds 3× its process-CPU
+  *    delta (above a 1 s floor — sub-second queries schedule-jitter
+  *    past any ratio) is a stall casualty by definition — on a healthy
+  *    local[32] JVM every benched plan burns MORE cpu than wall. The
+  *    run is discarded and re-run, at most 2 retries per query, so one
+  *    degradation window can no longer contaminate a min-of-3. Retries
+  *    are recorded per query in a `retries` field.
+  *  - STALL WINDOWS: every discarded run becomes a `stall_windows`
+  *    entry (query, run, start/end epoch seconds, wall/cpu/gc), so an
+  *    occurrence is data, not a dispute. The field is present (possibly
+  *    empty) in every artifact.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (data), SPARK_GRAFT_CPUS (local[N]),
   * SPARK_GRAFT_BENCH_FREE (default 1),
@@ -33,6 +51,16 @@ import scala.jdk.CollectionConverters._
   * list/order — used for the order-variance probes).
   */
 object Bench {
+
+  /** One accepted run: wall seconds + the process-cpu and gc-time
+    * deltas over the same window.
+    */
+  private case class Run(wall: Double, cpu: Double, gc: Double)
+
+  /** One discarded (stall-shaped) run, with its wall-clock window. */
+  private case class Stall(query: String, run: Int, startEpochSec: Double,
+      endEpochSec: Double, wall: Double, cpu: Double, gc: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -67,6 +95,8 @@ object Bench {
       graft.Tables.embeddings(spark, sfDir).limit(2000), 0.9))
     graft.store.Checkpoints.free(spark)
     val errors = mutable.LinkedHashMap.empty[String, String]
+    val retries = mutable.LinkedHashMap.empty[String, Int]
+    val stalls = mutable.ArrayBuffer.empty[Stall]
     def footprint(): String = {
       val (n, mem, disk) = graft.store.Checkpoints.storageFootprint(spark)
       f"cachedRdds=$n memMB=${mem / 1e6}%.1f diskMB=${disk / 1e6}%.1f"
@@ -74,7 +104,7 @@ object Bench {
     // Per-run process-CPU and GC deltas: the discriminator between "the
     // query did more work" (cpu inflates with wall — recompute/GC) and
     // "the environment stalled the JVM" (wall inflates, cpu flat — the
-    // r4 dedup_embedding_090 pathology: a multi-minute host-side
+    // r4/r5 dedup_embedding_090 pathology: a multi-minute host-side
     // throughput-degradation window reproduced locally on the r5
     // machine with PSI zero, 96% idle, and a concurrently-launched
     // fresh process spinning at full 32-core speed).
@@ -84,14 +114,23 @@ object Bench {
     def gcSeconds(): Double =
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum / 1e3
+    // Stall test: on local[32] every benched plan burns more process-
+    // cpu than wall (parallel execution), so wall > 3× cpu means the
+    // JVM spent ≥ 2/3 of the window not running — an environment
+    // stall, not plan cost. The 1 s floor keeps sub-second queries
+    // (where one scheduling hiccup can dominate the ratio) exempt.
+    def isStall(wall: Double, cpu: Double): Boolean =
+      wall > 1.0 && wall > 3.0 * cpu
+    val maxRetriesPerQuery = 2
     def benchOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Option[(String, (Double, Seq[Double]))] = {
+        : Option[(String, Seq[Run])] = {
       // Each run's timing includes everything the query does itself;
       // the between-run block-manager cleanup happens OUTSIDE the
       // timed window so the measurement stays "cost of the plan".
-      def once(i: Int): Option[Double] = {
+      def once(i: Int): Option[Either[Stall, Run]] = {
         val (cpu0, gc0) = (cpuSeconds(), gcSeconds())
+        val wallStart = System.currentTimeMillis() / 1e3
         val t0 = System.nanoTime()
         val r =
           try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
@@ -102,19 +141,56 @@ object Bench {
               errors(name) = msg
               None
           }
+        val (cpuD, gcD) = (cpuSeconds() - cpu0, gcSeconds() - gc0)
         // one line per RUN (not just the min): a bench artifact that
         // only carries min-of-3 can't distinguish "one cold run" from
         // "every run slow" after the fact — exactly the ambiguity that
         // made r4's dedup_embedding_090 driver reading undiagnosable
         System.err.println(
           f"[bench] $name run $i ${r.map(t => f"$t%.2fs").getOrElse("ERR")}%-8s " +
-            f"cpu=${cpuSeconds() - cpu0}%.1fs gc=${gcSeconds() - gc0}%.2fs ${footprint()}")
+            f"cpu=$cpuD%.1fs gc=$gcD%.2fs ${footprint()}")
         if (freeBetween) graft.store.Checkpoints.free(spark)
-        r
+        r.map { wall =>
+          if (isStall(wall, cpuD))
+            Left(Stall(name, i, wallStart, wallStart + wall, wall, cpuD, gcD))
+          else Right(Run(wall, cpuD, gcD))
+        }
       }
-      val times = (1 to 3).flatMap(once)
+      var accepted = Vector.empty[Run]
+      var retriesUsed = 0
+      var attemptsCounted = 0 // attempts NOT discarded (accepted / kept / errored)
+      var i = 0
+      while (attemptsCounted < 3) {
+        i += 1
+        once(i) match {
+          case Some(Right(run)) =>
+            accepted :+= run
+            attemptsCounted += 1
+          case Some(Left(stall)) if retriesUsed < maxRetriesPerQuery =>
+            // discard + re-run: a degradation window must not
+            // contaminate the min-of-3 — but bounded, so a genuinely
+            // cpu-starved environment still terminates
+            retriesUsed += 1
+            retries(name) = retriesUsed
+            stalls += stall
+            System.err.println(
+              f"[bench] $name run ${stall.run} DISCARDED as stall " +
+                f"(wall=${stall.wall}%.1fs cpu=${stall.cpu}%.1fs) — retry $retriesUsed/$maxRetriesPerQuery")
+          case Some(Left(stall)) =>
+            // retry budget exhausted: keep the reading rather than
+            // lose the query, but it stays flagged in stall_windows
+            stalls += stall
+            System.err.println(
+              f"[bench] $name run ${stall.run} stall-shaped but retry budget " +
+                f"exhausted — KEPT (wall=${stall.wall}%.1fs cpu=${stall.cpu}%.1fs)")
+            accepted :+= Run(stall.wall, stall.cpu, stall.gc)
+            attemptsCounted += 1
+          case None =>
+            attemptsCounted += 1 // failed run: error recorded, no timing row
+        }
+      }
       // all-runs-failed => no timing row; the error entry carries it
-      if (times.isEmpty) None else Some(name -> (times.min, times))
+      if (accepted.isEmpty) None else Some(name -> accepted)
     }
     val results = names.flatMap { name =>
       SparkEntry.queries.get(name) match {
@@ -125,18 +201,31 @@ object Bench {
         case Some(fn) => benchOne(name, fn)
       }
     }
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+    def arr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val qs = results.map { case (k, rs) => "\"" + k + "\":" + rs.map(_.wall).min }
       .mkString("{", ",", "}")
-    val runsJson = results.map { case (k, (_, ts)) =>
-      "\"" + k + "\":" + ts.mkString("[", ",", "]")
-    }.mkString(",\"runs\":{", ",", "}")
+    val runsJson = results.map { case (k, rs) => "\"" + k + "\":" + arr(rs.map(_.wall)) }
+      .mkString(",\"runs\":{", ",", "}")
+    val cpuJson = results.map { case (k, rs) => "\"" + k + "\":" + arr(rs.map(_.cpu)) }
+      .mkString(",\"runsCpu\":{", ",", "}")
+    val gcJson = results.map { case (k, rs) => "\"" + k + "\":" + arr(rs.map(_.gc)) }
+      .mkString(",\"runsGc\":{", ",", "}")
+    val retriesJson = retries.map { case (k, n) => "\"" + k + "\":" + n }
+      .mkString(",\"retries\":{", ",", "}")
+    val stallsJson = stalls.map { s =>
+      f"""{"query":"${s.query}","run":${s.run},"start":${s.startEpochSec}%.1f,""" +
+        f""""end":${s.endEpochSec}%.1f,"wall":${s.wall}%.3f,"cpu":${s.cpu}%.3f,"gc":${s.gc}%.3f}"""
+    }.mkString(",\"stall_windows\":[", ",", "]")
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) =>
         "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       }.mkString(",\"errors\":{", ",", "}")
-    val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$errJson,"sf":"$sfDir"}""")
+    val total = results.map(_._2.map(_.wall).min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$cpuJson$gcJson$retriesJson$stallsJson$errJson,"sf":"$sfDir"}""")
+    if (stalls.nonEmpty)
+      System.err.println(s"[bench] ${stalls.size} stall-shaped run(s) recorded in stall_windows")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

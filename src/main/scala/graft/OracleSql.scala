@@ -1374,5 +1374,9 @@ object OracleSql {
         |  SELECT count(*) AS duplicate_pairs FROM (
         |    SELECT user_id, ts FROM events GROUP BY user_id, ts
         |    HAVING count(*) > 1)) d""".stripMargin
-  )
+  ) +
+    // the durable-sink drive of the two-delivery scenario computes the
+    // SAME result as the in-memory steps — one declarative oracle
+    // certifies both paths
+    ("dedup_incremental_sink" -> textOracles("dedup_incremental"))
 }

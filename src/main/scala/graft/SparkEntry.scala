@@ -130,6 +130,10 @@ object SparkEntry {
     // incremental (per-delivery) dedup against a signature index — the
     // accumulated corpus's text is never re-read
     "dedup_incremental"   -> (Dedup.dedupIncremental(_, _)),
+    // the same two deliveries through the DURABLE streaming sink
+    // (startIncrementalSink): real checkpointed query, per-batch
+    // segment writes, corpus read back from disk — same oracle
+    "dedup_incremental_sink" -> (Dedup.dedupIncrementalSink(_, _)),
     "dedup_clusters_simhash" -> (Dedup.dedupClustersSimhash(_, _)),
     "dedup_embedding"     -> (Similarity.dedupEmbedding(_, _)),
     // exact O(n^2) path at the LSH operating threshold — benched

@@ -176,10 +176,20 @@ object Dedup {
   /** Per-doc MinHash band rows for the INCREMENTAL index:
     * (doc_id, sig, band, band_key) — 8 bands × 2 signature slots, the
     * same family `dedupMinhashLshDf` buckets with.
+    *
+    * Docs too short to produce a single 3-shingle emit NO rows: the
+    * MinHash of an empty set is the hash functions' identity (every
+    * slot Long.MaxValue), so two unrelated short docs would otherwise
+    * collide in every band with estimate 1.0 and dedup against each
+    * other. No signature ⇒ never a candidate ⇒ automatic survivor —
+    * the same semantics as the relational oracle, whose shingle CTE
+    * emits no rows for such docs.
     */
   private def signBand(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), minhashSig(shingles(col("text"), 3), 16).as("sig"))
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSig(col("sh"), 16).as("sig"))
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("band_key", concat_ws("|",
@@ -193,18 +203,45 @@ object Dedup {
     size(filter(zip_with(a, b, (x, y) => x === y), x => x))
       .cast(DoubleType) / 16
 
+  /** The `signBand` row schema — shared by `emptyIndex` and the
+    * durable segment reader (an explicit schema means an existing but
+    * still-empty index directory reads as zero rows instead of dying
+    * in schema inference).
+    */
+  val indexSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sig", ArrayType(LongType, containsNull = false)),
+    StructField("band", IntegerType),
+    StructField("band_key", StringType)))
+
   /** Empty signature index with the `signBand` schema — the seed of an
     * incremental pipeline (first delivery dedups only against itself).
     */
-  def emptyIndex(s: SparkSession): DataFrame = {
-    import org.apache.spark.sql.types._
+  def emptyIndex(s: SparkSession): DataFrame =
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
-        StructField("doc_id", LongType),
-        StructField("sig", ArrayType(LongType, containsNull = false)),
-        StructField("band", IntegerType),
-        StructField("band_key", StringType))))
+      indexSchema)
+
+  /** Durable signature index = the UNION of append-only per-batch
+    * segment directories under `indexDir` (see `incrementalCommit`).
+    * Falls back to the empty index ONLY when the directory genuinely
+    * does not exist yet (first delivery); any other read failure —
+    * corruption, permissions, a half-written file — propagates, because
+    * silently substituting an empty index would re-admit every
+    * cross-delivery duplicate with no error surfaced.
+    */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) emptyIndex(spark)
+    else spark.read.schema(indexSchema)
+      .option("recursiveFileLookup", "true").parquet(indexDir)
   }
+
+  /** Read every per-batch segment under a sink directory (survivor
+    * corpus or signature index) as one DataFrame.
+    */
+  def readSegments(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(dir)
 
   /** One INCREMENTAL dedup step — how a 100 TB pipeline actually runs
     * dedup: each delivery is checked against the accumulated corpus via
@@ -221,6 +258,23 @@ object Dedup {
     */
   def incrementalStep(batch: DataFrame, index: DataFrame,
       tau: Double = 0.5): (DataFrame, DataFrame) = {
+    val (survivors, delta) = incrementalStepDelta(batch, index, tau)
+    (survivors, index.unionByName(delta))
+  }
+
+  /** `incrementalStep` exposing the index DELTA instead of the updated
+    * index: (survivors, the survivors' own band rows). The delta is all
+    * a durable pipeline ever needs to WRITE — O(batch) rows per
+    * delivery, where rewriting the unioned index would be O(corpus),
+    * turning the per-delivery flat-cost property the step earns into a
+    * linearly-growing write. The cross-delivery join excludes same-
+    * doc_id matches so a replayed batch whose own delta segment already
+    * landed (crash after index write, before checkpoint commit) does
+    * not dedup against ITSELF — the property that makes
+    * `incrementalCommit` idempotent under replay.
+    */
+  def incrementalStepDelta(batch: DataFrame, index: DataFrame,
+      tau: Double = 0.5): (DataFrame, DataFrame) = {
     val sg = signBand(batch)
     val within = sg.as("x").join(sg.as("y"),
         col("x.band") === col("y.band") &&
@@ -233,46 +287,80 @@ object Dedup {
       .select(col("doc_b").as("doc_id")).distinct()
     val cross = sg.as("x").join(index.as("i"),
         col("x.band") === col("i.band") &&
-          col("x.band_key") === col("i.band_key"))
+          col("x.band_key") === col("i.band_key") &&
+          col("x.doc_id") =!= col("i.doc_id"))
       .select(col("x.doc_id"), col("x.sig").as("sig_a"),
         col("i.doc_id").as("idx_id"), col("i.sig").as("sig_b"))
       .distinct()
       .filter(sigEst(col("sig_a"), col("sig_b")) >= tau)
       .select(col("doc_id")).distinct()
     val survivors = batch.join(within.union(cross), Seq("doc_id"), "left_anti")
-    val newIndex = index.unionByName(
-      sg.join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi"))
-    (survivors, newIndex)
+    val delta = sg.join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    (survivors, delta)
+  }
+
+  /** Crash-injection points for `incrementalCommit` (spec-only; the
+    * streaming sink always commits with `NoSinkCrash`).
+    */
+  sealed trait SinkCrash
+  case object NoSinkCrash extends SinkCrash
+  case object CrashAfterSurvivorWrite extends SinkCrash
+
+  /** One durable delivery: dedup `batch` against the accumulated
+    * signature index, then land BOTH artifacts as per-batch SEGMENT
+    * directories —
+    *
+    *   outDir/seg_<batchId>    the batch's surviving (doc_id, text…) rows
+    *   indexDir/seg_<batchId>  the survivors' band rows (the index delta)
+    *
+    * The index is never rewritten and never swapped: readers union the
+    * segment directories (`readIndex`/`readSegments`), each delivery
+    * only WRITES its own O(batch) delta, and there is no
+    * delete-then-rename window in which the whole index can vanish.
+    * Both writes are mode("overwrite") into a batchId-determined
+    * directory, so a replay overwrites its own previous attempt —
+    * never duplicating rows, whatever the crash point:
+    *
+    *  - crash between survivor write and index write: the replay sees
+    *    the index WITHOUT this batch's delta — the same state the
+    *    failed attempt saw — computes the identical survivor set, and
+    *    overwrites the same segment;
+    *  - crash after the index write, before the checkpoint commit: the
+    *    replay sees the index WITH this batch's delta; the cross join's
+    *    same-doc_id exclusion (`incrementalStepDelta`) keeps every
+    *    batch doc from matching its own index rows, so the decision set
+    *    — and both overwritten segments — are again identical.
+    */
+  def incrementalCommit(batch: DataFrame, outDir: String, indexDir: String,
+      batchId: Long, tau: Double = 0.5, crash: SinkCrash = NoSinkCrash): Unit = {
+    val spark = batch.sparkSession
+    val idx = readIndex(spark, indexDir)
+    val (surv0, delta) = incrementalStepDelta(batch, idx, tau)
+    // persist: the survivor relation feeds its own segment write AND
+    // the delta's semi-join — unpersisted, the full dedup joins would
+    // re-execute for the second action
+    val surv = surv0.persist()
+    try {
+      surv.write.mode("overwrite").parquet(s"$outDir/seg_$batchId")
+      if (crash == CrashAfterSurvivorWrite)
+        throw new RuntimeException("injected crash: after survivor write")
+      delta.write.mode("overwrite").parquet(s"$indexDir/seg_$batchId")
+    } finally surv.unpersist()
   }
 
   /** The incremental pipeline as a STREAMING sink: each micro-batch of
-    * (doc_id, text) runs `incrementalStep` against the durable
-    * signature index, appends survivors to `outDir`, and swaps the
-    * index via write-aside + rename only AFTER the survivors are
-    * durable — a crash between the two leaves the old index in place,
-    * so a replayed batch re-dedups against the same state it saw
-    * (dropping is idempotent; the exactly-once survivor append is the
-    * transactional sink's job when composed, cf. `Streams.commitBatch`).
+    * (doc_id, text) runs one `incrementalCommit` — append-only segment
+    * writes keyed by batchId, idempotent under replay (see
+    * `incrementalCommit` for the crash analysis). Read the surviving
+    * corpus back with `readSegments(spark, outDir)`.
     */
   def startIncrementalSink(docs: DataFrame, outDir: String, indexDir: String,
       checkpointDir: String, tau: Double = 0.5)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val idx =
-          try spark.read.parquet(indexDir)
-          catch { case _: Throwable => emptyIndex(spark) }
-        val (surv, newIdx) = incrementalStep(batch, idx, tau)
-        surv.write.mode("append").parquet(outDir)
-        newIdx.write.mode("overwrite").parquet(s"$indexDir.next")
-        val fs = new org.apache.hadoop.fs.Path(indexDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
-        fs.rename(new org.apache.hadoop.fs.Path(s"$indexDir.next"),
-          new org.apache.hadoop.fs.Path(indexDir))
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrementalCommit(batch, outDir, indexDir, batchId, tau)
       }
       .start()
 
@@ -290,6 +378,41 @@ object Dedup {
     val (s2, _) = incrementalStep(docs.filter(col("doc_id") % 2 === 1), idx1)
     s1.select(col("doc_id"), lit(1L).as("delivery"))
       .unionByName(s2.select(col("doc_id"), lit(2L).as("delivery")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The SAME two-delivery scenario driven through the DURABLE STREAMING
+    * SINK — `startIncrementalSink` end-to-end: a real StreamingQuery
+    * with a checkpoint, one micro-batch per delivery, survivors and
+    * index landing as per-batch segments on disk, surviving corpus read
+    * back from the segment tree. Hash-checked against the same
+    * declarative oracle as `dedupIncremental`, certifying that the
+    * durable path (readIndex → incrementalCommit → segment write)
+    * computes exactly the in-memory step's semantics.
+    *
+    * The driver-side collect feeds the MemoryStream test transport —
+    * delivery batches in production arrive via the Kafka/file sources;
+    * the sink under test is identical either way.
+    */
+  def dedupIncrementalSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("dedup_incr_sink")
+    val (outDir, idxDir, ckpt) = (s"$root/out", s"$root/idx", s"$root/ckpt")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = startIncrementalSink(
+      mem.toDF().toDF("doc_id", "text"), outDir, idxDir, ckpt)
+    try {
+      mem.addData(docs.filter(_._1 % 2 == 0).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(docs.filter(_._1 % 2 == 1).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    readSegments(s, outDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, 1L).otherwise(2L).as("delivery"))
       .orderBy(col("doc_id"))
   }
 

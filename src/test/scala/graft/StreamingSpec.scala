@@ -88,7 +88,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData((2L, words("beta", 30)), (4L, words("gamma", 30)))
       q.processAllAvailable()
-      val kept = spark.read.parquet(outDir)
+      val kept = graft.dedup.Dedup.readSegments(spark, outDir)
         .select("doc_id").as[Long].collect().sorted
       assert(kept.toSeq == Seq(1L, 4L, 5L), s"kept ${kept.toSeq}")
     } finally q.stop()
