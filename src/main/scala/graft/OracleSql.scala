@@ -587,6 +587,58 @@ object OracleSql {
          |WHERE co.n_common::DOUBLE / (da.n_sh + db.n_sh - co.n_common) >= 0.5
          |ORDER BY e.doc_a, e.doc_b""".stripMargin,
 
+    // chunk-level dedup: tx_chunk's stride-48/window-64 chunks run
+    // through the SAME minhash/band family keyed by (doc_id, chunk_id);
+    // verified chunk pairs (exact jaccard >= 0.5) roll up to doc pairs
+    "dedup_chunks" ->
+      s"""WITH $toksCte,
+         |chx AS (SELECT doc_id, toks,
+         |    unnest(generate_series(0, (len(toks) - 1) // 48)) AS chunk_id
+         |  FROM t WHERE len(toks) > 0),
+         |cs AS (SELECT doc_id, chunk_id,
+         |    list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64) AS ctoks
+         |  FROM chx),
+         |csh AS (SELECT doc_id, chunk_id, unnest(
+         |    CASE WHEN len(ctoks) >= 3 THEN list_distinct(list_transform(
+         |      generate_series(1, len(ctoks) - 2),
+         |      i -> array_to_string(list_slice(ctoks, i, i + 2), ' ')))
+         |    ELSE []::VARCHAR[] END) AS s
+         |  FROM cs),
+         |sh2 AS (SELECT doc_id, chunk_id,
+         |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM csh),
+         |ff AS (SELECT f, (f * 7 + 3) % 60 AS rr,
+         |    ('0x' || substr(md5('mh|' || f::VARCHAR), 1, 15))::BIGINT AS c
+         |  FROM generate_series(0, 15) g(f)),
+         |sig AS (SELECT doc_id, chunk_id, f,
+         |    min(xor((h >> rr) | ((h & ((1::BIGINT << rr) - 1)) << (60 - rr)), c)) AS h
+         |  FROM sh2 CROSS JOIN ff GROUP BY doc_id, chunk_id, f),
+         |bands AS (SELECT doc_id, chunk_id, f // 2 AS band,
+         |    string_agg(h::VARCHAR, '|' ORDER BY f) AS band_key
+         |  FROM sig GROUP BY doc_id, chunk_id, f // 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.chunk_id AS chunk_a,
+         |    y.doc_id AS doc_b, y.chunk_id AS chunk_b
+         |  FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.band_key = y.band_key
+         |    AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, chunk_id, count(*) AS n_sh
+         |  FROM csh GROUP BY 1, 2),
+         |common AS (SELECT ca.doc_a, ca.chunk_a, ca.doc_b, ca.chunk_b,
+         |    count(*) AS n_common
+         |  FROM cand ca
+         |  JOIN csh a ON a.doc_id = ca.doc_a AND a.chunk_id = ca.chunk_a
+         |  JOIN csh b ON b.doc_id = ca.doc_b AND b.chunk_id = ca.chunk_b
+         |    AND b.s = a.s
+         |  GROUP BY 1, 2, 3, 4),
+         |vp AS (SELECT co.doc_a, co.doc_b,
+         |    co.n_common::DOUBLE / (sa.n_sh + sb.n_sh - co.n_common) AS jaccard
+         |  FROM common co
+         |  JOIN sizes sa ON sa.doc_id = co.doc_a AND sa.chunk_id = co.chunk_a
+         |  JOIN sizes sb ON sb.doc_id = co.doc_b AND sb.chunk_id = co.chunk_b
+         |  WHERE co.n_common::DOUBLE / (sa.n_sh + sb.n_sh - co.n_common) >= 0.5)
+         |SELECT doc_a, doc_b, count(*)::BIGINT AS n_chunk_pairs,
+         |  round(max(jaccard), 6) AS max_jaccard
+         |FROM vp GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+
     // asymmetric containment: same inverted-index candidates as the
     // jaccard detector, two directed rows per unordered pair
     "dedup_containment" ->

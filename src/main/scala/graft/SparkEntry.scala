@@ -121,6 +121,9 @@ object SparkEntry {
     // size-mismatched Jaccard misses); directed (contained, container)
     "dedup_containment"   -> (Dedup.dedupContainment(_, _)),
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh(_, _)),
+    // sub-document granularity: txChunk's chunks through the same
+    // MinHash-LSH family, chunk-dup pairs rolled up to doc pairs
+    "dedup_chunks"        -> (Dedup.dedupChunks(_, _)),
     "dedup_simhash"       -> (Dedup.dedupSimhash(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
     "dedup_apply"         -> (Dedup.dedupApply(_, _)),

@@ -565,6 +565,72 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** CHUNK-LEVEL dedup composition — the sub-document near-dup signal
+    * real pipelines run alongside doc-level detectors and boilerplate
+    * removal: a document that verbatim-reuses a few PARAGRAPHS of
+    * another (quoted section, syndicated passage, copied chapter)
+    * shows low doc-level Jaccard, but its chunks are near-identical to
+    * the source's. Composition: `TextAnalysis.txChunk`'s fixed-window
+    * chunks (the ordinal chunk ids exist exactly so this composes) →
+    * the SAME 16-slot MinHash / 8-band LSH family as the doc-level
+    * detector, keyed by (doc_id, chunk_id) → exact-Jaccard verify of
+    * bucket-mates → chunk-dup pairs rolled up to DIRECTED-FREE doc
+    * pairs with the shared-chunk count and strongest chunk similarity.
+    * Only cross-doc pairs are emitted (within-doc chunk repetition is
+    * `txBoilerplate`'s business).
+    *
+    * Scale shape: identical to `dedupMinhashLshDf` with chunks as the
+    * unit — one narrow chunk expansion (no shuffle), bucket-join on
+    * (band, band_key), candidates verified from persisted shingle
+    * sets, one final small roll-up aggregate. Chunk count is corpus
+    * tokens / stride, so the index grows linearly with corpus size,
+    * never quadratically.
+    */
+  def dedupChunks(s: SparkSession, dir: String): DataFrame =
+    dedupChunksDf(graft.analytics.TextAnalysis.txChunk(s, dir))
+
+  def dedupChunksDf(chunks: DataFrame): DataFrame = {
+    // (doc, chunk) → shingle set; persisted: feeds the band explode and
+    // both sides of the verify join
+    val base = chunks
+      .select(col("doc_id"), col("chunk_id"),
+        shingles(col("chunk_text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    val bands = base
+      .select(col("doc_id"), col("chunk_id"), minhashSig(col("sh"), 16).as("sig"))
+      .select(col("doc_id"), col("chunk_id"), col("sig"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("band_key", concat_ws("|",
+        transform(slice(col("sig"), col("band") * 2 + 1, lit(2)),
+          x => x.cast(StringType))))
+      .select(col("doc_id"), col("chunk_id"), col("band"), col("band_key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.chunk_id").as("chunk_a"),
+        col("y.doc_id").as("doc_b"), col("y.chunk_id").as("chunk_b"))
+      .distinct()
+    val verified = cand
+      .join(base.select(col("doc_id").as("doc_a"), col("chunk_id").as("chunk_a"),
+        col("sh").as("sh_a")), Seq("doc_a", "chunk_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("chunk_id").as("chunk_b"),
+        col("sh").as("sh_b")), Seq("doc_b", "chunk_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    val result = verified
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_chunk_pairs"),
+        round(max(col("jaccard")), 6).as("max_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    base.unpersist()
+    result
+  }
+
   /** SimHash near-dup detection: 60-bit fingerprint, banded into 4×15-bit
     * keys for candidate generation, Hamming-verified (≤ 4 bits — the
     * usual SimHash dedup operating point; planted near-dups in the

@@ -30,6 +30,12 @@ object RangeJoin {
     * falls in [probe.t_us - lookbackUs, probe.t_us). Probe columns ride
     * through; zero-match probe rows are kept with n_preceding = 0.
     * `build` must carry exactly one column `t_us` (epoch micros).
+    *
+    * The post-join regroup keys on a synthetic per-row id minted BEFORE
+    * the bucket explode — not on the probe's own columns — so two fully
+    * identical probe rows each produce their own (correct) count
+    * instead of silently merging into one row with a doubled sum. The
+    * id never leaves the operator.
     */
   def rangeCountBefore(probe: DataFrame, build: DataFrame,
       lookbackUs: Long): DataFrame = {
@@ -38,6 +44,7 @@ object RangeJoin {
       (col("t_us") / lookbackUs).cast(LongType).as("bk"),
       col("t_us").as("b_us"))
     probe
+      .withColumn("__probe_id", monotonically_increasing_id())
       .withColumn("pbk", (col("t_us") / lookbackUs).cast(LongType))
       .withColumn("jb", explode(array(col("pbk") - 1, col("pbk"))))
       .join(b,
@@ -45,9 +52,9 @@ object RangeJoin {
           col("b_us") >= col("t_us") - lookbackUs &&
           col("b_us") < col("t_us"),
         "left")
-      .groupBy(col("t_us") +: keyCols: _*)
+      .groupBy(col("__probe_id") +: col("t_us") +: keyCols: _*)
       .agg(count(col("b_us")).as("n_preceding"))
-      .drop("t_us")
+      .drop("__probe_id", "t_us")
   }
 
   /** Registered query: global burst detection — every error event with

@@ -24,6 +24,19 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L, 6L -> 0L))
   }
 
+  test("fully duplicate probe rows each keep their own count (no silent merge)") {
+    import spark.implicits._
+    val build = Seq(10L, 20L, 30L).toDF("t_us")
+    // two byte-identical probe rows: each must emit its own row with
+    // the per-row count (2), not one merged row with a doubled sum (4)
+    val probe = Seq(("dup", 25L), ("dup", 25L), ("solo", 35L))
+      .toDF("tag", "t_us")
+    val got = RangeJoin.rangeCountBefore(probe, build, 100L)
+      .collect().map(r => (r.getAs[String]("tag"), r.getAs[Long]("n_preceding")))
+    assert(got.sorted.toSeq == Seq(("dup", 2L), ("dup", 2L), ("solo", 3L)),
+      s"got ${got.toSeq}")
+  }
+
   test("burst query matches the naive cross-range formulation at sf0.001") {
     val ev = Tables.events(spark, Sf0001)
     val naive = ev.filter(col("event_type") === "error")

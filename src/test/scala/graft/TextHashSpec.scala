@@ -218,6 +218,34 @@ class TextHashSpec extends SparkSpec {
     assert(bothSurvive.isEmpty, s"surviving near-dup pairs: ${bothSurvive.toSeq}")
   }
 
+  test("chunk dedup catches paragraph reuse that doc-level jaccard misses") {
+    def words(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
+    // doc 2 reuses doc 1's second chunk (tokens 49-112) verbatim inside
+    // 300 otherwise-unrelated tokens: doc-level jaccard ≈ 64/550 << 0.5,
+    // but the shared chunk aligns on both docs' stride-48 grid
+    val shared = words("w", 49, 112)
+    val docs = Seq(
+      (1L, words("w", 1, 48) + " " + shared + " " + words("w", 113, 200)),
+      (2L, words("x", 1, 48) + " " + shared + " " + words("y", 1, 200)),
+      (3L, words("z", 1, 300))
+    ).toDF("doc_id", "text")
+    val chunks = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), floor((size(col("toks")) - 1) / 48).cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("toks"), col("chunk_id") * 48 + 1, lit(64)), " ").as("chunk_text"))
+    val got = graft.dedup.Dedup.dedupChunksDf(chunks)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_chunk_pairs")))
+    // the only cross-doc chunk dup is docs 1↔2's shared paragraph
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)), s"got ${got.toSeq}")
+    assert(got.head._3 >= 1)
+    // while doc-level near-dup detection is blind to the pair
+    val docPairs = graft.dedup.Dedup.dedupMinhashLshDf(docs).collect()
+    assert(docPairs.isEmpty, s"doc-level pairs: ${docPairs.toSeq}")
+  }
+
   test("decontamination flags exactly the train docs quoting the eval set") {
     val evalSet = Seq(
       (100L, (1 to 20).map(i => s"e$i").mkString(" ")),
