@@ -8,8 +8,12 @@ import org.apache.spark.sql.functions._
 /** Measures the incremental-dedup claim: deduping ONE new delivery
   * against an existing signature index vs re-running the full batch
   * detector over the whole corpus. The ratio is the point — per-delivery
-  * cost must track the delivery, not the corpus.
-  * Usage: runMain graft.tools.ProfileIncremental [sfDir]
+  * cost must track the delivery, not the corpus. Measures BOTH the
+  * in-memory step and the DURABLE sink commit (`incrementalCommit`:
+  * read segment index → dedup → write survivor + delta segments), and
+  * prints the delivery's index-delta row count — O(batch) by
+  * construction, never O(corpus).
+  * Usage: runMain graft.tools.ProfileIncremental [sfDir] [factor]
   */
 object ProfileIncremental {
   def main(args: Array[String]): Unit = {
@@ -51,22 +55,32 @@ object ProfileIncremental {
     noop(Dedup.dedupMinhashLshDf(docs.limit(500)))
 
     // one-time index build over the accumulated corpus (amortized),
-    // persisted to parquet like a real pipeline's index table
-    val idxDir = java.nio.file.Files.createTempDirectory("sig_index").toString
+    // persisted in the sink's own append-only segment layout
+    val root = java.nio.file.Files.createTempDirectory("incr_profile").toString
+    val (outDir, idxDir) = (s"$root/out", s"$root/idx")
     time("index build over historic (once)") {
-      val (_, idx) = Dedup.incrementalStep(historic, Dedup.emptyIndex(spark))
-      idx.write.mode("overwrite").parquet(idxDir)
+      val (_, delta) = Dedup.incrementalStepDelta(historic, Dedup.emptyIndex(spark))
+      delta.write.mode("overwrite").parquet(s"$idxDir/seg_0")
     }
-    val idx = spark.read.parquet(idxDir)
+    val idx = Dedup.readIndex(spark, idxDir)
 
     val tIncr = time("incremental step: ONE delivery") {
-      val (surv, _) = Dedup.incrementalStep(delivery, idx)
+      val (surv, _) = Dedup.incrementalStepDelta(delivery, idx)
       noop(surv)
     }
+    // the DURABLE path: segment-index read + dedup + survivor segment
+    // write + O(batch) delta segment write — the whole sink commit
+    val tSink = time("durable sink commit: ONE delivery") {
+      Dedup.incrementalCommit(delivery, outDir, idxDir, 1L)
+    }
+    val segRows = spark.read.parquet(s"$idxDir/seg_1").count()
+    println(s"[incr] delivery index-delta rows = $segRows " +
+      s"(= 8 band rows x delivery survivors, independent of corpus size)")
     val tFull = time("full batch re-dedup of corpus") {
       noop(Dedup.dedupMinhashLshDf(docs))
     }
-    println(f"[incr] per-delivery speedup vs full: ${tFull / tIncr}%.1fx")
+    println(f"[incr] per-delivery speedup vs full: step ${tFull / tIncr}%.1fx, " +
+      f"sink ${tFull / tSink}%.1fx")
     spark.stop()
   }
 }
