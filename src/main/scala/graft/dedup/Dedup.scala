@@ -243,6 +243,44 @@ object Dedup {
   def readSegments(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(dir)
 
+  /** COMPACTION for the append-only segment tree: fold every existing
+    * segment directory into one, then remove the inputs. Run it
+    * periodically (or via `startIncrementalSink(compactEvery = n)`) so
+    * a long-lived sink's file-listing cost stays bounded — thousands
+    * of deliveries would otherwise mean thousands of small directories,
+    * the classic small-files tax.
+    *
+    * Crash-safe WITHOUT coordination, because duplicate index rows are
+    * semantically inert: every consumer of these rows either takes
+    * DISTINCT candidates (`incrementalStepDelta`) or keys on
+    * (doc_id, band) — so the only bad state a crash can leave
+    * (compacted segment written, some inputs not yet deleted ⇒ rows
+    * present twice) changes no dedup decision, and the next compaction
+    * folds the duplicates away (`dropDuplicates(dedupKeys)`). The
+    * compacted segment's name is derived from the input segment list,
+    * so a replayed compaction overwrites its own previous attempt.
+    * Inputs are listed BEFORE the write and only those are deleted —
+    * a delivery landing concurrently is untouched.
+    */
+  def compactSegments(spark: SparkSession, dir: String,
+      dedupKeys: Seq[String] = Seq("doc_id", "band")): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val inputs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName != "_spark_metadata")
+    if (inputs.length <= 1) return
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(inputs.map(_.getName).sorted.mkString(",").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val target = s"$dir/seg_compact_$tag"
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(inputs.map(_.toString): _*)
+      .dropDuplicates(dedupKeys)
+      .write.mode("overwrite").parquet(target)
+    inputs.foreach(p => fs.delete(p, true))
+  }
+
   /** One INCREMENTAL dedup step — how a 100 TB pipeline actually runs
     * dedup: each delivery is checked against the accumulated corpus via
     * a SIGNATURE index, never by re-reading stored text. The index rows
@@ -353,14 +391,22 @@ object Dedup {
     * writes keyed by batchId, idempotent under replay (see
     * `incrementalCommit` for the crash analysis). Read the surviving
     * corpus back with `readSegments(spark, outDir)`.
+    *
+    * `compactEvery = n` folds the index's accumulated segments into one
+    * after every n-th delivery (`compactSegments`), bounding the
+    * segment-directory count for a long-lived sink; 0 disables.
+    * Compaction after a replayed batch is also safe — see the
+    * duplicate-rows-are-inert argument on `compactSegments`.
     */
   def startIncrementalSink(docs: DataFrame, outDir: String, indexDir: String,
-      checkpointDir: String, tau: Double = 0.5)
+      checkpointDir: String, tau: Double = 0.5, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         incrementalCommit(batch, outDir, indexDir, batchId, tau)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          compactSegments(batch.sparkSession, indexDir)
       }
       .start()
 

@@ -104,6 +104,81 @@ class IncrementalSinkSpec extends SparkSpec {
     assert(keptIds(out) == Seq(1L, 2L, 3L, 9L))
   }
 
+  test("compaction folds segments to one; decisions and rows are unchanged") {
+    val root = Files.createTempDirectory("incr_compact")
+    val (out, idx) = (s"$root/out", s"$root/idx")
+    // twin index trees: one compacted, one left segmented
+    val (out2, idx2) = (s"$root/out2", s"$root/idx2")
+    val batches = Seq(
+      docsDf((1L, words("alpha", 30)), (2L, words("beta", 30))),
+      docsDf((11L, words("gamma", 30)), (12L, words("alpha", 30))), // 12 dups idx
+      docsDf((21L, words("delta", 30))))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Dedup.incrementalCommit(b, out, idx, i)
+      Dedup.incrementalCommit(b, out2, idx2, i)
+    }
+    Dedup.compactSegments(spark, idx)
+    // one segment directory remains; row set identical to the segmented twin
+    val segDirs = Files.list(java.nio.file.Paths.get(idx)).iterator()
+    val names = Iterator.continually(segDirs).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).toList
+    assert(names.length == 1 && names.head.startsWith("seg_compact_"), s"segs=$names")
+    val a = Dedup.readIndex(spark, idx).orderBy("doc_id", "band")
+      .collect().map(_.toString).toSeq
+    val b = Dedup.readIndex(spark, idx2).orderBy("doc_id", "band")
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+    // the next delivery decides identically against both trees
+    val b4 = docsDf((31L, words("gamma", 30)), (32L, words("epsilon", 30)))
+    Dedup.incrementalCommit(b4, out, idx, 3)
+    Dedup.incrementalCommit(b4, out2, idx2, 3)
+    assert(keptIds(out) == keptIds(out2))
+    assert(keptIds(out).contains(32L) && !keptIds(out).contains(31L))
+  }
+
+  test("duplicate index rows (compaction crash window) change no decision") {
+    val root = Files.createTempDirectory("incr_dupidx")
+    val (out, idx) = (s"$root/out", s"$root/idx")
+    Dedup.incrementalCommit(
+      docsDf((1L, words("alpha", 30)), (2L, words("beta", 30))), out, idx, 0)
+    // simulate a crash between the compacted-segment write and input
+    // deletion: the same band rows present TWICE
+    val rows = spark.read.schema(Dedup.indexSchema).parquet(s"$idx/seg_0")
+    rows.write.mode("overwrite").parquet(s"$idx/seg_compact_deadbeef")
+    assert(Dedup.readIndex(spark, idx).count() == 32) // 2 docs x 8 bands x 2 copies
+    // dup of doc 1 still dies exactly once; fresh doc unaffected
+    Dedup.incrementalCommit(
+      docsDf((11L, words("alpha", 30)), (12L, words("zeta", 30))), out, idx, 1)
+    assert(keptIds(out) == Seq(1L, 2L, 12L))
+    // the NEXT compaction folds the duplicates away
+    Dedup.compactSegments(spark, idx)
+    assert(Dedup.readIndex(spark, idx).count() == 24) // 3 survivors x 8 bands
+  }
+
+  test("sink-integrated compaction keeps the segment count bounded") {
+    val root = Files.createTempDirectory("incr_autocompact")
+    val (out, idx, ckpt) = (s"$root/out", s"$root/idx", s"$root/ckpt")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = Dedup.startIncrementalSink(
+      mem.toDF().toDF("doc_id", "text"), out, idx, ckpt, compactEvery = 2)
+    try {
+      for (i <- 0 until 4) {
+        mem.addData((i * 10L + 1, words(s"corpus$i", 30)))
+        q.processAllAvailable()
+      }
+      val segs = Files.list(java.nio.file.Paths.get(idx)).iterator()
+      val names = Iterator.continually(segs).takeWhile(_.hasNext).map(_.next())
+        .map(_.getFileName.toString).toList
+      // 4 deliveries, compaction after batches 1 and 3 → never more than
+      // compactEvery + 1 segment dirs; all 4 survivors still indexed
+      assert(names.length <= 3, s"segs=$names")
+      assert(Dedup.readIndex(spark, idx).select("doc_id").distinct().count() == 4)
+      assert(keptIds(out).length == 4)
+    } finally q.stop()
+  }
+
   test("readIndex: missing dir reads empty; a corrupt segment propagates, not empties") {
     val root = Files.createTempDirectory("incr_read")
     val idx = s"$root/idx"

@@ -70,6 +70,49 @@ class MqttSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("the reference adapter's full role: MQTT in → keyed Avro Kafka records out") {
+    import graft.streaming.KafkaWire
+    val spool = Files.createTempDirectory("mqtt_bridge").toString + "/lines"
+    val recDir = Files.createTempDirectory("mqtt_records").toString + "/records"
+    val ckpt = Files.createTempDirectory("mqtt_ckpt").toString
+    val broker = new Mqtt.LoopbackBroker
+    try {
+      val (stream, handle) =
+        Mqtt.readMqttStream(spark, "127.0.0.1", broker.port, "sensors/gw", spool)
+      try {
+        broker.awaitSubscriber()
+        val raw = Ingest.generateRaw(spark, 2, 10)
+        val lines = raw.toJSON.collect()
+        lines.foreach(broker.publish("sensors/gw", _))
+        val deadline = System.currentTimeMillis() + 15000
+        while (Files.list(Paths.get(spool)).filter(_.getFileName.toString
+            .endsWith(".jsonl")).count() < lines.length &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        // MQTT → ingest → keyed Confluent-framed Avro records (the
+        // reference adapter's entire job), landed on the replay
+        // transport the Kafka consumer parity tests drive
+        val now = lit("2024-01-01 00:02:00").cast("timestamp_ntz")
+        val (valid, _) = Ingest.ingest(spark, stream, now)
+        val q = KafkaWire.writeRecordStream(KafkaWire.toKafkaRecords(valid),
+          KafkaWire.Transport("parquet", topic = recDir), ckpt)
+        q.processAllAvailable(); q.stop()
+        // decode the wire records and compare against the batch twin
+        val decoded = KafkaWire.fromKafkaRecords(spark.read.parquet(recDir))
+        val (batchValid, _) = Ingest.ingest(spark, raw, now)
+        def proj(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("device_id"), col("ts"), col("value"), col("device_type"))
+          .collect().map(_.toString).sorted.toSeq
+        assert(proj(decoded).nonEmpty)
+        assert(proj(decoded) == proj(batchValid))
+        // the record key IS the device id (per-device ordering at scale)
+        val keys = decoded.select(col("key_device_id") === col("device_id"))
+          .collect().map(_.getBoolean(0))
+        assert(keys.nonEmpty && keys.forall(identity))
+      } finally handle.close()
+    } finally broker.close()
+  }
+
   test("end to end: broker publish → spool → file stream → ingest DAG") {
     val spool = Files.createTempDirectory("mqtt_spool").toString + "/lines"
     val broker = new Mqtt.LoopbackBroker
