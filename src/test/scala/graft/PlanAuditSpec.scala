@@ -37,4 +37,46 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  // ---- scan discipline: the two properties that decide whether a 100 TB
+  // scan reads 100 TB or a fraction of it. Asserted on representative
+  // queries so a refactor that silently breaks pushdown/pruning fails CI.
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, Sf0001).queryExecution.executedPlan.toString
+
+  test("selective filters reach the parquet scan (PushedFilters)") {
+    // o2: WHERE event_type='error'-shaped anomaly scan — the predicate
+    // must land in the FileScan, not evaluate post-read
+    val p = planOf("o2_anomalous_readings")
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("EqualTo(event_type,error)") || p.contains("In(event_type")),
+      s"o2 scan does not push its event_type filter:\n$p")
+    // range_join_burst's probe side filters errors the same way
+    val rj = planOf("range_join_burst")
+    assert(rj.contains("EqualTo(event_type,error)"),
+      s"range join probe does not push its filter:\n$rj")
+  }
+
+  test("projections prune wide columns out of the parquet scan (ReadSchema)") {
+    // sample_documents projects metadata only — the wide `text` column
+    // must NOT be read (at 100 TB, text IS most of the table)
+    val p = planOf("sample_documents")
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+    assert(readSchemas.nonEmpty, s"no FileScan in plan:\n$p")
+    assert(!readSchemas.exists(_.contains("text")),
+      s"sample_documents reads the text column it never uses:\n$readSchemas")
+    // the embedding dedup pipeline uses vec_id + embedding only —
+    // label must be pruned from every scan it plans
+    val n = planOf("dedup_embedding_lsh")
+    val nSchemas = n.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+    assert(nSchemas.nonEmpty && !nSchemas.exists(_.contains("label")),
+      s"dedup_embedding_lsh reads the label column it never uses:\n$nSchemas")
+    // events scans: queries that never touch `props` (the wide map) must
+    // not read it — a1 is a pure ts/value/type aggregate
+    val a1 = planOf("a1_device_summary")
+    val aSchemas = a1.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+    assert(aSchemas.nonEmpty && !aSchemas.exists(_.contains("props")),
+      s"a1_device_summary reads the props column it never uses:\n$aSchemas")
+  }
 }
