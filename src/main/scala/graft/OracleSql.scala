@@ -811,6 +811,23 @@ object OracleSql {
         |  FROM p)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // knn GRAPH: emb_topk with the query set = the whole corpus —
+    // top-5 neighbors for every vector, same cosine tree, same
+    // (cos desc, id asc) rank tiebreak the bounded heap uses
+    "emb_knn_graph" ->
+      """WITH an AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+        |    round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_sim
+        |  FROM an a JOIN an b ON a.vec_id <> b.vec_id)
+        |SELECT * FROM (
+        |  SELECT src_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY src_id
+        |      ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rank
+        |  FROM p)
+        |WHERE rank <= 5 ORDER BY src_id, rank""".stripMargin,
+
     // int8 quantization + rescored top-k: scale = 127/max|x|,
     // q = floor(x·scale + 0.5) (floor, not round — HALF_UP vs
     // half-away-from-zero differ on negative midpoints); candidate cut

@@ -155,6 +155,9 @@ object SparkEntry {
     "dedup_clusters_embedding" -> (Dedup.dedupClustersEmbedding(_, _)),
     // similarity search (north-star extensions)
     "emb_topk"            -> (Similarity.embTopk(_, _)),
+    // knn GRAPH: top-k neighbors for EVERY vector (query set = corpus) —
+    // exact by contract (the recall oracle for the LSH-bucketed variant)
+    "emb_knn_graph"       -> (Similarity.embKnnGraph(_, _)),
     // int8 symmetric quantization + integer-dot candidate cut + exact
     // rescore: the memory-bound ANN path (4x scan/shuffle shrink)
     "emb_quantized_topk"  -> (Similarity.embQuantizedTopk(_, _)),

@@ -106,6 +106,72 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** k-NN GRAPH: top-k neighbors for EVERY corpus vector — the
+    * structure semantic-dedup graphs, recommendation candidates and
+    * graph-based ANN indexes are built from (a knn join where the
+    * query set IS the corpus). Exact by contract: the all-pairs scan
+    * is the oracle the bucketed variant below is recall-measured
+    * against, same role as `dedupEmbedding` for the near-dup pipeline
+    * — deliberately O(n²), BNLJ-allowlisted. The aggregation is the
+    * same two-phase bounded heap as `embTopk`: each partition reduces
+    * to ≤k candidates per source BEFORE the shuffle, so no stage ever
+    * carries the n² pair set into an exchange.
+    */
+  def embKnnGraph(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    embKnnGraphDf(emb, k)
+  }
+
+  def embKnnGraphDf(emb: DataFrame, k: Int): DataFrame = {
+    val a = emb.select(col("vec_id").as("src_id"), col("embedding").as("e_a"))
+    val b = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_b"))
+    val pairs = a.join(b, col("src_id") =!= col("neighbor_id"))
+      .select(col("src_id"), col("neighbor_id"),
+        round(cosine(col("e_a"), col("e_b")), 6).as("cos_sim"))
+    knnFromPairs(pairs, k)
+  }
+
+  /** The bucketed scale path for the knn graph: candidates = LSH
+    * bucket-mates across t tables (id-only shuffle, distinct before
+    * refine — the `dedupEmbeddingLsh` shape), top-k per source from
+    * whatever the buckets surfaced. Approximate BY NATURE: a true
+    * neighbor with modest cosine can land in no shared bucket, so this
+    * is NOT oracle-gated — SimilarityKnnSpec measures its recall
+    * against the exact graph and asserts the planted near-identical
+    * copies' top edges are all present.
+    */
+  def embKnnGraphLsh(emb: DataFrame, k: Int, nPlanes: Int = 4,
+      nTables: Int = 24): DataFrame = {
+    val ids = emb.select(col("vec_id"),
+      posexplode(lshBucketsCol(col("embedding"), nPlanes, nTables))
+        .as(Seq("tbl", "bucket")))
+    val cand = ids.as("x").join(ids.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("neighbor_id"))
+      .distinct()
+    val pairs = cand
+      .join(emb.select(col("vec_id").as("src_id"), col("embedding").as("e_a")), "src_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_b")),
+        "neighbor_id")
+      .select(col("src_id"), col("neighbor_id"),
+        round(cosine(col("e_a"), col("e_b")), 6).as("cos_sim"))
+    knnFromPairs(pairs, k)
+  }
+
+  private def knnFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKByCos(k))
+    pairs
+      .groupBy(col("src_id"))
+      .agg(topk(col("neighbor_id"), col("cos_sim")).as("nbrs"))
+      .select(col("src_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("src_id"),
+        col("nbr.neighbor_id").as("neighbor_id"),
+        col("nbr.cos_sim").as("cos_sim"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+      .orderBy(col("src_id"), col("rank"))
+  }
+
   /** Per-label centroids (the reduce step of IVF coarse quantization /
     * k-means): posexplode → (label, dim) mean.
     */

@@ -1,0 +1,56 @@
+package graft
+
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+/** knn-graph properties: the exact graph's shape invariants, and the
+  * LSH-bucketed variant's recall against it — including 100% recall on
+  * the planted near-identical edges (the pairs a semantic-dedup graph
+  * must never miss).
+  */
+class SimilarityKnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("src_id"), col("neighbor_id")).as[(Long, Long)]
+      .collect().toSet
+
+  test("exact knn graph: k rows per source, ranks ordered by (cos desc, id)") {
+    val g = Similarity.embKnnGraph(spark, Sf0001, k = 5)
+    val rows = g.collect()
+    val n = Tables.embeddings(spark, Sf0001).count()
+    assert(rows.length == n * 5)
+    val bySrc = rows.groupBy(_.getAs[Long]("src_id"))
+    bySrc.foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+      // ranks follow the declared total order
+      sorted.sliding(2).foreach { case Array(hi, lo) =>
+        val (a, b) = (hi.getAs[Double]("cos_sim"), lo.getAs[Double]("cos_sim"))
+        assert(a > b || (a == b &&
+          hi.getAs[Long]("neighbor_id") < lo.getAs[Long]("neighbor_id")),
+          s"src $src rank order broken")
+      }
+    }
+  }
+
+  test("LSH knn graph: high recall overall, 100% on planted near-identical edges") {
+    val emb = Similarity.augmentedEmbeddings(
+      Tables.embeddings(spark, Sf0001)).persist()
+    try {
+      val exact = Similarity.embKnnGraphDf(emb, 5).persist()
+      val approx = Similarity.embKnnGraphLsh(emb, 5)
+      val (e, a) = (edges(exact), edges(approx))
+      val recall = (e intersect a).size.toDouble / e.size
+      assert(recall >= 0.8, f"knn recall $recall%.3f < 0.8")
+      // every exact edge at cosine >= 0.95 (the planted copies) is found:
+      // sign-LSH at (b=4, t=24) has ~(1-0.9^4)^24 ≈ 1e-12 miss probability
+      val mustKeep = exact.filter(col("cos_sim") >= 0.95)
+      val planted = edges(mustKeep)
+      assert(planted.nonEmpty)
+      val missed = planted diff a
+      assert(missed.isEmpty, s"missed planted edges: ${missed.take(5)}")
+      exact.unpersist()
+    } finally emb.unpersist()
+  }
+}
