@@ -869,6 +869,74 @@ object OracleSql {
     // unrolled Lloyd rounds — assign to max-cosine cell (6-dp rounds,
     // ties to lowest cell), recompute 6-dp per-dim means — then probe
     // the final centroids (c2) over the final assignment (a2)
+    // product quantization: 8 subspaces x 8 dims, codebooks seeded by
+    // label%16 and refined with the SAME two unrolled Lloyd rounds as
+    // the IVF oracle (arg-min L2 written dot(a,a)-2dot(a,cw)+dot(cw,cw),
+    // 6-dp rounded, ties to lowest code); ADC = per-query LUT of
+    // dot(q_sub, codeword), approx dot = sum of 8 lookups; top-32 cut
+    // then exact-cosine rescore, both stages mirrored
+    "emb_pq_topk" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |sub AS (SELECT vec_id, label % 16 AS code0, ss AS s,
+        |    list_slice(emb, ss*8+1, ss*8+8) AS sub
+        |  FROM e CROSS JOIN generate_series(0, 7) g(ss)),
+        |w0 AS (SELECT s, code0 AS code, d, round(avg(sub[d]), 6) AS c
+        |  FROM sub CROSS JOIN generate_series(1, 8) gd(d) GROUP BY s, code0, d),
+        |w0l AS (SELECT s, code, list(c ORDER BY d) AS cw FROM w0 GROUP BY s, code),
+        |a1 AS (SELECT vec_id, s, sub, code FROM (
+        |  SELECT u.vec_id, u.s, u.sub, w.code, row_number() OVER (
+        |      PARTITION BY u.vec_id, u.s ORDER BY
+        |      round(-(list_dot_product(u.sub, u.sub)
+        |        - 2*list_dot_product(u.sub, w.cw)
+        |        + list_dot_product(w.cw, w.cw)), 6) DESC, w.code) AS r
+        |    FROM sub u JOIN w0l w ON w.s = u.s) WHERE r = 1),
+        |w1 AS (SELECT s, code, d, round(avg(sub[d]), 6) AS c
+        |  FROM a1 CROSS JOIN generate_series(1, 8) gd(d) GROUP BY s, code, d),
+        |w1l AS (SELECT s, code, list(c ORDER BY d) AS cw FROM w1 GROUP BY s, code),
+        |a2 AS (SELECT vec_id, s, sub, code FROM (
+        |  SELECT u.vec_id, u.s, u.sub, w.code, row_number() OVER (
+        |      PARTITION BY u.vec_id, u.s ORDER BY
+        |      round(-(list_dot_product(u.sub, u.sub)
+        |        - 2*list_dot_product(u.sub, w.cw)
+        |        + list_dot_product(w.cw, w.cw)), 6) DESC, w.code) AS r
+        |    FROM sub u JOIN w1l w ON w.s = u.s) WHERE r = 1),
+        |w2 AS (SELECT s, code, d, round(avg(sub[d]), 6) AS c
+        |  FROM a2 CROSS JOIN generate_series(1, 8) gd(d) GROUP BY s, code, d),
+        |w2l AS (SELECT s, code, list(c ORDER BY d) AS cw FROM w2 GROUP BY s, code),
+        |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+        |lut AS (SELECT query_id, w.s, w.code,
+        |    list_dot_product(list_slice(qe, w.s*8+1, w.s*8+8), w.cw) AS part
+        |  FROM q CROSS JOIN w2l w),
+        |vn AS (SELECT a.vec_id, sqrt(sum(list_dot_product(w.cw, w.cw))) AS vnorm
+        |  FROM a2 a JOIN w2l w ON w.s = a.s AND w.code = a.code
+        |  GROUP BY a.vec_id),
+        |qn AS (SELECT query_id, sqrt(list_dot_product(qe, qe)) AS qnorm FROM q),
+        |approx AS (SELECT l.query_id, a.vec_id,
+        |    round(sum(l.part) / (any_value(qn.qnorm) * any_value(vn.vnorm)), 6)
+        |      AS pq_cos
+        |  FROM a2 a
+        |  JOIN lut l ON l.s = a.s AND l.code = a.code
+        |  JOIN vn ON vn.vec_id = a.vec_id
+        |  JOIN qn ON qn.query_id = l.query_id
+        |  WHERE a.vec_id <> l.query_id
+        |  GROUP BY l.query_id, a.vec_id),
+        |cut AS (SELECT query_id, vec_id AS neighbor_id, pq_cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY pq_cos DESC, vec_id) AS r FROM approx) WHERE r <= 64),
+        |resc AS (SELECT c.query_id, c.neighbor_id, c.pq_cos,
+        |    round(list_dot_product(q.qe, n.emb) /
+        |      (sqrt(list_dot_product(q.qe, q.qe)) *
+        |       sqrt(list_dot_product(n.emb, n.emb))), 6) AS cos_sim
+        |  FROM cut c
+        |  JOIN q ON q.query_id = c.query_id
+        |  JOIN e n ON n.vec_id = c.neighbor_id)
+        |SELECT * FROM (
+        |  SELECT query_id, neighbor_id, pq_cos, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rank
+        |  FROM resc)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "emb_ivf_topk" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
         |c0 AS (SELECT label AS cell, d, round(avg(emb[d]), 6) AS c

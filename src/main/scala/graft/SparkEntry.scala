@@ -161,6 +161,10 @@ object SparkEntry {
     // int8 symmetric quantization + integer-dot candidate cut + exact
     // rescore: the memory-bound ANN path (4x scan/shuffle shrink)
     "emb_quantized_topk"  -> (Similarity.embQuantizedTopk(_, _)),
+    // product quantization + asymmetric distance: per-subspace codebooks
+    // (deterministic Lloyd), 8-nibble codes, LUT-summed candidate cut,
+    // exact rescore — the 64x-compression ANN path
+    "emb_pq_topk"         -> (Similarity.embPqTopk(_, _)),
     "emb_ivf_topk"        -> (Similarity.embIvfTopk(_, _)),
     "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),
     "emb_norms"           -> (Similarity.embNorms(_, _)),

@@ -404,6 +404,129 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-(subspace, code) mean codewords of an assigned PQ relation,
+    * 6-dp rounded — the subspace twin of `meanCentroids`, same
+    * engine-independence contract.
+    */
+  private def meanSubCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy(col("s"), col("code"), col("pos"))
+      .agg(round(avg(col("v").cast(DoubleType)), 6).as("c"))
+      .groupBy(col("s"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cw"))
+
+  /** PRODUCT QUANTIZATION codebooks + codes — the remaining classic ANN
+    * compression family next to sign-LSH, IVF and int8 scalar quant:
+    * split each vector into `m` subspaces, learn a tiny per-subspace
+    * codebook (deterministic Lloyd, seeded by label like `kmeansCells`),
+    * and store each vector as m small codes. At 64 dims × 8 subspaces ×
+    * ≤16 codes that is 8 nibbles per vector — a 64× memory shrink vs
+    * float32, the regime where a 100 TB corpus' ANN index fits in
+    * cluster RAM. Assignment minimizes per-subspace squared L2 written
+    * as dot(a,a) − 2·dot(a,cw) + dot(cw,cw) over the SAME native dot
+    * kernel the oracle mirrors with `list_dot_product`, 6-dp rounded,
+    * ties to the lowest code — fully unrollable in SQL, like the IVF
+    * quantizer. Returns (codes: (vec_id, s, code), codebooks:
+    * (s, code, cw)).
+    */
+  def pqEncode(emb: DataFrame, m: Int = 8, subDim: Int = 8,
+      iters: Int = 2): (DataFrame, DataFrame) = {
+    val subs = emb
+      .select(col("vec_id"), (col("label") % 16).cast(IntegerType).as("code0"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col("embedding"))
+      .select(col("vec_id"), col("s"), col("code0"),
+        slice(col("embedding"), col("s") * subDim + 1, lit(subDim)).as("sub"))
+    var assigned = subs
+      .select(col("vec_id"), col("s"), col("code0").as("code"), col("sub"))
+    var cw = meanSubCentroids(assigned)
+    for (_ <- 1 to iters) {
+      // arg-min distance as a max_by partial aggregate (negated score),
+      // the same shuffle-light shape as kmeansCells' assignment
+      assigned = subs.select(col("vec_id"), col("s"), col("sub"))
+        .join(broadcast(cw), Seq("s"))
+        .select(col("vec_id"), col("s"), col("sub"), col("code"),
+          round(-(dot(col("sub"), col("sub"))
+            - lit(2.0) * dot(col("sub"), col("cw"))
+            + dot(col("cw"), col("cw"))), 6).as("score"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(max_by(struct(col("code"), col("sub")),
+          struct(col("score"), -col("code"))).as("best"))
+        .select(col("vec_id"), col("s"),
+          col("best.code").as("code"), col("best.sub").as("sub"))
+      cw = meanSubCentroids(assigned)
+    }
+    (assigned.select(col("vec_id"), col("s"), col("code")), cw)
+  }
+
+  /** PQ ANN top-k with ASYMMETRIC DISTANCE COMPUTATION: the query stays
+    * full-precision; each query precomputes a lookup table of
+    * dot(q_subspace, codeword) against the (tiny, broadcast) codebooks,
+    * and a database vector's approximate dot is the SUM of m table
+    * lookups keyed by its codes — no float vector is touched during
+    * candidate generation, which is the whole point of PQ at scale
+    * (the scan reads m nibbles per vector, not 64 floats). Top-`cut`
+    * candidates per query by approximate dot (bounded heap), then
+    * exact-cosine rescore and final top-k — the same two-stage contract
+    * as `embQuantizedTopk`, both stages oracle-certified.
+    */
+  def embPqTopk(s: SparkSession, dir: String, k: Int = 5,
+      cut: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val (codes, cw) = pqEncode(emb)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // per-(query, subspace, code) LUT entries: dot(q_sub, codeword)
+    val lut = queries
+      .select(col("query_id"), explode(sequence(lit(0), lit(7))).as("s"),
+        col("q_emb"))
+      .select(col("query_id"), col("s"),
+        slice(col("q_emb"), col("s") * 8 + 1, lit(8)).as("qsub"))
+      .join(broadcast(cw), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        dot(col("qsub"), col("cw")).as("part"))
+    // reconstruction norm per vector (‖v̂‖ from its codewords alone) and
+    // the query's true norm: candidates rank by APPROXIMATE COSINE, not
+    // raw dot — a norm-biased cut would systematically surface long
+    // vectors over near ones
+    val vnorm = codes.join(broadcast(cw), Seq("s", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sqrt(sum(dot(col("cw"), col("cw")))).as("vnorm"))
+    val qnorm = queries.select(col("query_id"),
+      sqrt(dot(col("q_emb"), col("q_emb"))).as("qnorm"))
+    // approximate cosine = (sum of the m looked-up parts) / (‖q‖·‖v̂‖)
+    val approx = codes.join(lut, Seq("s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("part")).as("raw_dot"))
+      .join(vnorm, Seq("vec_id"))
+      .join(broadcast(qnorm), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(col("raw_dot") / (col("qnorm") * col("vnorm")), 6).as("pq_cos"))
+    val topCut = udaf(new TopKByCos(cut))
+    val cand = approx
+      .groupBy(col("query_id"))
+      .agg(topCut(col("vec_id"), col("pq_cos")).as("nbrs"))
+      .select(col("query_id"), explode(col("nbrs")).as("nbr"))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
+        col("nbr.cos_sim").as("pq_cos"))
+    val rescored = cand
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("pq_cos"),
+        round(cosine(col("q_emb"), col("n_emb")), 6).as("cos_sim"))
+    rescored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("pq_cos"),
+        col("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** All hash-table bucket ids in one native codegen'd pass
     * (LshBucketsExpr: deterministic splitmix64 hyperplanes, no broadcast
     * planes, no per-element lambdas).
