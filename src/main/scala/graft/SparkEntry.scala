@@ -192,8 +192,8 @@ object SparkEntry {
     "a1_device_summary", "a2_hourly_agg", "a6_daily_distribution",
     "w1_gap_detection", "w2_moving_avg", "o3_recent_topn",
     "t1_fanout", "t9_anomaly_flags", "l8_integrity",
-    "dedup_minhash_lsh", "dedup_chunks", "emb_topk", "tx_fingerprint",
-    "tx_boilerplate",
+    "dedup_minhash_lsh", "dedup_chunks", "emb_topk", "emb_knn_graph",
+    "emb_pq_topk", "tx_fingerprint", "tx_boilerplate",
     "asof_join_purchase", "range_join_burst", "decontaminate",
     "emb_quantized_topk",
     "avro_roundtrip", "dedup_embedding_045", "dedup_embedding_lsh",

@@ -123,7 +123,15 @@ object Similarity {
   }
 
   def embKnnGraphDf(emb: DataFrame, k: Int): DataFrame = {
-    val a = emb.select(col("vec_id").as("src_id"), col("embedding").as("e_a"))
+    // stream-side round-robin repartition, same reason as
+    // dedupEmbeddingDf: the BNLJ's parallelism IS the stream side's
+    // split count, and a single-row-group corpus file would put the
+    // whole n² scan on one task (cpu≈wall in the bench instead of
+    // cpu ≈ cores × wall)
+    val shufflePartitions =
+      emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val a = emb.repartition(shufflePartitions)
+      .select(col("vec_id").as("src_id"), col("embedding").as("e_a"))
     val b = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_b"))
     val pairs = a.join(b, col("src_id") =!= col("neighbor_id"))
       .select(col("src_id"), col("neighbor_id"),
