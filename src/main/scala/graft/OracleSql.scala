@@ -665,6 +665,39 @@ object OracleSql {
          |FROM dirp WHERE containment >= 0.8
          |ORDER BY contained_id, container_id""".stripMargin,
 
+    // containment APPLY: same directed pairs, keep-the-larger rule —
+    // drop a doc >=0.8-contained in one with MORE shingles (ties to
+    // the lower container id); non-recursive by contract
+    "dedup_apply_containment" ->
+      s"""WITH $toksCte, $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 10000),
+         |pr AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |cc AS (SELECT co.* FROM common co JOIN cand USING (doc_a, doc_b)),
+         |dirp AS (
+         |  SELECT doc_a AS contained_id, doc_b AS container_id,
+         |    n_common::DOUBLE / sa.n_sh AS containment,
+         |    sa.n_sh AS n_contained, sb.n_sh AS n_container
+         |  FROM cc JOIN sizes sa ON sa.doc_id = doc_a
+         |          JOIN sizes sb ON sb.doc_id = doc_b
+         |  UNION ALL
+         |  SELECT doc_b, doc_a, n_common::DOUBLE / sb.n_sh,
+         |    sb.n_sh, sa.n_sh
+         |  FROM cc JOIN sizes sa ON sa.doc_id = doc_a
+         |          JOIN sizes sb ON sb.doc_id = doc_b),
+         |drp AS (SELECT DISTINCT contained_id AS doc_id FROM dirp
+         |  WHERE containment >= 0.8 AND (n_container > n_contained
+         |    OR (n_container = n_contained AND container_id < contained_id)))
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM drp)
+         |ORDER BY doc_id""".stripMargin,
+
     // incremental two-delivery dedup: same sig/band family as
     // dedup_minhash_lsh; delivery 1 = even doc_ids deduped within
     // itself (drop the larger of any est>=0.5 bucket pair), delivery 2

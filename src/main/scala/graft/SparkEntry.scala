@@ -120,6 +120,8 @@ object SparkEntry {
     // asymmetric containment (excerpt/superset duplication — the case
     // size-mismatched Jaccard misses); directed (contained, container)
     "dedup_containment"   -> (Dedup.dedupContainment(_, _)),
+    // containment APPLY: excerpt removal, keep-the-larger semantics
+    "dedup_apply_containment" -> (Dedup.dedupApplyContainment(_, _)),
     "dedup_minhash_lsh"   -> (Dedup.dedupMinhashLsh(_, _)),
     // sub-document granularity: txChunk's chunks through the same
     // MinHash-LSH family, chunk-dup pairs rolled up to doc pairs

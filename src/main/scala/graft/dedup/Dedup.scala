@@ -88,6 +88,24 @@ object Dedup {
     */
   def dedupContainment(s: SparkSession, dir: String, maxDf: Int = 10000,
       minC: Double = 0.8): DataFrame = {
+    val (directed, cleanup) = containmentDirected(s, dir, maxDf)
+    val result = directed.filter(col("containment") >= minC)
+      .select(col("contained_id"), col("container_id"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy(col("contained_id"), col("container_id"))
+      .localCheckpoint(true)
+    cleanup()
+    result
+  }
+
+  /** Directed containment rows with both shingle-set sizes riding
+    * through — shared by the report (`dedupContainment`) and the apply
+    * (`dedupApplyContainment`). Returns the (lazy) relation plus a
+    * cleanup thunk releasing the persisted shingle sets AFTER the
+    * caller has materialized.
+    */
+  private def containmentDirected(s: SparkSession, dir: String,
+      maxDf: Int): (DataFrame, () => Unit) = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .persist()
@@ -107,17 +125,42 @@ object Dedup {
         size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
     val directed = withSets.select(col("doc_a").as("contained_id"),
         col("doc_b").as("container_id"),
-        (col("n_common").cast(DoubleType) / col("n_a")).as("containment"))
+        (col("n_common").cast(DoubleType) / col("n_a")).as("containment"),
+        col("n_a").as("n_contained"), col("n_b").as("n_container"))
       .unionByName(withSets.select(col("doc_b").as("contained_id"),
         col("doc_a").as("container_id"),
-        (col("n_common").cast(DoubleType) / col("n_b")).as("containment")))
-    val result = directed.filter(col("containment") >= minC)
-      .select(col("contained_id"), col("container_id"),
-        round(col("containment"), 6).as("containment"))
-      .orderBy(col("contained_id"), col("container_id"))
+        (col("n_common").cast(DoubleType) / col("n_b")).as("containment"),
+        col("n_b").as("n_contained"), col("n_a").as("n_container")))
+    (directed, () => { docs.unpersist(); () })
+  }
+
+  /** The containment APPLY — excerpt removal with KEEP-THE-LARGER
+    * semantics: drop every document substantially contained (≥ `minC`)
+    * in a document with MORE shingles (ties break to the lower
+    * container id). The undirected cluster-apply is the wrong tool
+    * here: min-id canonicalization can keep the excerpt and drop the
+    * container, which inverts what containment means. The rule is
+    * non-recursive by contract — a doc contained in a larger one is
+    * redundant regardless of that container's own fate, and every
+    * containment chain's maximal element survives. One directed-pair
+    * relation (the same bucketed index as the report) and one anti-join;
+    * the corpus streams through.
+    */
+  def dedupApplyContainment(s: SparkSession, dir: String,
+      maxDf: Int = 10000, minC: Double = 0.8): DataFrame = {
+    val (directed, cleanup) = containmentDirected(s, dir, maxDf)
+    val drop = directed
+      .filter(col("containment") >= minC &&
+        (col("n_container") > col("n_contained") ||
+          (col("n_container") === col("n_contained") &&
+            col("container_id") < col("contained_id"))))
+      .select(col("contained_id").as("doc_id")).distinct()
       .localCheckpoint(true)
-    docs.unpersist()
-    result
+    cleanup()
+    Tables.documents(s, dir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
   }
 
   /** MinHash+LSH near-dup detection: 16-function signature per doc

@@ -193,6 +193,25 @@ class TextHashSpec extends SparkSpec {
     assert(pair.getAs[Double]("containment") == 1.0) // containment sees it
   }
 
+  test("containment apply: no survivor is contained in a larger doc; excerpts die") {
+    import graft.functions.TextFunctions.shingles
+    val surv = graft.dedup.Dedup.dedupApplyContainment(spark, Sf001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val total = Tables.documents(spark, Sf001).count()
+    assert(surv.size < total, "apply dropped nothing — planted excerpts should die")
+    // keep-the-larger invariant: every >=0.8-contained-in-LARGER doc is
+    // gone, so no surviving doc may have such a container at all
+    val sizes = Tables.documents(spark, Sf001)
+      .select(col("doc_id"), size(shingles(col("text"), 3)).as("n_sh"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val violating = graft.dedup.Dedup.dedupContainment(spark, Sf001)
+      .collect()
+      .map(r => (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id")))
+      .filter { case (x, y) =>
+        surv(x) && (sizes(y) > sizes(x) || (sizes(y) == sizes(x) && y < x)) }
+    assert(violating.isEmpty, s"survivors still contained: ${violating.take(5).toSeq}")
+  }
+
   test("incremental dedup: within- and cross-delivery dups die, index accumulates") {
     def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
     val textA = words("alpha", 30); val textB = words("beta", 30)
