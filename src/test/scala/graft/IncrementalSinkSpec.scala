@@ -179,6 +179,27 @@ class IncrementalSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("survivor-corpus compaction: one segment, same rows, reads unchanged") {
+    val root = Files.createTempDirectory("incr_outcompact")
+    val (out, idx) = (s"$root/out", s"$root/idx")
+    for (i <- 0 until 3)
+      Dedup.incrementalCommit(
+        docsDf((i * 10L + 1, words(s"corpus$i", 30))), out, idx, i)
+    val before = Dedup.readSegments(spark, out)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    Dedup.compactSegments(spark, out, dedupKeys = Seq("doc_id"))
+    val segs = Files.list(java.nio.file.Paths.get(out)).iterator()
+    val names = Iterator.continually(segs).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).toList
+    assert(names.length == 1 && names.head.startsWith("seg_compact_"), s"segs=$names")
+    val after = Dedup.readSegments(spark, out)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(after == before)
+    // a later delivery still commits and reads back fine post-compaction
+    Dedup.incrementalCommit(docsDf((99L, words("fresh", 30))), out, idx, 3)
+    assert(keptIds(out) == Seq(1L, 11L, 21L, 99L))
+  }
+
   test("readIndex: missing dir reads empty; a corrupt segment propagates, not empties") {
     val root = Files.createTempDirectory("incr_read")
     val idx = s"$root/idx"
