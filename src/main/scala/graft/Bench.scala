@@ -6,7 +6,9 @@ import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 /** Per-round benchmark main (driver contract): times the headline
-  * queries on SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  * queries on SPARK_GRAFT_SF_DIR and prints ONE compact JSON line
+  * (per-query min-wall + min-cpu, no arrays), writing the full
+  * per-run diagnostic JSON to bench_artifact.json alongside it.
   *
   * Harness policy:
   *  - every query runs 3×, min-of-3 reported (min-of-N is the standard
@@ -203,7 +205,7 @@ object Bench {
     }
     def arr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    val qs = results.map { case (k, rs) => "\"" + k + "\":" + rs.map(_.wall).min }
+    val qs = results.map { case (k, rs) => "\"" + k + "\":" + f"${rs.map(_.wall).min}%.3f" }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, rs) => "\"" + k + "\":" + arr(rs.map(_.wall)) }
       .mkString(",\"runs\":{", ",", "}")
@@ -223,7 +225,35 @@ object Bench {
         "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       }.mkString(",\"errors\":{", ",", "}")
     val total = results.map(_._2.map(_.wall).min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$cpuJson$gcJson$retriesJson$stallsJson$errJson,"sf":"$sfDir"}""")
+    // TWO-TIER ARTIFACT (r6 postmortem): the full self-diagnosing JSON —
+    // four per-run arrays × every query plus stall windows — outgrew the
+    // driver's line capture in r6 (BENCH_r06 came back `parsed: null`
+    // with only the tail fragments of the line surviving). The artifact
+    // must fit the pipe that carries it, so:
+    //  - stdout carries exactly ONE line, the driver contract, and it is
+    //    COMPACT: per-query min-wall (`queries`) + min-cpu (`queriesCpu`),
+    //    no arrays — ~1-2 KB regardless of query count;
+    //  - the FULL diagnostic JSON (runs/runsCpu/runsGc/retries/
+    //    stall_windows, per-run resolution) is written to
+    //    bench_artifact.json in the working directory (the repo root when
+    //    the driver runs it there), where judge and tooling read it at
+    //    whatever size it grows to.
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$cpuJson$gcJson$retriesJson$stallsJson$errJson,"sf":"$sfDir"}"""
+    val artifactPath = java.nio.file.Paths.get("bench_artifact.json")
+    try {
+      java.nio.file.Files.write(artifactPath, (fullJson + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full diagnostic artifact -> ${artifactPath.toAbsolutePath}")
+    } catch {
+      case e: Exception =>
+        // never let artifact IO take down the bench; the compact stdout
+        // line below still carries the round's headline numbers
+        System.err.println(s"[bench] could not write ${artifactPath}: $e")
+    }
+    val qsCpuCompact = results
+      .map { case (k, rs) => "\"" + k + "\":" + f"${rs.map(_.cpu).min}%.3f" }
+      .mkString("{", ",", "}")
+    val retriesTotal = retries.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queriesCpu":$qsCpuCompact,"stalls":${stalls.size},"retries":$retriesTotal$errJson,"artifact":"bench_artifact.json","sf":"$sfDir"}""")
     if (stalls.nonEmpty)
       System.err.println(s"[bench] ${stalls.size} stall-shaped run(s) recorded in stall_windows")
     if (errors.nonEmpty)
