@@ -28,12 +28,13 @@ object OracleSql {
     * SQL VALUES rows — same deterministic splitmix64 family the native
     * LshBucketsExpr evaluates.
     */
-  private val lshSignRows: String = (0 until 8).map { p =>
+  private def lshSignRowsFor(nPlanes: Int): String = (0 until nPlanes).map { p =>
     val sv = (0 until 64)
       .map(d => if (graft.functions.LshHash.planeSign(p, d.toLong) > 0) "1.0" else "-1.0")
       .mkString("[", ", ", "]")
     s"  ($p, $sv::DOUBLE[])"
   }.mkString(",\n")
+  private val lshSignRows: String = lshSignRowsFor(8)
 
   /** Boilerplate-span detection (TextAnalysis.boilerplateIslands):
     * positional 8-gram hashes → df >= 2 hot set → flagged starts →
@@ -860,6 +861,37 @@ object OracleSql {
         |      ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rank
         |  FROM p)
         |WHERE rank <= 5 ORDER BY src_id, rank""".stripMargin,
+
+    // the BUCKETED knn graph (the 100 TB path): every stage of the LSH
+    // pipeline is deterministic, so the oracle replays it whole —
+    // 24 tables × 4 planes of literal splitmix64 sign vectors (planes
+    // 0..95, table t owning planes t*4..t*4+3 exactly as
+    // LshHash.lshBuckets allocates), bucket self-join candidates,
+    // distinct, cosine refine, (cos desc, id asc) top-5 — and the gate
+    // is a full hash match on the scale path's exact output
+    "emb_knn_graph_lsh" ->
+      s"""WITH signs(pl, sv) AS (VALUES
+         |${lshSignRowsFor(96)}),
+         |bk AS (SELECT e.vec_id, pl // 4 AS tbl,
+         |    sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], s.sv) > 0
+         |      THEN 1::BIGINT << (pl % 4) ELSE 0 END)::BIGINT AS bucket
+         |  FROM embeddings e CROSS JOIN signs s GROUP BY e.vec_id, pl // 4),
+         |cand AS (SELECT DISTINCT x.vec_id AS src_id, y.vec_id AS neighbor_id
+         |  FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |    AND x.vec_id <> y.vec_id),
+         |an AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |pr AS (SELECT c.src_id, c.neighbor_id,
+         |    round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM cand c JOIN an a ON a.vec_id = c.src_id
+         |    JOIN an b ON b.vec_id = c.neighbor_id)
+         |SELECT * FROM (
+         |  SELECT src_id, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY src_id
+         |      ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rank
+         |  FROM pr)
+         |WHERE rank <= 5 ORDER BY src_id, rank""".stripMargin,
 
     // int8 quantization + rescored top-k: scale = 127/max|x|,
     // q = floor(x·scale + 0.5) (floor, not round — HALF_UP vs

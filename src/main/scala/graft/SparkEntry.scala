@@ -160,6 +160,10 @@ object SparkEntry {
     // knn GRAPH: top-k neighbors for EVERY vector (query set = corpus) —
     // exact by contract (the recall oracle for the LSH-bucketed variant)
     "emb_knn_graph"       -> (Similarity.embKnnGraph(_, _)),
+    // the bucketed scale path of the knn graph: LSH candidate buckets →
+    // distinct pairs → one exact-cosine refine → bounded-heap top-k;
+    // full hash gate (the oracle replays the deterministic pipeline)
+    "emb_knn_graph_lsh"   -> (Similarity.embKnnGraphLshQ(_, _)),
     // int8 symmetric quantization + integer-dot candidate cut + exact
     // rescore: the memory-bound ANN path (4x scan/shuffle shrink)
     "emb_quantized_topk"  -> (Similarity.embQuantizedTopk(_, _)),
@@ -195,6 +199,7 @@ object SparkEntry {
     "w1_gap_detection", "w2_moving_avg", "o3_recent_topn",
     "t1_fanout", "t9_anomaly_flags", "l8_integrity",
     "dedup_minhash_lsh", "dedup_chunks", "emb_topk", "emb_knn_graph",
+    "emb_knn_graph_lsh",
     "emb_pq_topk", "tx_fingerprint", "tx_boilerplate",
     "asof_join_purchase", "range_join_burst", "decontaminate",
     "emb_quantized_topk",

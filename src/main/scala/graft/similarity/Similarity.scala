@@ -148,6 +148,18 @@ object Similarity {
     * against the exact graph and asserts the planted near-identical
     * copies' top edges are all present.
     */
+  /** Driver-registered form of the bucketed knn graph. Every stage is
+    * deterministic — splitmix64 hyperplanes, distinct candidate pairs,
+    * (cos desc, id asc) rank tiebreak — so the oracle replicates the
+    * WHOLE LSH pipeline (literal sign matrix, bucket self-join, refine,
+    * rank) and the gate is a full hash match, not rows-only: the driver
+    * certifies the scale path's exact output, recall warts and all,
+    * while SimilarityKnnSpec separately bounds its recall vs the exact
+    * graph.
+    */
+  def embKnnGraphLshQ(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    embKnnGraphLsh(Tables.embeddings(s, dir), k)
+
   def embKnnGraphLsh(emb: DataFrame, k: Int, nPlanes: Int = 4,
       nTables: Int = 24): DataFrame = {
     val ids = emb.select(col("vec_id"),
