@@ -1243,6 +1243,34 @@ object OracleSql {
          |WHERE user_id < 50 AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
          |GROUP BY bucket, user_id ORDER BY bucket, user_id""".stripMargin,
 
+    // deterministic-part oracle for the approx scale path: group keys +
+    // exact n are cross-engine; the sketch estimates are certified by
+    // band booleans each engine computes against ITS OWN sketch (HLL
+    // within max(2, 5%) of exact; quantiles by rank-interval recount vs
+    // φ ± 5%·n — the guarantee quantile sketches actually give)
+    "a6_approx_distribution" ->
+      """WITH ev AS (SELECT date_trunc('day', ts) AS bucket, event_type,
+        |    user_id, value FROM events),
+        |est AS (SELECT bucket, event_type,
+        |    approx_count_distinct(user_id) AS nd_approx,
+        |    count(DISTINCT user_id) AS nd_exact, count(*) AS n,
+        |    approx_quantile(value, 0.5) AS med_a,
+        |    approx_quantile(value, 0.95) AS p95_a
+        |  FROM ev GROUP BY bucket, event_type),
+        |rk AS (SELECT ev.bucket, ev.event_type,
+        |    count(*) FILTER (ev.value < e.med_a) AS med_lo,
+        |    count(*) FILTER (ev.value <= e.med_a) AS med_hi,
+        |    count(*) FILTER (ev.value <= e.p95_a) AS p95_hi
+        |  FROM ev JOIN est e USING (bucket, event_type)
+        |  GROUP BY ev.bucket, ev.event_type)
+        |SELECT bucket, event_type, n,
+        |  (abs(nd_approx - nd_exact) <= greatest(2.0, nd_exact * 0.05))
+        |    AS devices_in_band,
+        |  (med_hi >= 0.45 * n AND med_lo <= 0.55 * n) AS median_in_band,
+        |  (p95_hi >= 0.90 * n) AS p95_in_band
+        |FROM est JOIN rk USING (bucket, event_type)
+        |ORDER BY bucket, event_type""".stripMargin,
+
     "a6_daily_distribution" ->
       s"""SELECT date_trunc('day', ts) AS bucket, event_type,
          |  count(DISTINCT user_id) AS n_devices, count(*) AS n,
@@ -1282,6 +1310,19 @@ object OracleSql {
          |FROM events
          |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOURS
          |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
+
+    // deterministic-part oracle for the sketch merge: exact_distinct is
+    // cross-engine checked; merged_eq_direct is the re-aggregation
+    // identity the Spark plan itself certifies (sketch bytes never leave
+    // their engine, so the oracle states the literal the property must
+    // evaluate to — a Spark-side false is a hash mismatch); the error
+    // band is recomputed over DuckDB's OWN HLL estimate
+    "a6_sketch_merge" ->
+      """SELECT count(DISTINCT user_id) AS exact_distinct,
+        |  TRUE AS merged_eq_direct,
+        |  (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |    <= count(DISTINCT user_id) * 0.05) AS estimate_in_band
+        |FROM events""".stripMargin,
 
     "a11_duplicate_detection" ->
       """SELECT count(*)::BIGINT AS n_duplicate_pairs,

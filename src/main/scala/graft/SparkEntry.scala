@@ -48,7 +48,8 @@ object SparkEntry {
     "funnel_stages"    -> (EA.funnelStages(_, _)),
     "cohort_retention" -> (EA.cohortRetention(_, _)),
     // mergeable-sketch distinct counting (re-aggregation property);
-    // rows-only check by design — sketch bytes are engine-specific
+    // deterministic-part hash gate: exact count + band booleans (sketch
+    // bytes stay engine-side, certified by each engine's own band check)
     "a6_sketch_merge"  -> (TX.a6SketchMerge(_, _)),
     // window analytics (SURVEY §2.4)
     "w1_gap_detection"  -> (EA.w1GapDetection(_, _)),

@@ -77,12 +77,10 @@ object TextAnalysis {
   }
 
   /** Approximate variants of the distribution stats (the 100 TB scale
-    * path: HLL distinct + t-digest-style percentile instead of exact).
-    * No SQL oracle — approx sketches are engine-specific by nature; the
-    * driver records a rows-only check, and TextAnalysisSpec bounds the
-    * error against the exact query.
+    * path: HLL distinct + quantile sketch instead of exact) — raw
+    * estimates, used by the spec's error-bound assertions.
     */
-  def approxDistribution(s: SparkSession, dir: String): DataFrame =
+  def approxDistributionRaw(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(date_trunc("day", col("ts")).as("bucket"), col("event_type"))
       .agg(
@@ -92,18 +90,61 @@ object TextAnalysis {
         percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_approx"))
       .orderBy(col("bucket"), col("event_type"))
 
+  /** The DRIVER-GATED form of the approx distribution: sketch bytes and
+    * raw estimates are engine-specific, so the hash surface carries the
+    * deterministic part — group keys, exact counts, and BAND BOOLEANS
+    * certifying each engine's own sketch against the exact statistic it
+    * approximates. Distinct counts: |HLL − exact| ≤ max(2, 5%). Quantiles
+    * are certified in RANK space (the guarantee quantile sketches
+    * actually give): the approx value's rank interval, recounted against
+    * the raw rows, must overlap φ ± 5%·n — gap-free of value-space
+    * distribution assumptions, and computable identically in DuckDB
+    * against ITS approx_quantile. One extra broadcast join-back of the
+    * 150-row estimate table; the raw scan is still two passes total.
+    */
+  def approxDistribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).as("bucket"), col("event_type"),
+        col("user_id"), col("value"))
+    val est = ev.groupBy(col("bucket"), col("event_type"))
+      .agg(
+        // rsd 0.01 (not the 0.05 default): the 5% band must be a ≥5σ
+        // margin for the gate to be stable run-over-run, and the default
+        // sketch's worst groups land outside 5% (observed at sf0.01)
+        approx_count_distinct(col("user_id"), 0.01).as("nd_approx"),
+        count_distinct(col("user_id")).as("nd_exact"),
+        count(lit(1)).as("n"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("med_a"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_a"))
+    val ranks = ev
+      .join(broadcast(est.select(col("bucket"), col("event_type"),
+        col("med_a"), col("p95_a"))), Seq("bucket", "event_type"))
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(
+        count_if(col("value") < col("med_a")).as("med_lo"),
+        count_if(col("value") <= col("med_a")).as("med_hi"),
+        count_if(col("value") <= col("p95_a")).as("p95_hi"))
+    est.join(ranks, Seq("bucket", "event_type"))
+      .select(col("bucket"), col("event_type"), col("n"),
+        (abs(col("nd_approx") - col("nd_exact")) <=
+          greatest(lit(2.0), col("nd_exact") * lit(0.05))).as("devices_in_band"),
+        (col("med_hi") >= lit(0.45) * col("n") &&
+          col("med_lo") <= lit(0.55) * col("n")).as("median_in_band"),
+        (col("p95_hi") >= lit(0.90) * col("n")).as("p95_in_band"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   /** Mergeable-sketch distinct counting (the re-aggregation property
     * continuous aggregates at 100 TB stand on): per-day HLL sketches of
     * the device set are UNIONED into the global sketch instead of
     * re-scanning raw data — `hll_sketch_agg` partials are associative,
     * so day → week → month rollups each cost one pass over the previous
-    * level's sketches. The query emits the merged estimate next to the
-    * single-pass estimate (sketch algebra says they are the SAME
-    * sketch) and the exact count. No SQL oracle — sketch bytes are
-    * engine-specific (driver records rows-only); the spec asserts
-    * merged ≡ direct and bounds the estimate error against exact.
+    * level's sketches. The raw form emits the merged estimate next to
+    * the single-pass estimate (sketch algebra says they are the SAME
+    * sketch) and the exact count; the spec asserts merged ≡ direct and
+    * bounds the estimate error against exact.
     */
-  def a6SketchMerge(s: SparkSession, dir: String): DataFrame = {
+  def a6SketchMergeRaw(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
@@ -114,6 +155,23 @@ object TextAnalysis {
       count_distinct(col("user_id")).as("exact_distinct"))
     merged.crossJoin(direct)
   }
+
+  /** The DRIVER-GATED form of the sketch merge: the hash surface is the
+    * deterministic part — the exact distinct count (cross-engine
+    * checkable) plus two booleans the Spark plan itself certifies:
+    * merged ≡ direct (the re-aggregation identity — engine-internal by
+    * nature, so the oracle states it as the literal the property must
+    * evaluate to) and |merged − exact| ≤ 5% (the oracle computes the
+    * same band over DuckDB's own HLL estimate). A false on either side
+    * is a hash mismatch, so the gate now FAILS if the sketch algebra or
+    * the error bound ever breaks — strictly stronger than rows-only.
+    */
+  def a6SketchMerge(s: SparkSession, dir: String): DataFrame =
+    a6SketchMergeRaw(s, dir).select(
+      col("exact_distinct"),
+      (col("merged_estimate") === col("direct_estimate")).as("merged_eq_direct"),
+      (abs(col("merged_estimate") - col("exact_distinct")) <=
+        col("exact_distinct") * lit(0.05)).as("estimate_in_band"))
 
   /** Token-distribution signals for LLM data-quality filtering:
     * per-doc Shannon entropy of the token distribution (low = repetitive

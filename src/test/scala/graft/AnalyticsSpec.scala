@@ -47,12 +47,22 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("sketch merge: unioned daily sketches equal the single-pass sketch; error bounded") {
-    val r = graft.analytics.TextAnalysis.a6SketchMerge(spark, Sf001).head()
+    val r = graft.analytics.TextAnalysis.a6SketchMergeRaw(spark, Sf001).head()
     val (merged, direct, exact) =
       (r.getAs[Long]("merged_estimate"), r.getAs[Long]("direct_estimate"),
         r.getAs[Long]("exact_distinct"))
     assert(merged == direct) // the re-aggregation identity
     assert(math.abs(merged - exact).toDouble / exact < 0.05)
+  }
+
+  test("gated sketch queries: every deterministic-part band boolean holds") {
+    val sm = graft.analytics.TextAnalysis.a6SketchMerge(spark, Sf001).head()
+    assert(sm.getAs[Boolean]("merged_eq_direct"))
+    assert(sm.getAs[Boolean]("estimate_in_band"))
+    val bad = graft.analytics.TextAnalysis.approxDistribution(spark, Sf001)
+      .filter(!col("devices_in_band") || !col("median_in_band") ||
+        !col("p95_in_band")).count()
+    assert(bad == 0)
   }
 
   test("w2: moving average stays within per-device min/max") {
@@ -86,7 +96,7 @@ class AnalyticsSpec extends SparkSpec {
     import spark.implicits._
     val exact = EventAnalytics.a6DailyDistribution(spark, Sf0001)
       .select($"bucket", $"event_type", $"n_devices", $"median_value")
-    val approx = analytics.TextAnalysis.approxDistribution(spark, Sf0001)
+    val approx = analytics.TextAnalysis.approxDistributionRaw(spark, Sf0001)
       .select($"bucket", $"event_type", $"n_devices_approx", $"median_approx")
     val joined = exact.join(approx, Seq("bucket", "event_type")).collect()
     assert(joined.nonEmpty)
