@@ -28,10 +28,18 @@ class MqttSpec extends SparkSpec {
     assert(roundTrip(Mqtt.PingReq) == Mqtt.PingReq)
     assert(roundTrip(Mqtt.PingResp) == Mqtt.PingResp)
     assert(roundTrip(Mqtt.Disconnect) == Mqtt.Disconnect)
+    assert(roundTrip(Mqtt.PubAck(513)) == Mqtt.PubAck(513))
     val small = Mqtt.Publish("t/x", """{"a":1}""".getBytes("UTF-8"))
     roundTrip(small) match {
-      case Mqtt.Publish(t, p) =>
+      case Mqtt.Publish(t, p, 0, _, false) =>
         assert(t == "t/x" && new String(p, "UTF-8") == """{"a":1}""")
+      case other => fail(s"got $other")
+    }
+    // QoS-1 PUBLISH: qos flag, packet id and DUP all survive the wire
+    roundTrip(Mqtt.Publish("t/q", "hi".getBytes("UTF-8"), qos = 1,
+        packetId = 777, dup = true)) match {
+      case Mqtt.Publish(t, p, 1, 777, true) =>
+        assert(t == "t/q" && new String(p, "UTF-8") == "hi")
       case other => fail(s"got $other")
     }
   }
@@ -42,7 +50,7 @@ class MqttSpec extends SparkSpec {
     for (n <- Seq(300, 20000)) {
       val payload = Array.fill[Byte](n)(((n % 251) + 1).toByte)
       roundTrip(Mqtt.Publish("topic/varint", payload)) match {
-        case Mqtt.Publish(t, p) =>
+        case Mqtt.Publish(t, p, _, _, _) =>
           assert(t == "topic/varint" && p.sameElements(payload), s"n=$n")
         case other => fail(s"got $other")
       }
@@ -67,6 +75,99 @@ class MqttSpec extends SparkSpec {
         assert(m1 == ("sensors/gw" -> """{"device_id":"aa:bb"}"""))
         assert(m2 == ("sensors/gw" -> """{"device_id":"cc:dd"}"""))
       } finally client.close()
+    } finally broker.close()
+  }
+
+  test("QoS-1 publish: dropped PUBACK forces exactly one DUP retransmit") {
+    val broker = new Mqtt.LoopbackBroker(dropFirstPuback = true)
+    try {
+      val pub = new Mqtt.Publisher("127.0.0.1", broker.port, ackTimeoutMs = 300)
+      try {
+        // the broker swallows the first ack ever → transmission 2 is the
+        // DUP retry, which IS acked
+        val attempts = pub.publishQos1("sensors/gw", """{"q":1}""".getBytes("UTF-8"))
+        assert(attempts == 2, s"expected one retransmit, took $attempts")
+        val r1 = broker.received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+        val r2 = broker.received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+        assert(r1 != null && r2 != null)
+        assert(r1._4 == r2._4, "retransmit must reuse the packet id")
+        assert(!r1._5 && r2._5, "first transmission DUP=0, retry DUP=1")
+        // with acks flowing again, the next publish lands first try and
+        // takes a fresh packet id
+        assert(pub.publishQos1("sensors/gw", "b".getBytes("UTF-8")) == 1)
+        val r3 = broker.received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+        assert(r3 != null && r3._4 != r1._4 && !r3._5)
+      } finally pub.close()
+    } finally broker.close()
+  }
+
+  test("QoS-1 delivery to the subscriber is processed THEN PUBACK'd") {
+    val broker = new Mqtt.LoopbackBroker
+    try {
+      val got = new java.util.concurrent.LinkedBlockingQueue[String]
+      val client = new Mqtt.Client("127.0.0.1", broker.port, "sensors/gw")
+      val t = new Thread(() => client.foreachMessage((_, payload) =>
+        got.put(new String(payload, "UTF-8"))))
+      t.setDaemon(true); t.start()
+      try {
+        broker.awaitSubscriber()
+        broker.publishQos1("sensors/gw", """{"device_id":"aa"}""", pid = 42)
+        assert(got.poll(10, java.util.concurrent.TimeUnit.SECONDS) ==
+          """{"device_id":"aa"}""")
+        val ack = broker.pubacks.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+        assert(ack != null && ack.intValue == 42)
+      } finally client.close()
+    } finally broker.close()
+  }
+
+  test("client keepalive: PINGREQ arrives at the broker unprompted") {
+    val broker = new Mqtt.LoopbackBroker
+    try {
+      // keepAliveSec=1 → the client must ping every ~500ms on its own
+      val client = new Mqtt.Client("127.0.0.1", broker.port, "sensors/gw",
+        keepAliveSec = 1)
+      val t = new Thread(() => client.foreachMessage((_, _) => ()))
+      t.setDaemon(true); t.start()
+      try {
+        broker.awaitSubscriber()
+        val deadline = System.currentTimeMillis() + 5000
+        while (broker.pingreqs.get == 0 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        assert(broker.pingreqs.get >= 1,
+          "client sent no PINGREQ within 5s at keepAlive=1s")
+      } finally client.close()
+    } finally broker.close()
+  }
+
+  test("spool survives a broker bounce: reconnect + resubscribe, no silent death") {
+    val spool = Files.createTempDirectory("mqtt_reconnect").toString + "/lines"
+    val broker = new Mqtt.LoopbackBroker
+    try {
+      val handle = Mqtt.startSpool("127.0.0.1", broker.port, "sensors/gw",
+        spool, reconnectDelayMs = 100)
+      try {
+        broker.awaitSubscriber()
+        broker.publish("sensors/gw", """{"n":1}""")
+        def spooled(): Long = Files.list(Paths.get(spool))
+          .filter(_.getFileName.toString.endsWith(".jsonl")).count()
+        val d1 = System.currentTimeMillis() + 10000
+        while (spooled() < 1 && System.currentTimeMillis() < d1) Thread.sleep(50)
+        assert(spooled() == 1)
+        // broker bounce: the live session dies; the worker must record
+        // it and re-establish CONNECT + SUBSCRIBE on its own
+        broker.dropConnection()
+        assert(broker.awaitSubscriber(15000) == "sensors/gw")
+        // the broker-side SUBACK precedes the client-side handshake
+        // completing, so give the worker a beat to record the connect
+        val dc = System.currentTimeMillis() + 5000
+        while (handle.connects < 2 && System.currentTimeMillis() < dc)
+          Thread.sleep(20)
+        assert(handle.connects >= 2, "no reconnect happened")
+        broker.publish("sensors/gw", """{"n":2}""")
+        val d2 = System.currentTimeMillis() + 10000
+        while (spooled() < 2 && System.currentTimeMillis() < d2) Thread.sleep(50)
+        assert(spooled() == 2, "post-reconnect publish never reached the spool")
+      } finally handle.close()
     } finally broker.close()
   }
 
