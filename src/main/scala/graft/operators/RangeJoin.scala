@@ -36,6 +36,16 @@ object RangeJoin {
     * identical probe rows each produce their own (correct) count
     * instead of silently merging into one row with a doubled sum. The
     * id never leaves the operator.
+    *
+    * Cluster-determinism constraint: `monotonically_increasing_id` is
+    * stable only while the upstream partitioning is — if a probe task
+    * is recomputed after a partial shuffle fetch (executor loss,
+    * speculation), recomputed rows can take different ids. That is
+    * harmless here ONLY because the id is consumed within this one
+    * stage pair and never joined back; if the operator ever needs to
+    * persist or re-join the id, mint it deterministically instead
+    * (row_number over a total order, or a hash of the full row plus a
+    * per-row occurrence index).
     */
   def rangeCountBefore(probe: DataFrame, build: DataFrame,
       lookbackUs: Long): DataFrame = {

@@ -227,43 +227,94 @@ object Streams {
     try {
       val touched = fresh.select(col("event_date")).distinct()
         .collect().map(_.get(0))
-      if (!keyedDedup && priorAttempt) {
-        // append mode replay: the replayed batch has the same rows (same
-        // id, same lineage), hence the same touched partitions — drop
-        // the partial promote by prefix instead of a content read-back
+      if (priorAttempt) {
+        // replay after a crashed attempt: the replayed batch has the
+        // same rows (same id, same checkpoint lineage), hence the same
+        // touched partitions — drop the partial promote by prefix (data
+        // AND keyidx sidecar) instead of a content read-back
         touched.foreach { d =>
           val dir = p(s"$outDir/event_date=$d")
           if (fs.exists(dir))
             fs.listStatus(dir)
               .filter(f => f.isFile && f.getPath.getName.startsWith(filePrefix))
               .foreach(f => fs.delete(f.getPath, false))
+          KeyIndex.rollbackPrefix(fs, outDir, d, filePrefix)
         }
       }
-      val staged =
-        if (!keyedDedup) fresh
-        else {
-          // keyed mode (the ON CONFLICT DO NOTHING twin): anti-join the
-          // batch against keys already live, scan pruned to the touched
-          // date partitions and the key columns. This is the per-commit
-          // cost that grows with a hot partition — streams whose source
-          // delivers each key once should run keyedDedup = false, where
-          // exactly-once costs O(batch) regardless of sink size.
-          val existing =
-            try spark.read.parquet(outDir)
-              .filter(col("event_date").isInCollection(touched.toSeq))
-              .select(keys.map(col): _*)
-            catch {
-              // first batch: the sink dir is empty (schema inference
-              // fails) or does not exist yet
-              case _: org.apache.spark.sql.AnalysisException |
-                   _: java.io.FileNotFoundException =>
-                fresh.select(keys.map(col): _*).limit(0)
+      if (!keyedDedup) {
+        fresh.write.mode("overwrite")
+          .partitionBy("event_date")
+          .parquet(staging.toString)
+      } else {
+        // keyed mode (the ON CONFLICT DO NOTHING twin): dedup authority
+        // is the COMMITTED key sidecar index, not a data read-back.
+        // Per-commit cost: load the touched partitions' blooms (KBs) →
+        // if no batch key hits any bloom (the common all-new-keys case)
+        // the anti-join is skipped entirely; otherwise anti-join against
+        // the committed key SEGMENTS (a keys-only scan, still far
+        // smaller than the data). Partitions from before the sidecar
+        // existed take a one-time migration read-back folded into this
+        // commit's segment.
+        val prefixes = KeyIndex.committedPrefixes(fs, outDir)
+        val migrating = touched.filter(d =>
+          KeyIndex.needsMigration(fs, outDir, d, prefixes))
+        val blooms = touched.flatMap(d =>
+          KeyIndex.loadBlooms(fs, outDir, d, prefixes))
+        val hashCol = xxhash64(keys.map(c => col(c).cast("string")): _*)
+        val bloomsB = spark.sparkContext.broadcast(blooms.toArray)
+        // driver-merged sketch probed per batch row — a deliberate
+        // batch-side-only udf (might_contain needs a bloom built by
+        // bloom_filter_agg, which would mean scanning the very keys the
+        // sketch exists to avoid reading)
+        val bloomHit = udf((h: Long) => bloomsB.value.exists(_.mightContain(h)))
+        val anyCandidate =
+          blooms.nonEmpty && !fresh.filter(bloomHit(hashCol)).isEmpty
+        val migratedWithDate =
+          if (migrating.isEmpty) None
+          else Some(spark.read.parquet(outDir)
+            .filter(col("event_date").isInCollection(migrating.toSeq))
+            .select(col("event_date") +: keys.map(col): _*).persist())
+        try {
+          val segmentFiles =
+            if (!anyCandidate) Seq.empty
+            else touched.flatMap(d =>
+              KeyIndex.committedKeyFiles(fs, outDir, d, prefixes))
+              .map(_.toString).toSeq
+          val existing = Seq(
+            if (segmentFiles.nonEmpty)
+              Some(spark.read.parquet(segmentFiles: _*).select(keys.map(col): _*))
+            else None,
+            migratedWithDate.map(_.select(keys.map(col): _*))
+          ).flatten.reduceOption(_ unionByName _)
+          val staged = existing match {
+            case None    => fresh
+            case Some(e) => fresh.join(e, keys, "left_anti")
+          }
+          staged.write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(staging.toString)
+          // sidecar segment for this commit: the keys it inserts, plus
+          // the migration read-back keys (so the partition is fully
+          // covered the moment this batch's marker lands)
+          val segKeys = (staged.select(col("event_date") +: keys.map(col): _*) +:
+            migratedWithDate.toSeq).reduce(_ unionByName _)
+            .repartition(col("event_date")).persist()
+          try {
+            segKeys.write.mode("overwrite").partitionBy("event_date")
+              .parquet(s"$staging/_keyidx")
+            // one bloom per touched partition over that segment's keys,
+            // staged beside it (promoted + prefix-named with the rest)
+            val counts = segKeys.groupBy(col("event_date")).count()
+              .collect().map(r => (r.get(0), r.getLong(1)))
+            counts.foreach { case (d, n) =>
+              val bloom = KeyIndex.bloomOf(
+                segKeys.filter(col("event_date") === lit(d)), keys, n)
+              KeyIndex.writeBloom(fs,
+                p(s"$staging/_keyidx/event_date=$d/bloom.bin"), bloom)
             }
-          fresh.join(existing, keys, "left_anti")
-        }
-      staged.write.mode("overwrite")
-        .partitionBy("event_date")
-        .parquet(staging.toString)
+          } finally segKeys.unpersist()
+        } finally migratedWithDate.foreach(_.unpersist())
+      }
     } finally fresh.unpersist()
     if (crash == CrashAfterStage) throw new RuntimeException("injected crash: after stage")
     // promote: move each staged partition's data files into the live tree
@@ -282,6 +333,28 @@ object Streams {
               throw new java.io.IOException(s"promote: cannot move ${f.getPath}")
           }
       }
+    // promote the key sidecar (keyed mode): segments + blooms land under
+    // _keyidx with the SAME file prefix — authoritative only once the
+    // marker below exists, rolled back by prefix like the data on replay
+    val stagedIdx = p(s"$staging/_keyidx")
+    if (fs.exists(stagedIdx))
+      fs.listStatus(stagedIdx).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("event_date="))
+        .foreach { part =>
+          val target = p(s"$outDir/_keyidx/${part.getPath.getName}")
+          fs.mkdirs(target)
+          fs.listStatus(part.getPath)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+            .zipWithIndex.foreach { case (f, i) =>
+              val name =
+                if (f.getPath.getName == "bloom.bin") s"${filePrefix}bloom.bin"
+                else s"${filePrefix}keys-$i.parquet"
+              val dst = new org.apache.hadoop.fs.Path(target, name)
+              fs.delete(dst, true)
+              if (!fs.rename(f.getPath, dst))
+                throw new java.io.IOException(s"promote: cannot move ${f.getPath}")
+            }
+        }
     if (crash == CrashAfterPromote) throw new RuntimeException("injected crash: after promote")
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
@@ -289,15 +362,22 @@ object Streams {
   }
 
   /** `keyedDedup = true` (default) keeps the reference's idempotent-
-    * insert semantics: duplicate natural keys arriving in ANY batch (or
-    * a different sink incarnation) are dropped against the live table —
-    * the TimescaleDB `ON CONFLICT DO NOTHING` twin, at the price of a
-    * key-column read-back of the touched date partitions per commit.
+    * insert semantics: duplicate natural keys arriving in ANY batch are
+    * dropped — the TimescaleDB `ON CONFLICT DO NOTHING` twin. Since the
+    * key sidecar index (`KeyIndex`), its per-commit cost is BOUNDED:
+    * bloom loads (KBs per prior commit to the touched partitions) plus
+    * a keys-only segment anti-join ONLY when some batch key hits a
+    * bloom — an all-new-keys commit never scans any keys. Authority is
+    * marker-gated: only committed segments dedup, and both data and
+    * sidecar of a crashed attempt are rolled back by prefix on replay
+    * (the replayed micro-batch is assumed row-identical, which the
+    * checkpoint WAL guarantees — residue from an ABANDONED lineage that
+    * crashed mid-promote is unmarked and therefore invisible to dedup).
     * `keyedDedup = false` is append-exactly-once: each delivered row is
     * stored exactly once per checkpoint lineage (marker fast path +
-    * rollback-by-prefix replay), with NO read-back — per-commit cost is
-    * O(batch) no matter how large the hot partition grows, the mode a
-    * source with unique delivery (Kafka, file replay) wants at scale.
+    * rollback-by-prefix replay), with no key tracking at all — the mode
+    * a source with unique delivery (Kafka, file replay) wants when keys
+    * never repeat across batches.
     */
   def startDedupSink(events: DataFrame, outDir: String, checkpointDir: String,
       keyedDedup: Boolean = true) = {

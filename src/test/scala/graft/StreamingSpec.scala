@@ -261,4 +261,93 @@ class StreamingSpec extends SparkSpec {
     Streams.commitBatch(b1, outDir, 2, keyedDedup = false)
     assert(spark.read.parquet(outDir).count() == sampleRows.size + 3)
   }
+
+  test("keyed sink sidecar: blooms + segments land per commit, dedup never reads data") {
+    import spark.implicits._
+    import graft.streaming.KeyIndex
+    val outDir = Files.createTempDirectory("kidx_out").toString
+    Streams.commitBatch(sampleRows.take(3).toDF(), outDir, 0)
+    val root = java.nio.file.Paths.get(outDir)
+    // sidecar layout: committed, prefix-named segment + bloom per
+    // touched partition
+    val idx = root.resolve("_keyidx/event_date=2024-01-01")
+    assert(Files.exists(idx))
+    val names = Files.list(idx).iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(names.exists(n => n.startsWith("batch0-") && n.contains("keys")), names.toString)
+    assert(names.contains("batch0-bloom.bin"), names.toString)
+    // cross-batch duplicate keys die against the SIDECAR (bloom-hit →
+    // segment anti-join), new keys pass the bloom short-circuit
+    Streams.commitBatch((sampleRows.take(2) ++ sampleRows.drop(3)).toDF(), outDir, 1)
+    val live = spark.read.parquet(outDir)
+    assert(live.count() == sampleRows.size)
+    assert(live.select("user_id", "ts").distinct().count() == sampleRows.size)
+    // and the data read for dedup came from the index: corrupt every
+    // DATA file, commit a duplicate-keyed batch — still deduped (a
+    // data read-back would now throw)
+    Files.walk(root).iterator().asScala
+      .filter(p => p.toString.contains("event_date=") &&
+        !p.toString.contains("_keyidx") && p.toString.endsWith(".parquet"))
+      .foreach(p => Files.write(p, Array[Byte](1, 2, 3)))
+    Streams.commitBatch(sampleRows.take(1).toDF(), outDir, 2)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefixes = KeyIndex.committedPrefixes(fs, outDir)
+    // nothing new inserted: batch 2's segment carries zero keys (its
+    // only row was a dup), so the partition's committed key count is
+    // exactly the table's distinct keys
+    val segs = KeyIndex.committedKeyFiles(fs, outDir, "2024-01-01", prefixes)
+      .map(_.toString)
+    assert(spark.read.parquet(segs: _*).count() ==
+      sampleRows.count(_.ts.toString.startsWith("2024-01-01")))
+  }
+
+  test("keyed sink migration: a pre-sidecar partition is covered by its first commit") {
+    import spark.implicits._
+    import graft.streaming.KeyIndex
+    val outDir = Files.createTempDirectory("kmig_out").toString
+    // simulate a sink written BEFORE the sidecar existed: plain
+    // partitioned parquet, no _keyidx, no markers
+    sampleRows.take(3).toDF().withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(outDir)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(KeyIndex.needsMigration(fs, outDir, "2024-01-01",
+      KeyIndex.committedPrefixes(fs, outDir)))
+    // first keyed commit: overlapping keys dropped via the one-time
+    // read-back, and the partition becomes sidecar-covered atomically
+    Streams.commitBatch((sampleRows.take(2) ++ sampleRows.drop(3)).toDF(), outDir, 0)
+    assert(spark.read.parquet(outDir).select("user_id", "ts").distinct().count() ==
+      sampleRows.size)
+    val prefixes = KeyIndex.committedPrefixes(fs, outDir)
+    assert(!KeyIndex.needsMigration(fs, outDir, "2024-01-01", prefixes))
+    // second commit of an old pre-sidecar key: dropped via the sidecar
+    Streams.commitBatch(sampleRows.take(1).toDF(), outDir, 1)
+    assert(spark.read.parquet(outDir).count() == sampleRows.size)
+  }
+
+  test("keyed sink sidecar compaction folds segments; dedup survives") {
+    import spark.implicits._
+    import graft.streaming.KeyIndex
+    val outDir = Files.createTempDirectory("kcmp_out").toString
+    (0 until 4).foreach { b =>
+      Streams.commitBatch(Seq(
+        EventRow(100 + b, ts(f"2024-01-01 0$b%d:00:00"), 50 + b, "click", 1.0)
+      ).toDF(), outDir, b)
+    }
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def segCount = KeyIndex.committedKeyFiles(fs, outDir, "2024-01-01",
+      KeyIndex.committedPrefixes(fs, outDir)).size
+    assert(segCount == 4)
+    KeyIndex.compactSegments(spark, outDir, "2024-01-01", Seq("user_id", "ts"))
+    assert(segCount == 1)
+    // every pre-compaction key still dedups; a new key still lands
+    Streams.commitBatch(Seq(
+      EventRow(100, ts("2024-01-01 00:00:00"), 50, "click", 1.0), // dup
+      EventRow(200, ts("2024-01-01 09:00:00"), 99, "view", 2.0)   // new
+    ).toDF(), outDir, 10)
+    val live = spark.read.parquet(outDir)
+    assert(live.count() == 5)
+    assert(live.select("user_id", "ts").distinct().count() == 5)
+  }
 }
