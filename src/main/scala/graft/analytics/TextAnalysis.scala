@@ -489,10 +489,14 @@ object TextAnalysis {
     * composes directly.
     */
   def txChunk(s: SparkSession, dir: String, capacity: Int = 64,
+      overlap: Int = 16): DataFrame =
+    txChunkDf(Tables.documents(s, dir), capacity, overlap)
+
+  def txChunkDf(docs: DataFrame, capacity: Int = 64,
       overlap: Int = 16): DataFrame = {
     require(capacity > overlap && overlap >= 0)
     val stride = capacity - overlap
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"),

@@ -429,27 +429,55 @@ object Dedup {
     } finally surv.unpersist()
   }
 
+  /** Auto-compaction policy for the sink loop, two independent
+    * triggers:
+    *  - CADENCE: `compactEvery = n` folds after every n-th delivery;
+    *  - SIZE: `maxSegments = m` folds as soon as the segment-directory
+    *    count exceeds m — the trigger a long-lived sink actually wants,
+    *    since it bounds the small-files population regardless of
+    *    delivery cadence, and checking it is one driver listing RPC per
+    *    delivery (independent of corpus row count).
+    * Either at 0 disables that trigger. Returns whether it compacted.
+    */
+  def maybeCompact(spark: SparkSession, indexDir: String, batchId: Long,
+      compactEvery: Int = 0, maxSegments: Int = 0): Boolean = {
+    val byCadence = compactEvery > 0 && batchId % compactEvery == compactEvery - 1
+    def segDirs: Int = {
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) 0
+      else fs.listStatus(root).count(s =>
+        s.isDirectory && s.getPath.getName != "_spark_metadata")
+    }
+    val bySize = maxSegments > 0 && segDirs > maxSegments
+    if (byCadence || bySize) { compactSegments(spark, indexDir); true }
+    else false
+  }
+
   /** The incremental pipeline as a STREAMING sink: each micro-batch of
     * (doc_id, text) runs one `incrementalCommit` — append-only segment
     * writes keyed by batchId, idempotent under replay (see
     * `incrementalCommit` for the crash analysis). Read the surviving
     * corpus back with `readSegments(spark, outDir)`.
     *
-    * `compactEvery = n` folds the index's accumulated segments into one
-    * after every n-th delivery (`compactSegments`), bounding the
-    * segment-directory count for a long-lived sink; 0 disables.
-    * Compaction after a replayed batch is also safe — see the
-    * duplicate-rows-are-inert argument on `compactSegments`.
+    * Compaction policy via `maybeCompact`: `compactEvery` (cadence) and
+    * `maxSegments` (size trigger) bound the segment-directory count for
+    * a long-lived sink; both 0 disables. Compaction after a replayed
+    * batch is also safe — see the duplicate-rows-are-inert argument on
+    * `compactSegments`. `tools/LongRunSink` profiles this loop over
+    * 500 deliveries (bounded segments, flat commit cost).
     */
   def startIncrementalSink(docs: DataFrame, outDir: String, indexDir: String,
-      checkpointDir: String, tau: Double = 0.5, compactEvery: Int = 0)
+      checkpointDir: String, tau: Double = 0.5, compactEvery: Int = 0,
+      maxSegments: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         incrementalCommit(batch, outDir, indexDir, batchId, tau)
-        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          compactSegments(batch.sparkSession, indexDir)
+        maybeCompact(batch.sparkSession, indexDir, batchId, compactEvery,
+          maxSegments)
+        ()
       }
       .start()
 

@@ -15,6 +15,9 @@ import org.apache.spark.sql.SparkSession
 object ScaleCurve {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional section filter: "minhash" | "chunks" | "embedding"
+    val only = args.lift(1)
+    def section(name: String): Boolean = only.forall(_ == name)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -38,7 +41,7 @@ object ScaleCurve {
     // planted copy groups keep the verify stage honest.
     val baseDocs = Tables.documents(spark, dir)
     import org.apache.spark.sql.functions._
-    for (k <- Seq(1, 4)) {
+    for (k <- Seq(1, 4) if section("minhash")) {
       val docs = (0 until k).map(j =>
         baseDocs.select((col("doc_id") + lit(j * 1000000L)).as("doc_id"),
           concat(col("text"), lit(s" copymarker$j")).as("text")))
@@ -49,6 +52,23 @@ object ScaleCurve {
       println(f"minhash  n=$n%-8d $t%8.2f s")
     }
 
+    // Chunk-level dedup + boilerplate spans at growing corpus FRACTIONS
+    // (subsets keep the natural text-duplication structure, so the work
+    // profile stays honest — copy-planting would make every gram hot).
+    // Both operators are bucket-join shaped and should scale ~n.
+    for (m <- Seq(4, 2, 1) if section("chunks")) {
+      val docs = baseDocs.filter(pmod(col("doc_id"), lit(m)) === 0)
+        .select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val tC = Seq.fill(2)(timed(noop(
+        graft.dedup.Dedup.dedupChunksDf(
+          graft.analytics.TextAnalysis.txChunkDf(docs))))).min
+      val tB = Seq.fill(2)(timed(noop(
+        graft.analytics.TextAnalysis.txBoilerplateDf(docs)))).min
+      println(f"chunks/boilerplate n=$n%-8d chunks=$tC%8.2f s  boilerplate=$tB%8.2f s")
+      graft.store.Checkpoints.free(spark)
+    }
+
     println(f"${"copies"}%8s ${"n"}%8s ${"(b,t)"}%10s ${"lsh_s"}%8s ${"exact_s"}%8s ${"ratio"}%6s")
     // Past n=24k the exact twin's measured quadratic already puts it in
     // the minutes — the 48k point runs the LSH side ONLY and projects
@@ -57,7 +77,7 @@ object ScaleCurve {
     // envelope while the bucketed path keeps scaling ~n·t.
     var lastExact = 0.0
     var lastN = 0L
-    for (k <- Seq(2, 5, 11, 23)) {
+    for (k <- Seq(2, 5, 11, 23) if section("embedding")) {
       val factors = (1 to k).map(j =>
         (j * 1000000L, 0.2 + 0.1 * (j - 1) / math.max(1, k - 1)))
       val corpus = Similarity.augmentedEmbeddings(base, factors = factors)

@@ -179,6 +179,34 @@ class IncrementalSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("size-triggered auto-compaction: segment count bounded by maxSegments") {
+    val root = Files.createTempDirectory("incr_sizecompact")
+    val (out, idx, ckpt) = (s"$root/out", s"$root/idx", s"$root/ckpt")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = Dedup.startIncrementalSink(
+      mem.toDF().toDF("doc_id", "text"), out, idx, ckpt, maxSegments = 2)
+    try {
+      var peak = 0
+      for (i <- 0 until 6) {
+        mem.addData((i * 10L + 1, words(s"sz$i", 30)))
+        q.processAllAvailable()
+        val segs = Files.list(java.nio.file.Paths.get(idx)).iterator()
+        val n = Iterator.continually(segs).takeWhile(_.hasNext).map(_.next())
+          .count(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString != "_spark_metadata")
+        peak = math.max(peak, n)
+      }
+      // policy: compact as soon as count exceeds maxSegments — so the
+      // post-delivery population never exceeds maxSegments (the +1
+      // overshoot is compacted within the same delivery)
+      assert(peak <= 2, s"peak=$peak")
+      assert(Dedup.readIndex(spark, idx).select("doc_id").distinct().count() == 6)
+      assert(keptIds(out).length == 6)
+    } finally q.stop()
+  }
+
   test("survivor-corpus compaction: one segment, same rows, reads unchanged") {
     val root = Files.createTempDirectory("incr_outcompact")
     val (out, idx) = (s"$root/out", s"$root/idx")
