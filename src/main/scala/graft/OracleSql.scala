@@ -864,18 +864,28 @@ object OracleSql {
 
     // the BUCKETED knn graph (the 100 TB path): every stage of the LSH
     // pipeline is deterministic, so the oracle replays it whole —
-    // 24 tables × 4 planes of literal splitmix64 sign vectors (planes
-    // 0..95, table t owning planes t*4..t*4+3 exactly as
-    // LshHash.lshBuckets allocates), bucket self-join candidates,
-    // distinct, cosine refine, (cos desc, id asc) top-5 — and the gate
-    // is a full hash match on the scale path's exact output
+    // plane count derived from corpus size by the SAME integer ladder
+    // as Similarity.knnLshPlanes (smallest b ≤ 8 with n ≤ 32·2^b),
+    // 24 tables × b planes of literal splitmix64 sign vectors (table t
+    // owning planes t*b..t*b+b-1 exactly as LshHash.lshBuckets
+    // allocates), bucket self-join candidates, distinct, cosine refine,
+    // (cos desc, id asc) top-5 — a full hash match on the scale path's
+    // exact output at ANY sf
     "emb_knn_graph_lsh" ->
       s"""WITH signs(pl, sv) AS (VALUES
-         |${lshSignRowsFor(96)}),
-         |bk AS (SELECT e.vec_id, pl // 4 AS tbl,
+         |${lshSignRowsFor(192)}),
+         |nb AS (SELECT CASE WHEN count(*) <= 64 THEN 1
+         |    WHEN count(*) <= 128 THEN 2 WHEN count(*) <= 256 THEN 3
+         |    WHEN count(*) <= 512 THEN 4 WHEN count(*) <= 1024 THEN 5
+         |    WHEN count(*) <= 2048 THEN 6 WHEN count(*) <= 4096 THEN 7
+         |    ELSE 8 END AS b FROM embeddings),
+         |bk AS (SELECT e.vec_id, pl // (SELECT b FROM nb) AS tbl,
          |    sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], s.sv) > 0
-         |      THEN 1::BIGINT << (pl % 4) ELSE 0 END)::BIGINT AS bucket
-         |  FROM embeddings e CROSS JOIN signs s GROUP BY e.vec_id, pl // 4),
+         |      THEN 1::BIGINT << (pl % (SELECT b FROM nb)) ELSE 0 END)::BIGINT
+         |      AS bucket
+         |  FROM embeddings e CROSS JOIN signs s
+         |  WHERE pl < 24 * (SELECT b FROM nb)
+         |  GROUP BY e.vec_id, pl // (SELECT b FROM nb)),
          |cand AS (SELECT DISTINCT x.vec_id AS src_id, y.vec_id AS neighbor_id
          |  FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bucket = y.bucket
          |    AND x.vec_id <> y.vec_id),

@@ -148,17 +148,33 @@ object Similarity {
     * against the exact graph and asserts the planted near-identical
     * copies' top edges are all present.
     */
-  /** Driver-registered form of the bucketed knn graph. Every stage is
-    * deterministic — splitmix64 hyperplanes, distinct candidate pairs,
-    * (cos desc, id asc) rank tiebreak — so the oracle replicates the
-    * WHOLE LSH pipeline (literal sign matrix, bucket self-join, refine,
-    * rank) and the gate is a full hash match, not rows-only: the driver
-    * certifies the scale path's exact output, recall warts and all,
-    * while SimilarityKnnSpec separately bounds its recall vs the exact
-    * graph.
+  /** Plane count for the knn-graph LSH index, derived from corpus size
+    * so expected bucket population stays ~32 rows (the same
+    * buckets-track-n principle as `LshParams.derive`): smallest b ≤ 8
+    * with n ≤ 32·2^b. An INTEGER threshold ladder — not a float
+    * ceil(log2(·)) — because the oracle mirrors the derivation in SQL
+    * and a power-of-two boundary must land on the same side in both
+    * engines.
     */
-  def embKnnGraphLshQ(s: SparkSession, dir: String, k: Int = 5): DataFrame =
-    embKnnGraphLsh(Tables.embeddings(s, dir), k)
+  def knnLshPlanes(n: Long): Int =
+    if (n <= 64) 1 else if (n <= 128) 2 else if (n <= 256) 3
+    else if (n <= 512) 4 else if (n <= 1024) 5 else if (n <= 2048) 6
+    else if (n <= 4096) 7 else 8
+
+  /** Driver-registered form of the bucketed knn graph. Every stage is
+    * deterministic — splitmix64 hyperplanes, size-derived plane count
+    * (`knnLshPlanes`), distinct candidate pairs, (cos desc, id asc)
+    * rank tiebreak — so the oracle replicates the WHOLE LSH pipeline
+    * (literal sign matrix, the same integer plane ladder, bucket
+    * self-join, refine, rank) and the gate is a full hash match, not
+    * rows-only: the driver certifies the scale path's exact output,
+    * recall warts and all, while SimilarityKnnSpec separately bounds
+    * its recall vs the exact graph.
+    */
+  def embKnnGraphLshQ(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    embKnnGraphLsh(emb, k, nPlanes = knnLshPlanes(emb.count()))
+  }
 
   def embKnnGraphLsh(emb: DataFrame, k: Int, nPlanes: Int = 4,
       nTables: Int = 24): DataFrame = {

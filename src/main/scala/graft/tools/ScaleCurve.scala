@@ -33,7 +33,7 @@ object ScaleCurve {
 
     val base = Tables.embeddings(spark, dir)
     // warm-up: codegen, parquet footers
-    noop(Similarity.dedupEmbeddingDf(base, 0.9))
+    if (section("embedding")) noop(Similarity.dedupEmbeddingDf(base, 0.9))
 
     // MinHash+LSH at two doc-corpus sizes: k near-identical copies per
     // document (distinct ids, a marker token appended so texts differ);
@@ -56,17 +56,27 @@ object ScaleCurve {
     // (subsets keep the natural text-duplication structure, so the work
     // profile stays honest — copy-planting would make every gram hot).
     // Both operators are bucket-join shaped and should scale ~n.
-    for (m <- Seq(4, 2, 1) if section("chunks")) {
-      val docs = baseDocs.filter(pmod(col("doc_id"), lit(m)) === 0)
+    if (section("chunks")) {
+      // warm both code paths once (codegen + shuffle setup) so the first
+      // measured size is not the compile run
+      val warm = baseDocs.filter(pmod(col("doc_id"), lit(8)) === 0)
         .select(col("doc_id"), col("text"))
-      val n = docs.count()
-      val tC = Seq.fill(2)(timed(noop(
-        graft.dedup.Dedup.dedupChunksDf(
-          graft.analytics.TextAnalysis.txChunkDf(docs))))).min
-      val tB = Seq.fill(2)(timed(noop(
-        graft.analytics.TextAnalysis.txBoilerplateDf(docs)))).min
-      println(f"chunks/boilerplate n=$n%-8d chunks=$tC%8.2f s  boilerplate=$tB%8.2f s")
+      noop(graft.dedup.Dedup.dedupChunksDf(
+        graft.analytics.TextAnalysis.txChunkDf(warm)))
+      noop(graft.analytics.TextAnalysis.txBoilerplateDf(warm))
       graft.store.Checkpoints.free(spark)
+      for (m <- Seq(4, 2, 1)) {
+        val docs = baseDocs.filter(pmod(col("doc_id"), lit(m)) === 0)
+          .select(col("doc_id"), col("text"))
+        val n = docs.count()
+        val tC = Seq.fill(3)(timed(noop(
+          graft.dedup.Dedup.dedupChunksDf(
+            graft.analytics.TextAnalysis.txChunkDf(docs))))).min
+        val tB = Seq.fill(3)(timed(noop(
+          graft.analytics.TextAnalysis.txBoilerplateDf(docs)))).min
+        println(f"chunks/boilerplate n=$n%-8d chunks=$tC%8.2f s  boilerplate=$tB%8.2f s")
+        graft.store.Checkpoints.free(spark)
+      }
     }
 
     println(f"${"copies"}%8s ${"n"}%8s ${"(b,t)"}%10s ${"lsh_s"}%8s ${"exact_s"}%8s ${"ratio"}%6s")

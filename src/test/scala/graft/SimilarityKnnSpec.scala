@@ -56,6 +56,17 @@ class SimilarityKnnSpec extends SparkSpec {
     }
   }
 
+  test("knn LSH plane ladder: integer boundaries, buckets track corpus size") {
+    import Similarity.knnLshPlanes
+    // power-of-two boundaries are integer-exact (the oracle mirrors the
+    // same CASE ladder — no float log2 on either side)
+    assert(knnLshPlanes(64) == 1 && knnLshPlanes(65) == 2)
+    assert(knnLshPlanes(512) == 4 && knnLshPlanes(513) == 5)
+    assert(knnLshPlanes(500) == 4)  // the sf0.01 driver-gate corpus
+    assert(knnLshPlanes(5000) == 8) // the sf0.1 bench corpus
+    assert(knnLshPlanes(100000000L) == 8) // capped: refine work per bucket
+  }
+
   test("LSH knn graph: high recall overall, 100% on planted near-identical edges") {
     val emb = Similarity.augmentedEmbeddings(
       Tables.embeddings(spark, Sf0001)).persist()
