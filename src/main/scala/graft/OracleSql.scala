@@ -133,6 +133,42 @@ object OracleSql {
          |  list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) AS mean_token_len
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    // Gopher repetition signals: per-(doc, n) gram counts, the top gram
+    // picked by (count DESC, gram ASC) — the same first-max-in-sorted-
+    // order tiebreak as the Spark run-length fold — and duplicated-5-gram
+    // char mass; every fraction is exact-integer products divided once,
+    // so the doubles match bit-for-bit
+    "tx_repetition" ->
+      s"""WITH $toksCte,
+         |gr AS (SELECT doc_id, n, unnest(list_transform(
+         |    generate_series(1, len(toks) - n + 1),
+         |    i -> array_to_string(list_slice(toks, i, i + n - 1), ' '))) AS g
+         |  FROM t, (SELECT unnest([2, 3, 4, 5]) AS n)),
+         |c AS (SELECT doc_id, n, g, count(*) AS c FROM gr GROUP BY 1, 2, 3),
+         |top AS (SELECT doc_id, n, c * len(g) AS cover,
+         |    row_number() OVER (PARTITION BY doc_id, n
+         |      ORDER BY c DESC, g ASC) AS rn
+         |  FROM c WHERE n <= 4),
+         |tops AS (SELECT doc_id,
+         |    coalesce(max(CASE WHEN n = 2 THEN cover END), 0) AS c2,
+         |    coalesce(max(CASE WHEN n = 3 THEN cover END), 0) AS c3,
+         |    coalesce(max(CASE WHEN n = 4 THEN cover END), 0) AS c4
+         |  FROM top WHERE rn = 1 GROUP BY doc_id),
+         |dp AS (SELECT doc_id,
+         |    coalesce(sum(c * len(g)) FILTER (WHERE c >= 2), 0) AS dupchars
+         |  FROM c WHERE n = 5 GROUP BY doc_id)
+         |SELECT doc_id, n_chars, top2_frac, top3_frac, top4_frac, dup5_frac,
+         |  (top2_frac > 0.20 OR top3_frac > 0.18 OR top4_frac > 0.16
+         |    OR dup5_frac > 0.15) AS rep_flag
+         |FROM (SELECT d.doc_id, len(d.text)::BIGINT AS n_chars,
+         |    least(1.0::DOUBLE, coalesce(tp.c2, 0)::DOUBLE / len(d.text)) AS top2_frac,
+         |    least(1.0::DOUBLE, coalesce(tp.c3, 0)::DOUBLE / len(d.text)) AS top3_frac,
+         |    least(1.0::DOUBLE, coalesce(tp.c4, 0)::DOUBLE / len(d.text)) AS top4_frac,
+         |    least(1.0::DOUBLE, coalesce(dp.dupchars, 0)::DOUBLE / len(d.text)) AS dup5_frac
+         |  FROM documents d LEFT JOIN tops tp ON tp.doc_id = d.doc_id
+         |  LEFT JOIN dp ON dp.doc_id = d.doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "tx_langid" ->
       s"""WITH $toksCte
          |SELECT doc_id, lang,

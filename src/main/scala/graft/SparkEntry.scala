@@ -80,6 +80,7 @@ object SparkEntry {
     // text analysis (north-star extensions)
     "tx_tokens"      -> (TX.txTokens(_, _)),
     "tx_quality"     -> (TX.txQuality(_, _)),
+    "tx_repetition"  -> (TX.txRepetition(_, _)),
     "tx_langid"      -> (TX.txLangid(_, _)),
     "tx_fingerprint" -> (TX.txFingerprint(_, _)),
     "tx_contains"    -> (TX.txContains(_, _)),

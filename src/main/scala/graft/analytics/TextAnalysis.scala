@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -40,6 +40,90 @@ object TextAnalysis {
         (stopwordCount(toks, Seq("the", "a")).cast(DoubleType) / size(toks)).as("stopword_ratio"),
         (aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
           .cast(DoubleType) / size(toks)).as("mean_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Word n-grams with duplicates kept (positional, space-joined) —
+    * the repetition signals need occurrence counts, so unlike
+    * `shingles` (set semantics) every start index contributes.
+    */
+  private def wordGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Mode + duplicated-mass of a gram array in ONE pass: sort, then a
+    * run-length `aggregate` — equal grams are adjacent, so the running
+    * (prev, run) pair yields the most-frequent gram (strictly-greater
+    * update keeps the FIRST max in sorted order = lexicographically
+    * smallest on ties, which the oracle mirrors with a
+    * (count DESC, gram ASC) rank) and the char mass of grams occurring
+    * ≥ 2 times (Σ count·len(gram)). Returns
+    * struct(best: Long, bestg: String, dup: Long).
+    */
+  private def gramStats(grams: Column): Column = {
+    val sorted = array_sort(grams)
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"),
+        lit("").as("bestg"), lit(0L).as("dup")),
+      (acc, x) => {
+        val cont = x === acc("prev")
+        val run = when(cont, acc("run") + 1L).otherwise(lit(1L))
+        val dup = acc("dup") + when(!cont && acc("run") >= 2L,
+          acc("run") * length(acc("prev")).cast(LongType)).otherwise(lit(0L))
+        val better = run > acc("best")
+        struct(x.as("prev"), run.as("run"),
+          when(better, run).otherwise(acc("best")).as("best"),
+          when(better, x).otherwise(acc("bestg")).as("bestg"),
+          dup.as("dup"))
+      },
+      acc => struct(
+        acc("best").as("best"), acc("bestg").as("bestg"),
+        (acc("dup") + when(acc("run") >= 2L,
+          acc("run") * length(acc("prev")).cast(LongType)).otherwise(lit(0L)))
+          .as("dup")))
+  }
+
+  /** Gopher-style repetition filter (the quality-filter family in Rae
+    * et al. 2021 §A1.1 that `tx_quality`'s diversity/stopword signals
+    * don't cover): per document, the fraction of characters covered by
+    * the most frequent word {2,3,4}-gram (count × gram char length /
+    * doc chars) and by duplicated 5-grams (Σ count·len over grams with
+    * count ≥ 2 — overlapping occurrences are NOT de-overlapped, a
+    * deterministic simplification both engines share, so the ratio is
+    * capped at 1.0 to stay a fraction). `rep_flag`
+    * applies the Gopher thresholds (top-2 > 0.20, top-3 > 0.18,
+    * top-4 > 0.16, dup-5 > 0.15).
+    *
+    * Scale shape: a single shuffle-free codegen'd scan — per doc the
+    * grams are sorted and folded in one `aggregate` pass, so cost is
+    * O(tokens·log tokens) per row with nothing crossing partitions
+    * (the line-level Gopher signals are omitted: this corpus is
+    * single-line, so they are identically zero).
+    */
+  def txRepetition(s: SparkSession, dir: String): DataFrame =
+    txRepetitionDf(Tables.documents(s, dir))
+
+  def txRepetitionDf(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val withStats = docs.select(col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars"),
+      gramStats(wordGrams(toks, 2)).as("g2"),
+      gramStats(wordGrams(toks, 3)).as("g3"),
+      gramStats(wordGrams(toks, 4)).as("g4"),
+      gramStats(wordGrams(toks, 5)).as("g5"))
+    def topFrac(g: String) = least(lit(1.0),
+      (col(s"$g.best") * length(col(s"$g.bestg"))).cast(DoubleType) / col("n_chars"))
+    val top2 = topFrac("g2")
+    val top3 = topFrac("g3")
+    val top4 = topFrac("g4")
+    val dup5 = least(lit(1.0), col("g5.dup").cast(DoubleType) / col("n_chars"))
+    withStats.select(col("doc_id"), col("n_chars"),
+      top2.as("top2_frac"), top3.as("top3_frac"), top4.as("top4_frac"),
+      dup5.as("dup5_frac"),
+      (top2 > 0.20 || top3 > 0.18 || top4 > 0.16 || dup5 > 0.15).as("rep_flag"))
       .orderBy(col("doc_id"))
   }
 
