@@ -1048,6 +1048,40 @@ object OracleSql {
         |  FROM resc)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // SemDeDup: the SAME two unrolled Lloyd rounds as the IVF oracle
+    // (label-mean seeds, 6-dp rounds, ties to lowest cell) yield the
+    // cell assignment; a vector is a dup iff a same-cell neighbor with
+    // smaller id sits at cosine >= 0.40 (6-dp rounded — the identical
+    // pair predicate as the exact-dedup oracles)
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c0 AS (SELECT label AS cell, d, round(avg(emb[d]), 6) AS c
+        |  FROM e CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
+        |c0l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c0 GROUP BY cell),
+        |a1 AS (SELECT vec_id, emb, cell FROM (
+        |  SELECT e.vec_id, e.emb, c.cell, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_dot_product(e.emb, c.centroid) /
+        |      (sqrt(list_dot_product(e.emb, e.emb)) *
+        |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.cell) AS r
+        |  FROM e CROSS JOIN c0l c) WHERE r = 1),
+        |c1 AS (SELECT cell, d, round(avg(emb[d]), 6) AS c
+        |  FROM a1 CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
+        |c1l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c1 GROUP BY cell),
+        |a2 AS (SELECT vec_id, emb, cell FROM (
+        |  SELECT e.vec_id, e.emb, c.cell, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_dot_product(e.emb, c.centroid) /
+        |      (sqrt(list_dot_product(e.emb, e.emb)) *
+        |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.cell) AS r
+        |  FROM e CROSS JOIN c1l c) WHERE r = 1),
+        |dup AS (SELECT DISTINCT a.vec_id FROM a2 a JOIN a2 b
+        |  ON b.cell = a.cell AND b.vec_id < a.vec_id
+        |  WHERE round(list_dot_product(a.emb, b.emb) /
+        |    (sqrt(list_dot_product(a.emb, a.emb)) *
+        |     sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.40)
+        |SELECT m.vec_id, m.cell, (d.vec_id IS NOT NULL) AS is_dup
+        |FROM a2 m LEFT JOIN dup d ON d.vec_id = m.vec_id
+        |ORDER BY m.vec_id""".stripMargin,
+
     "emb_ivf_topk" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
         |c0 AS (SELECT label AS cell, d, round(avg(emb[d]), 6) AS c

@@ -157,6 +157,9 @@ object SparkEntry {
     "dedup_embedding_lsh_090" -> (Similarity.dedupEmbeddingLsh090(_, _)),
     // detect -> cluster -> keep-canonical over the embedding-LSH pairs
     "dedup_clusters_embedding" -> (Dedup.dedupClustersEmbedding(_, _)),
+    // SemDeDup: k-means cells (shared with IVF), near-dup prune WITHIN
+    // cells only — pair space n^2/k, partitioned by cell
+    "dedup_semantic" -> (Similarity.dedupSemantic(_, _)),
     // similarity search (north-star extensions)
     "emb_topk"            -> (Similarity.embTopk(_, _)),
     // knn GRAPH: top-k neighbors for EVERY vector (query set = corpus) —

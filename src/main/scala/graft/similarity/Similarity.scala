@@ -440,6 +440,56 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SEMANTIC DEDUPLICATION (the SemDeDup recipe, Abbas et al. 2023:
+    * cluster the embedding space, then prune near-duplicates WITHIN
+    * clusters only): k-means cells from the same deterministic
+    * `kmeansCells` the IVF index uses, then a within-cell pair scan
+    * flags every vector that has a same-cell neighbor with smaller id
+    * at cosine ≥ `minCos` — the min-id representative of each semantic
+    * group survives. Pairs straddling a cell boundary are missed by
+    * construction — the recall/cost trade the SemDeDup recipe accepts
+    * (measured ≥ 0.8 on planted cliques, SemanticDedupSpec); the
+    * exact global prune is `dedupEmbeddingDf`/the LSH dispatcher.
+    *
+    * Scale shape — this is the point of SemDeDup: the pair space is
+    * Σ_cell |cell|², not n², so with k cells tracking n the quadratic
+    * global scan becomes ~n²/k work partitioned by cell; the join
+    * shuffles on the cell key (AQE handles a skewed mega-cell), norms
+    * are computed once per vector below the join, and the per-pair cost
+    * is a single native dot product. At 100 TB you'd raise `iters`'
+    * cluster count with the corpus; the within-cell prune is embarrass-
+    * ingly parallel across cells.
+    *
+    * Determinism contract (same as IVF/PQ): 6-dp rounds at every
+    * cluster step, ties to lowest cell, (j < i) drop direction — the
+    * oracle replays the identical Lloyd rounds and pair predicate.
+    */
+  def dedupSemantic(s: SparkSession, dir: String,
+      minCos: Double = 0.40): DataFrame =
+    dedupSemanticDf(Tables.embeddings(s, dir), minCos)
+
+  def dedupSemanticDf(emb: DataFrame, minCos: Double,
+      iters: Int = 2): DataFrame = {
+    val (cells, _) = kmeansCells(emb, iters)
+    val m = emb.select(col("vec_id"), col("embedding"))
+      .join(cells, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val lhs = m.select(col("cell"), col("vec_id").as("i"),
+      col("embedding").as("ei"), col("norm").as("ni"))
+    val rhs = m.select(col("cell"), col("vec_id").as("j"),
+      col("embedding").as("ej"), col("norm").as("nj"))
+    val dropped = lhs.join(rhs, "cell")
+      .filter(col("j") < col("i") &&
+        round(dot(col("ei"), col("ej")) / (col("ni") * col("nj")), 6)
+          >= minCos)
+      .select(col("i").as("vec_id")).distinct()
+    m.join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-(subspace, code) mean codewords of an assigned PQ relation,
     * 6-dp rounded — the subspace twin of `meanCentroids`, same
     * engine-independence contract.

@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   *    O(index) floor the signature design accepts in exchange for
   *    never re-reading stored text).
   *
-  * Each delivery re-ids the base docs and appends a delivery marker
-  * token, so every delivery's content is novel and the index genuinely
-  * grows — a copy-replay would dedup to nothing and flatter the curve.
+  * Each delivery re-ids the base docs and prefixes EVERY token with a
+  * delivery marker, so every shingle differs from every other
+  * delivery's and the corpus/index genuinely grow along the run — a
+  * trailing-marker variant (one token appended) leaves Jaccard ≈ 1 and
+  * dedups all 500 deliveries against the first, measuring the loop
+  * against a static index and flattering the curve.
   *
   * Args: [nBatches maxSegments sfDir], default 500 16 /root/testdata/sf0.001
   */
@@ -66,7 +69,7 @@ object LongRunSink {
     for (b <- 0 until nBatches) {
       val delivery = base.select(
         (col("doc_id") + lit(b.toLong * 1000000L)).as("doc_id"),
-        concat(col("text"), lit(s" delivery$b")).as("text"))
+        regexp_replace(col("text"), "(\\S+)", s"d${b}_$$1").as("text"))
       val t = timed {
         Dedup.incrementalCommit(delivery, outDir, indexDir, b)
         if (Dedup.maybeCompact(spark, indexDir, b, maxSegments = maxSegments))
