@@ -209,5 +209,6 @@ object SparkEntry {
     "asof_join_purchase", "range_join_burst", "decontaminate",
     "emb_quantized_topk",
     "avro_roundtrip", "dedup_embedding_045", "dedup_embedding_lsh",
-    "dedup_embedding_090", "dedup_embedding_lsh_090")
+    "dedup_embedding_090", "dedup_embedding_lsh_090",
+    "tx_repetition", "dedup_semantic")
 }

@@ -19,6 +19,8 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_embedding_lsh", "dedup_embedding_lsh_090",
     "emb_topk", "emb_quantized_topk", "emb_ivf_topk", "emb_knn_graph",
     "emb_pq_topk",
+    // k-means assignment: k tiny centroids broadcast x corpus scan
+    "dedup_semantic",
     "a10_recent_distribution", "decontaminate", "tx_unigram_bits",
     "tx_keywords", "a6_sketch_merge",
     // 1-row scalar cross joins (broadcast max_ts / dup-count scalars)
