@@ -107,13 +107,31 @@ object TextAnalysis {
     txRepetitionDf(Tables.documents(s, dir))
 
   def txRepetitionDf(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val withStats = docs.select(col("doc_id"),
+    // Two hard-won performance properties (cost 60× when violated):
+    //  1. `toks` is materialized as a COLUMN before the gram lambdas —
+    //     a lambda body referencing the raw tokens(text) expression
+    //     re-runs the regex split per element_at argument per gram
+    //     position (interpreted HOF), turning a linear scan quadratic.
+    //     CollapseProject keeps the projection split because the alias
+    //     is non-cheap and referenced four times.
+    //  2. Split-bound parallelism: a small corpus in one parquet file
+    //     is one input split = one task = serialized compute; spread it
+    //     round-robin when splits < cores (negligible shuffle — the
+    //     relation is (id, len, toks)). At real scale input splits
+    //     exceed cores and no shuffle is added.
+    val spark = docs.sparkSession
+    val withToks0 = docs.select(col("doc_id"),
       length(col("text")).cast(LongType).as("n_chars"),
-      gramStats(wordGrams(toks, 2)).as("g2"),
-      gramStats(wordGrams(toks, 3)).as("g3"),
-      gramStats(wordGrams(toks, 4)).as("g4"),
-      gramStats(wordGrams(toks, 5)).as("g5"))
+      tokens(col("text")).as("toks"))
+    val para = spark.sparkContext.defaultParallelism
+    val withToks =
+      if (withToks0.rdd.getNumPartitions < para) withToks0.repartition(para)
+      else withToks0
+    val withStats = withToks.select(col("doc_id"), col("n_chars"),
+      gramStats(wordGrams(col("toks"), 2)).as("g2"),
+      gramStats(wordGrams(col("toks"), 3)).as("g3"),
+      gramStats(wordGrams(col("toks"), 4)).as("g4"),
+      gramStats(wordGrams(col("toks"), 5)).as("g5"))
     def topFrac(g: String) = least(lit(1.0),
       (col(s"$g.best") * length(col(s"$g.bestg"))).cast(DoubleType) / col("n_chars"))
     val top2 = topFrac("g2")
