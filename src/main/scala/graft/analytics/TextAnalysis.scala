@@ -43,49 +43,6 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Word n-grams with duplicates kept (positional, space-joined) —
-    * the repetition signals need occurrence counts, so unlike
-    * `shingles` (set semantics) every start index contributes.
-    */
-  private def wordGrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array().cast(ArrayType(StringType)))
-
-  /** Mode + duplicated-mass of a gram array in ONE pass: sort, then a
-    * run-length `aggregate` — equal grams are adjacent, so the running
-    * (prev, run) pair yields the most-frequent gram (strictly-greater
-    * update keeps the FIRST max in sorted order = lexicographically
-    * smallest on ties, which the oracle mirrors with a
-    * (count DESC, gram ASC) rank) and the char mass of grams occurring
-    * ≥ 2 times (Σ count·len(gram)). Returns
-    * struct(best: Long, bestg: String, dup: Long).
-    */
-  private def gramStats(grams: Column): Column = {
-    val sorted = array_sort(grams)
-    aggregate(
-      sorted,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"),
-        lit("").as("bestg"), lit(0L).as("dup")),
-      (acc, x) => {
-        val cont = x === acc("prev")
-        val run = when(cont, acc("run") + 1L).otherwise(lit(1L))
-        val dup = acc("dup") + when(!cont && acc("run") >= 2L,
-          acc("run") * length(acc("prev")).cast(LongType)).otherwise(lit(0L))
-        val better = run > acc("best")
-        struct(x.as("prev"), run.as("run"),
-          when(better, run).otherwise(acc("best")).as("best"),
-          when(better, x).otherwise(acc("bestg")).as("bestg"),
-          dup.as("dup"))
-      },
-      acc => struct(
-        acc("best").as("best"), acc("bestg").as("bestg"),
-        (acc("dup") + when(acc("run") >= 2L,
-          acc("run") * length(acc("prev")).cast(LongType)).otherwise(lit(0L)))
-          .as("dup")))
-  }
-
   /** Gopher-style repetition filter (the quality-filter family in Rae
     * et al. 2021 §A1.1 that `tx_quality`'s diversity/stopword signals
     * don't cover): per document, the fraction of characters covered by
@@ -97,28 +54,21 @@ object TextAnalysis {
     * applies the Gopher thresholds (top-2 > 0.20, top-3 > 0.18,
     * top-4 > 0.16, dup-5 > 0.15).
     *
-    * Scale shape: a single shuffle-free codegen'd scan — per doc the
-    * grams are sorted and folded in one `aggregate` pass, so cost is
-    * O(tokens·log tokens) per row with nothing crossing partitions
-    * (the line-level Gopher signals are omitted: this corpus is
-    * single-line, so they are identically zero).
+    * Scale shape: a single shuffle-free codegen'd scan — per doc one
+    * native hash-count pass per gram size (`GramStatsExpr`), O(tokens)
+    * per row with nothing crossing partitions (the line-level Gopher
+    * signals are omitted: this corpus is single-line, so they are
+    * identically zero).
     */
   def txRepetition(s: SparkSession, dir: String): DataFrame =
     txRepetitionDf(Tables.documents(s, dir))
 
   def txRepetitionDf(docs: DataFrame): DataFrame = {
-    // Two hard-won performance properties (cost 60× when violated):
-    //  1. `toks` is materialized as a COLUMN before the gram lambdas —
-    //     a lambda body referencing the raw tokens(text) expression
-    //     re-runs the regex split per element_at argument per gram
-    //     position (interpreted HOF), turning a linear scan quadratic.
-    //     CollapseProject keeps the projection split because the alias
-    //     is non-cheap and referenced four times.
-    //  2. Split-bound parallelism: a small corpus in one parquet file
-    //     is one input split = one task = serialized compute; spread it
-    //     round-robin when splits < cores (negligible shuffle — the
-    //     relation is (id, len, toks)). At real scale input splits
-    //     exceed cores and no shuffle is added.
+    // Split-bound parallelism: a small corpus in one parquet file is
+    // one input split = one task = serialized compute; spread it
+    // round-robin when splits < cores (negligible shuffle — the
+    // relation is (id, len, toks)). At real scale input splits exceed
+    // cores and no shuffle is added.
     val spark = docs.sparkSession
     val withToks0 = docs.select(col("doc_id"),
       length(col("text")).cast(LongType).as("n_chars"),
@@ -128,10 +78,10 @@ object TextAnalysis {
       if (withToks0.rdd.getNumPartitions < para) withToks0.repartition(para)
       else withToks0
     val withStats = withToks.select(col("doc_id"), col("n_chars"),
-      gramStats(wordGrams(col("toks"), 2)).as("g2"),
-      gramStats(wordGrams(col("toks"), 3)).as("g3"),
-      gramStats(wordGrams(col("toks"), 4)).as("g4"),
-      gramStats(wordGrams(col("toks"), 5)).as("g5"))
+      gramStats(col("toks"), 2).as("g2"),
+      gramStats(col("toks"), 3).as("g3"),
+      gramStats(col("toks"), 4).as("g4"),
+      gramStats(col("toks"), 5).as("g5"))
     def topFrac(g: String) = least(lit(1.0),
       (col(s"$g.best") * length(col(s"$g.bestg"))).cast(DoubleType) / col("n_chars"))
     val top2 = topFrac("g2")

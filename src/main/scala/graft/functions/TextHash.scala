@@ -170,6 +170,51 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** One-pass gram statistics (see GramStatsExpr): hash-count the word
+    * n-grams, then a single map walk yields the mode count, the
+    * tiebroken mode gram (binary-UTF8-smallest among max-count grams —
+    * identical to array_sort order and to SQL's `ORDER BY g ASC`) and
+    * the Σ count·numChars mass of duplicated grams. `numChars` matches
+    * both engines' character (not byte) length semantics.
+    */
+  def gramStats(tokens: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val len = tokens.numElements()
+    var best = 0L
+    var bestg: UTF8String = UTF8String.fromString("")
+    var dup = 0L
+    if (len >= n) {
+      val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+      val sb = new StringBuilder(64)
+      var i = 0
+      while (i <= len - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens.getUTF8String(i + j).toString)
+          j += 1
+        }
+        val g = UTF8String.fromString(sb.toString)
+        val c = counts.get(g)
+        if (c == null) counts.put(g, Array(1L)) else c(0) += 1L
+        i += 1
+      }
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val g = e.getKey
+        val c = e.getValue()(0)
+        if (c > best || (c == best && g.compareTo(bestg) < 0)) {
+          best = c; bestg = g
+        }
+        if (c >= 2L) dup += c * g.numChars()
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, bestg, dup))
+  }
+
   def minhashSig(elems: ArrayData, k: Int): ArrayData = {
     val rots = Array.tabulate(k)(mhRot)
     val consts = Array.tabulate(k)(mhConst)
@@ -271,6 +316,29 @@ case class DotProductExpr(left: Expression, right: Expression)
 /** `gram_hashes(tokens, n)` as a native Catalyst expression with
   * codegen — positional n-gram hashes for substring-level dedup.
   */
+/** One-pass gram statistics for the repetition signals
+  * (`TextAnalysis.txRepetition`): over the word n-grams of a token
+  * array, the mode count, the mode gram (ties → lexicographically
+  * smallest, binary UTF8 order — the same tiebreak as a
+  * (count DESC, gram ASC) SQL rank), and the duplicated char mass
+  * Σ count·numChars over grams with count ≥ 2. The interpreted
+  * sort+fold column formulation of the same statistics ran ~2.3 ms per
+  * ~60-token doc (lambda interpretation per element); this native
+  * hash-count pass is the 100 TB-viable form.
+  */
+case class GramStatsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("best", LongType, nullable = false),
+    StructField("bestg", StringType, nullable = false),
+    StructField("dup", LongType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.gramStats(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.gramStats($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): GramStatsExpr =
+    copy(child = newChild)
+}
+
 case class GramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
@@ -385,6 +453,10 @@ object TextFunctions {
   /** Positional n-gram hashes (one per start index, duplicates kept). */
   def gramHashes(tokensCol: Column, n: Int): Column =
     ColumnBridge.column(GramHashesExpr(ColumnBridge.expression(tokensCol), n))
+
+  /** One-pass n-gram mode/duplication stats (repetition signals). */
+  def gramStats(tokensCol: Column, n: Int): Column =
+    ColumnBridge.column(GramStatsExpr(ColumnBridge.expression(tokensCol), n))
 
   /** Count of tokens found in a (small, broadcast-as-literal) stopword set. */
   def stopwordCount(toks: Column, words: Seq[String]): Column =
