@@ -133,6 +133,23 @@ object OracleSql {
          |  list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) AS mean_token_len
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    // BPE-ish pre-tokenization count: the same lookahead-free pattern
+    // (Java regex on the Spark side, RE2 here — identical on this
+    // alternation) over the raw text; ratio = exact ints divided once
+    "tx_tokens_bpe" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, len(text)::BIGINT AS n_chars,
+         |  len(toks)::BIGINT AS n_tokens_ws,
+         |  len(regexp_extract_all(text,
+         |    '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+'))::BIGINT
+         |    AS n_tokens_bpe,
+         |  CASE WHEN len(regexp_extract_all(text,
+         |    '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+')) > 0
+         |  THEN len(text)::DOUBLE / len(regexp_extract_all(text,
+         |    '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+'))
+         |  END AS chars_per_bpe_token
+         |FROM t ORDER BY doc_id""".stripMargin,
+
     // Gopher repetition signals: per-(doc, n) gram counts, the top gram
     // picked by (count DESC, gram ASC) — the same first-max-in-sorted-
     // order tiebreak as the Spark run-length fold — and duplicated-5-gram

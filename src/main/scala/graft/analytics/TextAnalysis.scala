@@ -43,6 +43,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer-aware token counting: the whitespace count next to a
+    * BPE-ish pre-tokenization count (the GPT-2 split family —
+    * contraction suffixes, space-attached letter runs, digit runs,
+    * punctuation runs, whitespace runs) and the chars-per-token ratio
+    * that cost/context-length estimation actually uses. The pattern is
+    * lookahead-free so Java regex and RE2 (the oracle engine) match
+    * identically; a real tokenizer's merges happen inside these
+    * pre-token boundaries, so the count is the standard fast estimate.
+    * Narrow shuffle-free scan like the rest of the tx_ family.
+    */
+  def txTokensBpe(s: SparkSession, dir: String): DataFrame = {
+    val pat = "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens_ws"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .cast(LongType).as("n_tokens_bpe"))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens_ws"),
+        col("n_tokens_bpe"),
+        when(col("n_tokens_bpe") > 0,
+          col("n_chars").cast(DoubleType) / col("n_tokens_bpe"))
+          .as("chars_per_bpe_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition filter (the quality-filter family in Rae
     * et al. 2021 §A1.1 that `tx_quality`'s diversity/stopword signals
     * don't cover): per document, the fraction of characters covered by
