@@ -1409,14 +1409,16 @@ object OracleSql {
          |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
 
     // deterministic-part oracle for the sketch merge: exact_distinct is
-    // cross-engine checked; merged_eq_direct is the re-aggregation
-    // identity the Spark plan itself certifies (sketch bytes never leave
+    // cross-engine checked; merged_in_band is the merge-path error
+    // bound the Spark plan itself certifies (sketch bytes never leave
     // their engine, so the oracle states the literal the property must
-    // evaluate to — a Spark-side false is a hash mismatch); the error
-    // band is recomputed over DuckDB's OWN HLL estimate
+    // evaluate to — a Spark-side false is a hash mismatch; bit-equality
+    // merged ≡ direct is NOT asserted: it is a sparse-regime accident
+    // that breaks at the dense-mode transition, see a6SketchMerge);
+    // the direct band is recomputed over DuckDB's OWN HLL estimate
     "a6_sketch_merge" ->
       """SELECT count(DISTINCT user_id) AS exact_distinct,
-        |  TRUE AS merged_eq_direct,
+        |  TRUE AS merged_in_band,
         |  (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
         |    <= count(DISTINCT user_id) * 0.05) AS estimate_in_band
         |FROM events""".stripMargin,

@@ -237,18 +237,27 @@ object TextAnalysis {
   /** The DRIVER-GATED form of the sketch merge: the hash surface is the
     * deterministic part — the exact distinct count (cross-engine
     * checkable) plus two booleans the Spark plan itself certifies:
-    * merged ≡ direct (the re-aggregation identity — engine-internal by
-    * nature, so the oracle states it as the literal the property must
-    * evaluate to) and |merged − exact| ≤ 5% (the oracle computes the
-    * same band over DuckDB's own HLL estimate). A false on either side
-    * is a hash mismatch, so the gate now FAILS if the sketch algebra or
-    * the error bound ever breaks — strictly stronger than rows-only.
+    * the MERGED estimate within |·−exact| ≤ 5% and the direct estimate
+    * within the same band (the oracle states the literals the
+    * properties must evaluate to, recomputing the direct band over
+    * DuckDB's own HLL). A false on either side is a hash mismatch, so
+    * the gate FAILS if the merge path or the error bound ever breaks —
+    * strictly stronger than rows-only.
+    *
+    * Why a BAND and not merged ≡ direct: bit-equality of the two
+    * estimates is a sparse-regime accident, not sketch algebra — once
+    * the union's gadget transitions to dense HLL while the single-pass
+    * sketch is still in sparse (exact) mode, the estimators legitimately
+    * differ (measured at sf0.1: merged 1488 vs direct 1494, exact 1500
+    * — both inside the band). The r6→r7 first formulation asserted
+    * equality and broke exactly there; the sf0.1 sweep caught it.
     */
   def a6SketchMerge(s: SparkSession, dir: String): DataFrame =
     a6SketchMergeRaw(s, dir).select(
       col("exact_distinct"),
-      (col("merged_estimate") === col("direct_estimate")).as("merged_eq_direct"),
       (abs(col("merged_estimate") - col("exact_distinct")) <=
+        col("exact_distinct") * lit(0.05)).as("merged_in_band"),
+      (abs(col("direct_estimate") - col("exact_distinct")) <=
         col("exact_distinct") * lit(0.05)).as("estimate_in_band"))
 
   /** Token-distribution signals for LLM data-quality filtering:
