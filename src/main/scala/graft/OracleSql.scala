@@ -1066,13 +1066,22 @@ object OracleSql {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // SemDeDup: the SAME two unrolled Lloyd rounds as the IVF oracle
-    // (label-mean seeds, 6-dp rounds, ties to lowest cell) yield the
-    // cell assignment; a vector is a dup iff a same-cell neighbor with
-    // smaller id sits at cosine >= 0.40 (6-dp rounded — the identical
-    // pair predicate as the exact-dedup oracles)
+    // (6-dp rounds, ties to lowest cell) yield the cell assignment;
+    // seeds are vec_id % cells with the cell count derived from corpus
+    // size by the SAME integer ladder as Similarity.semanticCells
+    // (smallest power-of-two c in [16,1024] with n <= 2048*c); a vector
+    // is a dup iff a same-cell neighbor with smaller id sits at cosine
+    // >= 0.40 (6-dp rounded — the identical pair predicate as the
+    // exact-dedup oracles)
     "dedup_semantic" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-        |c0 AS (SELECT label AS cell, d, round(avg(emb[d]), 6) AS c
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |nc AS (SELECT CASE WHEN count(*) <= 32768 THEN 16
+        |    WHEN count(*) <= 65536 THEN 32 WHEN count(*) <= 131072 THEN 64
+        |    WHEN count(*) <= 262144 THEN 128 WHEN count(*) <= 524288 THEN 256
+        |    WHEN count(*) <= 1048576 THEN 512 ELSE 1024 END AS ncells
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id % (SELECT ncells FROM nc) AS cell, d,
+        |    round(avg(emb[d]), 6) AS c
         |  FROM e CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
         |c0l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c0 GROUP BY cell),
         |a1 AS (SELECT vec_id, emb, cell FROM (

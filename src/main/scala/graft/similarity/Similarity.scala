@@ -452,25 +452,49 @@ object Similarity {
     * exact global prune is `dedupEmbeddingDf`/the LSH dispatcher.
     *
     * Scale shape — this is the point of SemDeDup: the pair space is
-    * Σ_cell |cell|², not n², so with k cells tracking n the quadratic
-    * global scan becomes ~n²/k work partitioned by cell; the join
-    * shuffles on the cell key (AQE handles a skewed mega-cell), norms
-    * are computed once per vector below the join, and the per-pair cost
-    * is a single native dot product. At 100 TB you'd raise `iters`'
-    * cluster count with the corpus; the within-cell prune is embarrass-
-    * ingly parallel across cells.
+    * Σ_cell |cell|², not n², so with the cell count TRACKING the corpus
+    * (`semanticCells` ladder below) the quadratic global scan becomes
+    * ~n·bucket work partitioned by cell; the join shuffles on the cell
+    * key (AQE handles a skewed mega-cell), norms are computed once per
+    * vector below the join, and the per-pair cost is a single native
+    * dot product. The within-cell prune is embarrassingly parallel
+    * across cells.
     *
     * Determinism contract (same as IVF/PQ): 6-dp rounds at every
     * cluster step, ties to lowest cell, (j < i) drop direction — the
-    * oracle replays the identical Lloyd rounds and pair predicate.
+    * oracle replays the identical Lloyd rounds and pair predicate,
+    * with the cell ladder mirrored as a SQL CASE on count(*) (integer
+    * boundaries, same discipline as `knnLshPlanes`).
     */
   def dedupSemantic(s: SparkSession, dir: String,
       minCos: Double = 0.40): DataFrame =
     dedupSemanticDf(Tables.embeddings(s, dir), minCos)
 
+  /** Cell-count ladder: smallest power-of-two c in [16, 1024] with
+    * n ≤ 2048·c, so expected cell population stays ≤ 2048 vectors
+    * (~4M pairs/cell worst-uniform) while tiny corpora keep enough
+    * cells to be a meaningful prune index. Integer thresholds — the
+    * oracle mirrors the same CASE ladder, so a boundary corpus lands
+    * on the same side in both engines.
+    */
+  def semanticCells(n: Long): Int =
+    if (n <= 32768) 16 else if (n <= 65536) 32 else if (n <= 131072) 64
+    else if (n <= 262144) 128 else if (n <= 524288) 256
+    else if (n <= 1048576) 512 else 1024
+
+  /** Seeds are `vec_id % cells` (not the data's label column): the seed
+    * family must scale with the ladder, and id-mod is the same
+    * engine-independent bucketing the oracle writes as `vec_id % c`.
+    * Two Lloyd rounds re-derive geometry from the data regardless of
+    * seeding; the seed only fixes WHICH deterministic local optimum
+    * both engines converge to.
+    */
   def dedupSemanticDf(emb: DataFrame, minCos: Double,
       iters: Int = 2): DataFrame = {
-    val (cells, _) = kmeansCells(emb, iters)
+    val nCells = semanticCells(emb.count())
+    val seeded = emb.select(col("vec_id"), col("embedding"),
+      pmod(col("vec_id"), lit(nCells.toLong)).as("label"))
+    val (cells, _) = kmeansCells(seeded, iters)
     val m = emb.select(col("vec_id"), col("embedding"))
       .join(cells, "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"),

@@ -87,19 +87,17 @@ object ScaleCurve {
     // envelope while the bucketed path keeps scaling ~n·t.
     // SemDeDup curve: cluster-then-prune vs the exact global scan at
     // the same threshold. The semantic path's pair space is Σ|cell|²
-    // (≈ n²/cells with the 16 label-seeded cells), so its ratio to the
-    // exact O(n²) scan should hold ≈ cells× as n grows — and the
+    // (≈ n²/cells, cells from the semanticCells ladder), so its ratio
+    // to the exact O(n²) scan should hold ≈ cells× as n grows — and the
     // clustering overhead (2 Lloyd rounds, ~n·cells) amortizes to noise
-    // at scale. Labels for the augmented corpus are vec_id%16, matching
-    // the natural table's label family.
+    // at scale.
     if (section("semantic")) {
-      import org.apache.spark.sql.functions.{col, lit, pmod}
       println(f"${"copies"}%8s ${"n"}%8s ${"semantic_s"}%10s ${"exact_s"}%8s ${"ratio"}%6s")
       for (k <- Seq(2, 5, 11)) {
         val factors = (1 to k).map(j =>
           (j * 1000000L, 0.2 + 0.1 * (j - 1) / math.max(1, k - 1)))
         val corpus = Similarity.augmentedEmbeddings(base, factors = factors)
-          .withColumn("label", pmod(col("vec_id"), lit(16))).persist()
+          .persist()
         val n = corpus.count()
         val sem = Seq.fill(2)(timed(noop(
           Similarity.dedupSemanticDf(corpus, 0.9)))).min

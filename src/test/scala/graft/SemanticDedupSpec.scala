@@ -13,14 +13,22 @@ import org.apache.spark.sql.functions._
   */
 class SemanticDedupSpec extends SparkSpec {
 
+  test("semantic cell ladder: integer boundaries, buckets track corpus size") {
+    import Similarity.semanticCells
+    // power-of-two boundaries are integer-exact (the oracle mirrors the
+    // same CASE ladder — no float log2 on either side)
+    assert(semanticCells(32768) == 16 && semanticCells(32769) == 32)
+    assert(semanticCells(500) == 16)   // the sf0.01 driver-gate corpus
+    assert(semanticCells(1048576) == 512 && semanticCells(1048577) == 1024)
+    assert(semanticCells(100000000L) == 1024) // capped: prune work per cell
+  }
+
   test("within-cell min-id prune, boundary-only misses, high planted recall") {
     // 6-clique corpus: every base vec_id + five perturbed copies; all
     // intra-clique cosines >= 0.95, natural pairs top out ~0.68 — at
     // minCos 0.9 the qualifying pairs are exactly the cliques
     val emb = Similarity.augmentedEmbeddings(
-        Tables.embeddings(spark, Sf0001))
-      .withColumn("label", pmod(col("vec_id"), lit(16)))
-      .persist()
+        Tables.embeddings(spark, Sf0001)).persist()
     val n = emb.count()
     val res = Similarity.dedupSemanticDf(emb, 0.9).persist()
     assert(res.count() == n)
