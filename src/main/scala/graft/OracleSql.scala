@@ -334,6 +334,18 @@ object OracleSql {
         |    FROM documents))
         |WHERE rk <= 50 ORDER BY rk""".stripMargin,
 
+    // train/val/test split: salted hash60 mod 100, 90/5/5 thresholds —
+    // a pure function of (doc_id, salt), identical in any engine
+    "tx_split" ->
+      """SELECT doc_id, b AS bucket,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  ('0x' || substr(md5('epoch0|' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |    % 100 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     // per-epoch shuffle: hash60('epoch0|' || id) drives shard and rank
     "shuffle_documents" ->
       """SELECT doc_id, shard, pos FROM (

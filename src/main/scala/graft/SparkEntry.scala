@@ -80,6 +80,7 @@ object SparkEntry {
     // text analysis (north-star extensions)
     "tx_tokens"      -> (TX.txTokens(_, _)),
     "tx_tokens_bpe"  -> (TX.txTokensBpe(_, _)),
+    "tx_split"       -> (TX.txSplit(_, _)),
     "tx_quality"     -> (TX.txQuality(_, _)),
     "tx_repetition"  -> (TX.txRepetition(_, _)),
     "tx_langid"      -> (TX.txLangid(_, _)),

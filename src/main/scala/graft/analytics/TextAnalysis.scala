@@ -43,6 +43,27 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test split: bucket = salted content hash
+    * of the doc id mod 100, split = 90/5/5 by bucket thresholds. The
+    * assignment is a pure function of (doc_id, salt) — stable across
+    * runs, machines and engines (hash60 is the SQL-reproducible
+    * md5-derived hash the fingerprint surface already certifies), so
+    * train/test membership never shifts when the corpus is re-sharded,
+    * re-partitioned or appended to, and holdout leakage can be audited
+    * by recomputing one expression. Shuffle-free narrow scan; hash
+    * uniformity makes the fractions hold within any stratum.
+    */
+  def txSplit(s: SparkSession, dir: String, salt: String = "epoch0"): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        pmod(hash60(concat(lit(salt), lit("|"), col("doc_id").cast(StringType))),
+          lit(100L)).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
   /** Tokenizer-aware token counting: the whitespace count next to a
     * BPE-ish pre-tokenization count (the GPT-2 split family —
     * contraction suffixes, space-attached letter runs, digit runs,
