@@ -85,6 +85,26 @@ object ScaleCurve {
     // the exact cost from the last measured point × (n ratio)², which
     // is the point of the curve: the exact path leaves the feasible
     // envelope while the bucketed path keeps scaling ~n·t.
+    // Repetition-signals curve (the operator that shipped with a 60×
+    // interpreted-HOF pathology this round — the fix deserves measured
+    // ~n evidence): natural sf0.1 document subsets, min-of-3 after a
+    // warm-up, same harness as the chunks curve.
+    if (section("repetition")) {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val baseDocs = graft.Tables.documents(spark, dir)
+      noop(graft.analytics.TextAnalysis.txRepetitionDf(
+        baseDocs.filter(pmod(col("doc_id"), lit(8)) === 0)
+          .select(col("doc_id"), col("text"))))
+      for (m <- Seq(4, 2, 1)) {
+        val docs = baseDocs.filter(pmod(col("doc_id"), lit(m)) === 0)
+          .select(col("doc_id"), col("text"))
+        val n = docs.count()
+        val t = Seq.fill(3)(timed(noop(
+          graft.analytics.TextAnalysis.txRepetitionDf(docs)))).min
+        println(f"repetition n=$n%-8d $t%8.2f s")
+      }
+    }
+
     // SemDeDup curve: cluster-then-prune vs the exact global scan at
     // the same threshold. The semantic path's pair space is Σ|cell|²
     // (≈ n²/cells, cells from the semanticCells ladder), so its ratio
