@@ -458,7 +458,14 @@ object Similarity {
     * key (AQE handles a skewed mega-cell), norms are computed once per
     * vector below the join, and the per-pair cost is a single native
     * dot product. The within-cell prune is embarrassingly parallel
-    * across cells.
+    * across cells. A data-skewed MEGA-cell degrades to its own |cell|²
+    * — its pair WORK is inherent to the recipe, but its distribution is
+    * not: the pair join is an equi-join on the cell key, so AQE's
+    * skew-split spreads an oversized cell's partitions across cores
+    * rather than serializing them on one task; under extreme skew a
+    * production run would recursively sub-cluster hot cells (the same
+    * trade as the LSH bucket split), which this gated query leaves out
+    * to keep the oracle exact.
     *
     * Determinism contract (same as IVF/PQ): 6-dp rounds at every
     * cluster step, ties to lowest cell, (j < i) drop direction — the
