@@ -44,6 +44,38 @@ class TextRepetitionSpec extends SparkSpec {
     assert(r2.getDouble(5) == 0.0)
   }
 
+  test("native gram stats == plain-Scala reference on random docs (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 12).map(i => s"w$i") // small vocab forces repeats
+    val docs = (0 until 30).map { i =>
+      val len = 1 + rnd.nextInt(79) // includes len < n edges; empty text is out of contract
+      (i.toLong, (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    def ref(text: String, n: Int): (Long, Long) = {
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      if (t.length < n) return (0L, 0L)
+      val grams = (0 to t.length - n).map(i => t.slice(i, i + n).mkString(" "))
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val best = counts.toSeq.sortBy { case (g, c) => (-c, g) }.head
+      val dup = counts.collect { case (g, c) if c >= 2 => c * g.length }.sum
+      (best._2 * best._1.length, dup)
+    }
+    val rows = run(docs: _*)
+    docs.foreach { case (id, text) =>
+      val r = rows(id)
+      val nChars = text.length.toLong
+      val (top2, _) = ref(text, 2)
+      val (top4, _) = ref(text, 4)
+      val (_, dup5) = ref(text, 5)
+      def frac(x: Long) =
+        if (nChars == 0) 0.0 else math.min(1.0, x.toDouble / nChars)
+      assert(r.getLong(1) == nChars)
+      assert(r.getDouble(2) == frac(top2), s"doc $id top2")
+      assert(r.getDouble(4) == frac(top4), s"doc $id top4")
+      assert(r.getDouble(5) == frac(dup5), s"doc $id dup5")
+    }
+  }
+
   test("diverse doc stays below thresholds; degenerate docs survive") {
     // 40 distinct 3-char words (159 chars): every gram unique, so each
     // top fraction is one gram's span — 7/159, 11/159, 15/159 — all
