@@ -113,7 +113,9 @@ object ScaleCurve {
     // at scale.
     if (section("semantic")) {
       println(f"${"copies"}%8s ${"n"}%8s ${"semantic_s"}%10s ${"exact_s"}%8s ${"ratio"}%6s")
-      for (k <- Seq(2, 5, 11)) {
+      var lastSemExact = 0.0
+      var lastSemN = 0L
+      for (k <- Seq(2, 5, 11, 23)) {
         val factors = (1 to k).map(j =>
           (j * 1000000L, 0.2 + 0.1 * (j - 1) / math.max(1, k - 1)))
         val corpus = Similarity.augmentedEmbeddings(base, factors = factors)
@@ -121,9 +123,18 @@ object ScaleCurve {
         val n = corpus.count()
         val sem = Seq.fill(2)(timed(noop(
           Similarity.dedupSemanticDf(corpus, 0.9)))).min
-        val exact = Seq.fill(2)(timed(noop(
-          Similarity.dedupEmbeddingDf(corpus, 0.9)))).min
-        println(f"$k%8d $n%8d $sem%10.2f $exact%8.2f ${exact / sem}%6.2f")
+        if (k <= 11) {
+          val exact = Seq.fill(2)(timed(noop(
+            Similarity.dedupEmbeddingDf(corpus, 0.9)))).min
+          lastSemExact = exact; lastSemN = n
+          println(f"$k%8d $n%8d $sem%10.2f $exact%8.2f ${exact / sem}%6.2f")
+        } else {
+          // same convention as the embedding curve: past the feasible
+          // envelope the exact cost is projected from the last measured
+          // quadratic step
+          val proj = lastSemExact * math.pow(n.toDouble / lastSemN, 2)
+          println(f"$k%8d $n%8d $sem%10.2f ${f"~$proj%.0f(proj)"}%8s ${proj / sem}%6.2f")
+        }
         corpus.unpersist()
         graft.store.Checkpoints.free(spark)
       }
