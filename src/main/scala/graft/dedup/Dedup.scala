@@ -105,8 +105,16 @@ object Dedup {
     * caller has materialized.
     */
   private def containmentDirected(s: SparkSession, dir: String,
+      maxDf: Int): (DataFrame, () => Unit) =
+    containmentDirectedDf(Tables.documents(s, dir), maxDf)
+
+  /** Df-shaped form of the directed-containment relation, so synthetic
+    * corpora (fuzz differentials) run the identical pipeline the
+    * registered queries do.
+    */
+  def containmentDirectedDf(documents: DataFrame,
       maxDf: Int): (DataFrame, () => Unit) = {
-    val docs = Tables.documents(s, dir)
+    val docs = documents
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .persist()
     val idx = docs.select(col("doc_id"), explode(col("sh")).as("s"))

@@ -92,6 +92,42 @@ class DedupFuzzSpec extends SparkSpec {
     assert(gotRep == wantRep)
   }
 
+  test("directed containment == brute force on planted excerpts") {
+    for (seed <- Seq(5, 6)) {
+      val rnd = new Random(seed)
+      val vocab = (0 until 60).map(i => s"v$i")
+      val base = (0 until 40).map { i =>
+        val len = 60 + rnd.nextInt(40)
+        (i.toLong,
+          (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      // planted excerpts: contiguous slices of containers (containment
+      // = 1.0 up to boundary shingles) + a few sub-threshold slices
+      val excerpts = base.take(10).map { case (id, text) =>
+        val toks = text.split(" ")
+        val from = rnd.nextInt(toks.length / 2)
+        val len = 15 + rnd.nextInt(15)
+        (id + 500L, toks.slice(from, from + len).mkString(" "))
+      }
+      val corpus = base ++ excerpts
+      // brute-force directed containment over distinct 3-gram shingles
+      val sets = corpus.map { case (id, tx) => id -> shingleSet(tx) }.toMap
+      val want = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+        c = (sa & sb).size.toDouble / sa.size if c >= 0.8
+      } yield (a, b)).toSet // (contained, container)
+      val (directed, cleanup) = Dedup.containmentDirectedDf(
+        corpus.toDF("doc_id", "text"), maxDf = 10000)
+      val got = directed.filter(col("containment") >= 0.8)
+        .select(col("contained_id"), col("container_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      cleanup()
+      assert(got == want,
+        s"seed $seed: extra=${got -- want} missed=${want -- got}")
+      assert(want.nonEmpty, s"seed $seed: degenerate plant")
+    }
+  }
+
   test("apply invariant: the deduplicated corpus has no remaining pair") {
     val corpus = genCorpus(11, 60)
     val df = corpus.toDF("doc_id", "text").persist()
