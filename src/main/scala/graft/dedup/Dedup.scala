@@ -761,8 +761,11 @@ object Dedup {
     * usual SimHash dedup operating point; planted near-dups in the
     * corpus sit at ≤ 4-5 flipped bits).
     */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    dedupSimhashDf(Tables.documents(s, dir))
+
+  def dedupSimhashDf(documents: DataFrame): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), simhash60(tokens(col("text"))).as("fp"))
     val bands = docs.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(3))).as("band"))

@@ -128,6 +128,47 @@ class DedupFuzzSpec extends SparkSpec {
     }
   }
 
+  test("simhash banding == brute force over the same fingerprints") {
+    // contract: pairs at hamming <= 4 that share at least one identical
+    // 15-bit band — banding can only miss pairs whose >0 differing bits
+    // spread across ALL bands, and the reference models that exactly
+    for (seed <- Seq(8, 9)) {
+      val rnd = new Random(seed)
+      val vocab = (0 until 50).map(i => s"s$i")
+      val base = (0 until 50).map { i =>
+        val len = 40 + rnd.nextInt(40)
+        (i.toLong,
+          (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val copies = base.take(8).map { case (id, t) => (id + 500L, t) } // hamming 0
+      val nearby = base.slice(8, 20).map { case (id, text) =>
+        val toks = text.split(" ")
+        toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.length))
+        (id + 500L, toks.mkString(" "))
+      }
+      val corpus = base ++ copies ++ nearby
+      val df = corpus.toDF("doc_id", "text").persist()
+      val fps = df.select(col("doc_id"),
+          graft.functions.TextFunctions.simhash60(
+            graft.functions.TextFunctions.tokens(col("text"))).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      def bandsOf(fp: Long): Seq[Long] =
+        (0 until 4).map(b => (fp >> (b * 15)) & 32767L)
+      val want = (for {
+        (a, fa) <- fps; (b, fb) <- fps if a < b
+        if java.lang.Long.bitCount(fa ^ fb) <= 4
+        if bandsOf(fa).zip(bandsOf(fb)).exists(p => p._1 == p._2)
+      } yield (a, b)).toSet
+      val got = Dedup.dedupSimhashDf(df)
+        .select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      df.unpersist()
+      assert(got == want,
+        s"seed $seed: extra=${got -- want} missed=${want -- got}")
+      assert(want.nonEmpty, s"seed $seed: degenerate plant")
+    }
+  }
+
   test("apply invariant: the deduplicated corpus has no remaining pair") {
     val corpus = genCorpus(11, 60)
     val df = corpus.toDF("doc_id", "text").persist()
