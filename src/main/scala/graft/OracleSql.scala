@@ -1444,6 +1444,21 @@ object OracleSql {
         |    <= count(DISTINCT user_id) * 0.05) AS estimate_in_band
         |FROM events""".stripMargin,
 
+    // KLL quantile-merge gate: exact row count cross-engine; the rank
+    // bands are each engine's own-property booleans (Spark certifies
+    // its merged KLL estimates, DuckDB recomputes the same band over
+    // its own approx_quantile — a false on either side hash-mismatches)
+    "a6_quantile_merge" ->
+      """SELECT (SELECT count(*) FROM events) AS n_rows,
+        |  ((SELECT count(*) FROM events
+        |     WHERE value <= (SELECT approx_quantile(value, 0.5) FROM events))
+        |   BETWEEN (SELECT count(*) FROM events) * 0.45
+        |       AND (SELECT count(*) FROM events) * 0.55) AS p50_rank_in_band,
+        |  ((SELECT count(*) FROM events
+        |     WHERE value <= (SELECT approx_quantile(value, 0.95) FROM events))
+        |   BETWEEN (SELECT count(*) FROM events) * 0.90
+        |       AND (SELECT count(*) FROM events) * 1.00) AS p95_rank_in_band""".stripMargin,
+
     "a11_duplicate_detection" ->
       """SELECT count(*)::BIGINT AS n_duplicate_pairs,
         |  coalesce(sum(c - 1), 0)::BIGINT AS n_excess_rows

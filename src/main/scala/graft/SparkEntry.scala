@@ -51,6 +51,7 @@ object SparkEntry {
     // deterministic-part hash gate: exact count + band booleans (sketch
     // bytes stay engine-side, certified by each engine's own band check)
     "a6_sketch_merge"  -> (TX.a6SketchMerge(_, _)),
+    "a6_quantile_merge" -> (TX.a6QuantileMerge(_, _)),
     // window analytics (SURVEY §2.4)
     "w1_gap_detection"  -> (EA.w1GapDetection(_, _)),
     "w2_moving_avg"     -> (EA.w2MovingAvg(_, _)),

@@ -281,6 +281,45 @@ object TextAnalysis {
       (abs(col("direct_estimate") - col("exact_distinct")) <=
         col("exact_distinct") * lit(0.05)).as("estimate_in_band"))
 
+  /** Mergeable-sketch QUANTILES — the KLL twin of `a6SketchMerge`'s
+    * HLL story, closing the re-aggregation property over both sketch
+    * families continuous aggregates need: per-day KLL sketches of the
+    * value column are MERGED (`kll_merge_agg_double`) into the global
+    * sketch instead of re-scanning raw data, and the merged p50/p95
+    * estimates are certified by exact RANK recounts (count of rows ≤
+    * estimate within φ ± 5%·n — the same band discipline as the approx
+    * distribution gate). KLL is a randomized sketch, so the gate hashes
+    * the deterministic part only: the exact row count and the band
+    * booleans (KLL's normalized rank error at default k is ~1.65%, so
+    * a ±5% band miss is ~1e-10 — stable regardless of compaction
+    * randomness); the oracle recomputes the same band over DuckDB's own
+    * approx_quantile.
+    */
+  def a6QuantileMergeRaw(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("ts"), col("value").cast(DoubleType).as("v"))
+    val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(expr("kll_sketch_agg_double(v)").as("sk"))
+    val merged = daily.agg(expr("kll_merge_agg_double(sk)").as("msk"))
+      .select(
+        expr("kll_sketch_get_quantile_double(msk, 0.5)").as("merged_p50"),
+        expr("kll_sketch_get_quantile_double(msk, 0.95)").as("merged_p95"))
+    ev.crossJoin(broadcast(merged))
+      .agg(count(lit(1)).as("n_rows"),
+        any_value(col("merged_p50")).as("merged_p50"),
+        any_value(col("merged_p95")).as("merged_p95"),
+        sum(when(col("v") <= col("merged_p50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("v") <= col("merged_p95"), 1L).otherwise(0L)).as("r95"))
+  }
+
+  def a6QuantileMerge(s: SparkSession, dir: String): DataFrame =
+    a6QuantileMergeRaw(s, dir).select(
+      col("n_rows"),
+      (col("r50") >= col("n_rows") * 0.45 &&
+        col("r50") <= col("n_rows") * 0.55).as("p50_rank_in_band"),
+      (col("r95") >= col("n_rows") * 0.90 &&
+        col("r95") <= col("n_rows") * 1.00).as("p95_rank_in_band"))
+
   /** Token-distribution signals for LLM data-quality filtering:
     * per-doc Shannon entropy of the token distribution (low = repetitive
     * boilerplate, near-log2(n) = no reuse) and the top-token share (the

@@ -61,6 +61,14 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(direct - exact).toDouble / exact < 0.05)
   }
 
+  test("quantile merge: merged KLL estimates sit at the right ranks") {
+    val r = graft.analytics.TextAnalysis.a6QuantileMergeRaw(spark, Sf001).head()
+    val n = r.getAs[Long]("n_rows").toDouble
+    assert(r.getAs[Double]("merged_p50") <= r.getAs[Double]("merged_p95"))
+    assert(r.getAs[Long]("r50") >= n * 0.45 && r.getAs[Long]("r50") <= n * 0.55)
+    assert(r.getAs[Long]("r95") >= n * 0.90)
+  }
+
   test("gated sketch queries: every deterministic-part band boolean holds") {
     val sm = graft.analytics.TextAnalysis.a6SketchMerge(spark, Sf001).head()
     assert(sm.getAs[Boolean]("merged_in_band"))

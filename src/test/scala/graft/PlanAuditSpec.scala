@@ -23,8 +23,9 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_semantic",
     "a10_recent_distribution", "decontaminate", "tx_unigram_bits",
     "tx_keywords", "a6_sketch_merge",
-    // 1-row scalar cross joins (broadcast max_ts / dup-count scalars)
-    "o1_recent_readings", "l8_integrity")
+    // 1-row scalar cross joins (broadcast max_ts / dup-count /
+    // merged-sketch-estimate scalars)
+    "o1_recent_readings", "l8_integrity", "a6_quantile_merge")
 
   test("no registered query plans a CartesianProduct; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
