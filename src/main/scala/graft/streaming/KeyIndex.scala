@@ -69,7 +69,10 @@ object KeyIndex {
     }
     def serialize: Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + bits.length * 8)
-      bb.putInt(1) // format version
+      // version 2 = keys hashed timezone-stably (`keyHashCol`); version
+      // 1 blooms hashed timestamp keys via a session-timezone-dependent
+      // string cast and deserialize as always-mightContain
+      bb.putInt(2)
       bb.putInt(k)
       bits.foreach(bb.putLong)
       bb.array()
@@ -88,12 +91,42 @@ object KeyIndex {
     def deserialize(b: Array[Byte]): KeyBloom = {
       val bb = java.nio.ByteBuffer.wrap(b)
       val ver = bb.getInt
-      require(ver == 1, s"unknown key-bloom format: $ver")
+      require(ver == 1 || ver == 2, s"unknown key-bloom format: $ver")
+      // a version-1 bloom was built with the pre-`keyHashCol` string
+      // cast, whose timestamp rendering depended on the session
+      // timezone — probing it with the stable hash could yield a FALSE
+      // NEGATIVE (silent duplicate keys). Degrade it to
+      // always-mightContain (k = 0): conservative, forces the exact
+      // segment anti-join, preserves the no-false-negative contract.
+      // `compactSegments` rewrites it as version 2.
+      if (ver == 1) return new KeyBloom(Array(0L), 0)
       val k = bb.getInt
       val words = new Array[Long]((b.length - 8) / 8)
       var i = 0; while (i < words.length) { words(i) = bb.getLong; i += 1 }
       new KeyBloom(words, k)
     }
+  }
+
+  /** Timezone-stable xxhash64 over the composite natural key — the ONE
+    * hash both the bloom build (`bloomOf`) and the commit-time probe
+    * (`Streams.commitBatch`) must share. A timestamp cast to string
+    * renders in `spark.sql.session.timeZone`, so a sink resumed under a
+    * different session timezone would hash the same key differently —
+    * a bloom FALSE NEGATIVE, breaking the no-false-negative contract.
+    * Timestamps therefore hash via `unix_micros` (an absolute instant,
+    * config-independent); every other type's string cast is stable.
+    */
+  def keyHashCol(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    val cols = keys.map { k =>
+      df.schema(k).dataType match {
+        case TimestampType => unix_micros(col(k)).cast("string")
+        case _             => col(k).cast("string")
+      }
+    }
+    xxhash64(cols: _*)
   }
 
   /** The committed file prefixes under `outDir`, derived from the
@@ -143,15 +176,37 @@ object KeyIndex {
       }.toSeq
   }
 
-  /** True iff the partition needs the one-time migration read-back:
-    * live data exists but no committed sidecar segment covers it.
+  /** Data files in the partition carrying NO committed prefix —
+    * residue from an ABANDONED checkpoint lineage that crashed
+    * mid-promote (its lineage never replayed to roll them back). Such
+    * files ARE visible to readers of the table, so their keys must
+    * count for dedup; `needsMigration` treats them as uncovered and
+    * `Streams.commitBatch` adopts them under the committing batch's
+    * prefix once its marker lands.
+    */
+  def uncoveredDataFiles(fs: FileSystem, outDir: String, date: Any,
+      prefixes: Set[String]): Seq[Path] = {
+    val dataDir = new Path(s"$outDir/event_date=$date")
+    if (!fs.exists(dataDir)) Seq.empty
+    else fs.listStatus(dataDir).iterator
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .filter(f => !prefixes.exists(f.getPath.getName.startsWith))
+      .map(_.getPath).toSeq
+  }
+
+  /** True iff the partition needs the migration read-back: live data
+    * exists and either no committed sidecar segment covers the
+    * partition (pre-sidecar data) or some live file carries no
+    * committed prefix (abandoned-lineage residue — reader-visible but
+    * otherwise invisible to marker-gated dedup).
     */
   def needsMigration(fs: FileSystem, outDir: String, date: Any,
       prefixes: Set[String]): Boolean = {
     val dataDir = new Path(s"$outDir/event_date=$date")
     val hasData = fs.exists(dataDir) &&
       fs.listStatus(dataDir).exists(f => f.isFile && !f.getPath.getName.startsWith("_"))
-    hasData && committedKeyFiles(fs, outDir, date, prefixes).isEmpty
+    hasData && (committedKeyFiles(fs, outDir, date, prefixes).isEmpty ||
+      uncoveredDataFiles(fs, outDir, date, prefixes).nonEmpty)
   }
 
   /** Delete a crashed attempt's sidecar files by prefix (the keyidx
@@ -219,9 +274,7 @@ object KeyIndex {
     */
   def bloomOf(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
       expected: Long): KeyBloom = {
-    import org.apache.spark.sql.functions._
-    val hashes = df.select(
-      xxhash64(keys.map(c => col(c).cast("string")): _*).as("h"))
+    val hashes = df.select(keyHashCol(df, keys).as("h"))
     val spark = df.sparkSession
     import spark.implicits._
     val partial = hashes.as[Long].mapPartitions { it =>

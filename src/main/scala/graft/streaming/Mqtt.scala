@@ -370,11 +370,16 @@ object Mqtt {
           current = client
           connectCount.incrementAndGet()
           lastFailure = None
-          client.foreachMessage((_, payload) => spoolOne(payload))
-          // foreachMessage returned: broker DISCONNECT or local close —
-          // if we are not closing, that still means the subscription is
-          // gone and must be re-established
-          if (!closed.get) current = null
+          // close() in finally: whether foreachMessage throws or
+          // returns (broker DISCONNECT), the socket and its keepalive
+          // pinger thread must be released BEFORE the reconnect sleep —
+          // otherwise each reconnect cycle leaks a pinger until its
+          // next send fails
+          try client.foreachMessage((_, payload) => spoolOne(payload))
+          finally {
+            current = null
+            try client.close() catch { case _: Exception => () }
+          }
         } catch {
           case e: Exception if !closed.get =>
             lastFailure = Some(e)

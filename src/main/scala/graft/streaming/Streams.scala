@@ -178,10 +178,12 @@ object Streams {
     *
     * Crash safety: `_staging`/`_committed` start with '_' so readers
     * never see them. A crash mid-promote leaves some rows live without a
-    * marker — the REPLAY's anti-join then sees exactly those rows and
-    * stages only the remainder, so the protocol converges to
-    * exactly-once with no compensating reads. (The anti-join is the
-    * idempotency mechanism; the marker is the fast path.)
+    * marker — the REPLAY rolls the partial promote back BY FILE PREFIX,
+    * unconditionally whenever the marker is absent (idempotent: a first
+    * attempt's rollback deletes nothing), then recommits from scratch,
+    * so the protocol converges to exactly-once regardless of where the
+    * previous attempt died. (The rollback is the idempotency mechanism;
+    * the marker is the fast path.)
     *
     * `epoch` scopes the marker to one sink INCARNATION: batch ids are
     * only meaningful within a single checkpoint lineage, so a stream
@@ -207,12 +209,6 @@ object Streams {
     val marker = p(s"$outDir/_committed/${epoch}batch-$batchId")
     if (fs.exists(marker)) return
     val staging = p(s"$outDir/_staging/${epoch}batch-$batchId")
-    // staging residue is the ATTEMPT detector: the staging dir is only
-    // removed AFTER the marker lands, so "no marker AND no residue"
-    // proves no prior attempt of this (epoch, batch) ever staged —
-    // nothing from it can be live
-    val priorAttempt = fs.exists(staging)
-    fs.delete(staging, true) // leftover from a crashed attempt
     // every live file this commit promotes is prefixed with
     // "{epoch}batch{id}-", so a crashed attempt's partial promote can be
     // rolled back by name, without reading any data
@@ -224,23 +220,31 @@ object Streams {
     val fresh = batch.dropDuplicates(keys)
       .withColumn("event_date", to_date(col("ts")))
       .persist()
+    // abandoned-lineage residue files to adopt once this batch's marker
+    // lands (filled by the keyed path's migration step)
+    var adoptable: Seq[org.apache.hadoop.fs.Path] = Seq.empty
     try {
       val touched = fresh.select(col("event_date")).distinct()
         .collect().map(_.get(0))
-      if (priorAttempt) {
-        // replay after a crashed attempt: the replayed batch has the
-        // same rows (same id, same checkpoint lineage), hence the same
-        // touched partitions — drop the partial promote by prefix (data
-        // AND keyidx sidecar) instead of a content read-back
-        touched.foreach { d =>
-          val dir = p(s"$outDir/event_date=$d")
-          if (fs.exists(dir))
-            fs.listStatus(dir)
-              .filter(f => f.isFile && f.getPath.getName.startsWith(filePrefix))
-              .foreach(f => fs.delete(f.getPath, false))
-          KeyIndex.rollbackPrefix(fs, outDir, d, filePrefix)
-        }
+      // rollback-by-prefix runs UNCONDITIONALLY whenever the marker is
+      // absent: a crashed attempt's partial promote (data AND keyidx
+      // sidecar) is dropped by name, no content read-back. The replayed
+      // batch has the same rows (same id, same checkpoint lineage),
+      // hence the same touched partitions. Idempotent — it only touches
+      // files carrying THIS batch's prefix, so a first attempt deletes
+      // nothing. (Gating this on staging residue was a double-crash
+      // window: residue was deleted before the rollback ran, so a crash
+      // between the two left the next replay with no marker, no
+      // residue, and the first attempt's promoted files still live.)
+      touched.foreach { d =>
+        val dir = p(s"$outDir/event_date=$d")
+        if (fs.exists(dir))
+          fs.listStatus(dir)
+            .filter(f => f.isFile && f.getPath.getName.startsWith(filePrefix))
+            .foreach(f => fs.delete(f.getPath, false))
+        KeyIndex.rollbackPrefix(fs, outDir, d, filePrefix)
       }
+      fs.delete(staging, true) // leftover from a crashed attempt
       if (!keyedDedup) {
         fresh.write.mode("overwrite")
           .partitionBy("event_date")
@@ -258,9 +262,16 @@ object Streams {
         val prefixes = KeyIndex.committedPrefixes(fs, outDir)
         val migrating = touched.filter(d =>
           KeyIndex.needsMigration(fs, outDir, d, prefixes))
+        // abandoned-lineage residue (reader-visible files carrying no
+        // committed prefix) in the migrating partitions: its keys ride
+        // the read-back below into this commit's segment, and the files
+        // themselves are adopted under this batch's prefix after the
+        // marker lands (see the post-marker step)
+        adoptable = migrating.toSeq.flatMap(d =>
+          KeyIndex.uncoveredDataFiles(fs, outDir, d, prefixes))
         val blooms = touched.flatMap(d =>
           KeyIndex.loadBlooms(fs, outDir, d, prefixes))
-        val hashCol = xxhash64(keys.map(c => col(c).cast("string")): _*)
+        val hashCol = KeyIndex.keyHashCol(fresh, keys)
         val bloomsB = spark.sparkContext.broadcast(blooms.toArray)
         // driver-merged sketch probed per batch row — a deliberate
         // batch-side-only udf (might_contain needs a bloom built by
@@ -358,6 +369,22 @@ object Streams {
     if (crash == CrashAfterPromote) throw new RuntimeException("injected crash: after promote")
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
+    // adopt abandoned-lineage residue under this batch's NOW-COMMITTED
+    // prefix: the migration read-back already folded these files' keys
+    // into this batch's marker-gated segment, so the rename makes
+    // `needsMigration` see the partition as covered from the next
+    // commit on. Ordering is the safety argument: adoption runs
+    // strictly AFTER the marker, and rollback-by-prefix only runs when
+    // the marker is ABSENT — an adopted file can never be deleted as a
+    // "partial promote". A crash mid-adoption leaves the remainder
+    // uncovered; the next commit re-runs the (idempotent) read-back and
+    // retries. A failed rename is likewise left for the next commit —
+    // the data is already durable, so the commit must not fail here.
+    adoptable.foreach { f =>
+      val dst = new org.apache.hadoop.fs.Path(
+        f.getParent, s"${filePrefix}adopted-${f.getName}")
+      try fs.rename(f, dst) catch { case _: java.io.IOException => () }
+    }
     fs.delete(staging, true)
   }
 
@@ -371,8 +398,13 @@ object Streams {
     * marker-gated: only committed segments dedup, and both data and
     * sidecar of a crashed attempt are rolled back by prefix on replay
     * (the replayed micro-batch is assumed row-identical, which the
-    * checkpoint WAL guarantees — residue from an ABANDONED lineage that
-    * crashed mid-promote is unmarked and therefore invisible to dedup).
+    * checkpoint WAL guarantees). Residue from an ABANDONED lineage that
+    * crashed mid-promote — unmarked files a replay will never roll
+    * back, but visible to every reader — is detected by
+    * `KeyIndex.needsMigration` (no committed prefix covers it), folded
+    * into the next commit's read-back + segment, and the files adopted
+    * under that commit's prefix: the ON-CONFLICT-DO-NOTHING contract
+    * holds even against a table a previous incarnation died writing.
     * `keyedDedup = false` is append-exactly-once: each delivered row is
     * stored exactly once per checkpoint lineage (marker fast path +
     * rollback-by-prefix replay), with no key tracking at all — the mode

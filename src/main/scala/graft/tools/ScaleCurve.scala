@@ -15,7 +15,8 @@ import org.apache.spark.sql.SparkSession
 object ScaleCurve {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // optional section filter: "minhash" | "chunks" | "embedding"
+    // optional section filter: "minhash" | "chunks" | "embedding" |
+    // "repetition" | "semantic"; no filter runs all sections
     val only = args.lift(1)
     def section(name: String): Boolean = only.forall(_ == name)
     val spark = SparkSession.builder().master("local[32]")

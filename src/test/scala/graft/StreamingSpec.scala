@@ -325,6 +325,90 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == sampleRows.size)
   }
 
+  test("double-crash window: replay with no marker AND no staging residue still rolls back") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("dcr_out").toString
+    val b1 = sampleRows.take(3).toDF()
+    val b2 = sampleRows.drop(3).toDF()
+    Streams.commitBatch(b1, outDir, 0)
+    // first attempt of batch 1 promotes its rows then dies before the
+    // marker; a second crash then wipes the staging dir (the state the
+    // old residue-gated rollback could not distinguish from "no prior
+    // attempt"): no marker, no staging, promoted rows live
+    intercept[RuntimeException] {
+      Streams.commitBatch(b2, outDir, 1, Streams.CrashAfterPromote)
+    }
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/_staging/batch-1"), true)
+    assert(spark.read.parquet(outDir).count() == sampleRows.size) // live, unmarked
+    // replay must converge to exactly-once: the unconditional
+    // rollback-by-prefix drops the first attempt's files before recommit
+    Streams.commitBatch(b2, outDir, 1)
+    val live = spark.read.parquet(outDir)
+    assert(live.count() == sampleRows.size)
+    assert(live.select("user_id", "ts").distinct().count() == sampleRows.size)
+  }
+
+  test("keyed sink: abandoned-lineage residue dedups against fresh-epoch commits, then is adopted") {
+    import spark.implicits._
+    import graft.streaming.KeyIndex
+    val outDir = Files.createTempDirectory("resid_out").toString
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // lineage "a-": one committed batch (so the partition HAS committed
+    // segments), then a crash mid-promote whose lineage is abandoned —
+    // its promoted-but-unmarked rows stay live with no covering prefix
+    Streams.commitBatch(sampleRows.take(3).toDF(), outDir, 0, epoch = "a-")
+    intercept[RuntimeException] {
+      Streams.commitBatch(sampleRows.drop(3).toDF(), outDir, 1,
+        Streams.CrashAfterPromote, epoch = "a-")
+    }
+    assert(spark.read.parquet(outDir).count() == sampleRows.size)
+    assert(KeyIndex.uncoveredDataFiles(fs, outDir, "2024-01-01",
+      KeyIndex.committedPrefixes(fs, outDir)).nonEmpty)
+    // fresh checkpoint lineage "b-" redelivers the residue's keys: the
+    // residue-aware migration read-back must DROP them (ON CONFLICT DO
+    // NOTHING vs everything a reader can see), not re-insert
+    Streams.commitBatch(sampleRows.drop(3).toDF(), outDir, 0, epoch = "b-")
+    val live = spark.read.parquet(outDir)
+    assert(live.count() == sampleRows.size)
+    assert(live.select("user_id", "ts").distinct().count() == sampleRows.size)
+    // and the residue is now adopted under b-'s committed prefix:
+    // partition covered, no repeated read-back
+    val prefixes = KeyIndex.committedPrefixes(fs, outDir)
+    assert(KeyIndex.uncoveredDataFiles(fs, outDir, "2024-01-01", prefixes).isEmpty)
+    assert(!KeyIndex.needsMigration(fs, outDir, "2024-01-01", prefixes))
+    // residue keys keep dedup-ing via the sidecar segments alone
+    Streams.commitBatch(sampleRows.drop(3).toDF(), outDir, 1, epoch = "b-")
+    assert(spark.read.parquet(outDir).count() == sampleRows.size)
+  }
+
+  test("key hashing is session-timezone-stable; v1 blooms degrade to always-mightContain") {
+    import spark.implicits._
+    import graft.streaming.KeyIndex
+    val df = sampleRows.take(3).toDF()
+    val bloom = KeyIndex.bloomOf(df, Seq("user_id", "ts"), 3)
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // a sink resumed under a different session timezone must probe
+      // with the SAME hashes the bloom was built with (no-false-negative
+      // contract) — timestamps hash via unix_micros, not a tz-dependent
+      // string render
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val hashes = df.select(KeyIndex.keyHashCol(df, Seq("user_id", "ts")))
+        .as[Long].collect()
+      assert(hashes.forall(bloom.mightContain))
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+    // a version-1 bloom (pre-stable-hash) reads back conservative: it
+    // forces the exact segment anti-join rather than risk a false miss
+    val v1 = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putInt(1); bb.putInt(3); bb.putLong(0L); bb.array()
+    }
+    assert(KeyIndex.KeyBloom.deserialize(v1).mightContain(123456789L))
+  }
+
   test("keyed sink sidecar compaction folds segments; dedup survives") {
     import spark.implicits._
     import graft.streaming.KeyIndex
