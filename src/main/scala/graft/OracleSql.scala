@@ -1005,23 +1005,34 @@ object OracleSql {
     // IVF probe: centroid per label cell (6-dp rounded → engine-
     // independent cell ranking), nprobe=2 nearest cells per query,
     // exact cosine top-5 within the probed cells only
-    // mirrors Similarity.kmeansCells: label-mean seeds (c0), then TWO
-    // unrolled Lloyd rounds — assign to max-cosine cell (6-dp rounds,
-    // ties to lowest cell), recompute 6-dp per-dim means — then probe
-    // the final centroids (c2) over the final assignment (a2)
+    // mirrors Similarity.kmeansCells ON THE TRAINING SAMPLE (t =
+    // hash60(vec_id) % 100 < pct, pct from the trainSamplePct CASE
+    // ladder): label-mean seeds (c0), TWO unrolled Lloyd rounds over t
+    // — assign to max-cosine cell (6-dp rounds, ties to lowest cell),
+    // recompute 6-dp per-dim means — then assign the FULL corpus
+    // against the final centroids (af vs c2) and probe c2 over af
     // product quantization: 8 subspaces x 8 dims, codebooks seeded by
-    // label%16 and refined with the SAME two unrolled Lloyd rounds as
-    // the IVF oracle (arg-min L2 written dot(a,a)-2dot(a,cw)+dot(cw,cw),
-    // 6-dp rounded, ties to lowest code); ADC = per-query LUT of
-    // dot(q_sub, codeword), approx dot = sum of 8 lookups; top-32 cut
-    // then exact-cosine rescore, both stages mirrored
+    // label%16 over the SAME hash-sample and refined with two unrolled
+    // Lloyd rounds over the sample (arg-min L2 written
+    // dot(a,a)-2dot(a,cw)+dot(cw,cw), 6-dp rounded, ties to lowest
+    // code); the full corpus is encoded against the final codebooks
+    // (af vs w2); ADC = per-query LUT of dot(q_sub, codeword), approx
+    // dot = sum of 8 lookups; top-64 cut then exact-cosine rescore,
+    // both stages mirrored
     "emb_pq_topk" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |pc AS (SELECT CASE WHEN count(*) <= 512 THEN 100
+        |    WHEN count(*) <= 1024 THEN 50 WHEN count(*) <= 2048 THEN 25
+        |    WHEN count(*) <= 4096 THEN 12 WHEN count(*) <= 8192 THEN 6
+        |    WHEN count(*) <= 16384 THEN 3 ELSE 1 END AS p FROM embeddings),
         |sub AS (SELECT vec_id, label % 16 AS code0, ss AS s,
         |    list_slice(emb, ss*8+1, ss*8+8) AS sub
         |  FROM e CROSS JOIN generate_series(0, 7) g(ss)),
+        |tsub AS (SELECT * FROM sub
+        |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 100
+        |    < (SELECT p FROM pc)),
         |w0 AS (SELECT s, code0 AS code, d, round(avg(sub[d]), 6) AS c
-        |  FROM sub CROSS JOIN generate_series(1, 8) gd(d) GROUP BY s, code0, d),
+        |  FROM tsub CROSS JOIN generate_series(1, 8) gd(d) GROUP BY s, code0, d),
         |w0l AS (SELECT s, code, list(c ORDER BY d) AS cw FROM w0 GROUP BY s, code),
         |a1 AS (SELECT vec_id, s, sub, code FROM (
         |  SELECT u.vec_id, u.s, u.sub, w.code, row_number() OVER (
@@ -1029,7 +1040,7 @@ object OracleSql {
         |      round(-(list_dot_product(u.sub, u.sub)
         |        - 2*list_dot_product(u.sub, w.cw)
         |        + list_dot_product(w.cw, w.cw)), 6) DESC, w.code) AS r
-        |    FROM sub u JOIN w0l w ON w.s = u.s) WHERE r = 1),
+        |    FROM tsub u JOIN w0l w ON w.s = u.s) WHERE r = 1),
         |w1 AS (SELECT s, code, d, round(avg(sub[d]), 6) AS c
         |  FROM a1 CROSS JOIN generate_series(1, 8) gd(d) GROUP BY s, code, d),
         |w1l AS (SELECT s, code, list(c ORDER BY d) AS cw FROM w1 GROUP BY s, code),
@@ -1039,22 +1050,29 @@ object OracleSql {
         |      round(-(list_dot_product(u.sub, u.sub)
         |        - 2*list_dot_product(u.sub, w.cw)
         |        + list_dot_product(w.cw, w.cw)), 6) DESC, w.code) AS r
-        |    FROM sub u JOIN w1l w ON w.s = u.s) WHERE r = 1),
+        |    FROM tsub u JOIN w1l w ON w.s = u.s) WHERE r = 1),
         |w2 AS (SELECT s, code, d, round(avg(sub[d]), 6) AS c
         |  FROM a2 CROSS JOIN generate_series(1, 8) gd(d) GROUP BY s, code, d),
         |w2l AS (SELECT s, code, list(c ORDER BY d) AS cw FROM w2 GROUP BY s, code),
+        |af AS (SELECT vec_id, s, code FROM (
+        |  SELECT u.vec_id, u.s, w.code, row_number() OVER (
+        |      PARTITION BY u.vec_id, u.s ORDER BY
+        |      round(-(list_dot_product(u.sub, u.sub)
+        |        - 2*list_dot_product(u.sub, w.cw)
+        |        + list_dot_product(w.cw, w.cw)), 6) DESC, w.code) AS r
+        |    FROM sub u JOIN w2l w ON w.s = u.s) WHERE r = 1),
         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
         |lut AS (SELECT query_id, w.s, w.code,
         |    list_dot_product(list_slice(qe, w.s*8+1, w.s*8+8), w.cw) AS part
         |  FROM q CROSS JOIN w2l w),
         |vn AS (SELECT a.vec_id, sqrt(sum(list_dot_product(w.cw, w.cw))) AS vnorm
-        |  FROM a2 a JOIN w2l w ON w.s = a.s AND w.code = a.code
+        |  FROM af a JOIN w2l w ON w.s = a.s AND w.code = a.code
         |  GROUP BY a.vec_id),
         |qn AS (SELECT query_id, sqrt(list_dot_product(qe, qe)) AS qnorm FROM q),
         |approx AS (SELECT l.query_id, a.vec_id,
         |    round(sum(l.part) / (any_value(qn.qnorm) * any_value(vn.vnorm)), 6)
         |      AS pq_cos
-        |  FROM a2 a
+        |  FROM af a
         |  JOIN lut l ON l.s = a.s AND l.code = a.code
         |  JOIN vn ON vn.vec_id = a.vec_id
         |  JOIN qn ON qn.query_id = l.query_id
@@ -1078,13 +1096,15 @@ object OracleSql {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // SemDeDup: the SAME two unrolled Lloyd rounds as the IVF oracle
-    // (6-dp rounds, ties to lowest cell) yield the cell assignment;
-    // seeds are vec_id % cells with the cell count derived from corpus
-    // size by the SAME integer ladder as Similarity.semanticCells
-    // (smallest power-of-two c in [16,1024] with n <= 2048*c); a vector
-    // is a dup iff a same-cell neighbor with smaller id sits at cosine
-    // >= 0.40 (6-dp rounded — the identical pair predicate as the
-    // exact-dedup oracles)
+    // (6-dp rounds, ties to lowest cell), trained on the hash-sample
+    // (t = hash60(vec_id) % 100 < pct, trainSamplePct ladder) with the
+    // full corpus assigned against the final centroids (af vs c2);
+    // seeds are the SAMPLE's vec_id % cells with the cell count derived
+    // from FULL corpus size by the SAME integer ladder as
+    // Similarity.semanticCells (smallest power-of-two c in [16,1024]
+    // with n <= 2048*c); a vector is a dup iff a same-cell neighbor
+    // with smaller id sits at cosine >= 0.40 (6-dp rounded — the
+    // identical pair predicate as the exact-dedup oracles)
     "dedup_semantic" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |nc AS (SELECT CASE WHEN count(*) <= 32768 THEN 16
@@ -1092,57 +1112,86 @@ object OracleSql {
         |    WHEN count(*) <= 262144 THEN 128 WHEN count(*) <= 524288 THEN 256
         |    WHEN count(*) <= 1048576 THEN 512 ELSE 1024 END AS ncells
         |  FROM embeddings),
+        |pc AS (SELECT CASE WHEN count(*) <= 512 THEN 100
+        |    WHEN count(*) <= 1024 THEN 50 WHEN count(*) <= 2048 THEN 25
+        |    WHEN count(*) <= 4096 THEN 12 WHEN count(*) <= 8192 THEN 6
+        |    WHEN count(*) <= 16384 THEN 3 ELSE 1 END AS p FROM embeddings),
+        |t AS (SELECT * FROM e
+        |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 100
+        |    < (SELECT p FROM pc)),
         |c0 AS (SELECT vec_id % (SELECT ncells FROM nc) AS cell, d,
         |    round(avg(emb[d]), 6) AS c
-        |  FROM e CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
+        |  FROM t CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
         |c0l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c0 GROUP BY cell),
         |a1 AS (SELECT vec_id, emb, cell FROM (
-        |  SELECT e.vec_id, e.emb, c.cell, row_number() OVER (PARTITION BY e.vec_id
-        |    ORDER BY round(list_dot_product(e.emb, c.centroid) /
-        |      (sqrt(list_dot_product(e.emb, e.emb)) *
+        |  SELECT t.vec_id, t.emb, c.cell, row_number() OVER (PARTITION BY t.vec_id
+        |    ORDER BY round(list_dot_product(t.emb, c.centroid) /
+        |      (sqrt(list_dot_product(t.emb, t.emb)) *
         |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.cell) AS r
-        |  FROM e CROSS JOIN c0l c) WHERE r = 1),
+        |  FROM t CROSS JOIN c0l c) WHERE r = 1),
         |c1 AS (SELECT cell, d, round(avg(emb[d]), 6) AS c
         |  FROM a1 CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
         |c1l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c1 GROUP BY cell),
         |a2 AS (SELECT vec_id, emb, cell FROM (
+        |  SELECT t.vec_id, t.emb, c.cell, row_number() OVER (PARTITION BY t.vec_id
+        |    ORDER BY round(list_dot_product(t.emb, c.centroid) /
+        |      (sqrt(list_dot_product(t.emb, t.emb)) *
+        |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.cell) AS r
+        |  FROM t CROSS JOIN c1l c) WHERE r = 1),
+        |c2 AS (SELECT cell, d, round(avg(emb[d]), 6) AS c
+        |  FROM a2 CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
+        |c2l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c2 GROUP BY cell),
+        |af AS (SELECT vec_id, emb, cell FROM (
         |  SELECT e.vec_id, e.emb, c.cell, row_number() OVER (PARTITION BY e.vec_id
         |    ORDER BY round(list_dot_product(e.emb, c.centroid) /
         |      (sqrt(list_dot_product(e.emb, e.emb)) *
         |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.cell) AS r
-        |  FROM e CROSS JOIN c1l c) WHERE r = 1),
-        |dup AS (SELECT DISTINCT a.vec_id FROM a2 a JOIN a2 b
+        |  FROM e CROSS JOIN c2l c) WHERE r = 1),
+        |dup AS (SELECT DISTINCT a.vec_id FROM af a JOIN af b
         |  ON b.cell = a.cell AND b.vec_id < a.vec_id
         |  WHERE round(list_dot_product(a.emb, b.emb) /
         |    (sqrt(list_dot_product(a.emb, a.emb)) *
         |     sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.40)
         |SELECT m.vec_id, m.cell, (d.vec_id IS NOT NULL) AS is_dup
-        |FROM a2 m LEFT JOIN dup d ON d.vec_id = m.vec_id
+        |FROM af m LEFT JOIN dup d ON d.vec_id = m.vec_id
         |ORDER BY m.vec_id""".stripMargin,
 
     "emb_ivf_topk" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |pc AS (SELECT CASE WHEN count(*) <= 512 THEN 100
+        |    WHEN count(*) <= 1024 THEN 50 WHEN count(*) <= 2048 THEN 25
+        |    WHEN count(*) <= 4096 THEN 12 WHEN count(*) <= 8192 THEN 6
+        |    WHEN count(*) <= 16384 THEN 3 ELSE 1 END AS p FROM embeddings),
+        |t AS (SELECT * FROM e
+        |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 100
+        |    < (SELECT p FROM pc)),
         |c0 AS (SELECT label AS cell, d, round(avg(emb[d]), 6) AS c
-        |  FROM e CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
+        |  FROM t CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
         |c0l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c0 GROUP BY cell),
         |a1 AS (SELECT vec_id, emb, cell FROM (
-        |  SELECT e.vec_id, e.emb, c.cell, row_number() OVER (PARTITION BY e.vec_id
-        |    ORDER BY round(list_dot_product(e.emb, c.centroid) /
-        |      (sqrt(list_dot_product(e.emb, e.emb)) *
+        |  SELECT t.vec_id, t.emb, c.cell, row_number() OVER (PARTITION BY t.vec_id
+        |    ORDER BY round(list_dot_product(t.emb, c.centroid) /
+        |      (sqrt(list_dot_product(t.emb, t.emb)) *
         |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.cell) AS r
-        |  FROM e CROSS JOIN c0l c) WHERE r = 1),
+        |  FROM t CROSS JOIN c0l c) WHERE r = 1),
         |c1 AS (SELECT cell, d, round(avg(emb[d]), 6) AS c
         |  FROM a1 CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
         |c1l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c1 GROUP BY cell),
         |a2 AS (SELECT vec_id, emb, cell FROM (
+        |  SELECT t.vec_id, t.emb, c.cell, row_number() OVER (PARTITION BY t.vec_id
+        |    ORDER BY round(list_dot_product(t.emb, c.centroid) /
+        |      (sqrt(list_dot_product(t.emb, t.emb)) *
+        |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.cell) AS r
+        |  FROM t CROSS JOIN c1l c) WHERE r = 1),
+        |c2 AS (SELECT cell, d, round(avg(emb[d]), 6) AS c
+        |  FROM a2 CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
+        |c2l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c2 GROUP BY cell),
+        |af AS (SELECT vec_id, emb, cell FROM (
         |  SELECT e.vec_id, e.emb, c.cell, row_number() OVER (PARTITION BY e.vec_id
         |    ORDER BY round(list_dot_product(e.emb, c.centroid) /
         |      (sqrt(list_dot_product(e.emb, e.emb)) *
         |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.cell) AS r
-        |  FROM e CROSS JOIN c1l c) WHERE r = 1),
-        |c2 AS (SELECT cell, d, round(avg(emb[d]), 6) AS c
-        |  FROM a2 CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
-        |c2l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c2 GROUP BY cell),
+        |  FROM e CROSS JOIN c2l c) WHERE r = 1),
         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
         |  FROM embeddings WHERE vec_id < 10),
         |pr AS (
@@ -1161,7 +1210,7 @@ object OracleSql {
         |       sqrt(list_dot_product(m.emb, m.emb))), 6)
         |      AS cos_sim
         |  FROM cells c
-        |  JOIN a2 m ON m.cell = c.cell
+        |  JOIN af m ON m.cell = c.cell
         |  JOIN q ON q.query_id = c.query_id
         |  WHERE m.vec_id <> c.query_id)
         |SELECT * FROM (

@@ -358,6 +358,50 @@ object Similarity {
     * per query. Centroid components are rounded to 6 dp so the cell
     * assignment (and hence the result) is engine-independent.
     */
+  /** Training-sample percentage ladder for the Lloyd-trained quantizer
+    * family (IVF cells, PQ codebooks, SemDeDup cells): a 100 TB corpus
+    * never trains k-means on every vector — it trains on a
+    * deterministic hash-sample and ASSIGNS the full corpus. Integer
+    * thresholds (the `knnLshPlanes`/`semanticCells` discipline) so the
+    * oracle mirrors the rung choice as a SQL CASE and a boundary corpus
+    * lands on the same rung in both engines. Rungs keep the expected
+    * training set in the ~128-512-vector band the ≤16-cell codebooks
+    * need, then hold at 1% — a production deployment extends the ladder
+    * with coarser-modulus rungs (hash % 10_000) to cap absolute
+    * training rows; the gate corpora never reach that regime.
+    */
+  def trainSamplePct(n: Long): Int =
+    if (n <= 512) 100 else if (n <= 1024) 50 else if (n <= 2048) 25
+    else if (n <= 4096) 12 else if (n <= 8192) 6 else if (n <= 16384) 3
+    else 1
+
+  /** The deterministic training sample: hash60(vec_id) % 100 < pct —
+    * the same SQL-reproducible md5-derived hash the sampling/split
+    * operators certify, so membership is a pure function of vec_id in
+    * any engine, stable under re-sharding and appends.
+    */
+  private def trainSample(emb: DataFrame, samplePct: Int): DataFrame =
+    if (samplePct >= 100) emb
+    else emb.filter(
+      pmod(graft.functions.TextFunctions.hash60(col("vec_id").cast(StringType)),
+        lit(100L)) < lit(samplePct.toLong))
+
+  /** Materialize a trained artifact (centroids / codebooks — at most
+    * 1024 rows of 64 doubles) as a LITERAL DataFrame: one collect runs
+    * the training lineage exactly ONCE, and every downstream use
+    * (broadcast probe joins, norm precompute, the full-corpus
+    * assignment) starts from the literal rows instead of re-executing
+    * the Lloyd iterations — the build-once/query-many shape an ANN
+    * index has at scale. Values are 6-dp-rounded doubles, which a
+    * collect round-trips exactly, so plans built on the literal are
+    * bit-identical to plans built on the lineage.
+    */
+  private def materializeSmall(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** Per-dimension mean centroids of a (cell, embedding) relation,
     * rounded to 6 dp so cell geometry is engine-independent.
     */
@@ -371,48 +415,63 @@ object Similarity {
         x => x.getField("c")).as("centroid"))
 
   /** Data-driven IVF coarse quantizer: deterministic Lloyd iterations.
-    * Seeds = per-label mean centroids; each round assigns every vector
-    * to its max-cosine cell (6-dp rounded, ties to the lowest cell id)
-    * and recomputes per-dim means. The driver loop iterates ROUNDS (2-3
-    * for a coarse quantizer), never rows — the same shape as
-    * Dedup.dedupClustersDf. Returns (assignment, centroids) after
-    * `iters` rounds; both are fully mirrorable in SQL (the oracle
-    * unrolls the same rounds as chained CTEs), which is why cosines and
-    * means are rounded at every step.
+    * Seeds = per-label mean centroids over the TRAINING SAMPLE; each
+    * round assigns every sample vector to its max-cosine cell (6-dp
+    * rounded, ties to the lowest cell id) and recomputes per-dim
+    * means; the full corpus is then assigned once against the final
+    * centroids. The driver loop iterates ROUNDS (2-3 for a coarse
+    * quantizer), never rows — the same shape as Dedup.dedupClustersDf.
+    * Returns (assignment-vs-final-centroids, centroids); both are fully
+    * mirrorable in SQL (the oracle unrolls the same rounds as chained
+    * CTEs, sample predicate included), which is why cosines and means
+    * are rounded at every step.
     *
     * Scale shape: centroids are k tiny rows → broadcast; assignment is a
     * narrow n×k scan (k = cells ≪ n); the update is one shuffle on the
-    * cell key per round.
+    * cell key per round, over sample rows only.
     */
-  def kmeansCells(emb: DataFrame, iters: Int = 2): (DataFrame, DataFrame) = {
+  /** Arg-max cell assignment as a PARTIAL AGGREGATE, not a rank window:
+    * max_by on the (cos_c, -cell) struct picks the max-cosine cell
+    * (ties → lowest cell id, matching a row_number ordering) with a
+    * map-side combine — each scan partition reduces its n×k assignment
+    * rows to one row per vec_id BEFORE the shuffle. The window
+    * formulation sort-shuffled the full n×k relation on vec_id first.
+    */
+  private def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        round(cosine(col("embedding"), col("centroid")), 6).as("cos_c"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell"), col("embedding")),
+        struct(col("cos_c"), -col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cell").as("cell"))
+
+  /** `samplePct` < 100 is the scale path (`trainSamplePct` ladder):
+    * seeds and every Lloyd round see only the hash-sample; the full
+    * corpus is assigned ONCE against the final trained centroids —
+    * training cost tracks the sample, assignment stays one narrow
+    * scan. The centroids are materialized as a literal before that
+    * assignment, so the training lineage executes exactly once no
+    * matter how many downstream operators reuse cells or centroids.
+    */
+  def kmeansCells(emb: DataFrame, iters: Int = 2,
+      samplePct: Int = 100): (DataFrame, DataFrame) = {
+    val train = trainSample(emb, samplePct)
     var cent = meanCentroids(
-      emb.select(col("label").as("cell"), col("embedding")))
-    var assigned: DataFrame = null
-    for (_ <- 1 to iters) {
-      // Arg-max as a PARTIAL AGGREGATE, not a rank window: max_by on the
-      // (cos_c, -cell) struct picks the max-cosine cell (ties → lowest
-      // cell id, matching the old row_number ordering) with a map-side
-      // combine — each scan partition reduces its n×k assignment rows to
-      // one row per vec_id BEFORE the shuffle. The window formulation
-      // sort-shuffled the full n×k relation on vec_id first.
-      assigned = emb.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          round(cosine(col("embedding"), col("centroid")), 6).as("cos_c"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("cell"), col("embedding")),
-          struct(col("cos_c"), -col("cell"))).as("best"))
-        .select(col("vec_id"), col("best.embedding").as("embedding"),
-          col("best.cell").as("cell"))
-      cent = meanCentroids(assigned)
-    }
-    (assigned.select(col("vec_id"), col("cell")), cent)
+      train.select(col("label").as("cell"), col("embedding")))
+    for (_ <- 1 to iters)
+      cent = meanCentroids(assignCells(train, cent))
+    val centLit = materializeSmall(cent)
+    (assignCells(emb, centLit).select(col("vec_id"), col("cell")), centLit)
   }
 
   def embIvfTopk(s: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2,
       lloydIters: Int = 2): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val (cells, cent) = kmeansCells(emb, lloydIters)
+    val (cells, cent) = kmeansCells(emb, lloydIters,
+      trainSamplePct(emb.count()))
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val qc = queries.crossJoin(broadcast(cent))
@@ -498,10 +557,11 @@ object Similarity {
     */
   def dedupSemanticDf(emb: DataFrame, minCos: Double,
       iters: Int = 2): DataFrame = {
-    val nCells = semanticCells(emb.count())
+    val n = emb.count()
+    val nCells = semanticCells(n)
     val seeded = emb.select(col("vec_id"), col("embedding"),
       pmod(col("vec_id"), lit(nCells.toLong)).as("label"))
-    val (cells, _) = kmeansCells(seeded, iters)
+    val (cells, _) = kmeansCells(seeded, iters, trainSamplePct(n))
     val m = emb.select(col("vec_id"), col("embedding"))
       .join(cells, "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"),
@@ -548,33 +608,42 @@ object Similarity {
     * quantizer. Returns (codes: (vec_id, s, code), codebooks:
     * (s, code, cw)).
     */
+  /** Arg-min subspace code assignment (negated score through max_by),
+    * the same shuffle-light partial-aggregate shape as `assignCells`.
+    */
+  private def assignCodes(subs: DataFrame, cw: DataFrame): DataFrame =
+    subs.select(col("vec_id"), col("s"), col("sub"))
+      .join(broadcast(cw), Seq("s"))
+      .select(col("vec_id"), col("s"), col("sub"), col("code"),
+        round(-(dot(col("sub"), col("sub"))
+          - lit(2.0) * dot(col("sub"), col("cw"))
+          + dot(col("cw"), col("cw"))), 6).as("score"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(max_by(struct(col("code"), col("sub")),
+        struct(col("score"), -col("code"))).as("best"))
+      .select(col("vec_id"), col("s"),
+        col("best.code").as("code"), col("best.sub").as("sub"))
+
   def pqEncode(emb: DataFrame, m: Int = 8, subDim: Int = 8,
-      iters: Int = 2): (DataFrame, DataFrame) = {
-    val subs = emb
+      iters: Int = 2, samplePct: Int = 100): (DataFrame, DataFrame) = {
+    def subsOf(df: DataFrame) = df
       .select(col("vec_id"), (col("label") % 16).cast(IntegerType).as("code0"),
         explode(sequence(lit(0), lit(m - 1))).as("s"), col("embedding"))
       .select(col("vec_id"), col("s"), col("code0"),
         slice(col("embedding"), col("s") * subDim + 1, lit(subDim)).as("sub"))
-    var assigned = subs
-      .select(col("vec_id"), col("s"), col("code0").as("code"), col("sub"))
-    var cw = meanSubCentroids(assigned)
-    for (_ <- 1 to iters) {
-      // arg-min distance as a max_by partial aggregate (negated score),
-      // the same shuffle-light shape as kmeansCells' assignment
-      assigned = subs.select(col("vec_id"), col("s"), col("sub"))
-        .join(broadcast(cw), Seq("s"))
-        .select(col("vec_id"), col("s"), col("sub"), col("code"),
-          round(-(dot(col("sub"), col("sub"))
-            - lit(2.0) * dot(col("sub"), col("cw"))
-            + dot(col("cw"), col("cw"))), 6).as("score"))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(max_by(struct(col("code"), col("sub")),
-          struct(col("score"), -col("code"))).as("best"))
-        .select(col("vec_id"), col("s"),
-          col("best.code").as("code"), col("best.sub").as("sub"))
-      cw = meanSubCentroids(assigned)
-    }
-    (assigned.select(col("vec_id"), col("s"), col("code")), cw)
+    // codebooks train on the hash-sample (`trainSamplePct` ladder); the
+    // full corpus is ENCODED once against the final literal codebooks —
+    // at scale, training cost tracks the sample while encoding stays
+    // one narrow scan, and the literal means the Lloyd lineage runs
+    // exactly once however many times codes/codebooks are reused
+    val trainSubs = subsOf(trainSample(emb, samplePct))
+    var cw = meanSubCentroids(trainSubs
+      .select(col("vec_id"), col("s"), col("code0").as("code"), col("sub")))
+    for (_ <- 1 to iters)
+      cw = meanSubCentroids(assignCodes(trainSubs, cw))
+    val cwLit = materializeSmall(cw)
+    (assignCodes(subsOf(emb), cwLit).select(col("vec_id"), col("s"), col("code")),
+      cwLit)
   }
 
   /** PQ ANN top-k with ASYMMETRIC DISTANCE COMPUTATION: the query stays
@@ -592,7 +661,7 @@ object Similarity {
       cut: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, dir)
-    val (codes, cw) = pqEncode(emb)
+    val (codes, cw) = pqEncode(emb, samplePct = trainSamplePct(emb.count()))
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // per-(query, subspace, code) LUT entries: dot(q_sub, codeword)
