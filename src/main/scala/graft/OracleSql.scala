@@ -36,6 +36,59 @@ object OracleSql {
   }.mkString(",\n")
   private val lshSignRows: String = lshSignRowsFor(8)
 
+  /** One mega-cell split level of the dedup_semantic oracle — mirrors
+    * Similarity.splitHotCells rung-for-rung: population count over the
+    * incoming assignment `in`, the shared 4×-expected bound (bnd CTE),
+    * the per-cell sample-pct CASE ladder, vec_id%8 sub-seeds over the
+    * hot-cell hash-sample, two Lloyd rounds grouped by (cell, sub),
+    * the full hot membership assigned once against the final
+    * sub-centroids, composite ids (cell+1)*1024+sub, and untouched
+    * pass-through for cells at or under the bound. Emits CTEs suffixed
+    * `i`, ending in assignment relation `m{i}`.
+    */
+  private def semanticSplitLevel(i: Int, in: String): String = {
+    def means(out: String, src: String): String =
+      s"""s$out AS (SELECT cell, sub, d, round(avg(emb[d]), 6) AS c
+         |  FROM $src CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, sub, d),
+         |s${out}l AS (SELECT cell, sub, list(c ORDER BY d) AS centroid
+         |  FROM s$out GROUP BY cell, sub),""".stripMargin
+    def asn(out: String, src: String, cents: String): String =
+      s"""$out AS (SELECT vec_id, emb, cell, sub FROM (
+         |  SELECT t.vec_id, t.emb, t.cell, c.sub, row_number() OVER (PARTITION BY t.vec_id
+         |    ORDER BY round(list_dot_product(t.emb, c.centroid) /
+         |      (sqrt(list_dot_product(t.emb, t.emb)) *
+         |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.sub) AS r
+         |  FROM $src t JOIN ${cents}l c ON c.cell = t.cell) WHERE r = 1),""".stripMargin
+    // MATERIALIZED (DuckDB-only hint; the oracle never runs in Spark):
+    // the multiply-referenced relations would otherwise be re-INLINED
+    // into every consumer, and with two recursive levels the expansion
+    // multiplies into minutes of replanning — materialization keeps the
+    // oracle's work linear in the level count, like the Spark side's
+    // checkpoint.
+    s"""cnt$i AS (SELECT cell, count(*) AS pop FROM $in GROUP BY cell),
+       |mc$i AS MATERIALIZED (SELECT m.vec_id, m.emb, m.cell, c.pop
+       |  FROM $in m JOIN cnt$i c ON c.cell = m.cell),
+       |cold$i AS (SELECT vec_id, emb, cell FROM mc$i
+       |  WHERE pop <= (SELECT b FROM bnd)),
+       |hot$i AS MATERIALIZED (SELECT vec_id, emb, cell,
+       |    CASE WHEN pop <= 512 THEN 100 WHEN pop <= 1024 THEN 50
+       |      WHEN pop <= 2048 THEN 25 WHEN pop <= 4096 THEN 12
+       |      WHEN pop <= 8192 THEN 6 WHEN pop <= 16384 THEN 3 ELSE 1 END AS p
+       |  FROM mc$i WHERE pop > (SELECT b FROM bnd)),
+       |ht$i AS MATERIALIZED (SELECT vec_id, emb, cell, vec_id % 8 AS sub
+       |  FROM hot$i
+       |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 100 < p),
+       |${means(s"${i}0", s"ht$i")}
+       |${asn(s"sa${i}1", s"ht$i", s"s${i}0")}
+       |${means(s"${i}1", s"sa${i}1")}
+       |${asn(s"sa${i}2", s"ht$i", s"s${i}1")}
+       |${means(s"${i}2", s"sa${i}2")}
+       |${asn(s"saf$i", s"hot$i", s"s${i}2")}
+       |m$i AS MATERIALIZED (SELECT vec_id, emb, cell FROM cold$i
+       |  UNION ALL SELECT vec_id, emb, (cell + 1) * 1024 + sub AS cell
+       |  FROM saf$i),""".stripMargin
+  }
+
   /** Boilerplate-span detection (TextAnalysis.boilerplateIslands):
     * positional 8-gram hashes → df >= 2 hot set → flagged starts →
     * gaps-and-islands merge. Ends at `isl(doc_id, island, s, e, nf)`.
@@ -1102,21 +1155,27 @@ object OracleSql {
     // seeds are the SAMPLE's vec_id % cells with the cell count derived
     // from FULL corpus size by the SAME integer ladder as
     // Similarity.semanticCells (smallest power-of-two c in [16,1024]
-    // with n <= 2048*c); a vector is a dup iff a same-cell neighbor
-    // with smaller id sits at cosine >= 0.40 (6-dp rounded — the
-    // identical pair predicate as the exact-dedup oracles)
+    // with n <= 2048*c); then TWO mega-cell split levels
+    // (semanticSplitLevel — mirrors Similarity.splitHotCells) re-cluster
+    // any cell whose population exceeds 4×expected (bnd); a vector is a
+    // dup iff a same-final-cell neighbor with smaller id sits at cosine
+    // >= 0.40 (6-dp rounded — the identical pair predicate as the
+    // exact-dedup oracles)
     "dedup_semantic" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      s"""WITH e AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |nc AS (SELECT CASE WHEN count(*) <= 32768 THEN 16
         |    WHEN count(*) <= 65536 THEN 32 WHEN count(*) <= 131072 THEN 64
         |    WHEN count(*) <= 262144 THEN 128 WHEN count(*) <= 524288 THEN 256
         |    WHEN count(*) <= 1048576 THEN 512 ELSE 1024 END AS ncells
         |  FROM embeddings),
+        |bnd AS (SELECT 4 * ((count(*) + (SELECT ncells FROM nc) - 1)
+        |    // (SELECT ncells FROM nc)) AS b FROM embeddings),
         |pc AS (SELECT CASE WHEN count(*) <= 512 THEN 100
         |    WHEN count(*) <= 1024 THEN 50 WHEN count(*) <= 2048 THEN 25
         |    WHEN count(*) <= 4096 THEN 12 WHEN count(*) <= 8192 THEN 6
         |    WHEN count(*) <= 16384 THEN 3 ELSE 1 END AS p FROM embeddings),
-        |t AS (SELECT * FROM e
+        |t AS MATERIALIZED (SELECT * FROM e
         |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 100
         |    < (SELECT p FROM pc)),
         |c0 AS (SELECT vec_id % (SELECT ncells FROM nc) AS cell, d,
@@ -1141,19 +1200,21 @@ object OracleSql {
         |c2 AS (SELECT cell, d, round(avg(emb[d]), 6) AS c
         |  FROM a2 CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
         |c2l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c2 GROUP BY cell),
-        |af AS (SELECT vec_id, emb, cell FROM (
+        |af AS MATERIALIZED (SELECT vec_id, emb, cell FROM (
         |  SELECT e.vec_id, e.emb, c.cell, row_number() OVER (PARTITION BY e.vec_id
         |    ORDER BY round(list_dot_product(e.emb, c.centroid) /
         |      (sqrt(list_dot_product(e.emb, e.emb)) *
         |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.cell) AS r
         |  FROM e CROSS JOIN c2l c) WHERE r = 1),
-        |dup AS (SELECT DISTINCT a.vec_id FROM af a JOIN af b
+        |${semanticSplitLevel(1, "af")}
+        |${semanticSplitLevel(2, "m1")}
+        |dup AS (SELECT DISTINCT a.vec_id FROM m2 a JOIN m2 b
         |  ON b.cell = a.cell AND b.vec_id < a.vec_id
         |  WHERE round(list_dot_product(a.emb, b.emb) /
         |    (sqrt(list_dot_product(a.emb, a.emb)) *
         |     sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.40)
         |SELECT m.vec_id, m.cell, (d.vec_id IS NOT NULL) AS is_dup
-        |FROM af m LEFT JOIN dup d ON d.vec_id = m.vec_id
+        |FROM m2 m LEFT JOIN dup d ON d.vec_id = m.vec_id
         |ORDER BY m.vec_id""".stripMargin,
 
     "emb_ivf_topk" ->

@@ -521,10 +521,11 @@ object Similarity {
     * — its pair WORK is inherent to the recipe, but its distribution is
     * not: the pair join is an equi-join on the cell key, so AQE's
     * skew-split spreads an oversized cell's partitions across cores
-    * rather than serializing them on one task; under extreme skew a
-    * production run would recursively sub-cluster hot cells (the same
-    * trade as the LSH bucket split), which this gated query leaves out
-    * to keep the oracle exact.
+    * rather than serializing them on one task; and under extreme skew
+    * `splitHotCells` recursively re-clusters any cell above
+    * `splitBound` (4× expected population) into sub-cells — two
+    * unrolled levels, both mirrored rung-for-rung in the oracle SQL —
+    * so no single cell's |cell|² can dominate the prune.
     *
     * Determinism contract (same as IVF/PQ): 6-dp rounds at every
     * cluster step, ties to lowest cell, (j < i) drop direction — the
@@ -548,6 +549,109 @@ object Similarity {
     else if (n <= 262144) 128 else if (n <= 524288) 256
     else if (n <= 1048576) 512 else 1024
 
+  /** Mega-cell population bound: 4× the expected uniform cell
+    * population, integer ceil-division (the oracle mirrors the same
+    * integer arithmetic, so a boundary population lands on the same
+    * side in both engines). A cell above the bound is a skew hot spot
+    * whose |cell|² pair work would dominate the within-cell prune;
+    * `splitHotCells` re-clusters exactly those cells in place.
+    */
+  def splitBound(n: Long, nCells: Int): Long =
+    4L * ((n + nCells - 1) / nCells)
+
+  /** `trainSamplePct` as a Column — the same integer CASE ladder applied
+    * to a PER-CELL population, so each hot cell samples by its own rung
+    * and sub-cluster training cost tracks the cell, not the corpus.
+    */
+  private def trainSamplePctCol(cnt: Column): Column =
+    when(cnt <= 512, 100L).when(cnt <= 1024, 50L).when(cnt <= 2048, 25L)
+      .when(cnt <= 4096, 12L).when(cnt <= 8192, 6L).when(cnt <= 16384, 3L)
+      .otherwise(1L)
+
+  /** Per-(cell, sub) mean centroids — `meanCentroids` with the parent
+    * cell as an extra grouping key: every hot cell trains its own
+    * independent sub-quantizer inside ONE grouped job, no per-cell
+    * driver loop. Same 6-dp rounding contract.
+    */
+  private def subMeanCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), col("sub"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("sub"), col("pos"))
+      .agg(round(avg(col("v").cast(DoubleType)), 6).as("c"))
+      .groupBy(col("cell"), col("sub"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+
+  /** Arg-max sub-cell assignment: a vector competes only among its OWN
+    * parent cell's sub-centroids (equi-join on the cell key, not a
+    * cross join), then the same max_by partial-aggregate shape as
+    * `assignCells` — 6-dp rounded cosine, ties to the lowest sub id.
+    * vec_id is globally unique, so grouping by it alone is safe; the
+    * parent cell rides along inside the struct.
+    */
+  private def subAssign(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.select(col("cell"), col("vec_id"), col("embedding"))
+      .join(broadcast(cent), Seq("cell"))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("sub"),
+        round(cosine(col("embedding"), col("centroid")), 6).as("cos_c"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell"), col("sub"), col("embedding")),
+        struct(col("cos_c"), -col("sub"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.sub").as("sub"), col("best.embedding").as("embedding"))
+
+  /** ONE level of mega-cell sub-clustering over an assigned corpus
+    * (vec_id, cell, embedding): every cell whose population exceeds
+    * `bound` is re-clustered IN PLACE into ≤`f` sub-cells by the same
+    * deterministic Lloyd recipe as the top level — seeds are vec_id
+    * mod f within the cell, training runs on the cell's own
+    * hash-sample rung (`trainSamplePctCol`), and the full cell
+    * membership is assigned ONCE against the final literal centroids.
+    * Sub-cell ids are (cell+1)·1024 + sub: injective, strictly above
+    * the 0..1023 top-level range, and increasing in the parent id, so
+    * ids from a second split level can never collide with first-level
+    * ids. Cells at or under the bound pass through untouched.
+    *
+    * Scale shape: the population count is one partial-agg scan;
+    * training touches only the sampled hot rows; the final assignment
+    * is a narrow scan of hot rows against ≤ hot_cells·f broadcast
+    * centroids. All hot cells split inside the SAME grouped jobs.
+    */
+  def splitHotCells(m: DataFrame, bound: Long, f: Int = 8,
+      iters: Int = 2): DataFrame = {
+    // Control-plane collect of the per-cell histogram (≤ cells rows —
+    // same adjudication as materializeSmall): decides whether any cell
+    // is hot WITHOUT building the split lineage, and feeds the
+    // cold/hot partition as a literal so the count aggregation runs
+    // exactly once. A balanced corpus — the common case, and both gate
+    // corpora — pays one tiny agg job here and skips everything below
+    // (bit-identical to running the split with an empty hot set, which
+    // is what the oracle's always-present mirror computes).
+    val cnt = m.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+    val cntRows = cnt.collect()
+    if (!cntRows.exists(_.getLong(1) > bound)) return m
+    val cntLit = m.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cntRows: _*), cnt.schema)
+    val mc = m.join(broadcast(cntLit), Seq("cell"))
+    val cold = mc.filter(col("pop") <= bound)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val hot = mc.filter(col("pop") > bound)
+    val sample = hot
+      .filter(pmod(graft.functions.TextFunctions.hash60(
+          col("vec_id").cast(StringType)), lit(100L))
+        < trainSamplePctCol(col("pop")))
+      .withColumn("sub", pmod(col("vec_id"), lit(f.toLong)))
+    var cent = subMeanCentroids(
+      sample.select(col("cell"), col("sub"), col("embedding")))
+    for (_ <- 1 to iters)
+      cent = subMeanCentroids(subAssign(sample, cent))
+    val reassigned = subAssign(hot, materializeSmall(cent))
+      .select(col("vec_id"),
+        ((col("cell") + 1) * 1024 + col("sub")).as("cell"), col("embedding"))
+    cold.unionByName(reassigned)
+  }
+
   /** Seeds are `vec_id % cells` (not the data's label column): the seed
     * family must scale with the ladder, and id-mod is the same
     * engine-independent bucketing the oracle writes as `vec_id % c`.
@@ -562,10 +666,26 @@ object Similarity {
     val seeded = emb.select(col("vec_id"), col("embedding"),
       pmod(col("vec_id"), lit(nCells.toLong)).as("label"))
     val (cells, _) = kmeansCells(seeded, iters, trainSamplePct(n))
-    val m = emb.select(col("vec_id"), col("embedding"))
+    // Checkpointed once: both split levels and the pair join reuse the
+    // assigned corpus, and the split's count/sample/assign passes would
+    // otherwise re-execute the full top-level assignment lineage each.
+    val m0 = emb.select(col("vec_id"), col("embedding"))
       .join(cells, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .localCheckpoint(true)
+    // TWO unrolled mega-cell split levels (the oracle mirrors both):
+    // level 1 re-clusters skew hot spots into ≤8 sub-cells; level 2
+    // catches a sub-cell still above the bound (single-mode skew). A
+    // cell the recipe cannot spread after two levels keeps its inherent
+    // |cell|² work — the same bounded-recursion tail the LSH bucket
+    // split accepts. On a balanced corpus no cell exceeds the bound and
+    // both levels are exact no-ops, so the prune semantics (and the
+    // oracle hash) only change where the skew pathology actually is.
+    val bound = splitBound(n, nCells)
+    val m = splitHotCells(splitHotCells(m0, bound), bound)
       .select(col("vec_id"), col("cell"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+      .localCheckpoint(true)
     val lhs = m.select(col("cell"), col("vec_id").as("i"),
       col("embedding").as("ei"), col("norm").as("ni"))
     val rhs = m.select(col("cell"), col("vec_id").as("j"),
@@ -843,6 +963,37 @@ object Similarity {
     factors.foldLeft(base) { case (acc, (off, f)) =>
       acc.unionByName(perturbed(off, f))
     }
+  }
+
+  /** The skew-pathology fixture for the mega-cell split (`splitHotCells`):
+    * 5n/16 "hot" vectors share one tight direction (all-ones with small
+    * two-modulus perturbations — mutually cos ≈ 0.99), the rest carry a
+    * strong per-residue-class axis direction (component 1 exactly where
+    * d ≡ id (mod 16)) plus noise. Hot ids are the WHOLE of residue
+    * class 0 plus half of every odd class, so the class-0 Lloyd seed is
+    * the pure hot direction while every other seed is dominated by its
+    * own distinct axis — round 1 therefore pulls ALL hot vectors into
+    * cell 0 (a 5×-expected mega-cell, above `splitBound`'s 4×) instead
+    * of the symmetric split-by-noise a mixture-seed corpus degenerates
+    * to. Pure integer-modulus column arithmetic cast to float, so any
+    * engine rebuilds the identical corpus bit-for-bit from the written
+    * parquet. Used by SemanticDedupSpec and tools/SkewSemantic (the
+    * out-of-band DuckDB differential for the oracle's split mirror).
+    */
+  def skewedEmbeddings(s: SparkSession, n: Long = 2048): DataFrame = {
+    val isHot = (pmod(col("id"), lit(16L)) === 0) ||
+      pmod(floor(col("id") / 16).cast(LongType), lit(5L)) < 3
+    s.range(0, n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        when(isHot,
+          lit(1.0)
+            + lit(0.02) * (pmod(col("id") * 7 + d * 5, lit(13L)) - lit(6.5))
+            + lit(0.015) * (pmod(col("id") * 3 + d * 11, lit(17L)) - lit(8.0)))
+        .otherwise(
+          when(pmod(d - col("id"), lit(16L)) === 0, lit(1.0)).otherwise(lit(0.0))
+            + lit(0.05)
+              * (pmod(col("id") * 31 + d * 17, lit(97L)) / lit(97.0) - lit(0.5)))
+        .cast(FloatType)).as("embedding"))
   }
 
   /** Head-to-head showcase pair at the TRUE near-dup operating point

@@ -53,4 +53,48 @@ class SemanticDedupSpec extends SparkSpec {
     assert(recall >= 0.75, s"planted recall $recall below 0.75")
     emb.unpersist(); res.unpersist()
   }
+
+  test("mega-cell split: planted 10×-skew cell sub-clustered, pair work bounded") {
+    // skew fixture: one tight direction holding ~10× the expected cell
+    // population (1298 of 2048 at 16 cells) — far above splitBound's 4×
+    // trigger. The same corpus+result pair is replayed against the
+    // DuckDB oracle mirror out-of-band by tools/SkewSemantic +
+    // tools/check_skew_semantic.py (the driver gate corpora are
+    // balanced, so the oracle's split branch is proved equivalent there).
+    val n = 2048L
+    val emb = Similarity.skewedEmbeddings(spark, n).persist()
+    val res = Similarity.dedupSemanticDf(emb, 0.95).persist()
+    // the split union neither loses nor duplicates rows
+    assert(res.count() == n)
+    assert(res.select("vec_id").distinct().count() == n)
+    val bound = Similarity.splitBound(n, Similarity.semanticCells(n))
+    val pops = res.groupBy(col("cell")).count().persist()
+    // composite sub-cell ids live strictly above the 0..1023 top-level
+    // range — their presence proves the split fired
+    val split = pops.filter(col("cell") >= 1024)
+    assert(split.count() >= 2, "mega-cell did not split")
+    // the sub-cells jointly carry a mega-cell's worth of mass (the
+    // planted hot direction), i.e. the pre-split cell was above bound
+    val splitMass = split.agg(sum(col("count"))).head.getLong(0)
+    assert(splitMass > bound, s"split mass $splitMass is not a mega-cell")
+    // BOUNDED PER-CELL PAIR WORK — the point of the operator: after the
+    // split no final cell exceeds the bound, so |cell|² is capped
+    val maxPop = pops.agg(max(col("count"))).head.getLong(0)
+    assert(maxPop <= bound, s"cell of pop $maxPop above bound $bound")
+    // prune semantics survive the split: flagged iff a same-FINAL-cell
+    // smaller-id neighbor sits at cos >= minCos, recomputed here
+    // independently from the result's cells and the raw corpus
+    val m = res.join(emb, "vec_id")
+    val l = m.select(col("cell"), col("vec_id").as("i"), col("embedding").as("ei"))
+    val r = m.select(col("cell"), col("vec_id").as("j"), col("embedding").as("ej"))
+    val expDup = l.join(r, "cell")
+      .filter(col("j") < col("i") &&
+        round(Similarity.cosine(col("ei"), col("ej")), 6) >= 0.95)
+      .select(col("i").as("vec_id")).distinct()
+      .withColumn("exp_dup", lit(true))
+    val bad = res.join(expDup, Seq("vec_id"), "left_outer")
+      .filter(coalesce(col("exp_dup"), lit(false)) =!= col("is_dup")).count()
+    assert(bad == 0L, s"$bad vectors with wrong is_dup after split")
+    pops.unpersist(); emb.unpersist(); res.unpersist()
+  }
 }
