@@ -111,19 +111,12 @@ object TextAnalysis {
     txRepetitionDf(Tables.documents(s, dir))
 
   def txRepetitionDf(docs: DataFrame): DataFrame = {
-    // Split-bound parallelism: a small corpus in one parquet file is
-    // one input split = one task = serialized compute; spread it
-    // round-robin when splits < cores (negligible shuffle — the
-    // relation is (id, len, toks)). At real scale input splits exceed
-    // cores and no shuffle is added.
-    val spark = docs.sparkSession
-    val withToks0 = docs.select(col("doc_id"),
+    // Split-bound parallelism: spread the narrow (id, len, toks)
+    // projection before the CPU-heavy gram-stats scan (Par.spread's
+    // scaladoc has the full argument).
+    val withToks = graft.Par.spread(docs.select(col("doc_id"),
       length(col("text")).cast(LongType).as("n_chars"),
-      tokens(col("text")).as("toks"))
-    val para = spark.sparkContext.defaultParallelism
-    val withToks =
-      if (withToks0.rdd.getNumPartitions < para) withToks0.repartition(para)
-      else withToks0
+      tokens(col("text")).as("toks")))
     val withStats = withToks.select(col("doc_id"), col("n_chars"),
       gramStats(col("toks"), 2).as("g2"),
       gramStats(col("toks"), 3).as("g3"),
@@ -458,7 +451,11 @@ object TextAnalysis {
         count(lit(1)).as("nf"))
   }
 
-  def txBoilerplateDf(docs: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
+  def txBoilerplateDf(docs0: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
+    // both consumers below re-tokenize the corpus (gram explode + the
+    // per-doc token counts) — spread once so neither scan serializes
+    // on a single input split
+    val docs = graft.Par.spread(docs0)
     val covered = boilerplateIslands(docs, n, minDf)
       .groupBy(col("doc_id"))
       .agg(sum(col("span_end") - col("span_start")).cast(LongType).as("covered_tokens"),
@@ -486,7 +483,8 @@ object TextAnalysis {
   def txBoilerplateApply(s: SparkSession, dir: String): DataFrame =
     txBoilerplateApplyDf(Tables.documents(s, dir))
 
-  def txBoilerplateApplyDf(docs: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
+  def txBoilerplateApplyDf(docs0: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
+    val docs = graft.Par.spread(docs0)
     val spans = boilerplateIslands(docs, n, minDf)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
@@ -607,7 +605,9 @@ object TextAnalysis {
     * the SimHash near-dup fingerprint (native codegen'd expression).
     */
   def txFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    // three digest passes per row — exactly the compute-bound narrow
+    // scan the split-bound guard exists for
+    graft.Par.spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         md5(col("text")).as("md5_hex"),
         hash60(col("text")).as("content_hash60"),

@@ -178,14 +178,28 @@ object Similarity {
 
   def embKnnGraphLsh(emb: DataFrame, k: Int, nPlanes: Int = 4,
       nTables: Int = 24): DataFrame = {
-    val ids = emb.select(col("vec_id"),
-      posexplode(lshBucketsCol(col("embedding"), nPlanes, nTables))
-        .as(Seq("tbl", "bucket")))
+    val shufflePartitions =
+      emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // spread the t-plane hashing pass like lshBucketTable does — the
+    // projection is ids-only, the compute is t·b dot products per row
+    val ids = emb.repartition(shufflePartitions)
+      .select(col("vec_id"),
+        posexplode(lshBucketsCol(col("embedding"), nPlanes, nTables))
+          .as(Seq("tbl", "bucket")))
+    // explicit repartition after the distinct: the refine below is the
+    // pipeline's CPU stage (one cosine per candidate pair), but on the
+    // local fixtures AQE coalesces the distinct's tiny id-pair shuffle
+    // to ~1 partition and the cosines inherit it (bench par ≈ 2.5).
+    // A user-specified count survives AQE; the relation shuffled is two
+    // longs per row. At real scale the distinct's output is large, AQE
+    // keeps its width, and this extra exchange is the only redundancy —
+    // acceptable for an id-pair stream.
     val cand = ids.as("x").join(ids.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("neighbor_id"))
       .distinct()
+      .repartition(shufflePartitions)
     val pairs = cand
       .join(emb.select(col("vec_id").as("src_id"), col("embedding").as("e_a")), "src_id")
       .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_b")),
