@@ -167,6 +167,143 @@ object OracleSql {
       |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_sim
       |  FROM an a JOIN an b ON a.vec_id < b.vec_id)""".stripMargin
 
+  /** Shared CTE chain of the PQ-family oracles: corpus → sample
+    * rung → two unrolled Lloyd codebook rounds → full-corpus codes →
+    * per-query LUT → ADC approximate cosine (`approx`). `emb_pq_topk`
+    * appends its cut+rescore stages; `emb_pq_serve` (the persisted-
+    * index serve twin) ranks `approx` directly.
+    */
+  private val pqApproxCtes: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+      |pc AS (SELECT CASE WHEN count(*) <= 512 THEN 100
+      |    WHEN count(*) <= 1024 THEN 50 WHEN count(*) <= 2048 THEN 25
+      |    WHEN count(*) <= 4096 THEN 12 WHEN count(*) <= 8192 THEN 6
+      |    WHEN count(*) <= 16384 THEN 3 ELSE 1 END AS p FROM embeddings),
+      |sub AS (SELECT vec_id, label % 16 AS code0, ss AS s,
+      |    list_slice(emb, ss*8+1, ss*8+8) AS sub
+      |  FROM e CROSS JOIN generate_series(0, 7) g(ss)),
+      |tsub AS (SELECT * FROM sub
+      |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 100
+      |    < (SELECT p FROM pc)),
+      |w0 AS (SELECT s, code0 AS code, d, round(avg(sub[d]), 6) AS c
+      |  FROM tsub CROSS JOIN generate_series(1, 8) gd(d) GROUP BY s, code0, d),
+      |w0l AS (SELECT s, code, list(c ORDER BY d) AS cw FROM w0 GROUP BY s, code),
+      |a1 AS (SELECT vec_id, s, sub, code FROM (
+      |  SELECT u.vec_id, u.s, u.sub, w.code, row_number() OVER (
+      |      PARTITION BY u.vec_id, u.s ORDER BY
+      |      round(-(list_dot_product(u.sub, u.sub)
+      |        - 2*list_dot_product(u.sub, w.cw)
+      |        + list_dot_product(w.cw, w.cw)), 6) DESC, w.code) AS r
+      |    FROM tsub u JOIN w0l w ON w.s = u.s) WHERE r = 1),
+      |w1 AS (SELECT s, code, d, round(avg(sub[d]), 6) AS c
+      |  FROM a1 CROSS JOIN generate_series(1, 8) gd(d) GROUP BY s, code, d),
+      |w1l AS (SELECT s, code, list(c ORDER BY d) AS cw FROM w1 GROUP BY s, code),
+      |a2 AS (SELECT vec_id, s, sub, code FROM (
+      |  SELECT u.vec_id, u.s, u.sub, w.code, row_number() OVER (
+      |      PARTITION BY u.vec_id, u.s ORDER BY
+      |      round(-(list_dot_product(u.sub, u.sub)
+      |        - 2*list_dot_product(u.sub, w.cw)
+      |        + list_dot_product(w.cw, w.cw)), 6) DESC, w.code) AS r
+      |    FROM tsub u JOIN w1l w ON w.s = u.s) WHERE r = 1),
+      |w2 AS (SELECT s, code, d, round(avg(sub[d]), 6) AS c
+      |  FROM a2 CROSS JOIN generate_series(1, 8) gd(d) GROUP BY s, code, d),
+      |w2l AS (SELECT s, code, list(c ORDER BY d) AS cw FROM w2 GROUP BY s, code),
+      |af AS (SELECT vec_id, s, code FROM (
+      |  SELECT u.vec_id, u.s, w.code, row_number() OVER (
+      |      PARTITION BY u.vec_id, u.s ORDER BY
+      |      round(-(list_dot_product(u.sub, u.sub)
+      |        - 2*list_dot_product(u.sub, w.cw)
+      |        + list_dot_product(w.cw, w.cw)), 6) DESC, w.code) AS r
+      |    FROM sub u JOIN w2l w ON w.s = u.s) WHERE r = 1),
+      |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+      |lut AS (SELECT query_id, w.s, w.code,
+      |    list_dot_product(list_slice(qe, w.s*8+1, w.s*8+8), w.cw) AS part
+      |  FROM q CROSS JOIN w2l w),
+      |vn AS (SELECT a.vec_id, sqrt(sum(list_dot_product(w.cw, w.cw))) AS vnorm
+      |  FROM af a JOIN w2l w ON w.s = a.s AND w.code = a.code
+      |  GROUP BY a.vec_id),
+      |qn AS (SELECT query_id, sqrt(list_dot_product(qe, qe)) AS qnorm FROM q),
+      |approx AS (SELECT l.query_id, a.vec_id,
+      |    round(sum(l.part) / (any_value(qn.qnorm) * any_value(vn.vnorm)), 6)
+      |      AS pq_cos
+      |  FROM af a
+      |  JOIN lut l ON l.s = a.s AND l.code = a.code
+      |  JOIN vn ON vn.vec_id = a.vec_id
+      |  JOIN qn ON qn.query_id = l.query_id
+      |  WHERE a.vec_id <> l.query_id
+      |  GROUP BY l.query_id, a.vec_id)""".stripMargin
+
+  /** Full build+probe mirror of the IVF family: the persisted-index
+    * serve (`emb_ivf_serve`, store.AnnIndex) routes queries to the
+    * same deterministically-trained cells and exact-scans the same
+    * probed vectors as the in-session `emb_ivf_topk`, so ONE oracle
+    * certifies both (the index tables are a pure function of the
+    * corpus and never need mirroring).
+    */
+  private val ivfTopkSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+      |pc AS (SELECT CASE WHEN count(*) <= 512 THEN 100
+      |    WHEN count(*) <= 1024 THEN 50 WHEN count(*) <= 2048 THEN 25
+      |    WHEN count(*) <= 4096 THEN 12 WHEN count(*) <= 8192 THEN 6
+      |    WHEN count(*) <= 16384 THEN 3 ELSE 1 END AS p FROM embeddings),
+      |t AS (SELECT * FROM e
+      |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 100
+      |    < (SELECT p FROM pc)),
+      |c0 AS (SELECT label AS cell, d, round(avg(emb[d]), 6) AS c
+      |  FROM t CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
+      |c0l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c0 GROUP BY cell),
+      |a1 AS (SELECT vec_id, emb, cell FROM (
+      |  SELECT t.vec_id, t.emb, c.cell, row_number() OVER (PARTITION BY t.vec_id
+      |    ORDER BY round(list_dot_product(t.emb, c.centroid) /
+      |      (sqrt(list_dot_product(t.emb, t.emb)) *
+      |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.cell) AS r
+      |  FROM t CROSS JOIN c0l c) WHERE r = 1),
+      |c1 AS (SELECT cell, d, round(avg(emb[d]), 6) AS c
+      |  FROM a1 CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
+      |c1l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c1 GROUP BY cell),
+      |a2 AS (SELECT vec_id, emb, cell FROM (
+      |  SELECT t.vec_id, t.emb, c.cell, row_number() OVER (PARTITION BY t.vec_id
+      |    ORDER BY round(list_dot_product(t.emb, c.centroid) /
+      |      (sqrt(list_dot_product(t.emb, t.emb)) *
+      |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.cell) AS r
+      |  FROM t CROSS JOIN c1l c) WHERE r = 1),
+      |c2 AS (SELECT cell, d, round(avg(emb[d]), 6) AS c
+      |  FROM a2 CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
+      |c2l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c2 GROUP BY cell),
+      |af AS (SELECT vec_id, emb, cell FROM (
+      |  SELECT e.vec_id, e.emb, c.cell, row_number() OVER (PARTITION BY e.vec_id
+      |    ORDER BY round(list_dot_product(e.emb, c.centroid) /
+      |      (sqrt(list_dot_product(e.emb, e.emb)) *
+      |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.cell) AS r
+      |  FROM e CROSS JOIN c2l c) WHERE r = 1),
+      |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      |  FROM embeddings WHERE vec_id < 10),
+      |pr AS (
+      |  SELECT query_id, cell,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY
+      |      round(list_dot_product(qe, centroid) /
+      |        (sqrt(list_dot_product(qe, qe)) *
+      |         sqrt(list_dot_product(centroid, centroid))), 6) DESC,
+      |      cell) AS r
+      |  FROM q CROSS JOIN c2l),
+      |cells AS (SELECT query_id, cell FROM pr WHERE r <= 2),
+      |cand AS (
+      |  SELECT c.query_id, m.vec_id AS neighbor_id,
+      |    round(list_dot_product(q.qe, m.emb) /
+      |      (sqrt(list_dot_product(q.qe, q.qe)) *
+      |       sqrt(list_dot_product(m.emb, m.emb))), 6)
+      |      AS cos_sim
+      |  FROM cells c
+      |  JOIN af m ON m.cell = c.cell
+      |  JOIN q ON q.query_id = c.query_id
+      |  WHERE m.vec_id <> c.query_id)
+      |SELECT * FROM (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rank
+      |  FROM cand)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val textOracles: Map[String, String] = Map(
     "tx_tokens" ->
       s"""WITH $toksCte
@@ -1072,65 +1209,7 @@ object OracleSql {
     // (af vs w2); ADC = per-query LUT of dot(q_sub, codeword), approx
     // dot = sum of 8 lookups; top-64 cut then exact-cosine rescore,
     // both stages mirrored
-    "emb_pq_topk" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-        |pc AS (SELECT CASE WHEN count(*) <= 512 THEN 100
-        |    WHEN count(*) <= 1024 THEN 50 WHEN count(*) <= 2048 THEN 25
-        |    WHEN count(*) <= 4096 THEN 12 WHEN count(*) <= 8192 THEN 6
-        |    WHEN count(*) <= 16384 THEN 3 ELSE 1 END AS p FROM embeddings),
-        |sub AS (SELECT vec_id, label % 16 AS code0, ss AS s,
-        |    list_slice(emb, ss*8+1, ss*8+8) AS sub
-        |  FROM e CROSS JOIN generate_series(0, 7) g(ss)),
-        |tsub AS (SELECT * FROM sub
-        |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 100
-        |    < (SELECT p FROM pc)),
-        |w0 AS (SELECT s, code0 AS code, d, round(avg(sub[d]), 6) AS c
-        |  FROM tsub CROSS JOIN generate_series(1, 8) gd(d) GROUP BY s, code0, d),
-        |w0l AS (SELECT s, code, list(c ORDER BY d) AS cw FROM w0 GROUP BY s, code),
-        |a1 AS (SELECT vec_id, s, sub, code FROM (
-        |  SELECT u.vec_id, u.s, u.sub, w.code, row_number() OVER (
-        |      PARTITION BY u.vec_id, u.s ORDER BY
-        |      round(-(list_dot_product(u.sub, u.sub)
-        |        - 2*list_dot_product(u.sub, w.cw)
-        |        + list_dot_product(w.cw, w.cw)), 6) DESC, w.code) AS r
-        |    FROM tsub u JOIN w0l w ON w.s = u.s) WHERE r = 1),
-        |w1 AS (SELECT s, code, d, round(avg(sub[d]), 6) AS c
-        |  FROM a1 CROSS JOIN generate_series(1, 8) gd(d) GROUP BY s, code, d),
-        |w1l AS (SELECT s, code, list(c ORDER BY d) AS cw FROM w1 GROUP BY s, code),
-        |a2 AS (SELECT vec_id, s, sub, code FROM (
-        |  SELECT u.vec_id, u.s, u.sub, w.code, row_number() OVER (
-        |      PARTITION BY u.vec_id, u.s ORDER BY
-        |      round(-(list_dot_product(u.sub, u.sub)
-        |        - 2*list_dot_product(u.sub, w.cw)
-        |        + list_dot_product(w.cw, w.cw)), 6) DESC, w.code) AS r
-        |    FROM tsub u JOIN w1l w ON w.s = u.s) WHERE r = 1),
-        |w2 AS (SELECT s, code, d, round(avg(sub[d]), 6) AS c
-        |  FROM a2 CROSS JOIN generate_series(1, 8) gd(d) GROUP BY s, code, d),
-        |w2l AS (SELECT s, code, list(c ORDER BY d) AS cw FROM w2 GROUP BY s, code),
-        |af AS (SELECT vec_id, s, code FROM (
-        |  SELECT u.vec_id, u.s, w.code, row_number() OVER (
-        |      PARTITION BY u.vec_id, u.s ORDER BY
-        |      round(-(list_dot_product(u.sub, u.sub)
-        |        - 2*list_dot_product(u.sub, w.cw)
-        |        + list_dot_product(w.cw, w.cw)), 6) DESC, w.code) AS r
-        |    FROM sub u JOIN w2l w ON w.s = u.s) WHERE r = 1),
-        |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
-        |lut AS (SELECT query_id, w.s, w.code,
-        |    list_dot_product(list_slice(qe, w.s*8+1, w.s*8+8), w.cw) AS part
-        |  FROM q CROSS JOIN w2l w),
-        |vn AS (SELECT a.vec_id, sqrt(sum(list_dot_product(w.cw, w.cw))) AS vnorm
-        |  FROM af a JOIN w2l w ON w.s = a.s AND w.code = a.code
-        |  GROUP BY a.vec_id),
-        |qn AS (SELECT query_id, sqrt(list_dot_product(qe, qe)) AS qnorm FROM q),
-        |approx AS (SELECT l.query_id, a.vec_id,
-        |    round(sum(l.part) / (any_value(qn.qnorm) * any_value(vn.vnorm)), 6)
-        |      AS pq_cos
-        |  FROM af a
-        |  JOIN lut l ON l.s = a.s AND l.code = a.code
-        |  JOIN vn ON vn.vec_id = a.vec_id
-        |  JOIN qn ON qn.query_id = l.query_id
-        |  WHERE a.vec_id <> l.query_id
-        |  GROUP BY l.query_id, a.vec_id),
+    "emb_pq_topk" -> (pqApproxCtes + """,
         |cut AS (SELECT query_id, vec_id AS neighbor_id, pq_cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |      ORDER BY pq_cos DESC, vec_id) AS r FROM approx) WHERE r <= 64),
@@ -1146,7 +1225,20 @@ object OracleSql {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rank
         |  FROM resc)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // the persisted-index PQ serve (store.AnnIndex.embPqServe): the
+    // IDENTICAL deterministic build pipeline (the index tables are a
+    // pure function of the corpus, so the oracle never needs to see
+    // them) with NO rescore stage — serve ranks purely by the ADC
+    // approximate cosine, ties to the lowest vec_id
+    "emb_pq_serve" -> (pqApproxCtes + """
+        |SELECT * FROM (
+        |  SELECT query_id, vec_id AS neighbor_id, pq_cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY pq_cos DESC, vec_id)::BIGINT AS rank
+        |  FROM approx)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
     // SemDeDup: the SAME two unrolled Lloyd rounds as the IVF oracle
     // (6-dp rounds, ties to lowest cell), trained on the hash-sample
@@ -1217,69 +1309,9 @@ object OracleSql {
         |FROM m2 m LEFT JOIN dup d ON d.vec_id = m.vec_id
         |ORDER BY m.vec_id""".stripMargin,
 
-    "emb_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-        |pc AS (SELECT CASE WHEN count(*) <= 512 THEN 100
-        |    WHEN count(*) <= 1024 THEN 50 WHEN count(*) <= 2048 THEN 25
-        |    WHEN count(*) <= 4096 THEN 12 WHEN count(*) <= 8192 THEN 6
-        |    WHEN count(*) <= 16384 THEN 3 ELSE 1 END AS p FROM embeddings),
-        |t AS (SELECT * FROM e
-        |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 100
-        |    < (SELECT p FROM pc)),
-        |c0 AS (SELECT label AS cell, d, round(avg(emb[d]), 6) AS c
-        |  FROM t CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
-        |c0l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c0 GROUP BY cell),
-        |a1 AS (SELECT vec_id, emb, cell FROM (
-        |  SELECT t.vec_id, t.emb, c.cell, row_number() OVER (PARTITION BY t.vec_id
-        |    ORDER BY round(list_dot_product(t.emb, c.centroid) /
-        |      (sqrt(list_dot_product(t.emb, t.emb)) *
-        |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.cell) AS r
-        |  FROM t CROSS JOIN c0l c) WHERE r = 1),
-        |c1 AS (SELECT cell, d, round(avg(emb[d]), 6) AS c
-        |  FROM a1 CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
-        |c1l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c1 GROUP BY cell),
-        |a2 AS (SELECT vec_id, emb, cell FROM (
-        |  SELECT t.vec_id, t.emb, c.cell, row_number() OVER (PARTITION BY t.vec_id
-        |    ORDER BY round(list_dot_product(t.emb, c.centroid) /
-        |      (sqrt(list_dot_product(t.emb, t.emb)) *
-        |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.cell) AS r
-        |  FROM t CROSS JOIN c1l c) WHERE r = 1),
-        |c2 AS (SELECT cell, d, round(avg(emb[d]), 6) AS c
-        |  FROM a2 CROSS JOIN generate_series(1, 64) g(d) GROUP BY cell, d),
-        |c2l AS (SELECT cell, list(c ORDER BY d) AS centroid FROM c2 GROUP BY cell),
-        |af AS (SELECT vec_id, emb, cell FROM (
-        |  SELECT e.vec_id, e.emb, c.cell, row_number() OVER (PARTITION BY e.vec_id
-        |    ORDER BY round(list_dot_product(e.emb, c.centroid) /
-        |      (sqrt(list_dot_product(e.emb, e.emb)) *
-        |       sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC, c.cell) AS r
-        |  FROM e CROSS JOIN c2l c) WHERE r = 1),
-        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-        |  FROM embeddings WHERE vec_id < 10),
-        |pr AS (
-        |  SELECT query_id, cell,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY
-        |      round(list_dot_product(qe, centroid) /
-        |        (sqrt(list_dot_product(qe, qe)) *
-        |         sqrt(list_dot_product(centroid, centroid))), 6) DESC,
-        |      cell) AS r
-        |  FROM q CROSS JOIN c2l),
-        |cells AS (SELECT query_id, cell FROM pr WHERE r <= 2),
-        |cand AS (
-        |  SELECT c.query_id, m.vec_id AS neighbor_id,
-        |    round(list_dot_product(q.qe, m.emb) /
-        |      (sqrt(list_dot_product(q.qe, q.qe)) *
-        |       sqrt(list_dot_product(m.emb, m.emb))), 6)
-        |      AS cos_sim
-        |  FROM cells c
-        |  JOIN af m ON m.cell = c.cell
-        |  JOIN q ON q.query_id = c.query_id
-        |  WHERE m.vec_id <> c.query_id)
-        |SELECT * FROM (
-        |  SELECT query_id, neighbor_id, cos_sim,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rank
-        |  FROM cand)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "emb_ivf_topk" -> ivfTopkSql,
+
+    "emb_ivf_serve" -> ivfTopkSql,
 
     "emb_label_centroids" ->
       """SELECT label, d AS dim, round(avg(embedding[d]::DOUBLE), 6) AS centroid,

@@ -180,6 +180,11 @@ object SparkEntry {
     // exact rescore — the 64x-compression ANN path
     "emb_pq_topk"         -> (Similarity.embPqTopk(_, _)),
     "emb_ivf_topk"        -> (Similarity.embIvfTopk(_, _)),
+    // the PERSISTED index twins (store.AnnIndex): build-once to parquet
+    // tables, then answer top-k FROM the index — the serve plan scans
+    // codes/lists only, never the embeddings table
+    "emb_pq_serve"        -> (graft.store.AnnIndex.embPqServe(_, _)),
+    "emb_ivf_serve"       -> (graft.store.AnnIndex.embIvfServe(_, _)),
     "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),
     "emb_norms"           -> (Similarity.embNorms(_, _)),
     "emb_lsh_buckets"     -> (Similarity.embLshBuckets(_, _)),
@@ -208,7 +213,8 @@ object SparkEntry {
     "t1_fanout", "t9_anomaly_flags", "l8_integrity",
     "dedup_minhash_lsh", "dedup_chunks", "emb_topk", "emb_knn_graph",
     "emb_knn_graph_lsh",
-    "emb_pq_topk", "tx_fingerprint", "tx_boilerplate",
+    "emb_pq_topk", "emb_pq_serve", "emb_ivf_serve",
+    "tx_fingerprint", "tx_boilerplate",
     "asof_join_purchase", "range_join_burst", "decontaminate",
     "emb_quantized_topk",
     "avro_roundtrip", "dedup_embedding_045", "dedup_embedding_lsh",

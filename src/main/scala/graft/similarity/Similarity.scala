@@ -389,16 +389,38 @@ object Similarity {
     else if (n <= 4096) 12 else if (n <= 8192) 6 else if (n <= 16384) 3
     else 1
 
-  /** The deterministic training sample: hash60(vec_id) % 100 < pct —
-    * the same SQL-reproducible md5-derived hash the sampling/split
-    * operators certify, so membership is a pure function of vec_id in
-    * any engine, stable under re-sharding and appends.
+  /** The COARSER-MODULUS extension of the `trainSamplePct` ladder for
+    * the persisted index build path: (modulus, threshold) with
+    * membership = hash60(vec_id) % modulus < threshold. At gate scales
+    * (n ≤ 32768) it is the pct ladder verbatim (modulus 100), so every
+    * pct-ladder oracle stays exact; beyond it the modulus widens to
+    * 10 000 and the ladder continues through sub-1% rungs — the
+    * mechanism that caps ABSOLUTE training rows at corpus sizes where
+    * "1%" is still billions of vectors. A production deployment keeps
+    * appending rungs (modulus 1 000 000, …) with the same integer-
+    * threshold discipline; each rung is exactly mirrorable as a SQL
+    * CASE, which is the whole point of the integer ladder family.
     */
-  private def trainSample(emb: DataFrame, samplePct: Int): DataFrame =
-    if (samplePct >= 100) emb
+  def trainSampleRung(n: Long): (Long, Long) =
+    if (n <= 32768) (100L, trainSamplePct(n).toLong)
+    else if (n <= 131072) (10000L, 50L)
+    else if (n <= 524288) (10000L, 25L)
+    else (10000L, 10L)
+
+  /** The deterministic training sample: hash60(vec_id) % modulus <
+    * threshold — the same SQL-reproducible md5-derived hash the
+    * sampling/split operators certify, so membership is a pure function
+    * of vec_id in any engine, stable under re-sharding and appends.
+    */
+  private def trainSampleAt(emb: DataFrame, modulus: Long,
+      threshold: Long): DataFrame =
+    if (threshold >= modulus) emb
     else emb.filter(
       pmod(graft.functions.TextFunctions.hash60(col("vec_id").cast(StringType)),
-        lit(100L)) < lit(samplePct.toLong))
+        lit(modulus)) < lit(threshold))
+
+  private def trainSample(emb: DataFrame, samplePct: Int): DataFrame =
+    trainSampleAt(emb, 100L, samplePct.toLong)
 
   /** Materialize a trained artifact (centroids / codebooks — at most
     * 1024 rows of 64 doubles) as a LITERAL DataFrame: one collect runs
@@ -410,7 +432,7 @@ object Similarity {
     * collect round-trips exactly, so plans built on the literal are
     * bit-identical to plans built on the lineage.
     */
-  private def materializeSmall(df: DataFrame): DataFrame = {
+  private[graft] def materializeSmall(df: DataFrame): DataFrame = {
     val rows = df.collect()
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
@@ -471,8 +493,16 @@ object Similarity {
     * matter how many downstream operators reuse cells or centroids.
     */
   def kmeansCells(emb: DataFrame, iters: Int = 2,
-      samplePct: Int = 100): (DataFrame, DataFrame) = {
-    val train = trainSample(emb, samplePct)
+      samplePct: Int = 100): (DataFrame, DataFrame) =
+    kmeansCellsAt(emb, iters, 100L, samplePct.toLong)
+
+  /** Rung-parameterized twin of `kmeansCells` (the persisted-index
+    * build path): same deterministic Lloyd pipeline, training sample
+    * selected by hash60(vec_id) % modulus < threshold.
+    */
+  def kmeansCellsAt(emb: DataFrame, iters: Int, modulus: Long,
+      threshold: Long): (DataFrame, DataFrame) = {
+    val train = trainSampleAt(emb, modulus, threshold)
     var cent = meanCentroids(
       train.select(col("label").as("cell"), col("embedding")))
     for (_ <- 1 to iters)
@@ -759,7 +789,14 @@ object Similarity {
         col("best.code").as("code"), col("best.sub").as("sub"))
 
   def pqEncode(emb: DataFrame, m: Int = 8, subDim: Int = 8,
-      iters: Int = 2, samplePct: Int = 100): (DataFrame, DataFrame) = {
+      iters: Int = 2, samplePct: Int = 100): (DataFrame, DataFrame) =
+    pqEncodeAt(emb, m, subDim, iters, 100L, samplePct.toLong)
+
+  /** Rung-parameterized twin of `pqEncode` (the persisted-index build
+    * path): same codebook training, sample by hash % modulus.
+    */
+  def pqEncodeAt(emb: DataFrame, m: Int, subDim: Int, iters: Int,
+      modulus: Long, threshold: Long): (DataFrame, DataFrame) = {
     def subsOf(df: DataFrame) = df
       .select(col("vec_id"), (col("label") % 16).cast(IntegerType).as("code0"),
         explode(sequence(lit(0), lit(m - 1))).as("s"), col("embedding"))
@@ -770,7 +807,7 @@ object Similarity {
     // at scale, training cost tracks the sample while encoding stays
     // one narrow scan, and the literal means the Lloyd lineage runs
     // exactly once however many times codes/codebooks are reused
-    val trainSubs = subsOf(trainSample(emb, samplePct))
+    val trainSubs = subsOf(trainSampleAt(emb, modulus, threshold))
     var cw = meanSubCentroids(trainSubs
       .select(col("vec_id"), col("s"), col("code0").as("code"), col("sub")))
     for (_ <- 1 to iters)

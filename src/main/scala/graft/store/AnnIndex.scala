@@ -1,0 +1,238 @@
+package graft.store
+
+import graft.Tables
+import graft.similarity.{Similarity, TopKByCos}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PERSISTED ANN index: the build-once / serve-many shape a real
+  * 100 TB deployment has, as opposed to the in-session twins
+  * (`embPqTopk` / `embIvfTopk`) that train, encode and probe inside
+  * one query lineage.
+  *
+  * Build writes the trained artifacts as parquet TABLES under an index
+  * root:
+  *
+  *   pq/codes       (vec_id, s, code)    — m nibble-sized codes/vector
+  *   pq/codebooks   (s, code, cw)        — m × ≤16 codewords (tiny)
+  *   pq/vnorms      (vec_id, vnorm)      — reconstruction norms,
+  *                                         precomputed at build time
+  *   ivf/lists      (vec_id, embedding)  — PARTITIONED BY cell: the
+  *                                         inverted lists, so a probe
+  *                                         reads nprobe/cells of the
+  *                                         corpus via partition pruning
+  *   ivf/centroids  (cell, centroid)     — one row per cell (tiny)
+  *
+  * Serve answers top-k FROM THE INDEX TABLES ONLY — no embeddings-table
+  * scan on the serve side. The PQ serve is the pure ADC scan (codes +
+  * broadcast LUT + precomputed norms); the IVF serve routes each query
+  * to its nprobe cells and exact-scans just those partitions (the
+  * vectors live IN the inverted lists, as they do in a real IVF build).
+  *
+  * Training cost is scale-honest: the build samples by
+  * `Similarity.trainSampleRung` — the pct ladder at gate scales,
+  * coarser-modulus sub-1% rungs beyond it — so index BUILD never
+  * trains on a full 100 TB corpus either.
+  *
+  * Determinism: build output is a pure function of the corpus (the
+  * same 6-dp/tie-break discipline as the in-session quantizers), and
+  * serve is a pure function of index + queries — so the DuckDB oracle
+  * mirrors the whole build+serve pipeline from the base tables without
+  * ever seeing the index files.
+  */
+object AnnIndex {
+
+  /** Bumped whenever the build pipeline changes shape — stale cached
+    * indexes from an older build must never serve a newer query.
+    */
+  private val FormatVersion = "v1"
+
+  /** Stable on-disk root for (corpus dir, table state): digest over
+    * path + row count + file mtime/size, so a regenerated corpus or a
+    * changed build format rebuilds instead of serving stale artifacts.
+    */
+  private def indexRoot(spark: SparkSession, dir: String, kind: String,
+      n: Long): Path = {
+    val src = new Path(s"$dir/embeddings.parquet")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val digest = java.lang.Long.toHexString(graft.functions.TextHash.hash60(
+      s"$dir|$n|${st.getModificationTime}|${st.getLen}|$kind|$FormatVersion"))
+    new Path(s"${System.getProperty("java.io.tmpdir")}/graft_ann/$kind-$digest")
+  }
+
+  /** Build-once discipline: if `root` exists it is a COMPLETE build
+    * (publication is an atomic directory rename); otherwise run
+    * `build` into a staging dir and promote it. A lost rename race
+    * means someone else published the identical (deterministic)
+    * artifact first — use theirs.
+    */
+  private def ensureBuilt(spark: SparkSession, root: Path)(
+      build: String => Unit): Unit = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) return
+    val staging = new Path(root.toString + s".build-${System.nanoTime()}")
+    fs.delete(staging, true)
+    build(staging.toString)
+    fs.mkdirs(root.getParent)
+    if (!fs.rename(staging, root)) {
+      if (!fs.exists(root))
+        throw new java.io.IOException(s"cannot publish ANN index at $root")
+      fs.delete(staging, true)
+    }
+  }
+
+  // ---------------------------------------------------------------- PQ
+
+  def buildPq(emb: DataFrame, path: String, m: Int = 8,
+      subDim: Int = 8): Unit = {
+    val n = emb.count()
+    val (modulus, threshold) = Similarity.trainSampleRung(n)
+    val (codes, cw) = Similarity.pqEncodeAt(emb, m, subDim, 2, modulus, threshold)
+    codes.write.parquet(s"$path/codes")
+    cw.write.parquet(s"$path/codebooks")
+    // reconstruction norm per vector — serve must not recompute this
+    // per query batch
+    codes.join(broadcast(cw), Seq("s", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sqrt(sum(Similarity.dot(col("cw"), col("cw")))).as("vnorm"))
+      .write.parquet(s"$path/vnorms")
+  }
+
+  /** ADC top-k from the persisted PQ index: per query a broadcast LUT
+    * of dot(q_subspace, codeword); a vector's approximate dot is the
+    * sum of its m code lookups; rank by approximate cosine with the
+    * build-time norms. The scan side reads CODES ONLY — m small ints
+    * per vector, the 64×-compressed relation that makes a cluster-RAM
+    * ANN scan possible at 100 TB — plus the (vec_id → vnorm) join.
+    */
+  def servePqTopk(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int = 5): DataFrame = {
+    val codes = spark.read.parquet(s"$root/codes")
+    val cw = spark.read.parquet(s"$root/codebooks")
+    val vnorms = spark.read.parquet(s"$root/vnorms")
+    val lut = queries
+      .select(col("query_id"), explode(sequence(lit(0), lit(7))).as("s"),
+        col("q_emb"))
+      .select(col("query_id"), col("s"),
+        slice(col("q_emb"), col("s") * 8 + 1, lit(8)).as("qsub"))
+      .join(broadcast(cw), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        Similarity.dot(col("qsub"), col("cw")).as("part"))
+    val qnorm = queries.select(col("query_id"),
+      sqrt(Similarity.dot(col("q_emb"), col("q_emb"))).as("qnorm"))
+    val approx = codes.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("part")).as("raw_dot"))
+      .join(vnorms, Seq("vec_id"))
+      .join(broadcast(qnorm), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(col("raw_dot") / (col("qnorm") * col("vnorm")), 6).as("pq_cos"))
+    val topk = udaf(new TopKByCos(k))
+    approx
+      .groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), col("pq_cos")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"),
+        col("nbr.neighbor_id").as("neighbor_id"),
+        col("nbr.cos_sim").as("pq_cos"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // --------------------------------------------------------------- IVF
+
+  def buildIvf(emb: DataFrame, path: String, lloydIters: Int = 2): Unit = {
+    val n = emb.count()
+    val (modulus, threshold) = Similarity.trainSampleRung(n)
+    val (cells, cent) = Similarity.kmeansCellsAt(emb, lloydIters, modulus, threshold)
+    // the inverted lists CONTAIN the vectors (that is what makes serve
+    // embeddings-free); partitioned by cell so a probe is partition-
+    // pruned to nprobe directories
+    cells.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$path/lists")
+    cent.write.parquet(s"$path/centroids")
+  }
+
+  /** Top-k from the persisted IVF index: rank cells per query by
+    * centroid cosine (the centroid relation is tiny), collect the
+    * probed (query, cell) ROUTES — a control-plane decision, ≤
+    * queries×nprobe rows, the serve twin of `materializeSmall`'s
+    * adjudication — then exact-scan ONLY the routed list partitions.
+    * The static IN filter on the partition column is what turns the
+    * route into file-level pruning (`PartitionFilters` in the plan):
+    * serve I/O is nprobe/cells of the index, never the corpus.
+    */
+  def serveIvfTopk(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val cent = spark.read.parquet(s"$root/centroids")
+    val qc = queries.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        round(Similarity.cosine(col("q_emb"), col("centroid")), 6).as("cos_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cell"))
+    val probed = Similarity.materializeSmall(
+      qc.withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
+        .select(col("query_id"), col("q_emb"), col("cell")))
+    val routedCells = probed.select(col("cell")).distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    // the IN literals must carry the INFERRED partition-column type:
+    // a type-coercion cast wrapped around the partition attribute can
+    // defeat directory-level pruning, which is the point of the route
+    val lists0 = spark.read.parquet(s"$root/lists")
+    val routedTyped: Seq[Any] = lists0.schema("cell").dataType match {
+      case IntegerType => routedCells.map(_.toInt)
+      case _           => routedCells
+    }
+    val lists = lists0
+      .filter(col("cell").isInCollection(routedTyped))
+      .withColumn("cell", col("cell").cast(LongType))
+    val cand = lists
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Similarity.cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val topk = udaf(new TopKByCos(k))
+    cand.groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("cos_sim")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"),
+        col("nbr.neighbor_id").as("neighbor_id"),
+        col("nbr.cos_sim").as("cos_sim"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ------------------------------------------------- registered queries
+
+  /** The 10 query vectors as a LITERAL relation (one 10-row collect at
+    * the query boundary): query vectors are runtime INPUT to a serve
+    * path — materializing them keeps the serve plan free of any
+    * embeddings-table scan, which is the property this query family
+    * exists to prove.
+    */
+  private def queryLiterals(s: SparkSession, dir: String): DataFrame =
+    Similarity.materializeSmall(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+
+  def embPqServe(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val root = indexRoot(s, dir, "pq", emb.count())
+    ensureBuilt(s, root)(staging => buildPq(emb, staging))
+    servePqTopk(s, root.toString, queryLiterals(s, dir), k)
+  }
+
+  def embIvfServe(s: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val root = indexRoot(s, dir, "ivf", emb.count())
+    ensureBuilt(s, root)(staging => buildIvf(emb, staging))
+    serveIvfTopk(s, root.toString, queryLiterals(s, dir), k, nprobe)
+  }
+}

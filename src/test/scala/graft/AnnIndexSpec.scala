@@ -1,0 +1,100 @@
+package graft
+
+import graft.similarity.Similarity
+import graft.store.AnnIndex
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index: the build-once/serve-many contract.
+  *
+  * The DuckDB oracle gate certifies serve VALUES (emb_pq_serve /
+  * emb_ivf_serve hash-match a full SQL mirror of build+serve); this
+  * spec pins the PLAN-SHAPE properties the persisted path exists for —
+  * serve never scans the embeddings table, the IVF probe is partition-
+  * pruned to the routed cells — plus serve ≡ in-session-twin equality
+  * and build determinism across rebuilds.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"annidx_$tag").toString + "/idx"
+
+  private def queryLits(dir: String) =
+    Similarity.materializeSmall(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+
+  test("IVF serve from the persisted index equals the in-session twin") {
+    val expect = Similarity.embIvfTopk(spark, Sf0001).collect().toSeq
+    val got = AnnIndex.embIvfServe(spark, Sf0001).collect().toSeq
+    assert(got == expect)
+  }
+
+  test("serve plans never scan the embeddings table; IVF probe is partition-pruned") {
+    val ivf = AnnIndex.embIvfServe(spark, Sf0001)
+    val pq = AnnIndex.embPqServe(spark, Sf0001)
+    val ivfPlan = ivf.queryExecution.executedPlan.toString
+    val pqPlan = pq.queryExecution.executedPlan.toString
+    assert(!ivfPlan.contains("embeddings.parquet"), "IVF serve scans the corpus")
+    assert(!pqPlan.contains("embeddings.parquet"), "PQ serve scans the corpus")
+    // the routed-cell IN filter must land as a PARTITION filter on the
+    // inverted-lists scan (directory pruning), not a post-scan filter
+    assert(ivfPlan.contains("PartitionFilters") &&
+      ivfPlan.split("PartitionFilters", 2)(1).take(200).contains("cell"),
+      "IVF lists scan is not partition-pruned on cell")
+  }
+
+  test("build is deterministic: a rebuild into a fresh root serves identical top-k") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = queryLits(Sf0001)
+    val (r1, r2) = (tmpRoot("pq1"), tmpRoot("pq2"))
+    AnnIndex.buildPq(emb, r1)
+    AnnIndex.buildPq(emb, r2)
+    val a = AnnIndex.servePqTopk(spark, r1, q).collect().toSeq
+    val b = AnnIndex.servePqTopk(spark, r2, q).collect().toSeq
+    assert(a == b)
+    assert(a.size == 50) // 10 queries x k=5, every rank filled
+  }
+
+  test("PQ serve surfaces a planted near-identical twin at rank 1") {
+    // plant: vector 10010 = vector 3 with a tiny deterministic nudge —
+    // ADC over 8 codebook lookups must still put it top-1 for query 3
+    val emb = Tables.embeddings(spark, Sf0001)
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") === 3)
+        .select((col("vec_id") + 10007L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+    val root = tmpRoot("twin")
+    AnnIndex.buildPq(planted, root)
+    val q = Similarity.materializeSmall(
+      planted.filter(col("vec_id") === 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val rows = AnnIndex.servePqTopk(spark, root, q).collect()
+    val twin = rows.find(_.getAs[Long]("neighbor_id") == 10010L)
+    assert(twin.isDefined, s"planted twin missing from top-5: ${rows.toSeq}")
+    // the twin carries the maximal ADC score (rank 1 modulo exact
+    // same-code ties, which resolve to the lowest id by contract)
+    val best = rows.map(_.getAs[Double]("pq_cos")).max
+    assert(twin.get.getAs[Double]("pq_cos") == best,
+      s"planted twin not at the top ADC score: ${rows.toSeq}")
+  }
+
+  test("coarser-modulus rung ladder: pct ladder at gate scales, sub-1% beyond") {
+    import Similarity.{trainSamplePct, trainSampleRung}
+    // gate scales: exactly the pct ladder on modulus 100
+    Seq(1L, 512L, 2048L, 16384L, 32768L).foreach { n =>
+      assert(trainSampleRung(n) == ((100L, trainSamplePct(n).toLong)))
+    }
+    // beyond: modulus widens, threshold keeps shrinking (sub-1% rungs)
+    assert(trainSampleRung(100000L) == ((10000L, 50L)))
+    assert(trainSampleRung(500000L) == ((10000L, 25L)))
+    assert(trainSampleRung(10000000L) == ((10000L, 10L)))
+    // the expected ABSOLUTE training-set size stays in a bounded band
+    // across 4 decades (the property the coarse rungs exist for)
+    Seq(40000L, 130000L, 500000L, 5000000L).foreach { n =>
+      val (m, t) = trainSampleRung(n)
+      val expTrain = n.toDouble * t / m
+      assert(expTrain >= 128 && expTrain <= 16384,
+        s"n=$n expected training rows $expTrain out of band")
+    }
+  }
+}
