@@ -1477,6 +1477,21 @@ object OracleSql {
          |  min(value) AS min_value, max(value) AS max_value
          |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
 
+    // week parity: time_bucket('1 week') aligns to 2000-01-03 (Monday)
+    // = Spark date_trunc("week")'s ISO-Monday boundaries; month parity:
+    // calendar months on both sides (SURVEY §7.4#3 pin)
+    "a2_weekly_agg" ->
+      s"""SELECT time_bucket(INTERVAL '1 week', ts) AS bucket, event_type,
+         |  count(*) AS n, ${davg("value")} AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
+
+    "a2_monthly_agg" ->
+      s"""SELECT time_bucket(INTERVAL '1 month', ts) AS bucket, event_type,
+         |  count(*) AS n, ${davg("value")} AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
+
     "a3_daily_agg" ->
       s"""SELECT bucket, user_id, n, avg_value, first_value, last_value,
          |  last_value - first_value AS value_change

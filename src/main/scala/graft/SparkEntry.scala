@@ -34,6 +34,10 @@ object SparkEntry {
     // aggregations (SURVEY §2.3)
     "a1_device_summary"       -> (EA.a1DeviceSummary(_, _)),
     "a2_hourly_agg"           -> (EA.a2HourlyAgg(_, _)),
+    // week/month time_bucket parity pins (SURVEY §7.4#3): date_trunc
+    // week/month vs DuckDB time_bucket, certified by the oracle gate
+    "a2_weekly_agg"           -> (EA.a2WeeklyAgg(_, _)),
+    "a2_monthly_agg"          -> (EA.a2MonthlyAgg(_, _)),
     "a3_daily_agg"            -> (EA.a3DailyAgg(_, _)),
     "a4_device_stats"         -> (EA.a4DeviceStats(_, _)),
     "a5_timeseries_stats"     -> (EA.a5TimeseriesStats(_, _)),

@@ -56,6 +56,39 @@ object EventAnalytics {
         col("n"), col("avg_value"), col("min_value"), col("max_value"))
       .orderBy(col("bucket"), col("event_type"))
 
+  /** Week/month time_bucket parity (SURVEY §7.4#3 — the last unpinned
+    * equivalence caveat). TimescaleDB/DuckDB `time_bucket(INTERVAL
+    * '1 week')` aligns buckets to 2000-01-03, a MONDAY — the same
+    * boundaries as Spark `date_trunc("week")` (ISO weeks), so the
+    * weekly mirror is date_trunc and NOT `window(ts, "7 days")`, whose
+    * buckets are epoch-aligned (1970-01-01, a THURSDAY — 4 days off).
+    * Months are calendar units no fixed window duration can express
+    * (`window(ts, "1 month")` is rejected outright); `date_trunc
+    * ("month")` ≡ `time_bucket(INTERVAL '1 month')` exactly. The
+    * agree/diverge boundary cases are pinned in TimeBucketParitySpec;
+    * these two registered queries make the agreement a STANDING t2
+    * certification — the DuckDB gate recomputes both sides every round.
+    */
+  def a2WeeklyAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("week", col("ts")).as("bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        davg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  def a2MonthlyAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("month", col("ts")).as("bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        davg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
   /** A3 daily aggregate with first/last and day-over-change
     * (init.sql:195-209): first(v,t)/last(v,t) ≡ min_by/max_by.
     */
