@@ -59,6 +59,32 @@ object Bench {
     */
   private case class Run(wall: Double, cpu: Double, gc: Double)
 
+  /** SPIN CALIBRATION — the work-unit normalizer for cpu-INFLATING
+    * contention (the r8 driver-bench shape: cpu/wall ≈ cores yet every
+    * cpu-second did ~10× less work — hypervisor steal / SMT pressure /
+    * thermal throttle, invisible to both the wall clock and the
+    * process-cpu counter, and the one shape the wall≫cpu stall test
+    * CANNOT catch). A fixed single-thread integer-mix loop is timed at
+    * session start (min-of-3 = the box's baseline work rate) and once
+    * after every query: on a healthy box each sample ≈ baseline; under
+    * work-dilution the SAME fixed work takes proportionally longer, so
+    * sample/baseline is a direct per-query dilution factor — cpu
+    * seconds × baseline/sample ≈ true work units. Rides the artifact
+    * as `spinCalib` (per query) + `spinBaseline`.
+    */
+  @volatile private var spinSink = 0L
+  private def spinCalib(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 40000000) { // ~60-80 ms of register-only work when idle
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    spinSink = x // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** One discarded (stall-shaped) run, with its wall-clock window. */
   private case class Stall(query: String, run: Int, startEpochSec: Double,
       endEpochSec: Double, wall: Double, cpu: Double, gc: Double)
@@ -99,6 +125,11 @@ object Bench {
     val errors = mutable.LinkedHashMap.empty[String, String]
     val retries = mutable.LinkedHashMap.empty[String, Int]
     val stalls = mutable.ArrayBuffer.empty[Stall]
+    // session-start baseline work rate: min-of-3 (first sample may pay
+    // JIT warm-up of the loop itself)
+    val spinBaseline = Seq.fill(3)(spinCalib()).min
+    val spins = mutable.LinkedHashMap.empty[String, Double]
+    System.err.println(f"[bench] spin-calibration baseline ${spinBaseline}%.3fs")
     def footprint(): String = {
       val (n, mem, disk) = graft.store.Checkpoints.storageFootprint(spark)
       f"cachedRdds=$n memMB=${mem / 1e6}%.1f diskMB=${disk / 1e6}%.1f"
@@ -200,7 +231,18 @@ object Bench {
           errors(name) = "unknown query name"
           System.err.println(s"[bench] $name: unknown query name")
           None
-        case Some(fn) => benchOne(name, fn)
+        case Some(fn) =>
+          val r = benchOne(name, fn)
+          // one dilution sample per query, taken right after its runs:
+          // ≈ baseline on a healthy box, inflated exactly when the
+          // environment was diluting this query's cpu-seconds
+          val sp = spinCalib()
+          spins(name) = sp
+          if (sp > 2 * spinBaseline)
+            System.err.println(f"[bench] $name spin-calib $sp%.3fs vs baseline " +
+              f"$spinBaseline%.3fs — cpu-seconds around this query were diluted " +
+              f"~${sp / spinBaseline}%.1fx by the environment")
+          r
       }
     }
     def arr(xs: Seq[Double]): String =
@@ -238,7 +280,9 @@ object Bench {
     //    bench_artifact.json in the working directory (the repo root when
     //    the driver runs it there), where judge and tooling read it at
     //    whatever size it grows to.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$cpuJson$gcJson$retriesJson$stallsJson$errJson,"sf":"$sfDir"}"""
+    val spinJson = spins.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString(f""","spinBaseline":$spinBaseline%.3f,"spinCalib":{""", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$cpuJson$gcJson$retriesJson$stallsJson$spinJson$errJson,"sf":"$sfDir"}"""
     val artifactPath = java.nio.file.Paths.get("bench_artifact.json")
     try {
       java.nio.file.Files.write(artifactPath, (fullJson + "\n").getBytes("UTF-8"))
@@ -253,7 +297,10 @@ object Bench {
       .map { case (k, rs) => "\"" + k + "\":" + f"${rs.map(_.cpu).min}%.3f" }
       .mkString("{", ",", "}")
     val retriesTotal = retries.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queriesCpu":$qsCpuCompact,"stalls":${stalls.size},"retries":$retriesTotal$errJson,"artifact":"bench_artifact.json","sf":"$sfDir"}""")
+    // compact line carries the dilution summary (baseline + worst
+    // per-query sample) — the full per-query map rides the artifact
+    val spinWorst = if (spins.isEmpty) spinBaseline else spins.values.max
+    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queriesCpu":$qsCpuCompact,"stalls":${stalls.size},"retries":$retriesTotal,"spinBaseline":$spinBaseline%.3f,"spinWorst":$spinWorst%.3f$errJson,"artifact":"bench_artifact.json","sf":"$sfDir"}""")
     if (stalls.nonEmpty)
       System.err.println(s"[bench] ${stalls.size} stall-shaped run(s) recorded in stall_windows")
     if (errors.nonEmpty)

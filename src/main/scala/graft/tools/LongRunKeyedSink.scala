@@ -156,8 +156,8 @@ object LongRunKeyedSink {
       val delivery = batchDf(b)
       val t = timed {
         Streams.commitBatch(delivery, outDir, b.toLong, epoch = "main-")
+        val prefixes = KeyIndex.committedPrefixes(fs, outDir)
         hotDates.foreach { dte =>
-          val prefixes = KeyIndex.committedPrefixes(fs, outDir)
           if (KeyIndex.committedKeyFiles(fs, outDir, dte, prefixes).size > maxSegments) {
             KeyIndex.compactSegments(spark, outDir, dte, keys)
             compactions += 1
