@@ -304,6 +304,25 @@ object OracleSql {
       |  FROM cand)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** `emb_ivf_append_serve` (store.AnnIndex.appendIvf): the SAME
+    * pipeline with Lloyd training restricted to the BASE HALF — the
+    * append contract is assignment-against-frozen-quantizers, so the
+    * oracle trains its CTE chain on vec_id < n/2 and assigns the FULL
+    * corpus. Derived from `ivfTopkSql` by retargeting exactly the two
+    * training CTEs (the `require` guards against silent text drift).
+    */
+  private val ivfAppendServeSql: String = {
+    val derived = ivfTopkSql
+      .replace("ELSE 1 END AS p FROM embeddings)",
+        "ELSE 1 END AS p FROM embeddings\n" +
+          "    WHERE vec_id < (SELECT count(*) // 2 FROM embeddings))")
+      .replace("t AS (SELECT * FROM e\n  WHERE",
+        "t AS (SELECT * FROM e\n" +
+          "  WHERE vec_id < (SELECT count(*) // 2 FROM embeddings) AND")
+    require(derived != ivfTopkSql, "append-serve oracle derivation matched nothing")
+    derived
+  }
+
   val textOracles: Map[String, String] = Map(
     "tx_tokens" ->
       s"""WITH $toksCte
@@ -1312,6 +1331,8 @@ object OracleSql {
     "emb_ivf_topk" -> ivfTopkSql,
 
     "emb_ivf_serve" -> ivfTopkSql,
+
+    "emb_ivf_append_serve" -> ivfAppendServeSql,
 
     "emb_label_centroids" ->
       """SELECT label, d AS dim, round(avg(embedding[d]::DOUBLE), 6) AS centroid,

@@ -189,6 +189,10 @@ object SparkEntry {
     // codes/lists only, never the embeddings table
     "emb_pq_serve"        -> (graft.store.AnnIndex.embPqServe(_, _)),
     "emb_ivf_serve"       -> (graft.store.AnnIndex.embIvfServe(_, _)),
+    // incremental maintenance: build on the base half, APPEND the
+    // delta against the frozen quantizers, serve — the oracle trains
+    // on the base half only, so the hash certifies the append contract
+    "emb_ivf_append_serve" -> (graft.store.AnnIndex.embIvfAppendServe(_, _)),
     "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),
     "emb_norms"           -> (Similarity.embNorms(_, _)),
     "emb_lsh_buckets"     -> (Similarity.embLshBuckets(_, _)),

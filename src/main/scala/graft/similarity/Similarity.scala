@@ -473,7 +473,7 @@ object Similarity {
     * rows to one row per vec_id BEFORE the shuffle. The window
     * formulation sort-shuffled the full n×k relation on vec_id first.
     */
-  private def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame =
     vecs.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cell"),
@@ -791,6 +791,19 @@ object Similarity {
   def pqEncode(emb: DataFrame, m: Int = 8, subDim: Int = 8,
       iters: Int = 2, samplePct: Int = 100): (DataFrame, DataFrame) =
     pqEncodeAt(emb, m, subDim, iters, 100L, samplePct.toLong)
+
+  /** Assignment-only PQ encoding against FROZEN codebooks — the
+    * incremental-append path (`AnnIndex.appendPq`): new vectors are
+    * coded with the index's existing quantizer, never retraining it.
+    */
+  private[graft] def pqAssign(emb: DataFrame, cw: DataFrame, m: Int = 8,
+      subDim: Int = 8): DataFrame =
+    assignCodes(
+      emb.select(col("vec_id"),
+          explode(sequence(lit(0), lit(m - 1))).as("s"), col("embedding"))
+        .select(col("vec_id"), col("s"),
+          slice(col("embedding"), col("s") * subDim + 1, lit(subDim)).as("sub")),
+      cw).select(col("vec_id"), col("s"), col("code"))
 
   /** Rung-parameterized twin of `pqEncode` (the persisted-index build
     * path): same codebook training, sample by hash % modulus.

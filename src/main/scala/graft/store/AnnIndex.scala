@@ -208,6 +208,44 @@ object AnnIndex {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // -------------------------------------------------- incremental append
+
+  /** INCREMENTAL APPEND — the operation that makes a persisted index
+    * viable at 100 TB: a daily embedding delta is assigned against the
+    * index's FROZEN quantizers (standard IVF/PQ discipline — the
+    * trained artifact is versioned with the index; retraining is a
+    * REBUILD, not an append) and its rows appended to the
+    * codes/lists/norms tables. Cost is one narrow assignment scan of
+    * the delta — the corpus is never re-read, the codebooks never
+    * re-trained. Because assignment is row-independent, build(A) +
+    * append(B) is bit-identical to assigning A∪B against A's trained
+    * quantizers — which is exactly what the registered
+    * `emb_ivf_append_serve` oracle mirrors (train CTEs sample only the
+    * base half; the full corpus assigns).
+    */
+  def appendIvf(newEmb: DataFrame, root: String): Unit = {
+    val spark = newEmb.sparkSession
+    val cent = Similarity.materializeSmall(
+      spark.read.parquet(s"$root/centroids"))
+    Similarity.assignCells(newEmb.select(col("vec_id"), col("embedding")), cent)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$root/lists")
+  }
+
+  def appendPq(newEmb: DataFrame, root: String): Unit = {
+    val spark = newEmb.sparkSession
+    val cw = Similarity.materializeSmall(
+      spark.read.parquet(s"$root/codebooks"))
+    val codes = Similarity.pqAssign(
+      newEmb.select(col("vec_id"), col("embedding")), cw)
+    codes.write.mode("append").parquet(s"$root/codes")
+    codes.join(broadcast(cw), Seq("s", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sqrt(sum(Similarity.dot(col("cw"), col("cw")))).as("vnorm"))
+      .write.mode("append").parquet(s"$root/vnorms")
+  }
+
   // ------------------------------------------------- registered queries
 
   /** The 10 query vectors as a LITERAL relation (one 10-row collect at
@@ -233,6 +271,27 @@ object AnnIndex {
     val emb = Tables.embeddings(s, dir)
     val root = indexRoot(s, dir, "ivf", emb.count())
     ensureBuilt(s, root)(staging => buildIvf(emb, staging))
+    serveIvfTopk(s, root.toString, queryLiterals(s, dir), k, nprobe)
+  }
+
+  /** The append path as a registered, oracle-gated query: BUILD the
+    * IVF index on the first half of the corpus (vec_id < n/2 — so the
+    * quantizer trains on the base's sample rung only), APPEND the
+    * second half against the frozen centroids, serve as usual. The
+    * DuckDB mirror trains its Lloyd CTEs on the base half and assigns
+    * the full corpus — a hash match certifies that append really is
+    * assignment-against-frozen-quantizers and nothing else.
+    */
+  def embIvfAppendServe(s: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val n = emb.count()
+    val half = n / 2
+    val root = indexRoot(s, dir, "ivfapp", n)
+    ensureBuilt(s, root) { staging =>
+      buildIvf(emb.filter(col("vec_id") < half), staging)
+      appendIvf(emb.filter(col("vec_id") >= half), staging)
+    }
     serveIvfTopk(s, root.toString, queryLiterals(s, dir), k, nprobe)
   }
 }

@@ -78,6 +78,63 @@ class AnnIndexSpec extends SparkSpec {
       s"planted twin not at the top ADC score: ${rows.toSeq}")
   }
 
+  test("IVF append: frozen centroids, delta assigned exactly as a full build would") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val half = emb.count() / 2
+    val base = emb.filter(col("vec_id") < half)
+    val delta = emb.filter(col("vec_id") >= half)
+    val (rFull, rApp) = (tmpRoot("ivffull"), tmpRoot("ivfapp"))
+    // reference: one build whose quantizer trained on the base but
+    // whose lists hold the full corpus — constructed by building on
+    // base then bulk-assigning everything in one shot
+    AnnIndex.buildIvf(base, rFull)
+    AnnIndex.appendIvf(delta, rFull)
+    // the incremental path under test: same build, append in two slices
+    // (append must compose — two deltas == one delta)
+    AnnIndex.buildIvf(base, rApp)
+    val mid = half + (emb.count() - half) / 2
+    AnnIndex.appendIvf(delta.filter(col("vec_id") < mid), rApp)
+    AnnIndex.appendIvf(delta.filter(col("vec_id") >= mid), rApp)
+    val q = queryLits(Sf0001)
+    val a = AnnIndex.serveIvfTopk(spark, rFull, q).collect().toSeq
+    val b = AnnIndex.serveIvfTopk(spark, rApp, q).collect().toSeq
+    assert(a == b, "append is not slice-composable")
+    // centroids untouched by append (the frozen-quantizer contract)
+    val centAfter = spark.read.parquet(s"$rApp/centroids")
+      .orderBy(col("cell")).collect().toSeq
+    val centBase = {
+      val rB = tmpRoot("ivfbase")
+      AnnIndex.buildIvf(base, rB)
+      spark.read.parquet(s"$rB/centroids").orderBy(col("cell")).collect().toSeq
+    }
+    assert(centAfter == centBase, "append mutated the trained centroids")
+    // lists hold exactly the full corpus, no duplicates
+    val ids = spark.read.parquet(s"$rApp/lists").select(col("vec_id"))
+    assert(ids.count() == emb.count() && ids.distinct().count() == emb.count())
+  }
+
+  test("PQ append: a twin planted in the DELTA is served for a BASE query") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val half = emb.count() / 2
+    val root = tmpRoot("pqapp")
+    AnnIndex.buildPq(emb.filter(col("vec_id") < half), root)
+    // delta = second half PLUS a near-copy of base vector 3
+    val delta = emb.filter(col("vec_id") >= half).unionByName(
+      emb.filter(col("vec_id") === 3)
+        .select((col("vec_id") + 10007L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+    AnnIndex.appendPq(delta, root)
+    val q = Similarity.materializeSmall(
+      emb.filter(col("vec_id") === 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val rows = AnnIndex.servePqTopk(spark, root, q).collect()
+    val twin = rows.find(_.getAs[Long]("neighbor_id") == 10010L)
+    assert(twin.isDefined, s"appended twin not served: ${rows.toSeq}")
+    assert(twin.get.getAs[Double]("pq_cos") ==
+      rows.map(_.getAs[Double]("pq_cos")).max,
+      s"appended twin not at the top ADC score: ${rows.toSeq}")
+  }
+
   test("coarser-modulus rung ladder: pct ladder at gate scales, sub-1% beyond") {
     import Similarity.{trainSamplePct, trainSampleRung}
     // gate scales: exactly the pct ladder on modulus 100
