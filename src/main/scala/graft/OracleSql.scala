@@ -1259,6 +1259,35 @@ object OracleSql {
         |  FROM approx)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    // the TWO-TIER persisted PQ serve (store.AnnIndex.servePqTopkSq8):
+    // ADC cut of 64 candidates from the codes, rescored by the
+    // symmetric int8 cosine of the index's SQ8 table — the same
+    // quantization math emb_quantized_topk certifies (floor(x·127/amax
+    // + 0.5), norms from quantized values) — ranked by q8_cos, ties to
+    // the lowest id
+    "emb_pq_serve_sq8" -> (pqApproxCtes + """,
+        |cut AS (SELECT query_id, vec_id AS neighbor_id, pq_cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY pq_cos DESC, vec_id) AS r FROM approx) WHERE r <= 64),
+        |i8 AS (SELECT vec_id, qv,
+        |    sqrt(list_sum(list_transform(qv, v -> v * v))::DOUBLE) AS qn
+        |  FROM (SELECT vec_id, list_transform(emb, x ->
+        |      floor(x * (127.0 / list_max(list_transform(emb, y -> abs(y))))
+        |        + 0.5)::BIGINT) AS qv
+        |    FROM e)),
+        |resc8 AS (SELECT c.query_id, c.neighbor_id, c.pq_cos,
+        |    round(list_sum(list_transform(generate_series(1, len(a.qv)),
+        |      i -> a.qv[i] * b.qv[i]))::DOUBLE / (a.qn * b.qn), 6) AS q8_cos
+        |  FROM cut c
+        |  JOIN i8 a ON a.vec_id = c.query_id
+        |  JOIN i8 b ON b.vec_id = c.neighbor_id)
+        |SELECT * FROM (
+        |  SELECT query_id, neighbor_id, pq_cos, q8_cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY q8_cos DESC, neighbor_id)::BIGINT AS rank
+        |  FROM resc8)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     // SemDeDup: the SAME two unrolled Lloyd rounds as the IVF oracle
     // (6-dp rounds, ties to lowest cell), trained on the hash-sample
     // (t = hash60(vec_id) % 100 < pct, trainSamplePct ladder) with the

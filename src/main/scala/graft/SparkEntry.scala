@@ -188,6 +188,9 @@ object SparkEntry {
     // tables, then answer top-k FROM the index — the serve plan scans
     // codes/lists only, never the embeddings table
     "emb_pq_serve"        -> (graft.store.AnnIndex.embPqServe(_, _)),
+    // the two-tier serve: ADC cut from codes, rescore from the index's
+    // own SQ8 int8 table — still embeddings-free
+    "emb_pq_serve_sq8"    -> (graft.store.AnnIndex.embPqServeSq8(_, _)),
     "emb_ivf_serve"       -> (graft.store.AnnIndex.embIvfServe(_, _)),
     // incremental maintenance: build on the base half, APPEND the
     // delta against the frozen quantizers, serve — the oracle trains

@@ -46,8 +46,9 @@ object AnnIndex {
 
   /** Bumped whenever the build pipeline changes shape — stale cached
     * indexes from an older build must never serve a newer query.
+    * v2: added the `vecs8` SQ8 rescore table to the PQ index.
     */
-  private val FormatVersion = "v1"
+  private val FormatVersion = "v2"
 
   /** Stable on-disk root for (corpus dir, table state): digest over
     * path + row count + file mtime/size, so a regenerated corpus or a
@@ -86,6 +87,27 @@ object AnnIndex {
 
   // ---------------------------------------------------------------- PQ
 
+  /** Per-vector int8 quantization for the rescore tier: the SAME
+    * deterministic math as `embQuantizedTopk` (floor(x·127/amax+0.5),
+    * norms from the quantized values), stored as tinyints — a 4×
+    * shrink vs float32, the second tier of the textbook two-tier serve
+    * (ADC candidate cut from 8-nibble codes, rescore from SQ8).
+    * Values are integral in [-127, 127], so the tinyint round-trip is
+    * lossless and the oracle mirrors the math from the base table.
+    */
+  private def sq8Of(emb: DataFrame): DataFrame = {
+    val amax = array_max(transform(col("embedding"),
+      x => abs(x.cast(DoubleType))))
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("amax", amax)
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * (lit(127.0) / col("amax")) + lit(0.5))))
+      .select(col("vec_id"),
+        transform(col("qv"), v => v.cast(ByteType)).as("qv8"),
+        sqrt(aggregate(col("qv"), lit(0L), (a, v) => a + v * v)
+          .cast(DoubleType)).as("qn"))
+  }
+
   def buildPq(emb: DataFrame, path: String, m: Int = 8,
       subDim: Int = 8): Unit = {
     val n = emb.count()
@@ -99,6 +121,7 @@ object AnnIndex {
       .groupBy(col("vec_id"))
       .agg(sqrt(sum(Similarity.dot(col("cw"), col("cw")))).as("vnorm"))
       .write.parquet(s"$path/vnorms")
+    sq8Of(emb).write.parquet(s"$path/vecs8")
   }
 
   /** ADC top-k from the persisted PQ index: per query a broadcast LUT
@@ -108,8 +131,12 @@ object AnnIndex {
     * per vector, the 64×-compressed relation that makes a cluster-RAM
     * ANN scan possible at 100 TB — plus the (vec_id → vnorm) join.
     */
-  def servePqTopk(spark: SparkSession, root: String, queries: DataFrame,
-      k: Int = 5): DataFrame = {
+  /** The ADC candidate stage shared by both PQ serves: per-query
+    * broadcast LUT over the stored codebooks, approximate cosine per
+    * vector from m code lookups + build-time norms.
+    */
+  private def pqAdcApprox(spark: SparkSession, root: String,
+      queries: DataFrame): DataFrame = {
     val codes = spark.read.parquet(s"$root/codes")
     val cw = spark.read.parquet(s"$root/codebooks")
     val vnorms = spark.read.parquet(s"$root/vnorms")
@@ -123,7 +150,7 @@ object AnnIndex {
         Similarity.dot(col("qsub"), col("cw")).as("part"))
     val qnorm = queries.select(col("query_id"),
       sqrt(Similarity.dot(col("q_emb"), col("q_emb"))).as("qnorm"))
-    val approx = codes.join(broadcast(lut), Seq("s", "code"))
+    codes.join(broadcast(lut), Seq("s", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("part")).as("raw_dot"))
@@ -131,8 +158,12 @@ object AnnIndex {
       .join(broadcast(qnorm), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(col("raw_dot") / (col("qnorm") * col("vnorm")), 6).as("pq_cos"))
+  }
+
+  def servePqTopk(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int = 5): DataFrame = {
     val topk = udaf(new TopKByCos(k))
-    approx
+    pqAdcApprox(spark, root, queries)
       .groupBy(col("query_id"))
       .agg(topk(col("vec_id"), col("pq_cos")).as("nbrs"))
       .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
@@ -140,6 +171,54 @@ object AnnIndex {
         col("nbr.neighbor_id").as("neighbor_id"),
         col("nbr.cos_sim").as("pq_cos"),
         (col("pos") + 1).cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The TWO-TIER serve (the production PQ shape — FAISS IVFPQ+refine,
+    * DiskANN's quantized rescore): ADC cut of `cut` candidates from
+    * the 8-nibble codes, then rescore from the index's OWN int8 table
+    * (`vecs8`, 4 bytes-per-dim cheaper than floats and still
+    * embeddings-free) with the symmetric int8 cosine the
+    * `emb_quantized_topk` family already certifies. Rank by the
+    * rescored cosine, ties to the lowest id.
+    */
+  def servePqTopkSq8(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int = 5, cut: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topCut = udaf(new TopKByCos(cut))
+    val cand = pqAdcApprox(spark, root, queries)
+      .groupBy(col("query_id"))
+      .agg(topCut(col("vec_id"), col("pq_cos")).as("nbrs"))
+      .select(col("query_id"), explode(col("nbrs")).as("nbr"))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
+        col("nbr.cos_sim").as("pq_cos"))
+    // query-side int8 derives from the query literals in-plan — same
+    // math as the stored table (sq8Of), no corpus access
+    val q8 = sq8Of(queries.select(col("query_id").as("vec_id"),
+        col("q_emb").as("embedding")))
+      .select(col("vec_id").as("query_id"),
+        transform(col("qv8"), v => v.cast(DoubleType)).as("q_qv"),
+        col("qn").as("q_qn"))
+    val v8 = spark.read.parquet(s"$root/vecs8")
+      .select(col("vec_id").as("neighbor_id"),
+        transform(col("qv8"), v => v.cast(DoubleType)).as("n_qv"),
+        col("qn").as("n_qn"))
+    // double accumulator (integral values, exact to 2^53 — far above
+    // the 64×127² worst case); a long zero fails to coerce against the
+    // double element products
+    val qdot = aggregate(
+      zip_with(col("q_qv"), col("n_qv"), (a, b) => a * b), lit(0.0), (a, v) => a + v)
+    val rescored = cand
+      .join(v8, Seq("neighbor_id"))
+      .join(broadcast(q8), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("pq_cos"),
+        round(qdot.cast(DoubleType) / (col("q_qn") * col("n_qn")), 6).as("q8_cos"))
+    rescored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("q8_cos").desc, col("neighbor_id"))).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("pq_cos"),
+        col("q8_cos"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -244,6 +323,7 @@ object AnnIndex {
       .groupBy(col("vec_id"))
       .agg(sqrt(sum(Similarity.dot(col("cw"), col("cw")))).as("vnorm"))
       .write.mode("append").parquet(s"$root/vnorms")
+    sq8Of(newEmb).write.mode("append").parquet(s"$root/vecs8")
   }
 
   // ------------------------------------------------- registered queries
@@ -264,6 +344,13 @@ object AnnIndex {
     val root = indexRoot(s, dir, "pq", emb.count())
     ensureBuilt(s, root)(staging => buildPq(emb, staging))
     servePqTopk(s, root.toString, queryLiterals(s, dir), k)
+  }
+
+  def embPqServeSq8(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val root = indexRoot(s, dir, "pq", emb.count())
+    ensureBuilt(s, root)(staging => buildPq(emb, staging))
+    servePqTopkSq8(s, root.toString, queryLiterals(s, dir), k)
   }
 
   def embIvfServe(s: SparkSession, dir: String, k: Int = 5,

@@ -135,6 +135,28 @@ class AnnIndexSpec extends SparkSpec {
       s"appended twin not at the top ADC score: ${rows.toSeq}")
   }
 
+  test("SQ8 rescore tier: embeddings-free plan; rescored cosine beats raw ADC on the twin") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") === 3)
+        .select((col("vec_id") + 10007L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+    val root = tmpRoot("sq8")
+    AnnIndex.buildPq(planted, root)
+    val q = Similarity.materializeSmall(
+      planted.filter(col("vec_id") === 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val df = AnnIndex.servePqTopkSq8(spark, root, q)
+    assert(!df.queryExecution.executedPlan.toString.contains("embeddings.parquet"),
+      "SQ8 serve scans the corpus")
+    val rows = df.collect()
+    val top = rows.minBy(_.getAs[Long]("rank"))
+    // int8 keeps ~2 decimal digits of cosine: the near-identical twin
+    // rescores to ~1.0 and must take rank 1
+    assert(top.getAs[Long]("neighbor_id") == 10010L, s"twin not rank 1: ${rows.toSeq}")
+    assert(top.getAs[Double]("q8_cos") > 0.99, s"twin q8_cos suspicious: $top")
+  }
+
   test("coarser-modulus rung ladder: pct ladder at gate scales, sub-1% beyond") {
     import Similarity.{trainSamplePct, trainSampleRung}
     // gate scales: exactly the pct ladder on modulus 100
