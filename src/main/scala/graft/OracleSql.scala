@@ -323,6 +323,67 @@ object OracleSql {
     derived
   }
 
+  /** `emb_ivfpq_serve` (store.AnnIndex.buildIvfPq/serveIvfPqTopk):
+    * the COMPOSED index — coarse IVF routing over PQ codes. Assembled
+    * from the two proven chains: the IVF training CTEs (e..af) and
+    * probe CTEs (pr/cells) from `ivfTopkSql`, the PQ chain
+    * (sub..qn, its full-corpus code table renamed af2) from
+    * `pqApproxCtes`, and an `approx` restricted to each query's
+    * probed cells. Every `require` guards an extraction anchor
+    * against text drift — a silent partial match would quietly change
+    * the mirrored math.
+    */
+  private val ivfPqServeSql: String = {
+    val qIdx = ivfTopkSql.indexOf("q AS (SELECT vec_id AS query_id")
+    val prIdx = ivfTopkSql.indexOf("pr AS (")
+    val candIdx = ivfTopkSql.indexOf("cand AS (")
+    require(qIdx > 0 && prIdx > qIdx && candIdx > prIdx,
+      "ivfpq: ivf anchors missing")
+    val ivfTrain = ivfTopkSql.substring(0, qIdx)
+    val probe = ivfTopkSql.substring(prIdx, candIdx)
+    val subIdx = pqApproxCtes.indexOf("sub AS (")
+    val approxIdx = pqApproxCtes.indexOf("approx AS (")
+    require(subIdx > 0 && approxIdx > subIdx, "ivfpq: pq anchors missing")
+    val pqMid0 = pqApproxCtes.substring(subIdx, approxIdx)
+    val pqMid = pqMid0
+      .replace("af AS (SELECT vec_id, s, code FROM (",
+        "af2 AS (SELECT vec_id, s, code FROM (")
+      .replace("FROM af a JOIN w2l w", "FROM af2 a JOIN w2l w")
+      // the PQ chain's Lloyd assignment CTEs collide with the IVF
+      // chain's a1/a2 — rename via their full distinctive texts (the
+      // pq ones slice subspaces and group over gd(d), the ivf ones
+      // assign cells over g(d))
+      .replace("a1 AS (SELECT vec_id, s, sub, code FROM (",
+        "b1 AS (SELECT vec_id, s, sub, code FROM (")
+      .replace("FROM a1 CROSS JOIN generate_series(1, 8) gd(d)",
+        "FROM b1 CROSS JOIN generate_series(1, 8) gd(d)")
+      .replace("a2 AS (SELECT vec_id, s, sub, code FROM (",
+        "b2 AS (SELECT vec_id, s, sub, code FROM (")
+      .replace("FROM a2 CROSS JOIN generate_series(1, 8) gd(d)",
+        "FROM b2 CROSS JOIN generate_series(1, 8) gd(d)")
+    require(pqMid != pqMid0, "ivfpq: af2 rename matched nothing")
+    require(!pqMid.contains("a1 AS (") && !pqMid.contains("a2 AS ("),
+      "ivfpq: pq a1/a2 rename incomplete")
+    ivfTrain + pqMid + probe +
+      """approx AS (SELECT l.query_id, a.vec_id,
+        |    round(sum(l.part) / (any_value(qn.qnorm) * any_value(vn.vnorm)), 6)
+        |      AS pq_cos
+        |  FROM af2 a
+        |  JOIN af ON af.vec_id = a.vec_id
+        |  JOIN cells cc ON cc.cell = af.cell
+        |  JOIN lut l ON l.s = a.s AND l.code = a.code AND l.query_id = cc.query_id
+        |  JOIN vn ON vn.vec_id = a.vec_id
+        |  JOIN qn ON qn.query_id = l.query_id
+        |  WHERE a.vec_id <> l.query_id
+        |  GROUP BY l.query_id, a.vec_id)
+        |SELECT * FROM (
+        |  SELECT query_id, vec_id AS neighbor_id, pq_cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY pq_cos DESC, vec_id)::BIGINT AS rank
+        |  FROM approx)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val textOracles: Map[String, String] = Map(
     "tx_tokens" ->
       s"""WITH $toksCte
@@ -1362,6 +1423,8 @@ object OracleSql {
     "emb_ivf_serve" -> ivfTopkSql,
 
     "emb_ivf_append_serve" -> ivfAppendServeSql,
+
+    "emb_ivfpq_serve" -> ivfPqServeSql,
 
     "emb_label_centroids" ->
       """SELECT label, d AS dim, round(avg(embedding[d]::DOUBLE), 6) AS centroid,

@@ -196,6 +196,10 @@ object SparkEntry {
     // delta against the frozen quantizers, serve — the oracle trains
     // on the base half only, so the hash certifies the append contract
     "emb_ivf_append_serve" -> (graft.store.AnnIndex.embIvfAppendServe(_, _)),
+    // the composed index: coarse IVF routing over cell-partitioned PQ
+    // codes (the FAISS IVFPQ layout) — probe prunes to nprobe code
+    // partitions, ADC reads nibbles, no float vector touched at serve
+    "emb_ivfpq_serve"     -> (graft.store.AnnIndex.embIvfPqServe(_, _)),
     "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),
     "emb_norms"           -> (Similarity.embNorms(_, _)),
     "emb_lsh_buckets"     -> (Similarity.embLshBuckets(_, _)),

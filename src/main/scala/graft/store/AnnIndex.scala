@@ -287,6 +287,103 @@ object AnnIndex {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // -------------------------------------------------------------- IVFPQ
+
+  /** The COMPOSED index — coarse IVF routing over PQ-compressed lists
+    * (the FAISS IVFPQ layout, the standard shape for a corpus whose
+    * float vectors do not fit cluster RAM): both quantizers train on
+    * the same sample rung; the PQ codes are stored PARTITIONED BY the
+    * coarse cell, so a probe partition-prunes to nprobe directories
+    * and the ADC scan inside them reads m nibbles per vector — serve
+    * I/O is (nprobe/cells) × (codes, not floats) of the corpus.
+    */
+  def buildIvfPq(emb: DataFrame, path: String): Unit = {
+    val n = emb.count()
+    val (modulus, threshold) = Similarity.trainSampleRung(n)
+    val (cells, cent) = Similarity.kmeansCellsAt(emb, 2, modulus, threshold)
+    val (codes, cw) = Similarity.pqEncodeAt(emb, 8, 8, 2, modulus, threshold)
+    codes.join(cells, Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("s"), col("code"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$path/cellcodes")
+    cent.write.parquet(s"$path/centroids")
+    cw.write.parquet(s"$path/codebooks")
+    codes.join(broadcast(cw), Seq("s", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sqrt(sum(Similarity.dot(col("cw"), col("cw")))).as("vnorm"))
+      .write.parquet(s"$path/vnorms")
+  }
+
+  /** Route → partition-pruned ADC: rank cells per query by centroid
+    * cosine (same route as the plain IVF serve), then run the LUT scan
+    * ONLY over the routed cells' code partitions, restricted per query
+    * to ITS cells (the broadcast route join), and rank by approximate
+    * cosine. No float vector is read at any point of the serve.
+    */
+  def serveIvfPqTopk(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val cent = spark.read.parquet(s"$root/centroids")
+    val cw = spark.read.parquet(s"$root/codebooks")
+    val vnorms = spark.read.parquet(s"$root/vnorms")
+    val qc = queries.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        round(Similarity.cosine(col("q_emb"), col("centroid")), 6).as("cos_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cell"))
+    val probed = Similarity.materializeSmall(
+      qc.withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
+        .select(col("query_id"), col("cell")))
+    val routedCells = probed.select(col("cell")).distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    val codes0 = spark.read.parquet(s"$root/cellcodes")
+    val routedTyped: Seq[Any] = codes0.schema("cell").dataType match {
+      case IntegerType => routedCells.map(_.toInt)
+      case _           => routedCells
+    }
+    val codes = codes0
+      .filter(col("cell").isInCollection(routedTyped))
+      .withColumn("cell", col("cell").cast(LongType))
+    val lut = queries
+      .select(col("query_id"), explode(sequence(lit(0), lit(7))).as("s"),
+        col("q_emb"))
+      .select(col("query_id"), col("s"),
+        slice(col("q_emb"), col("s") * 8 + 1, lit(8)).as("qsub"))
+      .join(broadcast(cw), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        Similarity.dot(col("qsub"), col("cw")).as("part"))
+    val qnorm = queries.select(col("query_id"),
+      sqrt(Similarity.dot(col("q_emb"), col("q_emb"))).as("qnorm"))
+    val approx = codes
+      .join(broadcast(probed.withColumn("cell", col("cell").cast(LongType))),
+        Seq("cell"))
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("part")).as("raw_dot"))
+      .join(vnorms, Seq("vec_id"))
+      .join(broadcast(qnorm), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(col("raw_dot") / (col("qnorm") * col("vnorm")), 6).as("pq_cos"))
+    val topk = udaf(new TopKByCos(k))
+    approx
+      .groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), col("pq_cos")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"),
+        col("nbr.neighbor_id").as("neighbor_id"),
+        col("nbr.cos_sim").as("pq_cos"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def embIvfPqServe(s: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val root = indexRoot(s, dir, "ivfpq", emb.count())
+    ensureBuilt(s, root)(staging => buildIvfPq(emb, staging))
+    serveIvfPqTopk(s, root.toString, queryLiterals(s, dir), k, nprobe)
+  }
+
   // -------------------------------------------------- incremental append
 
   /** INCREMENTAL APPEND — the operation that makes a persisted index

@@ -157,6 +157,33 @@ class AnnIndexSpec extends SparkSpec {
     assert(top.getAs[Double]("q8_cos") > 0.99, s"twin q8_cos suspicious: $top")
   }
 
+  test("IVFPQ: routed, partition-pruned, codes-only serve; twin surfaces through both quantizers") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") === 3)
+        .select((col("vec_id") + 10007L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+    val root = tmpRoot("ivfpq")
+    AnnIndex.buildIvfPq(planted, root)
+    val q = Similarity.materializeSmall(
+      planted.filter(col("vec_id") === 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val df = AnnIndex.serveIvfPqTopk(spark, root, q)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"), "IVFPQ serve scans the corpus")
+    assert(plan.contains("PartitionFilters") &&
+      plan.split("PartitionFilters", 2)(1).take(200).contains("cell"),
+      "IVFPQ code scan is not partition-pruned")
+    // the twin lands in the query's own coarse cell (cosine ≈ 1 to the
+    // same centroid) and its codes match — it must surface through the
+    // route AND take the top ADC score
+    val rows = df.collect()
+    val twin = rows.find(_.getAs[Long]("neighbor_id") == 10010L)
+    assert(twin.isDefined, s"twin lost by the composed index: ${rows.toSeq}")
+    assert(twin.get.getAs[Double]("pq_cos") ==
+      rows.map(_.getAs[Double]("pq_cos")).max)
+  }
+
   test("coarser-modulus rung ladder: pct ladder at gate scales, sub-1% beyond") {
     import Similarity.{trainSamplePct, trainSampleRung}
     // gate scales: exactly the pct ladder on modulus 100
