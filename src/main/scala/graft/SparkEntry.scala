@@ -229,6 +229,7 @@ object SparkEntry {
     "dedup_minhash_lsh", "dedup_chunks", "emb_topk", "emb_knn_graph",
     "emb_knn_graph_lsh",
     "emb_pq_topk", "emb_pq_serve", "emb_ivf_serve",
+    "emb_pq_serve_sq8", "emb_ivfpq_serve",
     "tx_fingerprint", "tx_boilerplate",
     "asof_join_purchase", "range_join_burst", "decontaminate",
     "emb_quantized_topk",
