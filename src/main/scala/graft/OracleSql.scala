@@ -1320,6 +1320,17 @@ object OracleSql {
         |  FROM approx)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    // the tombstone serve (store.AnnIndex.embPqServeTombstone): same
+    // ADC chain, candidates minus the deterministic delete set
+    // vec_id % 17 == 3 BEFORE ranking — survivors' ranks close densely
+    "emb_pq_serve_tombstone" -> (pqApproxCtes + """
+        |SELECT * FROM (
+        |  SELECT query_id, vec_id AS neighbor_id, pq_cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY pq_cos DESC, vec_id)::BIGINT AS rank
+        |  FROM approx WHERE vec_id % 17 <> 3)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     // the TWO-TIER persisted PQ serve (store.AnnIndex.servePqTopkSq8):
     // ADC cut of 64 candidates from the codes, rescored by the
     // symmetric int8 cosine of the index's SQ8 table — the same

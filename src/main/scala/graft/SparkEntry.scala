@@ -191,6 +191,9 @@ object SparkEntry {
     // the two-tier serve: ADC cut from codes, rescore from the index's
     // own SQ8 int8 table — still embeddings-free
     "emb_pq_serve_sq8"    -> (graft.store.AnnIndex.embPqServeSq8(_, _)),
+    // tombstone deletes: the takedown path — deleted ids anti-joined
+    // out of every serve without rebuilding the index
+    "emb_pq_serve_tombstone" -> (graft.store.AnnIndex.embPqServeTombstone(_, _)),
     "emb_ivf_serve"       -> (graft.store.AnnIndex.embIvfServe(_, _)),
     // incremental maintenance: build on the base half, APPEND the
     // delta against the frozen quantizers, serve — the oracle trains

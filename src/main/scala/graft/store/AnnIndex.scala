@@ -150,14 +150,16 @@ object AnnIndex {
         Similarity.dot(col("qsub"), col("cw")).as("part"))
     val qnorm = queries.select(col("query_id"),
       sqrt(Similarity.dot(col("q_emb"), col("q_emb"))).as("qnorm"))
-    codes.join(broadcast(lut), Seq("s", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("part")).as("raw_dot"))
-      .join(vnorms, Seq("vec_id"))
-      .join(broadcast(qnorm), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(col("raw_dot") / (col("qnorm") * col("vnorm")), 6).as("pq_cos"))
+    minusDeletes(spark, root,
+      codes.join(broadcast(lut), Seq("s", "code"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("part")).as("raw_dot"))
+        .join(vnorms, Seq("vec_id"))
+        .join(broadcast(qnorm), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(col("raw_dot") / (col("qnorm") * col("vnorm")), 6).as("pq_cos")),
+      "vec_id")
   }
 
   def servePqTopk(spark: SparkSession, root: String, queries: DataFrame,
@@ -268,9 +270,11 @@ object AnnIndex {
       case IntegerType => routedCells.map(_.toInt)
       case _           => routedCells
     }
-    val lists = lists0
-      .filter(col("cell").isInCollection(routedTyped))
-      .withColumn("cell", col("cell").cast(LongType))
+    val lists = minusDeletes(spark, root,
+      lists0
+        .filter(col("cell").isInCollection(routedTyped))
+        .withColumn("cell", col("cell").cast(LongType)),
+      "vec_id")
     val cand = lists
       .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -353,17 +357,19 @@ object AnnIndex {
         Similarity.dot(col("qsub"), col("cw")).as("part"))
     val qnorm = queries.select(col("query_id"),
       sqrt(Similarity.dot(col("q_emb"), col("q_emb"))).as("qnorm"))
-    val approx = codes
-      .join(broadcast(probed.withColumn("cell", col("cell").cast(LongType))),
-        Seq("cell"))
-      .join(broadcast(lut), Seq("query_id", "s", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("part")).as("raw_dot"))
-      .join(vnorms, Seq("vec_id"))
-      .join(broadcast(qnorm), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(col("raw_dot") / (col("qnorm") * col("vnorm")), 6).as("pq_cos"))
+    val approx = minusDeletes(spark, root,
+      codes
+        .join(broadcast(probed.withColumn("cell", col("cell").cast(LongType))),
+          Seq("cell"))
+        .join(broadcast(lut), Seq("query_id", "s", "code"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("part")).as("raw_dot"))
+        .join(vnorms, Seq("vec_id"))
+        .join(broadcast(qnorm), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(col("raw_dot") / (col("qnorm") * col("vnorm")), 6).as("pq_cos")),
+      "vec_id")
     val topk = udaf(new TopKByCos(k))
     approx
       .groupBy(col("query_id"))
@@ -382,6 +388,34 @@ object AnnIndex {
     val root = indexRoot(s, dir, "ivfpq", emb.count())
     ensureBuilt(s, root)(staging => buildIvfPq(emb, staging))
     serveIvfPqTopk(s, root.toString, queryLiterals(s, dir), k, nprobe)
+  }
+
+  // ----------------------------------------------------------- deletes
+
+  /** TOMBSTONE DELETION — the takedown path (a training-data pipeline
+    * must honor removal requests without rebuilding a 100 TB index):
+    * deleted ids append to a `deletes` table and every serve
+    * anti-joins its candidates against it. Tombstones are tiny
+    * relative to the corpus, so the anti-join broadcasts; folding them
+    * into the tables for real (reclaiming the bytes) is a REBUILD —
+    * the same compaction trade every tombstoned store makes.
+    */
+  def deleteVectors(spark: SparkSession, root: String,
+      ids: DataFrame): Unit =
+    ids.select(col("vec_id")).write.mode("append").parquet(s"$root/deletes")
+
+  /** Candidate stream minus the tombstones; the identity when the
+    * index has never seen a delete.
+    */
+  private def minusDeletes(spark: SparkSession, root: String,
+      df: DataFrame, idCol: String): DataFrame = {
+    val d = new Path(s"$root/deletes")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) df
+    else df.join(
+      broadcast(spark.read.parquet(d.toString)
+        .select(col("vec_id").as(idCol)).distinct()),
+      Seq(idCol), "left_anti")
   }
 
   // -------------------------------------------------- incremental append
@@ -440,6 +474,24 @@ object AnnIndex {
     val emb = Tables.embeddings(s, dir)
     val root = indexRoot(s, dir, "pq", emb.count())
     ensureBuilt(s, root)(staging => buildPq(emb, staging))
+    servePqTopk(s, root.toString, queryLiterals(s, dir), k)
+  }
+
+  /** The tombstone path as a registered, oracle-gated query: build the
+    * PQ index, DELETE the deterministic set vec_id % 17 == 3, serve —
+    * a deleted vector must never surface, and the survivors' ranks
+    * must re-close densely. The oracle mirrors the delete as a WHERE
+    * on the candidate set before ranking.
+    */
+  def embPqServeTombstone(s: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val root = indexRoot(s, dir, "pqdel", emb.count())
+    ensureBuilt(s, root) { staging =>
+      buildPq(emb, staging)
+      deleteVectors(s, staging,
+        emb.filter(col("vec_id") % 17 === 3).select(col("vec_id")))
+    }
     servePqTopk(s, root.toString, queryLiterals(s, dir), k)
   }
 

@@ -184,6 +184,32 @@ class AnnIndexSpec extends SparkSpec {
       rows.map(_.getAs[Double]("pq_cos")).max)
   }
 
+  test("tombstones: a deleted twin vanishes from serve, ranks close densely, no rebuild") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") === 3)
+        .select((col("vec_id") + 10007L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+    val root = tmpRoot("tomb")
+    AnnIndex.buildPq(planted, root)
+    val q = Similarity.materializeSmall(
+      planted.filter(col("vec_id") === 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    import spark.implicits._
+    val before = AnnIndex.servePqTopk(spark, root, q).collect()
+    assert(before.exists(_.getAs[Long]("neighbor_id") == 10010L))
+    AnnIndex.deleteVectors(spark, root, Seq(10010L).toDF("vec_id"))
+    val after = AnnIndex.servePqTopk(spark, root, q).collect()
+    assert(!after.exists(_.getAs[Long]("neighbor_id") == 10010L),
+      s"tombstoned vector still served: ${after.toSeq}")
+    // ranks re-close densely over the survivors
+    assert(after.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 5L))
+    // the delete displaced exactly the twin: the other four survive
+    val beforeIds = before.map(_.getAs[Long]("neighbor_id")).toSet - 10010L
+    val afterIds = after.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(beforeIds.subsetOf(afterIds))
+  }
+
   test("coarser-modulus rung ladder: pct ladder at gate scales, sub-1% beyond") {
     import Similarity.{trainSamplePct, trainSampleRung}
     // gate scales: exactly the pct ladder on modulus 100
