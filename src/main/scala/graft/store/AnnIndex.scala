@@ -443,6 +443,31 @@ object AnnIndex {
       .write.mode("append").partitionBy("cell").parquet(s"$root/lists")
   }
 
+  /** Composed-index append: the delta is routed by the frozen coarse
+    * centroids AND coded by the frozen codebooks — one assignment scan
+    * feeding the cell-partitioned code table, plus its norms.
+    */
+  def appendIvfPq(newEmb: DataFrame, root: String): Unit = {
+    val spark = newEmb.sparkSession
+    val cent = Similarity.materializeSmall(
+      spark.read.parquet(s"$root/centroids"))
+    val cw = Similarity.materializeSmall(
+      spark.read.parquet(s"$root/codebooks"))
+    val cells = Similarity.assignCells(
+      newEmb.select(col("vec_id"), col("embedding")), cent)
+      .select(col("vec_id"), col("cell"))
+    val codes = Similarity.pqAssign(
+      newEmb.select(col("vec_id"), col("embedding")), cw)
+    codes.join(cells, Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("s"), col("code"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$root/cellcodes")
+    codes.join(broadcast(cw), Seq("s", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sqrt(sum(Similarity.dot(col("cw"), col("cw")))).as("vnorm"))
+      .write.mode("append").parquet(s"$root/vnorms")
+  }
+
   def appendPq(newEmb: DataFrame, root: String): Unit = {
     val spark = newEmb.sparkSession
     val cw = Similarity.materializeSmall(

@@ -184,6 +184,30 @@ class AnnIndexSpec extends SparkSpec {
       rows.map(_.getAs[Double]("pq_cos")).max)
   }
 
+  test("IVFPQ append: delta routed and coded by the frozen quantizers, twin served") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val half = emb.count() / 2
+    val root = tmpRoot("ivfpqapp")
+    AnnIndex.buildIvfPq(emb.filter(col("vec_id") < half), root)
+    val delta = emb.filter(col("vec_id") >= half).unionByName(
+      emb.filter(col("vec_id") === 3)
+        .select((col("vec_id") + 10007L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+    AnnIndex.appendIvfPq(delta, root)
+    val q = Similarity.materializeSmall(
+      emb.filter(col("vec_id") === 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val rows = AnnIndex.serveIvfPqTopk(spark, root, q).collect()
+    val twin = rows.find(_.getAs[Long]("neighbor_id") == 10010L)
+    assert(twin.isDefined, s"appended twin not routed+served: ${rows.toSeq}")
+    assert(twin.get.getAs[Double]("pq_cos") ==
+      rows.map(_.getAs[Double]("pq_cos")).max)
+    // the code table holds base + delta, once each
+    val ids = spark.read.parquet(s"$root/cellcodes")
+      .select(col("vec_id")).distinct()
+    assert(ids.count() == emb.count() + 1)
+  }
+
   test("tombstones: a deleted twin vanishes from serve, ranks close densely, no rebuild") {
     val emb = Tables.embeddings(spark, Sf0001)
     val planted = emb.unionByName(
