@@ -185,6 +185,21 @@ object Streams {
     * previous attempt died. (The rollback is the idempotency mechanism;
     * the marker is the fast path.)
     *
+    * Metadata growth, consciously bounded rather than eliminated: one
+    * marker per commit accumulates in `_committed` for the table's
+    * lifetime — rollback-by-prefix and migration detection depend on
+    * committed prefixes staying resolvable, so markers are never GC'd.
+    * The per-commit listing cost this adds is bounded in practice by
+    * DATE PARTITIONING: a partition is hot only while its day is
+    * current, so commits-per-partition (and, with the one-file-per-
+    * commit staged write, files-per-partition) are bounded by one
+    * day's commit count — the 500-commit LongRunKeyedSink profile
+    * measures the flat regime. Folding markers away would need
+    * data-file compaction that re-adopts files under one compacted
+    * prefix, i.e. a manifest format — which the plain-parquet
+    * any-reader contract (DuckDB reads these trees directly)
+    * deliberately excludes.
+    *
     * `epoch` scopes the marker to one sink INCARNATION: batch ids are
     * only meaningful within a single checkpoint lineage, so a stream
     * restarted against the same table with a FRESH checkpoint (new ids,
