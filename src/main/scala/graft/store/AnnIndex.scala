@@ -323,6 +323,16 @@ object AnnIndex {
     * ONLY over the routed cells' code partitions, restricted per query
     * to ITS cells (the broadcast route join), and rank by approximate
     * cosine. No float vector is read at any point of the serve.
+    *
+    * Skew: a data-skewed MEGA-cell inflates a probe that routes into
+    * it LINEARLY — the ADC scan is one pass over |cell| code rows;
+    * there is no quadratic pair space here, unlike SemDeDup's
+    * within-cell prune, which is why that operator needed
+    * `splitHotCells` and this one does not — and the hot directory is
+    * ordinary splittable parquet, so its scan spreads across tasks
+    * like any large partition. The cost dial against chronic skew is
+    * the cell-count ladder at build time, same as every quantizer
+    * here.
     */
   def serveIvfPqTopk(spark: SparkSession, root: String, queries: DataFrame,
       k: Int = 5, nprobe: Int = 2): DataFrame = {
