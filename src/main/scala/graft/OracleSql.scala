@@ -558,6 +558,20 @@ object OracleSql {
          |FROM tc JOIN v USING (tok)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // heavy hitters: the MG candidate pass is a guaranteed superset of
+    // every token above N/512, and the Spark side filters on EXACT
+    // re-counts — so the oracle is the plain full GROUP BY the two-pass
+    // plan avoids shuffling, with the same integer threshold compare
+    "tx_heavy_hitters" ->
+      s"""WITH $toksCte,
+         |tc AS (SELECT unnest(toks) AS tok FROM t),
+         |tot AS (SELECT count(*) AS n_total FROM tc),
+         |c AS (SELECT tok, count(*) AS cnt FROM tc GROUP BY tok)
+         |SELECT c.tok, c.cnt::BIGINT AS cnt,
+         |  round(c.cnt::DOUBLE / tot.n_total, 6) AS share
+         |FROM c, tot WHERE c.cnt * 100 > tot.n_total * 1
+         |ORDER BY cnt DESC, tok""".stripMargin,
+
     // chunking: stride 48 (= 64 − 16 overlap), chunk k = toks[k·48+1 ..
     // k·48+64] 1-based inclusive, last chunk short; same start set
     "tx_chunk" ->

@@ -95,6 +95,10 @@ object SparkEntry {
     // corpus-unigram surprisal (perplexity-filter core): model = one
     // token-count agg, scoring = shuffle join on token + per-doc agg
     "tx_unigram_bits" -> (TX.txUnigramBits(_, _)),
+    // exact heavy hitters via the mergeable Misra-Gries summary:
+    // candidate superset in one O(k)-state pass, exact re-count of
+    // candidates only — no full-vocabulary shuffle
+    "tx_heavy_hitters" -> (TX.txHeavyHitters(_, _)),
     // fixed-window chunking with overlap (context-window prep) and
     // per-doc TF-IDF keyword extraction (search/tagging surface)
     "tx_chunk"    -> (TX.txChunk(_, _)),
@@ -238,5 +242,5 @@ object SparkEntry {
     "emb_quantized_topk",
     "avro_roundtrip", "dedup_embedding_045", "dedup_embedding_lsh",
     "dedup_embedding_090", "dedup_embedding_lsh_090",
-    "tx_repetition", "dedup_semantic")
+    "tx_repetition", "dedup_semantic", "tx_heavy_hitters")
 }

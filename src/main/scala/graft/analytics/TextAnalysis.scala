@@ -376,6 +376,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact corpus heavy hitters WITHOUT a full-vocabulary shuffle — the
+    * frequency member of the mergeable-sketch family (HLL distincts,
+    * KLL quantiles, and now Misra-Gries frequents), and the stopword /
+    * over-represented-token discovery pass a training-data pipeline
+    * runs before building filters.
+    *
+    * Two passes, both scans with map-side partial aggregation:
+    * pass 1 folds every token into the mergeable MG summary
+    * (`MisraGriesAgg`, O(k) state per task, one row out) alongside the
+    * corpus token total; pass 2 re-counts ONLY the ≤2k candidate
+    * tokens exactly behind a broadcast semi-join and keeps those whose
+    * EXACT share clears the report threshold. The MG bound (undercount
+    * ≤ N/k) makes the candidate set a guaranteed superset of every
+    * token above N/k, so with capacity 512 ≫ the 1% threshold the
+    * exact filter yields the same answer a full GROUP BY would — which
+    * is precisely what the DuckDB oracle computes. Naive cost at 100 TB
+    * is a shuffle of the entire vocabulary's (token, count) space;
+    * here the only shuffled rows are candidate-token instances.
+    *
+    * Threshold compare is integer (`cnt · 100 > N`), share is one
+    * rounded division — engine-independent output.
+    */
+  def txHeavyHitters(s: SparkSession, dir: String, capacity: Int = 512,
+      pct: Int = 1): DataFrame =
+    txHeavyHittersDf(Tables.documents(s, dir), capacity, pct)
+
+  def txHeavyHittersDf(docs: DataFrame, capacity: Int = 512,
+      pct: Int = 1): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("tok"))
+    val summary = toks.agg(
+      count(lit(1)).as("n_total"),
+      graft.functions.HeavyHitters.misraGries(col("tok"), capacity).as("cands"))
+    val cand = summary.select(col("n_total"), explode(col("cands")).as("tok"))
+    toks.join(broadcast(cand), Seq("tok"))
+      .groupBy(col("tok"), col("n_total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(100L) > col("n_total") * lit(pct.toLong))
+      .select(col("tok"), col("cnt"),
+        round(col("cnt").cast(DoubleType) / col("n_total"), 6).as("share"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   /** The composite quality GATE (the C4/Gopher-style keep/drop decision
     * that sits downstream of the individual signals): every document
     * gets a keep flag and the FIRST failing rule as its drop reason —

@@ -1,0 +1,107 @@
+package graft
+
+import scala.util.Random
+
+import graft.analytics.TextAnalysis
+import graft.functions.HeavyHitters
+import org.apache.spark.sql.functions._
+
+/** The Misra-Gries heavy-hitters surface: the mergeable-summary
+  * coverage guarantee (candidates ⊇ every token above N/k), the
+  * partitioning-invariance of the FINAL exact-filtered output, and the
+  * bounded summary size — under fuzzed Zipf-ish corpora whose
+  * vocabulary far exceeds the sketch capacity, so the shrink path and
+  * the partial-merge path both actually run.
+  */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Zipf-ish token stream: token i drawn with weight ∝ 1/(i+1), vocab
+    * `vocab` ≫ any capacity under test, grouped into `docs` documents.
+    */
+  private def genDocs(seed: Int, vocab: Int, nTokens: Int,
+      docs: Int): Seq[(Long, String)] = {
+    val rnd = new Random(seed)
+    val weights = Array.tabulate(vocab)(i => 1.0 / (i + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    val toks = Seq.fill(nTokens) {
+      val x = rnd.nextDouble() * total
+      val i = {
+        val p = java.util.Arrays.binarySearch(cum, x)
+        if (p >= 0) p else -p - 1
+      }
+      s"w$i"
+    }
+    toks.grouped(math.max(1, nTokens / docs)).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+  }
+
+  private def exactHeavy(toks: Seq[String], pct: Int): Seq[(String, Long, Double)] = {
+    val n = toks.size.toLong
+    toks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .filter { case (_, c) => c * 100L > n * pct }
+      .map { case (t, c) =>
+        (t, c, BigDecimal(c.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (t, c, _) => (-c, t) }
+  }
+
+  test("MG candidate set covers every token above N/k, size stays <= 2k") {
+    for (seed <- Seq(11, 12); k <- Seq(16, 64)) {
+      val docs = genDocs(seed, vocab = 2000, nTokens = 20000, docs = 40)
+      val toks = docs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      val n = toks.size.toLong
+      val counts = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      val mustHave = counts.filter { case (_, c) => c * k > n }.keySet
+
+      val cands = docs.toDF("doc_id", "text").repartition(7)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .agg(HeavyHitters.misraGries(col("tok"), k).as("c"))
+        .as[Seq[String]].head().toSet
+
+      assert(cands.size <= 2 * k, s"seed=$seed k=$k size=${cands.size}")
+      assert(mustHave.subsetOf(cands),
+        s"seed=$seed k=$k missed=${mustHave -- cands}")
+    }
+  }
+
+  test("two-pass exact heavy hitters == full GROUP BY, any partitioning") {
+    for (seed <- Seq(21, 22)) {
+      val docs = genDocs(seed, vocab = 3000, nTokens = 30000, docs = 60)
+      val toks = docs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      val want = exactHeavy(toks, pct = 1)
+      for (parts <- Seq(1, 7)) {
+        val got = TextAnalysis.txHeavyHittersDf(
+            docs.toDF("doc_id", "text").repartition(parts),
+            capacity = 64, pct = 1)
+          .as[(String, Long, Double)].collect().toSeq
+        assert(got == want,
+          s"seed=$seed parts=$parts got=${got.take(5)} want=${want.take(5)}")
+      }
+    }
+  }
+
+  test("capacity at the guarantee edge still yields the exact answer") {
+    // threshold 1% with capacity 101: N/k = N/101 < N/100, so the
+    // superset guarantee holds with the thinnest legal margin
+    val docs = genDocs(31, vocab = 5000, nTokens = 40000, docs = 80)
+    val toks = docs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+    val want = exactHeavy(toks, pct = 1)
+    val got = TextAnalysis.txHeavyHittersDf(
+        docs.toDF("doc_id", "text").repartition(5), capacity = 101, pct = 1)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("registered query runs at sf0.001 and matches its own exact twin") {
+    val got = TextAnalysis.txHeavyHitters(spark, Sf0001)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    val toks = Tables.documents(spark, Sf0001)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .as[String].collect().toSeq
+    assert(got == exactHeavy(toks, pct = 1))
+  }
+}
