@@ -572,6 +572,21 @@ object OracleSql {
          |FROM c, tot WHERE c.cnt * 100 > tot.n_total * 1
          |ORDER BY cnt DESC, tok""".stripMargin,
 
+    // grouped heavy hitters: per-source GROUP BY with the 3% integer
+    // threshold — the per-group MG guarantee (undercount <= group
+    // total / 256) makes the Spark side's exact-filtered output equal
+    // the full grouped count
+    "tx_heavy_hitters_by_source" ->
+      """WITH tc AS (SELECT source,
+        |  unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |    AS tok FROM documents),
+        |tot AS (SELECT source, count(*) AS n_total FROM tc GROUP BY source),
+        |c AS (SELECT source, tok, count(*) AS cnt FROM tc GROUP BY source, tok)
+        |SELECT c.source, c.tok, c.cnt::BIGINT AS cnt,
+        |  round(c.cnt::DOUBLE / tot.n_total, 6) AS share
+        |FROM c JOIN tot USING (source) WHERE c.cnt * 100 > tot.n_total * 3
+        |ORDER BY source, cnt DESC, tok""".stripMargin,
+
     // chunking: stride 48 (= 64 − 16 overlap), chunk k = toks[k·48+1 ..
     // k·48+64] 1-based inclusive, last chunk short; same start set
     "tx_chunk" ->

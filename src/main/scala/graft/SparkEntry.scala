@@ -99,6 +99,7 @@ object SparkEntry {
     // candidate superset in one O(k)-state pass, exact re-count of
     // candidates only — no full-vocabulary shuffle
     "tx_heavy_hitters" -> (TX.txHeavyHitters(_, _)),
+    "tx_heavy_hitters_by_source" -> (TX.txHeavyHittersBySource(_, _)),
     // fixed-window chunking with overlap (context-window prep) and
     // per-doc TF-IDF keyword extraction (search/tagging surface)
     "tx_chunk"    -> (TX.txChunk(_, _)),

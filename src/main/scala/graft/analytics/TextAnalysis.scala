@@ -418,6 +418,38 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** Per-source heavy hitters — the GROUPED form of `txHeavyHitters`
+    * (over-represented tokens per domain/source, the signal behind
+    * per-domain boilerplate and source-quality filters). Same two-pass
+    * shape with the MG summary keyed by source: pass 1 is one
+    * partial-aggregated shuffle of (source → O(k) summary) rows, pass 2
+    * re-counts each source's ≤2k candidates exactly behind a broadcast
+    * join on (source, tok). Per-group guarantee is unchanged — each
+    * group's undercount is bounded by its OWN token total over k — so
+    * capacity 256 ≫ 100/3 keeps the 3% report threshold exact.
+    */
+  def txHeavyHittersBySource(s: SparkSession, dir: String,
+      capacity: Int = 256, pct: Int = 3): DataFrame =
+    txHeavyHittersBySourceDf(Tables.documents(s, dir), capacity, pct)
+
+  def txHeavyHittersBySourceDf(docs: DataFrame, capacity: Int = 256,
+      pct: Int = 3): DataFrame = {
+    val toks = docs.select(col("source"),
+      explode(tokens(col("text"))).as("tok"))
+    val summary = toks.groupBy(col("source")).agg(
+      count(lit(1)).as("n_total"),
+      graft.functions.HeavyHitters.misraGries(col("tok"), capacity).as("cands"))
+    val cand = summary.select(col("source"), col("n_total"),
+      explode(col("cands")).as("tok"))
+    toks.join(broadcast(cand), Seq("source", "tok"))
+      .groupBy(col("source"), col("tok"), col("n_total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(100L) > col("n_total") * lit(pct.toLong))
+      .select(col("source"), col("tok"), col("cnt"),
+        round(col("cnt").cast(DoubleType) / col("n_total"), 6).as("share"))
+      .orderBy(col("source"), col("cnt").desc, col("tok"))
+  }
+
   /** The composite quality GATE (the C4/Gopher-style keep/drop decision
     * that sits downstream of the individual signals): every document
     * gets a keep flag and the FIRST failing rule as its drop reason —

@@ -95,6 +95,34 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("grouped (per-source) two-pass == full grouped GROUP BY") {
+    val rnd = new Random(41)
+    // three sources with DIFFERENT vocab skews and sizes, so per-group
+    // summaries see different totals and the small group's heavy set
+    // differs from the pooled one
+    val docs = (for (src <- 0 until 3) yield {
+      val d = genDocs(100 + src, vocab = 1000 * (src + 1),
+        nTokens = 8000 * (src + 1), docs = 20)
+      d.map { case (id, text) => (id + src * 1000L, text, s"s$src") }
+    }).flatten.sortBy(_ => rnd.nextDouble())
+    val df = docs.toDF("doc_id", "text", "source").repartition(6)
+
+    val want = docs.groupBy(_._3).toSeq.flatMap { case (src, ds) =>
+      val toks = ds.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      val n = toks.size.toLong
+      toks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .filter { case (_, c) => c * 100L > n * 5L }
+        .map { case (t, c) =>
+          (src, t, c, BigDecimal(c.toDouble / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.sortBy { case (s, t, c, _) => (s, -c, t) }
+
+    val got = TextAnalysis.txHeavyHittersBySourceDf(df, capacity = 64, pct = 5)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == want, s"got=${got.take(5)} want=${want.take(5)}")
+  }
+
   test("registered query runs at sf0.001 and matches its own exact twin") {
     val got = TextAnalysis.txHeavyHitters(spark, Sf0001)
       .as[(String, Long, Double)].collect().toSeq
