@@ -1209,6 +1209,67 @@ object OracleSql {
         |  FROM p)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // MMR diversity re-rank: the greedy loop replayed as 8 chained CTE
+    // stages — stage r's selection is ROW_NUMBER() = 1 under the same
+    // (score_e7 DESC, vec_id) order the native expression argmaxes,
+    // with the score in EXACT integer 1e-7 units (7·rel_µ − 3·max_pc_µ;
+    // float scores would sit on half-rounding boundaries, see
+    // MmrSelect's scaladoc); stage 1 fixes the empty-set diversity term
+    // at 0, later stages use the TRUE max pairwise micro-cosine vs the
+    // selected set (inner join: pc is complete over candidate pairs).
+    // MATERIALIZED hints stop exponential re-inlining of the chain.
+    "emb_mmr_topk" -> {
+      val head =
+        """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+          |  FROM embeddings WHERE vec_id < 10),
+          |p AS MATERIALIZED (SELECT q.query_id, e.vec_id,
+          |    round(list_dot_product(qe, e.embedding::DOUBLE[]) /
+          |      (sqrt(list_dot_product(qe, qe)) *
+          |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6)
+          |      AS rel
+          |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+          |cand AS (SELECT query_id, vec_id, rel FROM (
+          |  SELECT query_id, vec_id, rel,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+          |  FROM p) WHERE rn <= 24),
+          |ce AS MATERIALIZED (SELECT c.query_id, c.vec_id, c.rel,
+          |    CAST(round(c.rel * 1000000) AS BIGINT) AS relu,
+          |    e.embedding::DOUBLE[] AS emb
+          |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id),
+          |pc AS MATERIALIZED (SELECT a.query_id, a.vec_id AS d, b.vec_id AS sid,
+          |    CAST(round(list_dot_product(a.emb, b.emb) /
+          |      (sqrt(list_dot_product(a.emb, a.emb)) *
+          |       sqrt(list_dot_product(b.emb, b.emb))) * 1000000) AS BIGINT) AS pcu
+          |  FROM ce a JOIN ce b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+          |sel1 AS (SELECT query_id, vec_id, rel, 1::BIGINT AS rank, mmr_score_e7 FROM (
+          |  SELECT query_id, vec_id, rel, 7 * relu AS mmr_score_e7,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY 7 * relu DESC, vec_id) AS rn
+          |  FROM ce) WHERE rn = 1),
+          |selall1 AS MATERIALIZED (SELECT * FROM sel1)""".stripMargin
+      val stages = (2 to 8).map { r =>
+        s""",
+           |sel$r AS (SELECT query_id, vec_id, rel, $r::BIGINT AS rank, mmr_score_e7 FROM (
+           |  SELECT c.query_id, c.vec_id, c.rel,
+           |    7 * c.relu - 3 * mx.m AS mmr_score_e7,
+           |    row_number() OVER (PARTITION BY c.query_id
+           |      ORDER BY 7 * c.relu - 3 * mx.m DESC, c.vec_id) AS rn
+           |  FROM ce c
+           |  JOIN (SELECT pc.query_id, pc.d, max(pc.pcu) AS m
+           |        FROM pc JOIN selall${r - 1} s
+           |          ON s.query_id = pc.query_id AND s.vec_id = pc.sid
+           |        GROUP BY pc.query_id, pc.d) mx
+           |    ON mx.query_id = c.query_id AND mx.d = c.vec_id
+           |  LEFT JOIN selall${r - 1} sd
+           |    ON sd.query_id = c.query_id AND sd.vec_id = c.vec_id
+           |  WHERE sd.vec_id IS NULL) WHERE rn = 1),
+           |selall$r AS MATERIALIZED (SELECT * FROM selall${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
+      }.mkString
+      head + stages + """
+        |SELECT query_id, vec_id, rank, rel AS rel_cos, mmr_score_e7
+        |FROM selall8 ORDER BY query_id, rank""".stripMargin
+    },
+
     // knn GRAPH: emb_topk with the query set = the whole corpus —
     // top-5 neighbors for every vector, same cosine tree, same
     // (cos desc, id asc) rank tiebreak the bounded heap uses

@@ -174,6 +174,9 @@ object SparkEntry {
     "dedup_semantic" -> (Similarity.dedupSemantic(_, _)),
     // similarity search (north-star extensions)
     "emb_topk"            -> (Similarity.embTopk(_, _)),
+    // MMR diversity re-rank over the top-C candidates: native greedy
+    // selection per query, 6-dp/tie-break deterministic
+    "emb_mmr_topk"        -> (graft.similarity.Mmr.embMmrTopk(_, _)),
     // knn GRAPH: top-k neighbors for EVERY vector (query set = corpus) —
     // exact by contract (the recall oracle for the LSH-bucketed variant)
     "emb_knn_graph"       -> (Similarity.embKnnGraph(_, _)),

@@ -18,7 +18,7 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_embedding", "dedup_embedding_045", "dedup_embedding_090",
     "dedup_embedding_lsh", "dedup_embedding_lsh_090",
     "emb_topk", "emb_quantized_topk", "emb_ivf_topk", "emb_knn_graph",
-    "emb_pq_topk",
+    "emb_pq_topk", "emb_mmr_topk",
     // k-means assignment: k tiny centroids broadcast x corpus scan
     "dedup_semantic",
     "a10_recent_distribution", "decontaminate", "tx_unigram_bits",
