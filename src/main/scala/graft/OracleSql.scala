@@ -173,6 +173,51 @@ object OracleSql {
     * appends its cut+rescore stages; `emb_pq_serve` (the persisted-
     * index serve twin) ranks `approx` directly.
     */
+  /** The greedy MMR loop as 8 chained CTE stages (shared by
+    * emb_mmr_topk and emb_mmr_serve — the two differ only in where the
+    * candidate relation `mce` (query_id, vec_id, rel, relu) and the
+    * pairwise relation `mpc` (query_id, d, sid, pcu) come from). Stage
+    * r's selection is ROW_NUMBER() = 1 under (score_e7 DESC, vec_id)
+    * with the score in EXACT integer 1e-7 units (7·rel_µ − 3·max_pc_µ,
+    * λ = 0.7; float scores of 6-dp inputs sit on half-rounding
+    * boundaries where engines' rounding legitimately diverges — see
+    * MmrSelect's scaladoc); stage 1 fixes the empty-set diversity term
+    * at 0, later stages use the TRUE max pairwise micro-cosine vs the
+    * selected set (inner join: mpc is complete over candidate pairs).
+    * MATERIALIZED hints stop exponential re-inlining of the chain.
+    */
+  private val mmrChainSql: String = {
+    val sel1 =
+      """,
+        |sel1 AS (SELECT query_id, vec_id, rel, 1::BIGINT AS rank, mmr_score_e7 FROM (
+        |  SELECT query_id, vec_id, rel, 7 * relu AS mmr_score_e7,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY 7 * relu DESC, vec_id) AS rn
+        |  FROM mce) WHERE rn = 1),
+        |selall1 AS MATERIALIZED (SELECT * FROM sel1)""".stripMargin
+    val stages = (2 to 8).map { r =>
+      s""",
+         |sel$r AS (SELECT query_id, vec_id, rel, $r::BIGINT AS rank, mmr_score_e7 FROM (
+         |  SELECT c.query_id, c.vec_id, c.rel,
+         |    7 * c.relu - 3 * mx.m AS mmr_score_e7,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY 7 * c.relu - 3 * mx.m DESC, c.vec_id) AS rn
+         |  FROM mce c
+         |  JOIN (SELECT mpc.query_id, mpc.d, max(mpc.pcu) AS m
+         |        FROM mpc JOIN selall${r - 1} s
+         |          ON s.query_id = mpc.query_id AND s.vec_id = mpc.sid
+         |        GROUP BY mpc.query_id, mpc.d) mx
+         |    ON mx.query_id = c.query_id AND mx.d = c.vec_id
+         |  LEFT JOIN selall${r - 1} sd
+         |    ON sd.query_id = c.query_id AND sd.vec_id = c.vec_id
+         |  WHERE sd.vec_id IS NULL) WHERE rn = 1),
+         |selall$r AS MATERIALIZED (SELECT * FROM selall${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }.mkString
+    sel1 + stages + """
+      |SELECT query_id, vec_id, rank, rel AS rel_cos, mmr_score_e7
+      |FROM selall8 ORDER BY query_id, rank""".stripMargin
+  }
+
   private val pqApproxCtes: String =
     """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
       |pc AS (SELECT CASE WHEN count(*) <= 512 THEN 100
@@ -1218,57 +1263,65 @@ object OracleSql {
     // at 0, later stages use the TRUE max pairwise micro-cosine vs the
     // selected set (inner join: pc is complete over candidate pairs).
     // MATERIALIZED hints stop exponential re-inlining of the chain.
-    "emb_mmr_topk" -> {
-      val head =
-        """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-          |  FROM embeddings WHERE vec_id < 10),
-          |p AS MATERIALIZED (SELECT q.query_id, e.vec_id,
-          |    round(list_dot_product(qe, e.embedding::DOUBLE[]) /
-          |      (sqrt(list_dot_product(qe, qe)) *
-          |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6)
-          |      AS rel
-          |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
-          |cand AS (SELECT query_id, vec_id, rel FROM (
-          |  SELECT query_id, vec_id, rel,
-          |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
-          |  FROM p) WHERE rn <= 24),
-          |ce AS MATERIALIZED (SELECT c.query_id, c.vec_id, c.rel,
-          |    CAST(round(c.rel * 1000000) AS BIGINT) AS relu,
-          |    e.embedding::DOUBLE[] AS emb
-          |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id),
-          |pc AS MATERIALIZED (SELECT a.query_id, a.vec_id AS d, b.vec_id AS sid,
-          |    CAST(round(list_dot_product(a.emb, b.emb) /
-          |      (sqrt(list_dot_product(a.emb, a.emb)) *
-          |       sqrt(list_dot_product(b.emb, b.emb))) * 1000000) AS BIGINT) AS pcu
-          |  FROM ce a JOIN ce b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
-          |sel1 AS (SELECT query_id, vec_id, rel, 1::BIGINT AS rank, mmr_score_e7 FROM (
-          |  SELECT query_id, vec_id, rel, 7 * relu AS mmr_score_e7,
-          |    row_number() OVER (PARTITION BY query_id
-          |      ORDER BY 7 * relu DESC, vec_id) AS rn
-          |  FROM ce) WHERE rn = 1),
-          |selall1 AS MATERIALIZED (SELECT * FROM sel1)""".stripMargin
-      val stages = (2 to 8).map { r =>
-        s""",
-           |sel$r AS (SELECT query_id, vec_id, rel, $r::BIGINT AS rank, mmr_score_e7 FROM (
-           |  SELECT c.query_id, c.vec_id, c.rel,
-           |    7 * c.relu - 3 * mx.m AS mmr_score_e7,
-           |    row_number() OVER (PARTITION BY c.query_id
-           |      ORDER BY 7 * c.relu - 3 * mx.m DESC, c.vec_id) AS rn
-           |  FROM ce c
-           |  JOIN (SELECT pc.query_id, pc.d, max(pc.pcu) AS m
-           |        FROM pc JOIN selall${r - 1} s
-           |          ON s.query_id = pc.query_id AND s.vec_id = pc.sid
-           |        GROUP BY pc.query_id, pc.d) mx
-           |    ON mx.query_id = c.query_id AND mx.d = c.vec_id
-           |  LEFT JOIN selall${r - 1} sd
-           |    ON sd.query_id = c.query_id AND sd.vec_id = c.vec_id
-           |  WHERE sd.vec_id IS NULL) WHERE rn = 1),
-           |selall$r AS MATERIALIZED (SELECT * FROM selall${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
-      }.mkString
-      head + stages + """
-        |SELECT query_id, vec_id, rank, rel AS rel_cos, mmr_score_e7
-        |FROM selall8 ORDER BY query_id, rank""".stripMargin
-    },
+    "emb_mmr_topk" -> (
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |p AS MATERIALIZED (SELECT q.query_id, e.vec_id,
+        |    round(list_dot_product(qe, e.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(qe, qe)) *
+        |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6)
+        |      AS rel
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |cand AS (SELECT query_id, vec_id, rel FROM (
+        |  SELECT query_id, vec_id, rel,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+        |  FROM p) WHERE rn <= 24),
+        |mce AS MATERIALIZED (SELECT c.query_id, c.vec_id, c.rel,
+        |    CAST(round(c.rel * 1000000) AS BIGINT) AS relu,
+        |    e.embedding::DOUBLE[] AS emb
+        |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id),
+        |mpc AS MATERIALIZED (SELECT a.query_id, a.vec_id AS d, b.vec_id AS sid,
+        |    CAST(round(list_dot_product(a.emb, b.emb) /
+        |      (sqrt(list_dot_product(a.emb, a.emb)) *
+        |       sqrt(list_dot_product(b.emb, b.emb))) * 1000000) AS BIGINT) AS pcu
+        |  FROM mce a JOIN mce b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id)""".stripMargin
+      + mmrChainSql),
+
+    // MMR served FROM the persisted PQ index: candidates are the
+    // SQ8-rescored top-24 of the ADC cut (the emb_pq_serve_sq8
+    // pipeline), and the PAIRWISE similarities also come from the
+    // index's SQ8 vectors — retrieve AND diversify without touching
+    // the embeddings table; then the same shared MMR chain
+    "emb_mmr_serve" -> (pqApproxCtes + """,
+        |cut AS (SELECT query_id, vec_id AS neighbor_id, pq_cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY pq_cos DESC, vec_id) AS r FROM approx) WHERE r <= 64),
+        |i8 AS MATERIALIZED (SELECT vec_id, qv,
+        |    sqrt(list_sum(list_transform(qv, v -> v * v))::DOUBLE) AS qn
+        |  FROM (SELECT vec_id, list_transform(emb, x ->
+        |      floor(x * (127.0 / list_max(list_transform(emb, y -> abs(y))))
+        |        + 0.5)::BIGINT) AS qv
+        |    FROM e)),
+        |resc8 AS (SELECT c.query_id, c.neighbor_id,
+        |    round(list_sum(list_transform(generate_series(1, len(a.qv)),
+        |      i -> a.qv[i] * b.qv[i]))::DOUBLE / (a.qn * b.qn), 6) AS q8_cos
+        |  FROM cut c
+        |  JOIN i8 a ON a.vec_id = c.query_id
+        |  JOIN i8 b ON b.vec_id = c.neighbor_id),
+        |mce AS MATERIALIZED (SELECT query_id, vec_id, rel,
+        |    CAST(round(rel * 1000000) AS BIGINT) AS relu FROM (
+        |  SELECT query_id, neighbor_id AS vec_id, q8_cos AS rel,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY q8_cos DESC, neighbor_id) AS rn
+        |  FROM resc8) WHERE rn <= 24),
+        |mpc AS MATERIALIZED (SELECT a.query_id, a.vec_id AS d, b.vec_id AS sid,
+        |    CAST(round(list_sum(list_transform(generate_series(1, len(ia.qv)),
+        |      i -> ia.qv[i] * ib.qv[i]))::DOUBLE / (ia.qn * ib.qn) * 1000000)
+        |      AS BIGINT) AS pcu
+        |  FROM mce a JOIN mce b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+        |  JOIN i8 ia ON ia.vec_id = a.vec_id
+        |  JOIN i8 ib ON ib.vec_id = b.vec_id)""".stripMargin
+      + mmrChainSql),
 
     // knn GRAPH: emb_topk with the query set = the whole corpus —
     // top-5 neighbors for every vector, same cosine tree, same

@@ -177,6 +177,9 @@ object SparkEntry {
     // MMR diversity re-rank over the top-C candidates: native greedy
     // selection per query, 6-dp/tie-break deterministic
     "emb_mmr_topk"        -> (graft.similarity.Mmr.embMmrTopk(_, _)),
+    // MMR from the persisted PQ index: candidates AND pairwise sims
+    // from index tables only — no embeddings scan on the serve side
+    "emb_mmr_serve"       -> (graft.store.AnnIndex.embMmrServe(_, _)),
     // knn GRAPH: top-k neighbors for EVERY vector (query set = corpus) —
     // exact by contract (the recall oracle for the LSH-bucketed variant)
     "emb_knn_graph"       -> (Similarity.embKnnGraph(_, _)),

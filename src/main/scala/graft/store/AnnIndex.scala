@@ -224,6 +224,34 @@ object AnnIndex {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Diversity-re-ranked serve: MMR over the SQ8-rescored candidate
+    * cut, with the PAIRWISE similarities ALSO computed from the
+    * index's own SQ8 table — so the whole retrieve→diversify chain is
+    * embeddings-free (the property of this query family), and the
+    * diversity stage reuses `MmrSelectExpr`'s exact-integer scoring
+    * unchanged (the expression derives its norms from the vectors it
+    * is handed; handing it SQ8 integer vectors reproduces the stored
+    * `qn` norms bit-for-bit).
+    */
+  def servePqMmr(spark: SparkSession, root: String, queries: DataFrame,
+      c: Int = 24, k: Int = 8): DataFrame = {
+    val cand = servePqTopkSq8(spark, root, queries, k = c)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"),
+        col("q8_cos").as("rel"))
+    val v8 = spark.read.parquet(s"$root/vecs8")
+      .select(col("vec_id"),
+        transform(col("qv8"), v => v.cast(DoubleType)).as("emb"))
+    v8.join(broadcast(cand), Seq("vec_id"))
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("vec_id"), col("rel"), col("emb"))).as("cands"))
+      .select(col("query_id"),
+        explode(graft.similarity.Mmr.mmrSelect(col("cands"), k, 7, 3)).as("m"))
+      .select(col("query_id"), col("m.vec_id").as("vec_id"),
+        col("m.rank").as("rank"), col("m.rel_cos").as("rel_cos"),
+        col("m.mmr_score_e7").as("mmr_score_e7"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // --------------------------------------------------------------- IVF
 
   def buildIvf(emb: DataFrame, path: String, lloydIters: Int = 2): Unit = {
@@ -535,6 +563,13 @@ object AnnIndex {
     val root = indexRoot(s, dir, "pq", emb.count())
     ensureBuilt(s, root)(staging => buildPq(emb, staging))
     servePqTopkSq8(s, root.toString, queryLiterals(s, dir), k)
+  }
+
+  def embMmrServe(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val root = indexRoot(s, dir, "pq", emb.count())
+    ensureBuilt(s, root)(staging => buildPq(emb, staging))
+    servePqMmr(s, root.toString, queryLiterals(s, dir), k = k)
   }
 
   def embIvfServe(s: SparkSession, dir: String, k: Int = 5,

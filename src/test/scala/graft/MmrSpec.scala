@@ -103,6 +103,21 @@ class MmrSpec extends SparkSpec {
     assert(got.size == 3 && got.map(_._3) == Seq(1L, 2L, 3L))
   }
 
+  test("emb_mmr_serve: embeddings-free plan, plausible overlap with exact MMR") {
+    val df = SparkEntry.queries("emb_mmr_serve")(spark, Sf0001)
+    assert(!df.queryExecution.executedPlan.toString.contains("embeddings.parquet"),
+      "serve-side MMR plan must not scan the embeddings table")
+    val served = df.collect()
+    assert(served.length == 80)
+    // quantized retrieval + quantized diversity should still mostly
+    // agree with the exact path — a recall floor, not equality
+    val exact = SparkEntry.queries("emb_mmr_topk")(spark, Sf0001).collect()
+    def keys(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (keys(served) & keys(exact)).size.toDouble / 80
+    assert(overlap >= 0.5, s"served/exact MMR overlap $overlap")
+  }
+
   test("registered emb_mmr_topk: 8 diverse rows per query at sf0.001") {
     val df = SparkEntry.queries("emb_mmr_topk")(spark, Sf0001)
     val rows = df.collect()
