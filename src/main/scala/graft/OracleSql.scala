@@ -368,6 +368,21 @@ object OracleSql {
     derived
   }
 
+  /** `emb_ivf_cell_stats` (store.AnnIndex.embIvfCellStats): the IVF
+    * training chain up to the full-corpus assignment `af`, then a
+    * plain per-cell census — population and corpus share.
+    */
+  private val ivfCellStatsSql: String = {
+    val qIdx = ivfTopkSql.indexOf("q AS (SELECT vec_id AS query_id")
+    require(qIdx > 0, "cell-stats: ivf anchor missing")
+    ivfTopkSql.substring(0, qIdx) +
+      """sizes AS (SELECT cell::BIGINT AS cell, count(*)::BIGINT AS n_vecs
+        |  FROM af GROUP BY cell)
+        |SELECT cell, n_vecs,
+        |  round(n_vecs / (SELECT count(*)::DOUBLE FROM embeddings), 6) AS share
+        |FROM sizes ORDER BY cell""".stripMargin
+  }
+
   /** `emb_ivfpq_serve` (store.AnnIndex.buildIvfPq/serveIvfPqTopk):
     * the COMPOSED index — coarse IVF routing over PQ codes. Assembled
     * from the two proven chains: the IVF training CTEs (e..af) and
@@ -1502,6 +1517,30 @@ object OracleSql {
         |      ORDER BY q8_cos DESC, neighbor_id)::BIGINT AS rank
         |  FROM resc8)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // RECALL AUDIT (store.AnnIndex.embPqRecall): per-query recall@5 of
+    // the persisted PQ serve against the exact scan — the ADC top-5
+    // from the shared PQ chain, the exact top-5 from the corpus, and a
+    // left-join census of the overlap
+    "emb_pq_recall" -> (pqApproxCtes + """,
+        |pqtop AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY pq_cos DESC, vec_id) AS r FROM approx) WHERE r <= 5),
+        |ex AS (SELECT query_id, vec_id FROM (
+        |  SELECT q.query_id, x.vec_id, row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY round(list_dot_product(q.qe, x.emb) /
+        |        (sqrt(list_dot_product(q.qe, q.qe)) *
+        |         sqrt(list_dot_product(x.emb, x.emb))), 6) DESC, x.vec_id) AS r
+        |  FROM e x CROSS JOIN q WHERE x.vec_id <> q.query_id) WHERE r <= 5)
+        |SELECT ex.query_id, count(p.vec_id)::BIGINT AS hits,
+        |  round(count(p.vec_id) / 5.0, 6) AS recall
+        |FROM ex LEFT JOIN pqtop p
+        |  ON p.query_id = ex.query_id AND p.vec_id = ex.vec_id
+        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin),
+
+    // IVF introspection (store.AnnIndex.embIvfCellStats): per-cell
+    // population + corpus share from the trained assignment
+    "emb_ivf_cell_stats" -> ivfCellStatsSql,
 
     // SemDeDup: the SAME two unrolled Lloyd rounds as the IVF oracle
     // (6-dp rounds, ties to lowest cell), trained on the hash-sample

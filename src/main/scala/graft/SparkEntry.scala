@@ -214,6 +214,11 @@ object SparkEntry {
     // codes (the FAISS IVFPQ layout) — probe prunes to nprobe code
     // partitions, ADC reads nibbles, no float vector touched at serve
     "emb_ivfpq_serve"     -> (graft.store.AnnIndex.embIvfPqServe(_, _)),
+    // recall@5 audit of the PQ serve vs the exact scan (index-quality
+    // monitoring — the measurement of the 64×-compression trade) and
+    // the per-cell census of the IVF lists (the skew dial's gauge)
+    "emb_pq_recall"       -> (graft.store.AnnIndex.embPqRecall(_, _)),
+    "emb_ivf_cell_stats"  -> (graft.store.AnnIndex.embIvfCellStats(_, _)),
     "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),
     "emb_norms"           -> (Similarity.embNorms(_, _)),
     "emb_lsh_buckets"     -> (Similarity.embLshBuckets(_, _)),

@@ -572,6 +572,53 @@ object AnnIndex {
     servePqMmr(s, root.toString, queryLiterals(s, dir), k = k)
   }
 
+  /** RECALL AUDIT — the index-quality gauge a production ANN
+    * deployment monitors continuously: recall@k of the persisted PQ
+    * serve against the exact scan, per query. Compression (8-nibble
+    * codes) trades accuracy for a 64× smaller scan; this query is the
+    * measurement of that trade, and the alarm wire for codebook drift
+    * after appends. At 100 TB the exact side runs over a SAMPLED
+    * query panel (here: the same 10-query panel every serve uses) —
+    * the audit's cost is q×n exact work for a small fixed q, never
+    * corpus-quadratic. Both inputs are individually hash-certified
+    * pipelines; the join of the two is queries×k rows.
+    */
+  def embPqRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = Similarity.embTopk(s, dir, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val served = embPqServe(s, dir, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(served, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  /** IVF INTROSPECTION — the monitoring surface for the skew dial
+    * (`serveIvfPqTopk`'s scaladoc: chronic cell skew is countered at
+    * build time via the cell-count ladder; this is the query that
+    * SHOWS the skew): per-cell list population and corpus share, read
+    * from the index's own lists table — embeddings-free like every
+    * serve, and O(cells) output. The L9 table-introspection twin for
+    * the ANN store.
+    */
+  def embIvfCellStats(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val n = emb.count()
+    val root = indexRoot(s, dir, "ivf", n)
+    ensureBuilt(s, root)(staging => buildIvf(emb, staging))
+    s.read.parquet(s"${root.toString}/lists")
+      .groupBy(col("cell").cast(LongType).as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs") / lit(n.toDouble), 6).as("share"))
+      .orderBy(col("cell"))
+  }
+
   def embIvfServe(s: SparkSession, dir: String, k: Int = 5,
       nprobe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(s, dir)

@@ -234,6 +234,41 @@ class AnnIndexSpec extends SparkSpec {
     assert(beforeIds.subsetOf(afterIds))
   }
 
+  test("recall audit: one row per query, hits consistent with recall, sane floor") {
+    val rows = AnnIndex.embPqRecall(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSeq == (0L until 10L))
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("hits")
+      val recall = r.getAs[Double]("recall")
+      assert(hits >= 0 && hits <= 5)
+      assert(math.abs(recall - hits / 5.0) < 1e-9)
+    }
+    // ADC over full-sample-trained codebooks must beat chance by a
+    // wide margin: random top-5 of n≈200 would average recall ~0.025;
+    // the floor only a working index clears (measured: 0.22 on the
+    // sf0.001 fixture — near-uniform synthetic embeddings are PQ's
+    // worst case, which is precisely what this audit is for)
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean >= 0.1, s"mean recall@5 $mean below floor")
+  }
+
+  test("cell stats: census covers the corpus exactly, shares sum to 1") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val n = emb.count()
+    val rows = AnnIndex.embIvfCellStats(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == n)
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    // 16 label-seeded cells at this scale; every cell non-empty is not
+    // guaranteed, but the census must never exceed the seed count
+    assert(rows.length <= 16 && rows.length >= 2)
+    // embeddings-free read: the census comes from the lists table
+    val plan = AnnIndex.embIvfCellStats(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      "cell census scans the corpus instead of the index")
+  }
+
   test("coarser-modulus rung ladder: pct ladder at gate scales, sub-1% beyond") {
     import Similarity.{trainSamplePct, trainSampleRung}
     // gate scales: exactly the pct ladder on modulus 100
