@@ -368,6 +368,27 @@ object OracleSql {
     derived
   }
 
+  /** Shared recall-census tail (`emb_pq_recall` / `emb_ivfpq_recall`):
+    * top-5 of the preceding chain's `approx` relation (ADC cosine,
+    * ties to lowest id), the exact top-5 from e×q, and a left-join
+    * overlap census — hits and recall per query.
+    */
+  private val recallTailSql: String =
+    """pqtop AS (SELECT query_id, vec_id FROM (
+      |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY pq_cos DESC, vec_id) AS r FROM approx) WHERE r <= 5),
+      |ex AS (SELECT query_id, vec_id FROM (
+      |  SELECT q.query_id, x.vec_id, row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY round(list_dot_product(q.qe, x.emb) /
+      |        (sqrt(list_dot_product(q.qe, q.qe)) *
+      |         sqrt(list_dot_product(x.emb, x.emb))), 6) DESC, x.vec_id) AS r
+      |  FROM e x CROSS JOIN q WHERE x.vec_id <> q.query_id) WHERE r <= 5)
+      |SELECT ex.query_id, count(p.vec_id)::BIGINT AS hits,
+      |  round(count(p.vec_id) / 5.0, 6) AS recall
+      |FROM ex LEFT JOIN pqtop p
+      |  ON p.query_id = ex.query_id AND p.vec_id = ex.vec_id
+      |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
   /** `emb_ivf_cell_stats` (store.AnnIndex.embIvfCellStats): the IVF
     * training chain up to the full-corpus assignment `af`, then a
     * plain per-cell census — population and corpus share.
@@ -442,6 +463,15 @@ object OracleSql {
         |      ORDER BY pq_cos DESC, vec_id)::BIGINT AS rank
         |  FROM approx)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** `emb_ivfpq_recall`: the full IVFPQ serve chain with its final
+    * top-5 select swapped for the shared recall-census tail.
+    */
+  private val ivfPqRecallSql: String = {
+    val cut = ivfPqServeSql.lastIndexOf("SELECT * FROM (")
+    require(cut > 0, "ivfpq-recall: final-select anchor missing")
+    ivfPqServeSql.substring(0, cut).stripTrailing() + ",\n" + recallTailSql
   }
 
   val textOracles: Map[String, String] = Map(
@@ -1522,21 +1552,13 @@ object OracleSql {
     // the persisted PQ serve against the exact scan — the ADC top-5
     // from the shared PQ chain, the exact top-5 from the corpus, and a
     // left-join census of the overlap
-    "emb_pq_recall" -> (pqApproxCtes + """,
-        |pqtop AS (SELECT query_id, vec_id FROM (
-        |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY pq_cos DESC, vec_id) AS r FROM approx) WHERE r <= 5),
-        |ex AS (SELECT query_id, vec_id FROM (
-        |  SELECT q.query_id, x.vec_id, row_number() OVER (PARTITION BY q.query_id
-        |      ORDER BY round(list_dot_product(q.qe, x.emb) /
-        |        (sqrt(list_dot_product(q.qe, q.qe)) *
-        |         sqrt(list_dot_product(x.emb, x.emb))), 6) DESC, x.vec_id) AS r
-        |  FROM e x CROSS JOIN q WHERE x.vec_id <> q.query_id) WHERE r <= 5)
-        |SELECT ex.query_id, count(p.vec_id)::BIGINT AS hits,
-        |  round(count(p.vec_id) / 5.0, 6) AS recall
-        |FROM ex LEFT JOIN pqtop p
-        |  ON p.query_id = ex.query_id AND p.vec_id = ex.vec_id
-        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin),
+    "emb_pq_recall" -> (pqApproxCtes + ",\n" + recallTailSql),
+
+    // composed-index recall audit (store.AnnIndex.embIvfPqRecall):
+    // same census over the IVFPQ serve's approx chain — routing loss
+    // (nprobe misses) compounds PQ's compression loss, so this is the
+    // number that prices the nprobe dial
+    "emb_ivfpq_recall" -> ivfPqRecallSql,
 
     // IVF introspection (store.AnnIndex.embIvfCellStats): per-cell
     // population + corpus share from the trained assignment

@@ -218,6 +218,7 @@ object SparkEntry {
     // monitoring — the measurement of the 64×-compression trade) and
     // the per-cell census of the IVF lists (the skew dial's gauge)
     "emb_pq_recall"       -> (graft.store.AnnIndex.embPqRecall(_, _)),
+    "emb_ivfpq_recall"    -> (graft.store.AnnIndex.embIvfPqRecall(_, _)),
     "emb_ivf_cell_stats"  -> (graft.store.AnnIndex.embIvfCellStats(_, _)),
     "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),
     "emb_norms"           -> (Similarity.embNorms(_, _)),

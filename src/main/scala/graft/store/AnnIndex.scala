@@ -583,11 +583,26 @@ object AnnIndex {
     * corpus-quadratic. Both inputs are individually hash-certified
     * pipelines; the join of the two is queries×k rows.
     */
-  def embPqRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val exact = Similarity.embTopk(s, dir, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val served = embPqServe(s, dir, k)
-      .select(col("query_id"), col("neighbor_id"))
+  def embPqRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallCensus(Similarity.embTopk(s, dir, k), embPqServe(s, dir, k), k)
+
+  /** The composed-index audit: the IVFPQ serve misses in TWO ways —
+    * routing loss (true neighbor lives outside the nprobe probed
+    * cells) on top of PQ's compression loss — so its recall is the
+    * operationally interesting one: it prices the nprobe dial.
+    */
+  def embIvfPqRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallCensus(Similarity.embTopk(s, dir, k), embIvfPqServe(s, dir, k), k)
+
+  /** Per-query overlap census of a served top-k against the exact
+    * top-k: hits = |exact ∩ served|, recall = hits/k. Both inputs are
+    * queries×k rows — the census itself is control-plane-sized
+    * whatever the corpus.
+    */
+  private def recallCensus(exact0: DataFrame, served0: DataFrame,
+      k: Int): DataFrame = {
+    val exact = exact0.select(col("query_id"), col("neighbor_id"))
+    val served = served0.select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(served, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
     exact.select(col("query_id")).distinct()

@@ -250,6 +250,15 @@ class AnnIndexSpec extends SparkSpec {
     // worst case, which is precisely what this audit is for)
     val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
     assert(mean >= 0.1, s"mean recall@5 $mean below floor")
+    // the composed-index audit adds routing loss on top; structurally
+    // identical census, no monotonicity contract vs plain PQ (pruning
+    // non-neighbor candidates can RAISE a query's recall)
+    val ivfpq = AnnIndex.embIvfPqRecall(spark, Sf0001).collect()
+    assert(ivfpq.map(_.getAs[Long]("query_id")).toSeq == (0L until 10L))
+    ivfpq.foreach { r =>
+      assert(math.abs(r.getAs[Double]("recall") -
+        r.getAs[Long]("hits") / 5.0) < 1e-9)
+    }
   }
 
   test("cell stats: census covers the corpus exactly, shares sum to 1") {
