@@ -1,0 +1,92 @@
+package graft.tools
+
+import graft.Tables
+import graft.similarity.{Similarity, TopKByCos}
+import graft.store.AnnIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Dev tool: the IVFPQ OPERATING CURVE — mean recall@5 and serve wall
+  * time as nprobe sweeps 1..8, against the full-ADC PQ serve as the
+  * no-routing reference. This is the measured version of the dial the
+  * registered `emb_ivfpq_recall` audit prices at a single point: a
+  * production deployment picks nprobe by exactly this curve (recall
+  * rises toward the PQ ceiling as probes widen; serve cost rises
+  * ~linearly in probed-cell mass).
+  *
+  * Panel: the first 100 vectors (10× the registered audit's panel) so
+  * the means carry some statistical weight. Output feeds the
+  * recall-curve table in COVERAGE.md.
+  */
+object ProfileRecall {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val panel = Similarity.materializeSmall(
+      emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+
+    // exact top-5 for the panel (the recall denominator), once
+    val topk = udaf(new TopKByCos(5))
+    val exact = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(broadcast(panel))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("cos")).as("nbrs"))
+      .select(col("query_id"), explode(col("nbrs")).as("nbr"))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"))
+      .cache()
+    exact.count()
+
+    def meanRecall(served: DataFrame): Double = {
+      val hits = exact
+        .join(served.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      val m = exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .agg(avg(coalesce(col("h"), lit(0L)).cast(LongType) / lit(5.0)))
+        .head.getDouble(0)
+      math.rint(m * 1000) / 1000
+    }
+
+    val pqRoot = java.nio.file.Files
+      .createTempDirectory("profrecall_pq").toString + "/idx"
+    val ivfpqRoot = java.nio.file.Files
+      .createTempDirectory("profrecall_ivfpq").toString + "/idx"
+    val tBuildPq = timed(AnnIndex.buildPq(emb, pqRoot))
+    val tBuildIvfPq = timed(AnnIndex.buildIvfPq(emb, ivfpqRoot))
+    println(f"n=$n  build: pq=$tBuildPq%.1f s  ivfpq=$tBuildIvfPq%.1f s")
+
+    // no-routing reference: the full-ADC PQ serve (= the recall ceiling
+    // any nprobe sweep converges to)
+    val pqServe = AnnIndex.servePqTopk(spark, pqRoot, panel)
+    val tPq = Seq.fill(3)(timed(noop(pqServe))).min
+    println(f"pq-adc   (all cells)  recall@5=${meanRecall(pqServe)}%.3f  t=$tPq%6.2f s")
+
+    for (nprobe <- Seq(1, 2, 4, 8)) {
+      val served = AnnIndex.serveIvfPqTopk(spark, ivfpqRoot, panel,
+        k = 5, nprobe = nprobe)
+      val t = Seq.fill(3)(timed(noop(served))).min
+      println(f"ivfpq    nprobe=$nprobe%-2d    recall@5=${meanRecall(served)}%.3f  t=$t%6.2f s")
+    }
+    spark.stop()
+  }
+}
