@@ -19,6 +19,9 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_embedding_lsh", "dedup_embedding_lsh_090",
     "emb_topk", "emb_quantized_topk", "emb_ivf_topk", "emb_knn_graph",
     "emb_pq_topk", "emb_mmr_topk",
+    // recall audits embed the exact broadcast-query × corpus scan as
+    // their denominator (the audit's sampled-panel cost, q×n by design)
+    "emb_pq_recall", "emb_ivfpq_recall",
     // k-means assignment: k tiny centroids broadcast x corpus scan
     "dedup_semantic",
     "a10_recent_distribution", "decontaminate", "tx_unigram_bits",
