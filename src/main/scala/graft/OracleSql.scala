@@ -662,6 +662,32 @@ object OracleSql {
          |FROM c, tot WHERE c.cnt * 100 > tot.n_total * 1
          |ORDER BY cnt DESC, tok""".stripMargin,
 
+    // Count-Min point frequency: the deterministic d=4 × w=1024 counter
+    // matrix replayed cell-for-cell (cell (i, hash60('cm'||i||':'||tok)
+    // % w) holds the total count of tokens hashing there), probed for
+    // the exact top-10 heavy hitters; estimate = min over the 4 rows
+    "tx_freq_cm" ->
+      s"""WITH $toksCte,
+         |alltok AS (SELECT unnest(toks) AS tok FROM t),
+         |tc AS (SELECT tok, count(*)::BIGINT AS c FROM alltok GROUP BY tok),
+         |tot AS (SELECT sum(c)::BIGINT AS n FROM tc),
+         |probe AS (SELECT tok, c AS exact_n FROM tc, tot
+         |  WHERE c * 100 > n * 1 ORDER BY c DESC, tok LIMIT 10),
+         |cells AS (SELECT g.i AS i,
+         |    ('0x' || substr(md5('cm' || g.i || ':' || tok), 1, 15))::BIGINT
+         |      % 1024 AS cell,
+         |    sum(c)::BIGINT AS total
+         |  FROM tc CROSS JOIN generate_series(0, 3) g(i)
+         |  GROUP BY g.i, cell),
+         |est AS (SELECT p.tok, p.exact_n, min(cl.total)::BIGINT AS cm_est
+         |  FROM probe p CROSS JOIN generate_series(0, 3) gg(i)
+         |  JOIN cells cl ON cl.i = gg.i AND cl.cell =
+         |    ('0x' || substr(md5('cm' || gg.i || ':' || p.tok), 1, 15))::BIGINT
+         |      % 1024
+         |  GROUP BY p.tok, p.exact_n)
+         |SELECT tok, exact_n, cm_est, cm_est - exact_n AS overcount
+         |FROM est ORDER BY exact_n DESC, tok""".stripMargin,
+
     // grouped heavy hitters: per-source GROUP BY with the 3% integer
     // threshold — the per-group MG guarantee (undercount <= group
     // total / 256) makes the Spark side's exact-filtered output equal

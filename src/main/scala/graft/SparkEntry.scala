@@ -100,6 +100,10 @@ object SparkEntry {
     // candidates only — no full-vocabulary shuffle
     "tx_heavy_hitters" -> (TX.txHeavyHitters(_, _)),
     "tx_heavy_hitters_by_source" -> (TX.txHeavyHittersBySource(_, _)),
+    // Count-Min point-frequency estimates certified against exact
+    // counts (fixed hash rows -> the counter matrix is deterministic,
+    // so the estimates themselves are full-hash oracle'd)
+    "tx_freq_cm" -> (TX.txFreqCm(_, _)),
     // fixed-window chunking with overlap (context-window prep) and
     // per-doc TF-IDF keyword extraction (search/tagging surface)
     "tx_chunk"    -> (TX.txChunk(_, _)),

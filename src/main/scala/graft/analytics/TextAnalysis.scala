@@ -450,6 +450,40 @@ object TextAnalysis {
       .orderBy(col("source"), col("cnt").desc, col("tok"))
   }
 
+  /** Count-Min point-frequency estimates, certified against exact
+    * counts — the frequency-QUERY member of the sketch family (MG
+    * yields the candidate set; CM answers "how common is x" for any x
+    * after one summarizing pass). The d×w counter matrix aggregates in
+    * ONE partial-aggregated pass with O(d·w) task state and no
+    * vocabulary shuffle; the probe panel is the exact top-10 heavy
+    * hitters (themselves two-pass MG, so the whole query never
+    * shuffles the vocabulary). Because the hash rows are fixed
+    * (hash60, the repo-wide md5 prefix), the sketch is a deterministic
+    * function of the token multiset and the DuckDB oracle replays it
+    * cell-for-cell: the CM guarantee (cm_est ≥ exact, overcount small)
+    * is full-hash certified rather than band-certified.
+    */
+  def txFreqCm(s: SparkSession, dir: String): DataFrame =
+    txFreqCmDf(Tables.documents(s, dir))
+
+  def txFreqCmDf(docs: DataFrame, d: Int = 4, w: Int = 1024): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("tok"))
+    val sk = toks.agg(
+      graft.functions.CountMin.countMin(col("tok"), d, w).as("sk"))
+    val probe = txHeavyHittersDf(docs).limit(10)
+      .select(col("tok"), col("cnt").as("exact_n"))
+    val ests = (0 until d).map { i =>
+      element_at(col("sk"),
+        (lit(i * w) + pmod(graft.functions.TextFunctions.hash60(
+          concat(lit(s"cm$i:"), col("tok"))), lit(w.toLong)))
+          .cast(IntegerType) + 1)
+    }
+    probe.crossJoin(broadcast(sk))
+      .select(col("tok"), col("exact_n"), least(ests: _*).as("cm_est"))
+      .withColumn("overcount", col("cm_est") - col("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok"))
+  }
+
   /** The composite quality GATE (the C4/Gopher-style keep/drop decision
     * that sits downstream of the individual signals): every document
     * gets a keep flag and the FIRST failing rule as its drop reason —

@@ -132,4 +132,54 @@ class HeavyHittersSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(got == exactHeavy(toks, pct = 1))
   }
+
+  // ---- Count-Min: the point-frequency sibling of the MG candidate set
+
+  test("count-min never undercounts; every hash row conserves total mass") {
+    val (d, w) = (4, 256)
+    val docs = genDocs(seed = 77, vocab = 2000, nTokens = 30000, docs = 40)
+    val df = docs.toDF("doc_id", "text").repartition(7)
+    val toks = df.select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val sk = toks.agg(graft.functions.CountMin.countMin(col("tok"), d, w))
+      .head.getSeq[Long](0).toArray
+    assert(sk.length == d * w)
+    val exact = docs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = exact.values.sum
+    (0 until d).foreach { i =>
+      assert(sk.slice(i * w, (i + 1) * w).sum == n,
+        s"hash row $i does not conserve mass")
+    }
+    exact.foreach { case (tok, c) =>
+      val est = (0 until d).map { i =>
+        sk(i * w + (graft.functions.TextHash.hash60(s"cm$i:$tok") % w).toInt)
+      }.min
+      assert(est >= c, s"CM undercounts $tok: est=$est exact=$c")
+    }
+  }
+
+  test("count-min is partitioning-invariant (mergeable matrix)") {
+    val docs = genDocs(seed = 91, vocab = 500, nTokens = 8000, docs = 16)
+      .toDF("doc_id", "text")
+    def matrixOf(parts: Int): Seq[Long] = docs.repartition(parts)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .agg(graft.functions.CountMin.countMin(col("tok"), 4, 128))
+      .head.getSeq[Long](0)
+    assert(matrixOf(1) == matrixOf(13))
+  }
+
+  test("tx_freq_cm: panel = top-10 heavy hitters, overcount >= 0 everywhere") {
+    val rows = TextAnalysis.txFreqCm(spark, Sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("exact_n"))
+      assert(r.getAs[Long]("overcount") ==
+        r.getAs[Long]("cm_est") - r.getAs[Long]("exact_n"))
+    }
+    val panel = TextAnalysis.txHeavyHitters(spark, Sf0001).limit(10)
+      .select(col("tok")).as[String].collect().toSet
+    assert(rows.map(_.getAs[String]("tok")).toSet == panel)
+  }
 }

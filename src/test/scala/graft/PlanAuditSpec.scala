@@ -28,7 +28,9 @@ class PlanAuditSpec extends SparkSpec {
     "tx_keywords", "a6_sketch_merge",
     // 1-row scalar cross joins (broadcast max_ts / dup-count /
     // merged-sketch-estimate scalars)
-    "o1_recent_readings", "l8_integrity", "a6_quantile_merge")
+    "o1_recent_readings", "l8_integrity", "a6_quantile_merge",
+    // 1-row sketch matrix broadcast against the 10-row probe panel
+    "tx_freq_cm")
 
   test("no registered query plans a CartesianProduct; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
