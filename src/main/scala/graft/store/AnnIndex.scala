@@ -506,19 +506,93 @@ object AnnIndex {
       .write.mode("append").parquet(s"$root/vnorms")
   }
 
-  def appendPq(newEmb: DataFrame, root: String): Unit = {
+  /** The three delta relations a PQ append produces — codes from the
+    * frozen codebooks, their reconstruction norms, the SQ8 rescore
+    * rows — shared by the one-shot append and the streaming sink.
+    */
+  private def pqDelta(newEmb: DataFrame,
+      root: String): Seq[(String, DataFrame)] = {
     val spark = newEmb.sparkSession
     val cw = Similarity.materializeSmall(
       spark.read.parquet(s"$root/codebooks"))
     val codes = Similarity.pqAssign(
       newEmb.select(col("vec_id"), col("embedding")), cw)
-    codes.write.mode("append").parquet(s"$root/codes")
-    codes.join(broadcast(cw), Seq("s", "code"))
-      .groupBy(col("vec_id"))
-      .agg(sqrt(sum(Similarity.dot(col("cw"), col("cw")))).as("vnorm"))
-      .write.mode("append").parquet(s"$root/vnorms")
-    sq8Of(newEmb).write.mode("append").parquet(s"$root/vecs8")
+    Seq(
+      "codes" -> codes,
+      "vnorms" -> codes.join(broadcast(cw), Seq("s", "code"))
+        .groupBy(col("vec_id"))
+        .agg(sqrt(sum(Similarity.dot(col("cw"), col("cw")))).as("vnorm")),
+      "vecs8" -> sq8Of(newEmb))
   }
+
+  def appendPq(newEmb: DataFrame, root: String): Unit =
+    pqDelta(newEmb, root).foreach { case (sub, df) =>
+      df.write.mode("append").parquet(s"$root/$sub")
+    }
+
+  /** EXACTLY-ONCE batch append — the micro-batch form of `appendPq`
+    * for at-least-once delivery (foreachBatch replays a failed batch):
+    * the plain append is NOT idempotent (a replay would double-code
+    * the delta), so each batch commits under the same marker +
+    * rollback-by-file-prefix discipline as the keyed event sink
+    * (`Streams.commitBatch`): a `_committed/batch-N` marker
+    * short-circuits a fully committed replay; otherwise any files a
+    * crashed promote left under this batch's prefix are rolled back
+    * UNCONDITIONALLY, the delta is re-staged, its part-files promoted
+    * into the live dirs under the `batchN-` prefix, and the marker
+    * written last. Serve never needs quiescence: readers see either
+    * none or all of a batch's files plus possibly a torn prefix that
+    * the next replay removes — the same visibility contract the event
+    * sink documents.
+    */
+  def appendPqBatch(newEmb: DataFrame, root: String, batchId: Long): Unit = {
+    val spark = newEmb.sparkSession
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$root/_committed/batch-$batchId")
+    if (fs.exists(marker)) return
+    val prefix = s"batch$batchId-"
+    val subs = Seq("codes", "vnorms", "vecs8")
+    // rollback: a previous attempt's partial promote, by prefix
+    subs.foreach { sub =>
+      val dir = new Path(s"$root/$sub")
+      if (fs.exists(dir))
+        fs.listStatus(dir).filter(_.getPath.getName.startsWith(prefix))
+          .foreach(st => fs.delete(st.getPath, false))
+    }
+    val staging = new Path(s"$root/_staging/batch-$batchId")
+    fs.delete(staging, true)
+    pqDelta(newEmb, root).foreach { case (sub, df) =>
+      df.write.parquet(s"$staging/$sub")
+      val dest = new Path(s"$root/$sub")
+      fs.mkdirs(dest)
+      fs.listStatus(new Path(s"$staging/$sub"))
+        .filter { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        .foreach { st =>
+          fs.rename(st.getPath, new Path(dest, prefix + st.getPath.getName))
+        }
+    }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    fs.delete(staging, true)
+  }
+
+  /** STREAMING INDEX MAINTENANCE — the shape a 100 TB deployment
+    * actually runs: the daily/hourly embedding delta arrives as a
+    * stream and the persisted index absorbs it micro-batch by
+    * micro-batch, exactly once, with the quantizers frozen (appends
+    * assign; retraining is a rebuild). Each micro-batch costs one
+    * narrow assignment scan of its delta — the corpus is never
+    * re-read, and serve stays available throughout.
+    */
+  def startPqAppendSink(stream: DataFrame, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) => appendPqBatch(b, root, id))
+      .start()
 
   // ------------------------------------------------- registered queries
 

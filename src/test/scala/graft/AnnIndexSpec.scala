@@ -234,6 +234,55 @@ class AnnIndexSpec extends SparkSpec {
     assert(beforeIds.subsetOf(afterIds))
   }
 
+  test("streaming delta maintains the PQ index: exactly-once under replay and torn promote") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val n = emb.count()
+    val half = n / 2
+    val base = emb.filter(col("vec_id") < half)
+    val delta = emb.filter(col("vec_id") >= half)
+    val root = tmpRoot("stream")
+    AnnIndex.buildPq(base, root)
+    // reference: the certified one-shot append onto an identical base
+    val refRoot = tmpRoot("streamref")
+    AnnIndex.buildPq(base, refRoot)
+    AnnIndex.appendPq(delta, refRoot)
+    // the delta arrives as a real stream (file source -> foreachBatch)
+    val deltaDir = java.nio.file.Files.createTempDirectory("pq_delta")
+      .toString + "/files"
+    delta.write.parquet(deltaDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("pq_ckpt").toString
+    val q = AnnIndex.startPqAppendSink(
+      spark.readStream.schema(emb.schema).parquet(deltaDir), root, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val qdf = queryLits(Sf0001)
+    assert(AnnIndex.servePqTopk(spark, root, qdf).collect().toSeq ==
+      AnnIndex.servePqTopk(spark, refRoot, qdf).collect().toSeq)
+    // at-least-once replay of the stream's batch: marker short-circuits
+    AnnIndex.appendPqBatch(delta, root, 0L)
+    val codeIds = spark.read.parquet(s"$root/codes")
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
+    assert(codeIds.count() == n, "replayed batch double-coded the delta")
+    assert(codeIds.filter(col("c") =!= 8).count() == 0)
+    // torn promote: commit an extra batch, crash between promote and
+    // marker (simulated by deleting the marker), replay — rollback by
+    // prefix must leave each vector coded exactly once
+    val extra = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 90001L).as("vec_id"), col("label"),
+        col("embedding"))
+    AnnIndex.appendPqBatch(extra, root, 1L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_committed/batch-1"), false)
+    AnnIndex.appendPqBatch(extra, root, 1L)
+    val extraCodes = spark.read.parquet(s"$root/codes")
+      .filter(col("vec_id") >= 90001L)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
+    assert(extraCodes.count() == 3 &&
+      extraCodes.filter(col("c") =!= 8).count() == 0,
+      "torn-promote replay left duplicate or missing codes")
+  }
+
   test("recall audit: one row per query, hits consistent with recall, sane floor") {
     val rows = AnnIndex.embPqRecall(spark, Sf0001).collect()
     assert(rows.map(_.getAs[Long]("query_id")).toSeq == (0L until 10L))
