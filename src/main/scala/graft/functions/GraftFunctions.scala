@@ -79,6 +79,23 @@ object GraftFunctions {
       "graft_minhash_sig(elems, k) - k-function MinHash signature (k literal)") {
       case Seq(t, k) => MinHashSigExpr(t, intLit("graft_minhash_sig", "k")(k))
     },
+    // the two mergeable summary AGGREGATES — builders return the raw
+    // AggregateFunction (the analyzer wraps it into an
+    // AggregateExpression, same as builtin sum/count registration).
+    // MG's candidate SET is order-dependent state (only its superset
+    // guarantee is deterministic — consume it like txHeavyHitters'
+    // two-pass does); the CM matrix is fully deterministic.
+    fd("graft_misra_gries",
+      "graft_misra_gries(tok, k) - Misra-Gries heavy-hitter candidate set " +
+        "(superset of tokens with frequency > N/k; k literal)") {
+      case Seq(t, k) => MisraGriesAgg(t, intLit("graft_misra_gries", "k")(k))
+    },
+    fd("graft_count_min",
+      "graft_count_min(tok, d, w) - Count-Min d x w counter matrix, " +
+        "row-major (d, w literals)") {
+      case Seq(t, d, w) => CountMinAgg(t, intLit("graft_count_min", "d")(d),
+        intLit("graft_count_min", "w")(w))
+    },
     fd("graft_lsh_buckets",
       "graft_lsh_buckets(embedding, planes, tables[, offset]) - sign-random-" +
         "projection bucket id per hash table (ints literal)") {

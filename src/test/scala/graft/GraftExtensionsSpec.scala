@@ -91,6 +91,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("summary aggregates work from pure SQL text") {
+    val spark = freshSession(withExtensions = false)
+    try {
+      GraftFunctions.register(spark)
+      import spark.implicits._
+      Seq.tabulate(600)(i => s"w${i % 7}").toDF("tok")
+        .createOrReplaceTempView("toks_sql")
+      // CM: deterministic matrix — every hash row conserves total mass
+      val m = spark.sql(
+        "SELECT graft_count_min(tok, 4, 64) AS m FROM toks_sql")
+        .head.getSeq[Long](0)
+      assert(m.length == 4 * 64)
+      (0 until 4).foreach(i => assert(m.slice(i * 64, (i + 1) * 64).sum == 600))
+      // MG: the candidate set from SQL covers every token above N/k
+      // (here k=4 and all 7 tokens sit near N/7 > N/4 is false — use
+      // k=16 so all 7 clear the N/16 floor and MUST be candidates)
+      val cands = spark.sql(
+        "SELECT graft_misra_gries(tok, 16) AS c FROM toks_sql")
+        .head.getSeq[String](0).toSet
+      assert((0 until 7).map(i => s"w$i").toSet.subsetOf(cands))
+      // literal-only sketch shape
+      val err = intercept[Exception](
+        spark.sql("SELECT graft_count_min(tok, cast(rand()*3 AS INT), 64) FROM toks_sql")
+          .collect())
+      assert(err.getMessage != null)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   test("runtime register() works on a session built without extensions") {
     val spark = freshSession(withExtensions = false)
     try {
