@@ -471,15 +471,74 @@ object AnnIndex {
     * `emb_ivf_append_serve` oracle mirrors (train CTEs sample only the
     * base half; the full corpus assigns).
     */
-  def appendIvf(newEmb: DataFrame, root: String): Unit = {
+  /** The delta's cell-assigned list rows (frozen centroids), shared by
+    * the one-shot append and the streaming sink.
+    */
+  private def ivfDelta(newEmb: DataFrame, root: String): DataFrame = {
     val spark = newEmb.sparkSession
     val cent = Similarity.materializeSmall(
       spark.read.parquet(s"$root/centroids"))
     Similarity.assignCells(newEmb.select(col("vec_id"), col("embedding")), cent)
       .select(col("cell"), col("vec_id"), col("embedding"))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$root/lists")
   }
+
+  def appendIvf(newEmb: DataFrame, root: String): Unit =
+    ivfDelta(newEmb, root)
+      .write.mode("append").partitionBy("cell").parquet(s"$root/lists")
+
+  /** The IVF twin of `appendPqBatch` — same marker + rollback-by-
+    * prefix exactly-once discipline, with a TWO-LEVEL promote because
+    * the inverted lists are partitioned by cell: the staged write
+    * produces `cell=X/part-*` dirs and each cell's part-files are
+    * renamed into the live partition dir under the batch prefix (so a
+    * probe's directory pruning sees exactly the same layout a plain
+    * append produces). Rollback walks the live cell dirs deleting the
+    * prefix.
+    */
+  def appendIvfBatch(newEmb: DataFrame, root: String, batchId: Long): Unit = {
+    val spark = newEmb.sparkSession
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$root/_committed/batch-$batchId")
+    if (fs.exists(marker)) return
+    val prefix = s"batch$batchId-"
+    val lists = new Path(s"$root/lists")
+    if (fs.exists(lists))
+      fs.listStatus(lists).filter(_.isDirectory).foreach { cellDir =>
+        fs.listStatus(cellDir.getPath)
+          .filter(_.getPath.getName.startsWith(prefix))
+          .foreach(st => fs.delete(st.getPath, false))
+      }
+    val staging = new Path(s"$root/_staging/batch-$batchId")
+    fs.delete(staging, true)
+    ivfDelta(newEmb, root)
+      .write.partitionBy("cell").parquet(s"$staging/lists")
+    fs.listStatus(new Path(s"$staging/lists"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .foreach { cellDir =>
+        val dest = new Path(lists, cellDir.getPath.getName)
+        fs.mkdirs(dest)
+        fs.listStatus(cellDir.getPath)
+          .filter { st =>
+            val n = st.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }
+          .foreach { st =>
+            fs.rename(st.getPath, new Path(dest, prefix + st.getPath.getName))
+          }
+      }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    fs.delete(staging, true)
+  }
+
+  /** Streaming maintenance for the IVF index — see `startPqAppendSink`. */
+  def startIvfAppendSink(stream: DataFrame, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) => appendIvfBatch(b, root, id))
+      .start()
 
   /** Composed-index append: the delta is routed by the frozen coarse
     * centroids AND coded by the frozen codebooks — one assignment scan

@@ -283,6 +283,45 @@ class AnnIndexSpec extends SparkSpec {
       "torn-promote replay left duplicate or missing codes")
   }
 
+  test("IVF streaming append: two-level promote is exactly-once, probe layout intact") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val n = emb.count()
+    val half = n / 2
+    val base = emb.filter(col("vec_id") < half)
+    val delta = emb.filter(col("vec_id") >= half)
+    val root = tmpRoot("ivfstream")
+    AnnIndex.buildIvf(base, root)
+    val refRoot = tmpRoot("ivfstreamref")
+    AnnIndex.buildIvf(base, refRoot)
+    AnnIndex.appendIvf(delta, refRoot)
+    val deltaDir = java.nio.file.Files.createTempDirectory("ivf_delta")
+      .toString + "/files"
+    delta.write.parquet(deltaDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("ivf_ckpt").toString
+    val q = AnnIndex.startIvfAppendSink(
+      spark.readStream.schema(emb.schema).parquet(deltaDir), root, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val qdf = queryLits(Sf0001)
+    assert(AnnIndex.serveIvfTopk(spark, root, qdf).collect().toSeq ==
+      AnnIndex.serveIvfTopk(spark, refRoot, qdf).collect().toSeq)
+    // replay is a marker no-op; torn promote (marker deleted after a
+    // second batch) rolls back by prefix inside the cell dirs
+    AnnIndex.appendIvfBatch(delta, root, 0L)
+    val extra = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 91001L).as("vec_id"), col("label"),
+        col("embedding"))
+    AnnIndex.appendIvfBatch(extra, root, 1L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_committed/batch-1"), false)
+    AnnIndex.appendIvfBatch(extra, root, 1L)
+    val ids = spark.read.parquet(s"$root/lists")
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
+    assert(ids.count() == n + 3, "exactly-once append lost or duplicated ids")
+    assert(ids.filter(col("c") =!= 1).count() == 0)
+  }
+
   test("recall audit: one row per query, hits consistent with recall, sane floor") {
     val rows = AnnIndex.embPqRecall(spark, Sf0001).collect()
     assert(rows.map(_.getAs[Long]("query_id")).toSeq == (0L until 10L))
