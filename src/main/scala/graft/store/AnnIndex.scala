@@ -604,7 +604,8 @@ object AnnIndex {
     * the next replay removes — the same visibility contract the event
     * sink documents.
     */
-  def appendPqBatch(newEmb: DataFrame, root: String, batchId: Long): Unit = {
+  def appendPqBatch(newEmb: DataFrame, root: String, batchId: Long,
+      filesPerBatch: Int = 1): Unit = {
     val spark = newEmb.sparkSession
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(s"$root/_committed/batch-$batchId")
@@ -620,8 +621,14 @@ object AnnIndex {
     }
     val staging = new Path(s"$root/_staging/batch-$batchId")
     fs.delete(staging, true)
+    // file-count bound: without it every batch promotes up to
+    // shuffle.partitions files per sub-table and the listing cost grows
+    // with batch count (the keyed sink's r9 growth defect, same cure).
+    // The dial scales with delta size at 100 TB; table folding beyond
+    // it is a REBUILD into a fresh root — the same trade the tombstone
+    // scaladoc documents.
     pqDelta(newEmb, root).foreach { case (sub, df) =>
-      df.write.parquet(s"$staging/$sub")
+      df.repartition(filesPerBatch).write.parquet(s"$staging/$sub")
       val dest = new Path(s"$root/$sub")
       fs.mkdirs(dest)
       fs.listStatus(new Path(s"$staging/$sub"))
