@@ -1574,6 +1574,63 @@ object OracleSql {
         |  FROM resc8)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    // HYBRID RETRIEVAL (similarity.Hybrid.hybridTopk): BM25 inverted-
+    // index leg + exact-cosine leg, fused by reciprocal rank (1/(60+r)
+    // per leg over each top-20 list); every float literal is ::DOUBLE
+    // so DuckDB's decimal literals never enter the arithmetic, and the
+    // multiply/divide order mirrors the Spark expressions token for
+    // token
+    "hybrid_topk" ->
+      s"""WITH $toksCte,
+         |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM (
+         |  SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+         |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+         |  FROM dl),
+         |dfq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+         |qt AS (SELECT doc_id AS query_id, tok FROM tf WHERE doc_id < 10),
+         |term AS (SELECT q.query_id, f.doc_id,
+         |    ln(1 + (s.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
+         |    f.tf * 2.2::DOUBLE / (f.tf + 1.2::DOUBLE *
+         |      (0.25::DOUBLE + 0.75::DOUBLE * l.dl * s.n_docs / s.sum_dl))
+         |      AS tterm
+         |  FROM tf f JOIN qt q ON q.tok = f.tok AND f.doc_id <> q.query_id
+         |  JOIN dfq d ON d.tok = f.tok
+         |  JOIN dl l ON l.doc_id = f.doc_id
+         |  CROSS JOIN stats s),
+         |bm AS (SELECT query_id, doc_id, round(sum(tterm), 6) AS bm25
+         |  FROM term GROUP BY query_id, doc_id),
+         |lex AS (SELECT query_id, doc_id, lex_rank FROM (
+         |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY bm25 DESC, doc_id) AS lex_rank FROM bm)
+         |  WHERE lex_rank <= 20),
+         |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q2 AS (SELECT vec_id AS query_id, emb AS qe FROM e2 WHERE vec_id < 10),
+         |vcos AS (SELECT q2.query_id, e2.vec_id AS doc_id,
+         |    round(list_dot_product(qe, emb) /
+         |      (sqrt(list_dot_product(qe, qe)) *
+         |       sqrt(list_dot_product(emb, emb))), 6) AS cos
+         |  FROM e2 CROSS JOIN q2 WHERE e2.vec_id <> q2.query_id),
+         |vec AS (SELECT query_id, doc_id, vec_rank FROM (
+         |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, doc_id) AS vec_rank FROM vcos)
+         |  WHERE vec_rank <= 20),
+         |fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    l.lex_rank IS NOT NULL AS in_lexical,
+         |    v.vec_rank IS NOT NULL AS in_vector,
+         |    round(coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0) +
+         |          coalesce(1.0::DOUBLE / (60 + v.vec_rank), 0), 6) AS rrf_score
+         |  FROM lex l FULL JOIN vec v
+         |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id)
+         |SELECT * FROM (
+         |  SELECT query_id, doc_id, rrf_score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank,
+         |    in_lexical, in_vector
+         |  FROM fused)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // RECALL AUDIT (store.AnnIndex.embPqRecall): per-query recall@5 of
     // the persisted PQ serve against the exact scan — the ADC top-5
     // from the shared PQ chain, the exact top-5 from the corpus, and a

@@ -224,6 +224,10 @@ object SparkEntry {
     "emb_pq_recall"       -> (graft.store.AnnIndex.embPqRecall(_, _)),
     "emb_ivfpq_recall"    -> (graft.store.AnnIndex.embIvfPqRecall(_, _)),
     "emb_ivf_cell_stats"  -> (graft.store.AnnIndex.embIvfCellStats(_, _)),
+    // hybrid retrieval: BM25 inverted-index leg + exact-cosine leg,
+    // reciprocal-rank fusion over the two top-20 lists (the two-leg
+    // RAG/search stack; doc_id ≡ vec_id in this corpus)
+    "hybrid_topk"         -> (graft.similarity.Hybrid.hybridTopk(_, _)),
     "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),
     "emb_norms"           -> (Similarity.embNorms(_, _)),
     "emb_lsh_buckets"     -> (Similarity.embLshBuckets(_, _)),
@@ -260,5 +264,5 @@ object SparkEntry {
     "avro_roundtrip", "dedup_embedding_045", "dedup_embedding_lsh",
     "dedup_embedding_090", "dedup_embedding_lsh_090",
     "tx_repetition", "dedup_semantic", "tx_heavy_hitters",
-    "emb_mmr_serve", "emb_ivfpq_recall", "tx_freq_cm")
+    "emb_mmr_serve", "emb_ivfpq_recall", "tx_freq_cm", "hybrid_topk")
 }

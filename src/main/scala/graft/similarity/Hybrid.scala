@@ -1,0 +1,113 @@
+package graft.similarity
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** HYBRID RETRIEVAL — lexical BM25 and dense cosine fused by
+  * reciprocal-rank fusion (RRF), the standard two-leg retrieval stack
+  * (Elasticsearch/OpenSearch hybrid query, Vespa, every RAG pipeline):
+  * the lexical leg catches exact-term matches embeddings smear out,
+  * the dense leg catches paraphrases lexical scoring misses, and RRF
+  * combines them without score calibration (rank-space fusion is scale
+  * free — the reason production systems default to it).
+  *
+  * Query panel: documents 0..9 querying the corpus with their own text
+  * and their own embedding (doc_id ≡ vec_id in this corpus).
+  *
+  * Scale shape:
+  *   - BM25 is an INVERTED-INDEX join — (doc, term, tf) joined to the
+  *     panel's terms on term, then one partial-aggregated groupBy per
+  *     (query, doc) pair that SHARES at least one term. No all-pairs
+  *     product anywhere in the lexical leg; the df/dl/avgdl statistics
+  *     are two narrow aggregates (df shuffles distinct terms once —
+  *     the same cost class as tx_unigram_bits' model pass).
+  *   - the dense leg is the certified embTopk shape (broadcast panel ×
+  *     corpus scan, two-phase bounded-heap top-k).
+  *   - fusion joins two ≤ q×c relations — control-plane sized.
+  *
+  * Determinism: BM25 terms are (idf, tf-saturation) doubles summed per
+  * pair and rounded to 6 dp before ranking, ties to the lowest doc_id
+  * — the same discipline as every cosine chain; RRF contributions are
+  * 1/(60+rank) over INTEGER ranks, summed over exactly two legs and
+  * rounded once. The DuckDB oracle replays the whole stack.
+  */
+object Hybrid {
+
+  // BM25 constants as decimal literals mirrored verbatim in the oracle
+  // SQL (k1 = 1.2, k1+1 = 2.2, b = 0.75, 1-b = 0.25) — both engines
+  // parse the same decimal text to the same double, where computing
+  // k1+1.0 at runtime could land on the adjacent ulp.
+
+  def hybridTopk(s: SparkSession, dir: String, k: Int = 5,
+      c: Int = 20): DataFrame =
+    hybridTopkDf(Tables.documents(s, dir), Tables.embeddings(s, dir), k, c)
+
+  def hybridTopkDf(docs: DataFrame, emb: DataFrame, k: Int,
+      c: Int): DataFrame = {
+    // ---- lexical leg: BM25 over the inverted (doc, term, tf) index
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val qTerms = tf.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    val term = tf.join(qTerms, Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dfreq, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+    // idf = ln(1 + (N - df + 0.5)/(df + 0.5)); saturated tf with length
+    // norm dl/avgdl = dl * N / sum_dl (one division, no avgdl rounding)
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = lit(0.25) +
+      lit(0.75) * col("dl") * col("n_docs") / col("sum_dl")
+    val bm25 = term
+      .select(col("query_id"), col("doc_id"),
+        (idf * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * norm)).as("t"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("t")), 6).as("bm25"))
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val lexTop = bm25.withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= c)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    // ---- dense leg: the certified broadcast-panel cosine top-c
+    val panel = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cos = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      .crossJoin(broadcast(panel))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(Similarity.cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+    val topc = udaf(new TopKByCos(c))
+    val vecTop = cos.groupBy(col("query_id"))
+      .agg(topc(col("doc_id"), col("cos")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), col("nbr.neighbor_id").as("doc_id"),
+        (col("pos") + 1).as("vec_rank"))
+    // ---- reciprocal-rank fusion over the union of the two top-c lists
+    val fused = lexTop.join(vecTop, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        col("lex_rank").isNotNull.as("in_lexical"),
+        col("vec_rank").isNotNull.as("in_vector"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)),
+          6).as("rrf_score"))
+    val wRrf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wRrf).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf_score"),
+        col("rank"), col("in_lexical"), col("in_vector"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

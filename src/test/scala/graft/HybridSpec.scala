@@ -1,0 +1,61 @@
+package graft
+
+import graft.similarity.Hybrid
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval (BM25 + cosine, RRF-fused): the DuckDB gate
+  * certifies exact values at all three scales; this spec pins the
+  * SEMANTICS on a planted corpus — a document that tops BOTH legs must
+  * out-fuse every single-leg winner — plus the structural contract on
+  * the real fixture.
+  */
+class HybridSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a dual-leg winner out-fuses the single-leg winners") {
+    // query 0: doc 15 matches it in BOTH legs, 16 lexically only,
+    // 17 densely only; 10-14 are noise in both spaces
+    val texts = Seq(
+      0L -> "alpha beta gamma delta",
+      1L -> "one red word", 2L -> "two green words", 3L -> "three blue items",
+      4L -> "four small stones", 5L -> "five tall trees", 6L -> "six warm days",
+      7L -> "seven cold nights", 8L -> "eight long roads", 9L -> "nine old maps",
+      10L -> "noise nautilus nimbus", 11L -> "quark quill quay",
+      12L -> "rustle rampart rook", 13L -> "sable sprocket sphinx",
+      14L -> "tundra tapir trellis",
+      15L -> "alpha beta gamma delta", // both legs
+      16L -> "alpha beta gamma delta", // lexical only
+      17L -> "zeta eta theta iota")    // dense only
+    val vecOf: Long => Array[Float] = {
+      case 0L  => Array(1f, 0f, 0f, 0f)
+      case 15L => Array(2f, 0f, 0f, 0f) // cosine 1 with the query
+      case 17L => Array(1f, 0f, 0f, 0f)
+      case 16L => Array(0f, 1f, 0f, 0f)
+      case i   => Array(0f, 0f, 1f, i.toFloat / 100f)
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val emb = texts.map { case (id, _) => (id, vecOf(id)) }
+      .toDF("vec_id", "embedding")
+    val rows = Hybrid.hybridTopkDf(docs, emb, k = 5, c = 20)
+      .filter(col("query_id") === 0).collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+    val top = rows.head
+    assert(top.getAs[Long]("doc_id") == 15L, s"rank 1 = ${top}")
+    assert(top.getAs[Boolean]("in_lexical") && top.getAs[Boolean]("in_vector"))
+    val top4 = rows.take(4).map(_.getAs[Long]("doc_id")).toSet
+    assert(Set(16L, 17L).subsetOf(top4),
+      s"single-leg winners missing from the fusion head: ${rows.toSeq}")
+  }
+
+  test("fixture contract: full panel, every hit from at least one leg") {
+    val rows = Hybrid.hybridTopk(spark, Sf0001).collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getAs[Long]("query_id")).distinct.sorted.toSeq ==
+      (0L until 10L))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("in_lexical") || r.getAs[Boolean]("in_vector"))
+      val s = r.getAs[Double]("rrf_score")
+      assert(s > 0 && s <= 2.0 / 61 + 1e-9)
+    }
+  }
+}

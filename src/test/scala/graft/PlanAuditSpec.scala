@@ -22,6 +22,9 @@ class PlanAuditSpec extends SparkSpec {
     // recall audits embed the exact broadcast-query × corpus scan as
     // their denominator (the audit's sampled-panel cost, q×n by design)
     "emb_pq_recall", "emb_ivfpq_recall",
+    // hybrid's dense leg is the embTopk broadcast-panel scan; its
+    // lexical leg also broadcasts the 1-row corpus stats
+    "hybrid_topk",
     // k-means assignment: k tiny centroids broadcast x corpus scan
     "dedup_semantic",
     "a10_recent_distribution", "decontaminate", "tx_unigram_bits",
