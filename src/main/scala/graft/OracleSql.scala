@@ -1545,6 +1545,19 @@ object OracleSql {
         |  FROM approx WHERE vec_id % 17 <> 3)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    // the FILTERED serve (store.AnnIndex.embPqServeFiltered): the
+    // candidate set pre-filtered to label % 3 == 0 via the attrs
+    // sidecar — rank over the restricted set (pre ≡ post here; the
+    // serve's pre-filter is the starvation-proof shape at scale)
+    "emb_pq_serve_filtered" -> (pqApproxCtes + """
+        |SELECT * FROM (
+        |  SELECT a.query_id, a.vec_id AS neighbor_id, a.pq_cos,
+        |    row_number() OVER (PARTITION BY a.query_id
+        |      ORDER BY a.pq_cos DESC, a.vec_id)::BIGINT AS rank
+        |  FROM approx a JOIN e ON e.vec_id = a.vec_id
+        |  WHERE e.label % 3 = 0)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     // the TWO-TIER persisted PQ serve (store.AnnIndex.servePqTopkSq8):
     // ADC cut of 64 candidates from the codes, rescored by the
     // symmetric int8 cosine of the index's SQ8 table — the same

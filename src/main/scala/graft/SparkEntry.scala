@@ -203,6 +203,9 @@ object SparkEntry {
     // tables, then answer top-k FROM the index — the serve plan scans
     // codes/lists only, never the embeddings table
     "emb_pq_serve"        -> (graft.store.AnnIndex.embPqServe(_, _)),
+    // filtered vector search: predicate on the index's attrs sidecar
+    // pre-filters the code scan (semi-join) — embeddings-free
+    "emb_pq_serve_filtered" -> (graft.store.AnnIndex.embPqServeFiltered(_, _)),
     // the two-tier serve: ADC cut from codes, rescore from the index's
     // own SQ8 int8 table — still embeddings-free
     "emb_pq_serve_sq8"    -> (graft.store.AnnIndex.embPqServeSq8(_, _)),

@@ -47,8 +47,9 @@ object AnnIndex {
   /** Bumped whenever the build pipeline changes shape — stale cached
     * indexes from an older build must never serve a newer query.
     * v2: added the `vecs8` SQ8 rescore table to the PQ index.
+    * v3: added the `attrs` metadata sidecar (filtered serve).
     */
-  private val FormatVersion = "v2"
+  private val FormatVersion = "v3"
 
   /** Stable on-disk root for (corpus dir, table state): digest over
     * path + row count + file mtime/size, so a regenerated corpus or a
@@ -122,6 +123,9 @@ object AnnIndex {
       .agg(sqrt(sum(Similarity.dot(col("cw"), col("cw")))).as("vnorm"))
       .write.parquet(s"$path/vnorms")
     sq8Of(emb).write.parquet(s"$path/vecs8")
+    // metadata sidecar for filtered serve: two narrow columns — the
+    // filter predicate pushes into THIS scan, never the corpus
+    emb.select(col("vec_id"), col("label")).write.parquet(s"$path/attrs")
   }
 
   /** ADC top-k from the persisted PQ index: per query a broadcast LUT
@@ -136,8 +140,14 @@ object AnnIndex {
     * vector from m code lookups + build-time norms.
     */
   private def pqAdcApprox(spark: SparkSession, root: String,
-      queries: DataFrame): DataFrame = {
-    val codes = spark.read.parquet(s"$root/codes")
+      queries: DataFrame,
+      keepIds: Option[DataFrame] = None): DataFrame = {
+    // PRE-filter (the filtered-vector-search discipline): restrict the
+    // candidate set before any scoring, so a selective predicate can
+    // never starve the top-k the way post-filtering a fixed-size
+    // result list does
+    val codes = keepIds.foldLeft(spark.read.parquet(s"$root/codes"))(
+      (c, keep) => c.join(keep, Seq("vec_id"), "left_semi"))
     val cw = spark.read.parquet(s"$root/codebooks")
     val vnorms = spark.read.parquet(s"$root/vnorms")
     val lut = queries
@@ -163,9 +173,9 @@ object AnnIndex {
   }
 
   def servePqTopk(spark: SparkSession, root: String, queries: DataFrame,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, keepIds: Option[DataFrame] = None): DataFrame = {
     val topk = udaf(new TopKByCos(k))
-    pqAdcApprox(spark, root, queries)
+    pqAdcApprox(spark, root, queries, keepIds)
       .groupBy(col("query_id"))
       .agg(topk(col("vec_id"), col("pq_cos")).as("nbrs"))
       .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
@@ -581,7 +591,8 @@ object AnnIndex {
       "vnorms" -> codes.join(broadcast(cw), Seq("s", "code"))
         .groupBy(col("vec_id"))
         .agg(sqrt(sum(Similarity.dot(col("cw"), col("cw")))).as("vnorm")),
-      "vecs8" -> sq8Of(newEmb))
+      "vecs8" -> sq8Of(newEmb),
+      "attrs" -> newEmb.select(col("vec_id"), col("label")))
   }
 
   def appendPq(newEmb: DataFrame, root: String): Unit =
@@ -611,7 +622,7 @@ object AnnIndex {
     val marker = new Path(s"$root/_committed/batch-$batchId")
     if (fs.exists(marker)) return
     val prefix = s"batch$batchId-"
-    val subs = Seq("codes", "vnorms", "vecs8")
+    val subs = Seq("codes", "vnorms", "vecs8", "attrs")
     // rollback: a previous attempt's partial promote, by prefix
     subs.foreach { sub =>
       val dir = new Path(s"$root/$sub")
@@ -696,6 +707,23 @@ object AnnIndex {
         emb.filter(col("vec_id") % 17 === 3).select(col("vec_id")))
     }
     servePqTopk(s, root.toString, queryLiterals(s, dir), k)
+  }
+
+  /** FILTERED serve — the metadata-constrained vector search every
+    * production deployment needs (retrieve among label=X only): the
+    * predicate evaluates on the index's two-column `attrs` sidecar and
+    * PRE-filters the code scan by semi-join, so a selective filter
+    * shrinks the scored set instead of starving a post-filtered top-k.
+    * Still embeddings-free end to end.
+    */
+  def embPqServeFiltered(s: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val root = indexRoot(s, dir, "pq", emb.count())
+    ensureBuilt(s, root)(staging => buildPq(emb, staging))
+    val keep = s.read.parquet(s"${root.toString}/attrs")
+      .filter(col("label") % 3 === 0).select(col("vec_id"))
+    servePqTopk(s, root.toString, queryLiterals(s, dir), k, Some(keep))
   }
 
   def embPqServeSq8(s: SparkSession, dir: String, k: Int = 5): DataFrame = {

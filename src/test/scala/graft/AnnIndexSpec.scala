@@ -349,6 +349,27 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("filtered serve: every hit satisfies the predicate, plan stays embeddings-free") {
+    val served = AnnIndex.embPqServeFiltered(spark, Sf0001)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      "filtered serve scans the corpus")
+    val rows = served.collect()
+    assert(rows.map(_.getAs[Long]("rank")).grouped(5).forall(_.toSeq == (1L to 5L)))
+    val labels = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("neighbor_id")
+      assert(labels(id) % 3 == 0, s"hit $id violates the filter")
+    }
+    // the filter must actually bite: the unfiltered serve surfaces at
+    // least one neighbor the filtered serve may not
+    val unfiltered = AnnIndex.embPqServe(spark, Sf0001).collect()
+      .map(_.getAs[Long]("neighbor_id")).toSet
+    assert(unfiltered.exists(id => labels(id) % 3 != 0))
+  }
+
   test("cell stats: census covers the corpus exactly, shares sum to 1") {
     val emb = Tables.embeddings(spark, Sf0001)
     val n = emb.count()
