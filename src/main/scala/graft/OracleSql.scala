@@ -474,6 +474,67 @@ object OracleSql {
     ivfPqServeSql.substring(0, cut).stripTrailing() + ",\n" + recallTailSql
   }
 
+  /** `hybrid_topk` / `hybrid_snippets` (similarity.Hybrid): BM25
+    * inverted-index leg + exact-cosine leg, RRF-fused. Every float
+    * literal is ::DOUBLE so DuckDB's decimal literals never enter the
+    * arithmetic, and the multiply/divide order mirrors the Spark
+    * expressions token for token. The CTE chain (through `fused`) is
+    * shared with the snippet extractor.
+    */
+  private val hybridCtes: String =
+    s"""WITH $toksCte,
+       |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM (
+       |  SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok),
+       |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+       |  FROM dl),
+       |dfq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+       |qt AS (SELECT doc_id AS query_id, tok FROM tf WHERE doc_id < 10),
+       |term AS (SELECT q.query_id, f.doc_id,
+       |    ln(1 + (s.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
+       |    f.tf * 2.2::DOUBLE / (f.tf + 1.2::DOUBLE *
+       |      (0.25::DOUBLE + 0.75::DOUBLE * l.dl * s.n_docs / s.sum_dl))
+       |      AS tterm
+       |  FROM tf f JOIN qt q ON q.tok = f.tok AND f.doc_id <> q.query_id
+       |  JOIN dfq d ON d.tok = f.tok
+       |  JOIN dl l ON l.doc_id = f.doc_id
+       |  CROSS JOIN stats s),
+       |bm AS (SELECT query_id, doc_id, round(sum(tterm), 6) AS bm25
+       |  FROM term GROUP BY query_id, doc_id),
+       |lex AS (SELECT query_id, doc_id, lex_rank FROM (
+       |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY bm25 DESC, doc_id) AS lex_rank FROM bm)
+       |  WHERE lex_rank <= 20),
+       |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q2 AS (SELECT vec_id AS query_id, emb AS qe FROM e2 WHERE vec_id < 10),
+       |vcos AS (SELECT q2.query_id, e2.vec_id AS doc_id,
+       |    round(list_dot_product(qe, emb) /
+       |      (sqrt(list_dot_product(qe, qe)) *
+       |       sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |  FROM e2 CROSS JOIN q2 WHERE e2.vec_id <> q2.query_id),
+       |vec AS (SELECT query_id, doc_id, vec_rank FROM (
+       |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, doc_id) AS vec_rank FROM vcos)
+       |  WHERE vec_rank <= 20),
+       |fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+       |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |    l.lex_rank IS NOT NULL AS in_lexical,
+       |    v.vec_rank IS NOT NULL AS in_vector,
+       |    round(coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0) +
+       |          coalesce(1.0::DOUBLE / (60 + v.vec_rank), 0), 6) AS rrf_score
+       |  FROM lex l FULL JOIN vec v
+       |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id)""".stripMargin
+
+  private val hybridTopkSql: String = hybridCtes +
+    """
+      |SELECT * FROM (
+      |  SELECT query_id, doc_id, rrf_score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank,
+      |    in_lexical, in_vector
+      |  FROM fused)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val textOracles: Map[String, String] = Map(
     "tx_tokens" ->
       s"""WITH $toksCte
@@ -1593,56 +1654,49 @@ object OracleSql {
     // so DuckDB's decimal literals never enter the arithmetic, and the
     // multiply/divide order mirrors the Spark expressions token for
     // token
-    "hybrid_topk" ->
-      s"""WITH $toksCte,
-         |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM (
-         |  SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok),
-         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
-         |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
-         |  FROM dl),
-         |dfq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
-         |qt AS (SELECT doc_id AS query_id, tok FROM tf WHERE doc_id < 10),
-         |term AS (SELECT q.query_id, f.doc_id,
-         |    ln(1 + (s.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
-         |    f.tf * 2.2::DOUBLE / (f.tf + 1.2::DOUBLE *
-         |      (0.25::DOUBLE + 0.75::DOUBLE * l.dl * s.n_docs / s.sum_dl))
-         |      AS tterm
-         |  FROM tf f JOIN qt q ON q.tok = f.tok AND f.doc_id <> q.query_id
-         |  JOIN dfq d ON d.tok = f.tok
-         |  JOIN dl l ON l.doc_id = f.doc_id
-         |  CROSS JOIN stats s),
-         |bm AS (SELECT query_id, doc_id, round(sum(tterm), 6) AS bm25
-         |  FROM term GROUP BY query_id, doc_id),
-         |lex AS (SELECT query_id, doc_id, lex_rank FROM (
-         |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY bm25 DESC, doc_id) AS lex_rank FROM bm)
-         |  WHERE lex_rank <= 20),
-         |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |q2 AS (SELECT vec_id AS query_id, emb AS qe FROM e2 WHERE vec_id < 10),
-         |vcos AS (SELECT q2.query_id, e2.vec_id AS doc_id,
-         |    round(list_dot_product(qe, emb) /
-         |      (sqrt(list_dot_product(qe, qe)) *
-         |       sqrt(list_dot_product(emb, emb))), 6) AS cos
-         |  FROM e2 CROSS JOIN q2 WHERE e2.vec_id <> q2.query_id),
-         |vec AS (SELECT query_id, doc_id, vec_rank FROM (
-         |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, doc_id) AS vec_rank FROM vcos)
-         |  WHERE vec_rank <= 20),
-         |fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
-         |    coalesce(l.doc_id, v.doc_id) AS doc_id,
-         |    l.lex_rank IS NOT NULL AS in_lexical,
-         |    v.vec_rank IS NOT NULL AS in_vector,
-         |    round(coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0) +
-         |          coalesce(1.0::DOUBLE / (60 + v.vec_rank), 0), 6) AS rrf_score
-         |  FROM lex l FULL JOIN vec v
-         |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id)
-         |SELECT * FROM (
-         |  SELECT query_id, doc_id, rrf_score,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank,
-         |    in_lexical, in_vector
-         |  FROM fused)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "hybrid_topk" -> hybridTopkSql,
+
+    // SNIPPET EXTRACTION (similarity.Hybrid.hybridSnippets): for each
+    // hybrid top-5 hit, the 32-token window with the maximum count of
+    // query-term instances (ties to the earliest start; zero-match
+    // dense-only hits fall back to start 1) — all-integer argmax, the
+    // snippet text rebuilt from the winning slice
+    "hybrid_snippets" -> (hybridCtes + """,
+        |hits AS (SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank
+        |  FROM fused) WHERE rank <= 5),
+        |ptoks AS (SELECT doc_id, unnest(toks) AS tok,
+        |  unnest(generate_series(1, len(toks))) AS pos FROM t),
+        |qset AS (SELECT doc_id AS query_id, tok FROM ptoks
+        |  WHERE doc_id < 10 GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, max(pos)::BIGINT AS len FROM ptoks
+        |  GROUP BY doc_id),
+        |mp AS (SELECT h.query_id, h.doc_id, p.pos
+        |  FROM hits h
+        |  JOIN ptoks p ON p.doc_id = h.doc_id
+        |  JOIN qset q ON q.query_id = h.query_id AND q.tok = p.tok),
+        |starts AS (SELECT h.query_id, h.doc_id, h.rank,
+        |    unnest(generate_series(1, greatest(l.len - 31, 1))) AS start
+        |  FROM hits h JOIN lens l ON l.doc_id = h.doc_id),
+        |ov AS (SELECT s.query_id, s.doc_id, s.rank, s.start,
+        |    count(m.pos)::BIGINT AS n_matched
+        |  FROM starts s LEFT JOIN mp m
+        |    ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+        |    AND m.pos BETWEEN s.start AND s.start + 31
+        |  GROUP BY s.query_id, s.doc_id, s.rank, s.start),
+        |best AS (SELECT query_id, doc_id, rank, start, n_matched FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+        |    ORDER BY n_matched DESC, start) AS r FROM ov) WHERE r = 1)
+        |SELECT b.query_id, b.doc_id, b.rank,
+        |  b.start::BIGINT AS snippet_start, b.n_matched,
+        |  array_to_string(list_slice(t.toks, b.start,
+        |    least(b.start + 31, l.len)), ' ') AS snippet
+        |FROM best b
+        |JOIN t ON t.doc_id = b.doc_id
+        |JOIN lens l ON l.doc_id = b.doc_id
+        |ORDER BY query_id, rank""".stripMargin),
 
     // RECALL AUDIT (store.AnnIndex.embPqRecall): per-query recall@5 of
     // the persisted PQ serve against the exact scan — the ADC top-5

@@ -231,6 +231,9 @@ object SparkEntry {
     // reciprocal-rank fusion over the two top-20 lists (the two-leg
     // RAG/search stack; doc_id ≡ vec_id in this corpus)
     "hybrid_topk"         -> (graft.similarity.Hybrid.hybridTopk(_, _)),
+    // per-hit citation snippets: the 32-token window maximizing
+    // query-term instances (all-integer argmax, earliest-start ties)
+    "hybrid_snippets"     -> (graft.similarity.Hybrid.hybridSnippets(_, _)),
     "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),
     "emb_norms"           -> (Similarity.embNorms(_, _)),
     "emb_lsh_buckets"     -> (Similarity.embLshBuckets(_, _)),

@@ -46,6 +46,63 @@ object Hybrid {
       c: Int = 20): DataFrame =
     hybridTopkDf(Tables.documents(s, dir), Tables.embeddings(s, dir), k, c)
 
+  /** SNIPPET EXTRACTION — the citation step after retrieval (what a
+    * RAG pipeline shows/feeds per hit): for each hybrid top-k hit, the
+    * `w`-token window of the document with the MAXIMUM count of
+    * query-term instances, ties to the earliest start (a dense-only
+    * hit with zero term matches falls back to the document head). The
+    * argmax is all-integer, so the window choice and the rebuilt
+    * snippet text are exact across engines.
+    *
+    * Scale shape: everything here is scoped to the top-k HIT SET
+    * (queries×k pairs) — the candidate-window × matched-position join
+    * is per-hit O(len·matches) on just those documents, never a
+    * corpus-wide pass.
+    */
+  def hybridSnippets(s: SparkSession, dir: String, k: Int = 5,
+      w: Int = 32): DataFrame =
+    hybridSnippetsDf(Tables.documents(s, dir), Tables.embeddings(s, dir), k, w)
+
+  def hybridSnippetsDf(docs: DataFrame, emb: DataFrame, k: Int,
+      w: Int): DataFrame = {
+    val hits = hybridTopkDf(docs, emb, k, 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val ptoks = docs.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val qset = ptoks.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("tok")).distinct()
+    val lens = ptoks.groupBy(col("doc_id")).agg(max(col("pos")).as("len"))
+    val mp = hits.join(ptoks, Seq("doc_id"))
+      .join(qset, Seq("query_id", "tok"), "left_semi")
+      .select(col("query_id"), col("doc_id"), col("pos"))
+    val starts = hits.join(lens, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        explode(sequence(lit(1), greatest(col("len") - lit(w - 1), lit(1))))
+          .as("start"))
+    val ov = starts.as("s").join(mp.as("m"),
+        col("s.query_id") === col("m.query_id") &&
+        col("s.doc_id") === col("m.doc_id") &&
+        col("m.pos").between(col("s.start"), col("s.start") + lit(w - 1)),
+        "left_outer")
+      .groupBy(col("s.query_id"), col("s.doc_id"), col("s.rank"),
+        col("s.start"))
+      .agg(count(col("m.pos")).as("n_matched"))
+    val wBest = Window.partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("n_matched").desc, col("start"))
+    val best = ov.withColumn("r", row_number().over(wBest))
+      .filter(col("r") === 1)
+    val docToks = docs.select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("toks"))
+    best.join(docToks, Seq("doc_id")).join(lens, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("start").cast(LongType).as("snippet_start"),
+        col("n_matched"),
+        array_join(slice(col("toks"), col("start"),
+          least(lit(w), col("len") - col("start") + 1)), " ").as("snippet"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def hybridTopkDf(docs: DataFrame, emb: DataFrame, k: Int,
       c: Int): DataFrame = {
     // ---- lexical leg: BM25 over the inverted (doc, term, tf) index

@@ -47,6 +47,34 @@ class HybridSpec extends SparkSpec {
       s"single-leg winners missing from the fusion head: ${rows.toSeq}")
   }
 
+  test("snippet window covers a planted query-term cluster at the earliest max start") {
+    // doc 15: 40 filler tokens, then the query's 4 terms at positions
+    // 41-44, then 10 more fillers — every 32-window with all 4 terms
+    // has start in [13, 41]; earliest-tie contract picks 13
+    val filler = (1 to 40).map(i => s"f$i").mkString(" ")
+    val tail = (1 to 10).map(i => s"g$i").mkString(" ")
+    val texts = Seq(
+      0L -> "alpha beta gamma delta",
+      1L -> "one red word", 2L -> "two green words", 3L -> "three blue items",
+      4L -> "four small stones", 5L -> "five tall trees", 6L -> "six warm days",
+      7L -> "seven cold nights", 8L -> "eight long roads", 9L -> "nine old maps",
+      10L -> "noise nautilus nimbus", 11L -> "quark quill quay",
+      15L -> s"$filler alpha beta gamma delta $tail")
+    val emb = texts.map { case (id, _) =>
+      (id, if (id == 0L || id == 15L) Array(1f, 0f, 0f, 0f)
+           else Array(0f, 0f, 1f, id.toFloat / 100f))
+    }.toDF("vec_id", "embedding")
+    val rows = Hybrid.hybridSnippetsDf(texts.toDF("doc_id", "text"), emb,
+        k = 5, w = 32)
+      .filter(col("query_id") === 0 && col("doc_id") === 15).collect()
+    assert(rows.length == 1, "planted dual-leg doc missing from the hit set")
+    val r = rows.head
+    assert(r.getAs[Long]("snippet_start") == 13L, r.toString)
+    assert(r.getAs[Long]("n_matched") == 4L)
+    assert(r.getAs[String]("snippet").contains("alpha beta gamma delta"))
+    assert(r.getAs[String]("snippet").split(" ").length == 32)
+  }
+
   test("fixture contract: full panel, every hit from at least one leg") {
     val rows = Hybrid.hybridTopk(spark, Sf0001).collect()
     assert(rows.length == 50)

@@ -24,7 +24,7 @@ class PlanAuditSpec extends SparkSpec {
     "emb_pq_recall", "emb_ivfpq_recall",
     // hybrid's dense leg is the embTopk broadcast-panel scan; its
     // lexical leg also broadcasts the 1-row corpus stats
-    "hybrid_topk",
+    "hybrid_topk", "hybrid_snippets",
     // k-means assignment: k tiny centroids broadcast x corpus scan
     "dedup_semantic",
     "a10_recent_distribution", "decontaminate", "tx_unigram_bits",
