@@ -525,6 +525,23 @@ object OracleSql {
        |  FROM lex l FULL JOIN vec v
        |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id)""".stripMargin
 
+  /** `lex_bm25_serve` (store.TextIndex): the persisted-index BM25
+    * serve is the hybrid chain's lexical leg verbatim (the index
+    * tables are a pure function of the corpus), ranked to top-5 —
+    * derived by cutting the chain before the dense leg.
+    */
+  private val lexBm25ServeSql: String = {
+    val cut = hybridCtes.indexOf("lex AS (")
+    require(cut > 0, "lex-serve: anchor missing")
+    hybridCtes.substring(0, cut).stripTrailing.stripSuffix(",") + "\n" +
+      """SELECT * FROM (
+        |  SELECT query_id, doc_id, bm25,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25 DESC, doc_id)::BIGINT AS rank
+        |  FROM bm)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   private val hybridTopkSql: String = hybridCtes +
     """
       |SELECT * FROM (
@@ -1655,6 +1672,11 @@ object OracleSql {
     // multiply/divide order mirrors the Spark expressions token for
     // token
     "hybrid_topk" -> hybridTopkSql,
+
+    // persisted lexical index serve (store.TextIndex.lexBm25Serve):
+    // BM25 top-5 from the postings/df/dl/stats tables — the lexical
+    // CTE chain shared with hybrid_topk certifies it
+    "lex_bm25_serve" -> lexBm25ServeSql,
 
     // SNIPPET EXTRACTION (similarity.Hybrid.hybridSnippets): for each
     // hybrid top-5 hit, the 32-token window with the maximum count of

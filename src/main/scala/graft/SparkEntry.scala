@@ -234,6 +234,9 @@ object SparkEntry {
     // per-hit citation snippets: the 32-token window maximizing
     // query-term instances (all-integer argmax, earliest-start ties)
     "hybrid_snippets"     -> (graft.similarity.Hybrid.hybridSnippets(_, _)),
+    // BM25 from the persisted lexical index (store.TextIndex): serve
+    // never re-tokenizes the corpus — documents-free, like the ANN serves
+    "lex_bm25_serve"      -> (graft.store.TextIndex.lexBm25Serve(_, _)),
     "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),
     "emb_norms"           -> (Similarity.embNorms(_, _)),
     "emb_lsh_buckets"     -> (Similarity.embLshBuckets(_, _)),

@@ -75,6 +75,28 @@ class HybridSpec extends SparkSpec {
     assert(r.getAs[String]("snippet").split(" ").length == 32)
   }
 
+  test("persisted lexical index: documents-free serve, rebuild-deterministic") {
+    val served = graft.store.TextIndex.lexBm25Serve(spark, Sf0001)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "lexical serve re-tokenizes the corpus")
+    val rows = served.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("query_id")).distinct.length == 10)
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to g.length))
+      // ranked by (bm25 desc, doc_id): scores non-increasing
+      val scores = g.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("bm25"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // build determinism: a second root built from the same corpus
+    // serves byte-identical results
+    val tmp = java.nio.file.Files.createTempDirectory("lexidx").toString + "/i"
+    graft.store.TextIndex.build(Tables.documents(spark, Sf0001), tmp)
+    assert(graft.store.TextIndex.serveBm25(spark, tmp).collect().toSeq ==
+      rows.toSeq)
+  }
+
   test("fixture contract: full panel, every hit from at least one leg") {
     val rows = Hybrid.hybridTopk(spark, Sf0001).collect()
     assert(rows.length == 50)
