@@ -542,6 +542,40 @@ object OracleSql {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** `hybrid_serve` (similarity.Hybrid.hybridServe): both legs from
+    * the persisted indexes — the PQ ADC chain supplies the dense
+    * top-20, the shared lexical chain the BM25 top-20, RRF as ever.
+    * The two proven CTE families compose without renames (no name
+    * collisions between them, anchor-guarded extraction).
+    */
+  private val hybridServeSql: String = {
+    val tIdx = hybridCtes.indexOf("t AS (")
+    val e2Idx = hybridCtes.indexOf("e2 AS (")
+    require(tIdx > 0 && e2Idx > tIdx, "hybrid-serve: lex anchors missing")
+    val lexChain = hybridCtes.substring(tIdx, e2Idx)
+      .stripTrailing.stripSuffix(",")
+    pqApproxCtes + ",\n" + lexChain + """,
+      |pqv AS (SELECT query_id, vec_id AS doc_id, vec_rank FROM (
+      |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY pq_cos DESC, vec_id) AS vec_rank FROM approx)
+      |  WHERE vec_rank <= 20),
+      |fused2 AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+      |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+      |    l.lex_rank IS NOT NULL AS in_lexical,
+      |    v.vec_rank IS NOT NULL AS in_vector,
+      |    round(coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0) +
+      |          coalesce(1.0::DOUBLE / (60 + v.vec_rank), 0), 6) AS rrf_score
+      |  FROM lex l FULL JOIN pqv v
+      |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id)
+      |SELECT * FROM (
+      |  SELECT query_id, doc_id, rrf_score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank,
+      |    in_lexical, in_vector
+      |  FROM fused2)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   private val hybridTopkSql: String = hybridCtes +
     """
       |SELECT * FROM (
@@ -1677,6 +1711,11 @@ object OracleSql {
     // BM25 top-5 from the postings/df/dl/stats tables — the lexical
     // CTE chain shared with hybrid_topk certifies it
     "lex_bm25_serve" -> lexBm25ServeSql,
+
+    // index-served hybrid (similarity.Hybrid.hybridServe): lexical leg
+    // from the postings tables, dense leg from the PQ codes, RRF-fused
+    // — the whole retrieval stack without a base-table scan
+    "hybrid_serve" -> hybridServeSql,
 
     // SNIPPET EXTRACTION (similarity.Hybrid.hybridSnippets): for each
     // hybrid top-5 hit, the 32-token window with the maximum count of

@@ -237,6 +237,9 @@ object SparkEntry {
     // BM25 from the persisted lexical index (store.TextIndex): serve
     // never re-tokenizes the corpus — documents-free, like the ANN serves
     "lex_bm25_serve"      -> (graft.store.TextIndex.lexBm25Serve(_, _)),
+    // the whole hybrid stack from the persisted stores: postings-table
+    // BM25 + PQ ADC dense leg, RRF-fused — no base-table scan anywhere
+    "hybrid_serve"        -> (graft.similarity.Hybrid.hybridServe(_, _)),
     "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),
     "emb_norms"           -> (Similarity.embNorms(_, _)),
     "emb_lsh_buckets"     -> (Similarity.embLshBuckets(_, _)),

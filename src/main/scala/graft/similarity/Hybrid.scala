@@ -150,7 +150,14 @@ object Hybrid {
       .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
       .select(col("query_id"), col("nbr.neighbor_id").as("doc_id"),
         (col("pos") + 1).as("vec_rank"))
-    // ---- reciprocal-rank fusion over the union of the two top-c lists
+    rrfFuse(lexTop, vecTop, k)
+  }
+
+  /** Reciprocal-rank fusion over the union of a (query_id, doc_id,
+    * lex_rank) and a (query_id, doc_id, vec_rank) top-c list.
+    */
+  private def rrfFuse(lexTop: DataFrame, vecTop: DataFrame,
+      k: Int): DataFrame = {
     val fused = lexTop.join(vecTop, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         col("lex_rank").isNotNull.as("in_lexical"),
@@ -166,5 +173,23 @@ object Hybrid {
       .select(col("query_id"), col("doc_id"), col("rrf_score"),
         col("rank"), col("in_lexical"), col("in_vector"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The INDEX-SERVED hybrid — the whole two-leg retrieval stack
+    * answered from the persisted stores alone: the lexical top-20 from
+    * `TextIndex`'s postings tables (documents-free), the dense top-20
+    * from `AnnIndex`'s PQ codes (embeddings-free, ADC ranks standing
+    * in for exact cosine exactly as the PQ serve contracts), fused by
+    * the same RRF. This is the deployed shape: ingest builds both
+    * indexes once; queries never touch a base table.
+    */
+  def hybridServe(s: SparkSession, dir: String, k: Int = 5,
+      c: Int = 20): DataFrame = {
+    val lexTop = graft.store.TextIndex.lexBm25Serve(s, dir, c)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val vecTop = graft.store.AnnIndex.embPqServe(s, dir, c)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    rrfFuse(lexTop, vecTop, k)
   }
 }

@@ -97,6 +97,20 @@ class HybridSpec extends SparkSpec {
       rows.toSeq)
   }
 
+  test("index-served hybrid: no base-table scan on either leg") {
+    val served = graft.similarity.Hybrid.hybridServe(spark, Sf0001)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "index-served hybrid re-tokenizes the corpus")
+    assert(!plan.contains("embeddings.parquet"),
+      "index-served hybrid scans the embeddings")
+    val rows = served.collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("in_lexical") || r.getAs[Boolean]("in_vector"))
+    }
+  }
+
   test("fixture contract: full panel, every hit from at least one leg") {
     val rows = Hybrid.hybridTopk(spark, Sf0001).collect()
     assert(rows.length == 50)
