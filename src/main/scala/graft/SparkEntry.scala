@@ -276,5 +276,6 @@ object SparkEntry {
     "avro_roundtrip", "dedup_embedding_045", "dedup_embedding_lsh",
     "dedup_embedding_090", "dedup_embedding_lsh_090",
     "tx_repetition", "dedup_semantic", "tx_heavy_hitters",
-    "emb_mmr_serve", "emb_ivfpq_recall", "tx_freq_cm", "hybrid_topk")
+    "emb_mmr_serve", "emb_ivfpq_recall", "tx_freq_cm", "hybrid_topk",
+    "hybrid_serve")
 }
