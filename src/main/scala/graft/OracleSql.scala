@@ -1712,6 +1712,11 @@ object OracleSql {
     // CTE chain shared with hybrid_topk certifies it
     "lex_bm25_serve" -> lexBm25ServeSql,
 
+    // lexical append-serve (store.TextIndex.appendBatch): BM25 stats
+    // are additive, so build(half)+append(half) ≡ full build exactly —
+    // same oracle as the one-shot serve
+    "lex_bm25_append_serve" -> lexBm25ServeSql,
+
     // index-served hybrid (similarity.Hybrid.hybridServe): lexical leg
     // from the postings tables, dense leg from the PQ codes, RRF-fused
     // — the whole retrieval stack without a base-table scan

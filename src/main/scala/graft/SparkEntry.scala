@@ -237,6 +237,9 @@ object SparkEntry {
     // BM25 from the persisted lexical index (store.TextIndex): serve
     // never re-tokenizes the corpus — documents-free, like the ANN serves
     "lex_bm25_serve"      -> (graft.store.TextIndex.lexBm25Serve(_, _)),
+    // build half + exactly-once append of the other half; additive
+    // BM25 stats make append ≡ rebuild, certified by the shared oracle
+    "lex_bm25_append_serve" -> (graft.store.TextIndex.lexBm25AppendServe(_, _)),
     // the whole hybrid stack from the persisted stores: postings-table
     // BM25 + PQ ADC dense leg, RRF-fused — no base-table scan anywhere
     "hybrid_serve"        -> (graft.similarity.Hybrid.hybridServe(_, _)),

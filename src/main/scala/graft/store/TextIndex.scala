@@ -35,13 +35,14 @@ object TextIndex {
 
   private val FormatVersion = "v1"
 
-  private def indexRoot(spark: SparkSession, dir: String, n: Long): Path = {
+  private def indexRoot(spark: SparkSession, dir: String, n: Long,
+      kind: String = "lex"): Path = {
     val src = new Path(s"$dir/documents.parquet")
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(src)
     val digest = java.lang.Long.toHexString(graft.functions.TextHash.hash60(
-      s"$dir|$n|${st.getModificationTime}|${st.getLen}|lex|$FormatVersion"))
-    new Path(s"${System.getProperty("java.io.tmpdir")}/graft_ann/lex-$digest")
+      s"$dir|$n|${st.getModificationTime}|${st.getLen}|$kind|$FormatVersion"))
+    new Path(s"${System.getProperty("java.io.tmpdir")}/graft_ann/$kind-$digest")
   }
 
   private def ensureBuilt(spark: SparkSession, root: Path)(
@@ -59,21 +60,84 @@ object TextIndex {
     }
   }
 
-  def build(docs: DataFrame, path: String): Unit = {
+  /** The four index relations for a document set. `df` and `stats`
+    * are stored as ADDITIVE DELTAS (serve sums them), which is what
+    * makes incremental append exact: every BM25 statistic is a pure
+    * sum over documents, so append ≡ rebuild bit-for-bit — the
+    * lexical store needs no frozen-quantizer caveat.
+    */
+  private def indexDelta(docs: DataFrame): Seq[(String, DataFrame)] = {
     val tf = docs
       .select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    tf.select(col("tok"), col("doc_id"), col("tf"))
-      .repartition(col("tok")).sortWithinPartitions(col("tok"))
-      .write.parquet(s"$path/postings")
-    tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .write.parquet(s"$path/df")
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    dl.write.parquet(s"$path/dl")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .write.parquet(s"$path/stats")
+    Seq(
+      "postings" -> tf.select(col("tok"), col("doc_id"), col("tf"))
+        .repartition(col("tok")).sortWithinPartitions(col("tok")),
+      "df" -> tf.groupBy(col("tok")).agg(count(lit(1)).as("df")),
+      "dl" -> dl,
+      "stats" -> dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl")))
   }
+
+  def build(docs: DataFrame, path: String): Unit =
+    indexDelta(docs).foreach { case (sub, df) =>
+      df.write.parquet(s"$path/$sub")
+    }
+
+  /** EXACTLY-ONCE incremental append — the lexical twin of
+    * `AnnIndex.appendPqBatch`, same marker + rollback-by-file-prefix
+    * discipline: a new document batch appends its postings/dl rows and
+    * its df/stats DELTAS (serve sums deltas, so global statistics stay
+    * exact without ever re-reading the corpus). Cost is one tokenize
+    * scan of the delta. Because every statistic is additive,
+    * build(A∪B) ≡ build(A) + append(B) exactly — the registered
+    * append-serve query shares the full-build oracle verbatim.
+    */
+  def appendBatch(docs: DataFrame, root: String, batchId: Long,
+      filesPerBatch: Int = 1): Unit = {
+    val spark = docs.sparkSession
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$root/_committed/batch-$batchId")
+    if (fs.exists(marker)) return
+    val prefix = s"batch$batchId-"
+    val subs = Seq("postings", "df", "dl", "stats")
+    subs.foreach { sub =>
+      val dir = new Path(s"$root/$sub")
+      if (fs.exists(dir))
+        fs.listStatus(dir).filter(_.getPath.getName.startsWith(prefix))
+          .foreach(st => fs.delete(st.getPath, false))
+    }
+    val staging = new Path(s"$root/_staging/batch-$batchId")
+    fs.delete(staging, true)
+    indexDelta(docs).foreach { case (sub, df) =>
+      df.repartition(filesPerBatch).write.parquet(s"$staging/$sub")
+      val dest = new Path(s"$root/$sub")
+      fs.mkdirs(dest)
+      fs.listStatus(new Path(s"$staging/$sub"))
+        .filter { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        .foreach { st =>
+          fs.rename(st.getPath, new Path(dest, prefix + st.getPath.getName))
+        }
+    }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    fs.delete(staging, true)
+  }
+
+  /** Streaming maintenance for the lexical index — the document delta
+    * stream absorbed micro-batch by micro-batch, exactly once.
+    */
+  def startAppendSink(stream: DataFrame, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) => appendBatch(b, root, id))
+      .start()
 
   /** BM25 top-k from the persisted index: the query panel's terms come
     * from its own postings rows (doc_id < 10), candidates from the
@@ -82,9 +146,13 @@ object TextIndex {
     */
   def serveBm25(spark: SparkSession, root: String, k: Int = 5): DataFrame = {
     val postings = spark.read.parquet(s"$root/postings")
+    // df and stats are append-only DELTAS — sum them (the identity
+    // when the index was built in one shot)
     val dfreq = spark.read.parquet(s"$root/df")
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
     val dl = spark.read.parquet(s"$root/dl")
     val stats = spark.read.parquet(s"$root/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     val qt = postings.filter(col("doc_id") < 10)
       .select(col("doc_id").as("query_id"), col("tok"))
     val term = postings.join(qt, Seq("tok"))
@@ -114,6 +182,26 @@ object TextIndex {
     val docs = Tables.documents(s, dir)
     val root = indexRoot(s, dir, docs.count())
     ensureBuilt(s, root)(staging => build(docs, staging))
+    serveBm25(s, root.toString, k)
+  }
+
+  /** The append path as a registered, oracle-gated query: build on the
+    * first half of the corpus, APPEND the second half, serve. BM25's
+    * statistics are additive, so this must equal the full build
+    * EXACTLY — the query shares `lex_bm25_serve`'s oracle verbatim,
+    * and a hash match certifies the delta-summing serve and the
+    * append's exactly-once promote in one stroke.
+    */
+  def lexBm25AppendServe(s: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val half = n / 2
+    val root = indexRoot(s, dir, n, "lexapp")
+    ensureBuilt(s, root) { staging =>
+      build(docs.filter(col("doc_id") < half), staging)
+      appendBatch(docs.filter(col("doc_id") >= half), staging, 0L)
+    }
     serveBm25(s, root.toString, k)
   }
 }

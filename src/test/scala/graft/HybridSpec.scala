@@ -97,6 +97,50 @@ class HybridSpec extends SparkSpec {
       rows.toSeq)
   }
 
+  test("lexical streaming append: exactly-once, append ≡ full rebuild") {
+    import graft.store.TextIndex
+    val docs = Tables.documents(spark, Sf0001)
+    val n = docs.count()
+    val half = n / 2
+    val base = docs.filter(col("doc_id") < half)
+    val delta = docs.filter(col("doc_id") >= half)
+    val root = java.nio.file.Files.createTempDirectory("lexstream")
+      .toString + "/idx"
+    TextIndex.build(base, root)
+    // full-build reference (the additive-stats contract: exact equality)
+    val refRoot = java.nio.file.Files.createTempDirectory("lexref")
+      .toString + "/idx"
+    TextIndex.build(docs, refRoot)
+    val deltaDir = java.nio.file.Files.createTempDirectory("lex_delta")
+      .toString + "/files"
+    delta.write.parquet(deltaDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("lex_ckpt").toString
+    val q = TextIndex.startAppendSink(
+      spark.readStream.schema(docs.schema).parquet(deltaDir), root, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert(TextIndex.serveBm25(spark, root).collect().toSeq ==
+      TextIndex.serveBm25(spark, refRoot).collect().toSeq)
+    // replay short-circuits; torn promote rolls back by prefix
+    TextIndex.appendBatch(delta, root, 0L)
+    val extra = docs.filter(col("doc_id") < 2)
+      .select((col("doc_id") + 70001L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    TextIndex.appendBatch(extra, root, 1L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_committed/batch-1"), false)
+    TextIndex.appendBatch(extra, root, 1L)
+    val dlRows = spark.read.parquet(s"$root/dl")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    assert(dlRows.count() == n + 2, "append lost or duplicated documents")
+    assert(dlRows.filter(col("c") =!= 1).count() == 0)
+    // stats deltas sum to the true totals
+    val st = spark.read.parquet(s"$root/stats")
+      .agg(sum(col("n_docs"))).head.getLong(0)
+    assert(st == n + 2)
+  }
+
   test("index-served hybrid: no base-table scan on either leg") {
     val served = graft.similarity.Hybrid.hybridServe(spark, Sf0001)
     val plan = served.queryExecution.executedPlan.toString

@@ -26,7 +26,7 @@ class PlanAuditSpec extends SparkSpec {
     // lexical leg also broadcasts the 1-row corpus stats
     "hybrid_topk", "hybrid_snippets",
     // 1-row BM25 stats broadcast against the postings term join
-    "lex_bm25_serve", "hybrid_serve",
+    "lex_bm25_serve", "lex_bm25_append_serve", "hybrid_serve",
     // k-means assignment: k tiny centroids broadcast x corpus scan
     "dedup_semantic",
     "a10_recent_distribution", "decontaminate", "tx_unigram_bits",
