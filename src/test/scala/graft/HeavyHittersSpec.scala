@@ -170,6 +170,33 @@ class HeavyHittersSpec extends SparkSpec {
     assert(matrixOf(1) == matrixOf(13))
   }
 
+  test("count-min under Structured Streaming: multi-batch state == batch matrix") {
+    // the mergeability claim end-to-end: the aggregate's streaming
+    // state (update + merge across micro-batches, complete mode) must
+    // land on the exact matrix the one-shot batch aggregate produces
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("tok")
+      .agg(graft.functions.CountMin.countMin(col("tok"), 4, 64).as("m"))
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete").start()
+    val b1 = Seq.tabulate(500)(i => s"w${i % 11}")
+    val b2 = Seq.tabulate(300)(i => s"w${i % 7}")
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT m FROM cm_stream")
+      .head.getSeq[Long](0)
+    val batch = (b1 ++ b2).toDF("tok")
+      .agg(graft.functions.CountMin.countMin(col("tok"), 4, 64))
+      .head.getSeq[Long](0)
+    assert(streamed == batch)
+  }
+
   test("tx_freq_cm: panel = top-10 heavy hitters, overcount >= 0 everywhere") {
     val rows = TextAnalysis.txFreqCm(spark, Sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 10)
