@@ -112,7 +112,14 @@ object TextIndex {
     val staging = new Path(s"$root/_staging/batch-$batchId")
     fs.delete(staging, true)
     indexDelta(docs).foreach { case (sub, df) =>
-      df.repartition(filesPerBatch).write.parquet(s"$staging/$sub")
+      // bound files per batch WITHOUT losing the postings' term
+      // clustering (row-group stats skipping depends on it)
+      val bounded =
+        if (sub == "postings")
+          df.repartition(filesPerBatch, col("tok"))
+            .sortWithinPartitions(col("tok"))
+        else df.repartition(filesPerBatch)
+      bounded.write.parquet(s"$staging/$sub")
       val dest = new Path(s"$root/$sub")
       fs.mkdirs(dest)
       fs.listStatus(new Path(s"$staging/$sub"))
