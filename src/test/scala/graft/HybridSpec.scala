@@ -155,6 +155,75 @@ class HybridSpec extends SparkSpec {
     }
   }
 
+  test("BM25 leg == naive Scala reference across seeded Zipf corpora") {
+    // the arithmetic differential: the distributed inverted-index BM25
+    // must equal a straight-line Scala recompute (same double ops in
+    // the same order) on corpora with repeated terms, short docs, and
+    // vocab skew — not just the fixture
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 3) {
+      val nDocs = 14 + trial * 3
+      val vocab = 12 + trial * 5
+      val texts = (0L until nDocs.toLong).map { id =>
+        val len = 3 + rnd.nextInt(12)
+        id -> Seq.fill(len)(s"z${math.min(rnd.nextInt(vocab), rnd.nextInt(vocab))}")
+          .mkString(" ")
+      }
+      val emb = texts.map { case (id, _) =>
+        (id, Array(1f, id.toFloat, 0f, 1f))
+      }.toDF("vec_id", "embedding")
+      val got = Hybrid.hybridTopkDf(texts.toDF("doc_id", "text"), emb,
+          k = 5, c = 1000)  // c wide-open so fusion == both full rankings
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("rrf_score")))
+      // naive reference
+      val toks = texts.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val n = texts.size.toDouble
+      val dl = toks.view.mapValues(_.size.toLong).toMap
+      val sumDl = dl.values.sum.toDouble
+      val df = toks.values.flatMap(_.distinct).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      def bm25(q: Long, d: Long): Double = {
+        val qset = toks(q).toSet
+        val s = toks(d).groupBy(identity).view.mapValues(_.size).toSeq
+          .filter { case (t, _) => qset(t) }
+          .map { case (t, tf) =>
+            val idf = math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5))
+            idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl(d) * n / sumDl))
+          }.sum
+        BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      def rank(scored: Seq[(Long, Double)]): Map[Long, Int] =
+        scored.sortBy { case (d, s) => (-s, d) }
+          .zipWithIndex.map { case ((d, _), i) => d -> (i + 1) }.toMap
+      val want = (0L until math.min(10L, nDocs.toLong)).flatMap { q =>
+        val others = texts.map(_._1).filter(_ != q)
+        // only docs sharing >= 1 term carry a lexical rank (absent
+        // from the inverted-index join otherwise)
+        val lexRank = rank(
+          others.filter(d => toks(d).exists(toks(q).toSet))
+            .map(d => d -> bm25(q, d)))
+        val cosRank = rank(
+          others.map { d =>
+            val (a, b) = (Array(1f, q.toFloat, 0f, 1f), Array(1f, d.toFloat, 0f, 1f))
+            val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+            val c = dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+              math.sqrt(b.map(x => x.toDouble * x).sum))
+            d -> BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          })
+        others.map { d =>
+          val lex = lexRank.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+          val rrf = BigDecimal(lex + 1.0 / (60 + cosRank(d)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (q, d, rrf)
+        }.sortBy(t => (-t._3, t._2)).take(5)
+      }
+      assert(got.toSeq == want.toSeq, s"trial $trial diverged")
+    }
+  }
+
   test("fixture contract: full panel, every hit from at least one leg") {
     val rows = Hybrid.hybridTopk(spark, Sf0001).collect()
     assert(rows.length == 50)
