@@ -1717,6 +1717,46 @@ object OracleSql {
     // same oracle as the one-shot serve
     "lex_bm25_append_serve" -> lexBm25ServeSql,
 
+    // retrieval evaluation (similarity.Hybrid.retrievalMetrics):
+    // precision@5 / MRR / nDCG@5 of the hybrid hits with label-match
+    // relevance; ideal DCG is the running log2-discount sum at
+    // min(5, n_rel) positions (ascending fold, mirroring Spark's
+    // aggregate() exactly)
+    "retrieval_metrics" -> (hybridCtes + """,
+        |hits AS (SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank
+        |  FROM fused) WHERE rank <= 5),
+        |qlab AS (SELECT vec_id AS query_id, label AS qlab FROM embeddings
+        |  WHERE vec_id < 10),
+        |dlab AS (SELECT vec_id AS doc_id, label AS dlab FROM embeddings),
+        |r AS (SELECT h.query_id, h.rank,
+        |    CASE WHEN d.dlab = ql.qlab THEN 1 ELSE 0 END AS rel
+        |  FROM hits h
+        |  JOIN dlab d ON d.doc_id = h.doc_id
+        |  JOIN qlab ql ON ql.query_id = h.query_id),
+        |nr AS (SELECT ql.query_id, count(*)::BIGINT AS n_rel
+        |  FROM qlab ql JOIN embeddings e2
+        |    ON e2.label = ql.qlab AND e2.vec_id <> ql.query_id
+        |  GROUP BY ql.query_id),
+        |ic AS (SELECT n, sum(v) OVER (ORDER BY n) AS idcg FROM (
+        |  SELECT i AS n, 1.0::DOUBLE / log2(i + 1) AS v
+        |  FROM generate_series(1, 5) g(i))),
+        |m AS (SELECT query_id,
+        |    round(sum(rel) / 5.0, 6) AS precision_at_5,
+        |    round(coalesce(max(CASE WHEN rel = 1
+        |      THEN 1.0::DOUBLE / rank END), 0), 6) AS mrr,
+        |    sum(rel * (1.0::DOUBLE / log2(rank + 1))) AS dcg
+        |  FROM r GROUP BY query_id)
+        |SELECT m.query_id, coalesce(nr.n_rel, 0) AS n_rel,
+        |  m.precision_at_5, m.mrr,
+        |  CASE WHEN coalesce(nr.n_rel, 0) = 0 THEN 0.0
+        |    ELSE round(m.dcg / (SELECT idcg FROM ic
+        |      WHERE n = least(nr.n_rel, 5)), 6) END AS ndcg_at_5
+        |FROM m LEFT JOIN nr ON nr.query_id = m.query_id
+        |ORDER BY m.query_id""".stripMargin),
+
     // index-served hybrid (similarity.Hybrid.hybridServe): lexical leg
     // from the postings tables, dense leg from the PQ codes, RRF-fused
     // — the whole retrieval stack without a base-table scan

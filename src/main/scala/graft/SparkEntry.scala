@@ -243,6 +243,9 @@ object SparkEntry {
     // the whole hybrid stack from the persisted stores: postings-table
     // BM25 + PQ ADC dense leg, RRF-fused — no base-table scan anywhere
     "hybrid_serve"        -> (graft.similarity.Hybrid.hybridServe(_, _)),
+    // ranking-quality evaluation of the hybrid hits: precision@5, MRR,
+    // nDCG@5 with label-match relevance (corpus ground truth)
+    "retrieval_metrics"   -> (graft.similarity.Hybrid.retrievalMetrics(_, _)),
     "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),
     "emb_norms"           -> (Similarity.embNorms(_, _)),
     "emb_lsh_buckets"     -> (Similarity.embLshBuckets(_, _)),

@@ -103,6 +103,49 @@ object Hybrid {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** RETRIEVAL EVALUATION — the ranking-quality metrics a retrieval
+    * deployment tracks per release (and a training-data pipeline
+    * tracks per corpus build): precision@k, MRR and nDCG@k of the
+    * hybrid hits, with relevance = label match against the query's
+    * label (the corpus's built-in ground truth). nDCG's ideal DCG is
+    * the standard min(k, #relevant-in-corpus)-position ideal; queries
+    * with no relevant corpus doc score 0. All ratios are exact
+    * integer relevance over the fixed log2 discount table, rounded
+    * once — engine-independent at 6 dp.
+    */
+  def retrievalMetrics(s: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val hits = hybridTopk(s, dir, k)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val qlab = lab.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlab"))
+    val rel = hits
+      .join(lab.select(col("vec_id").as("doc_id"), col("label").as("dlab")),
+        Seq("doc_id"))
+      .join(broadcast(qlab), Seq("query_id"))
+      .select(col("query_id"), col("rank"),
+        (col("dlab") === col("qlab")).cast(IntegerType).as("rel"))
+    val nRel = qlab.join(lab,
+        lab("label") === qlab("qlab") && lab("vec_id") =!= qlab("query_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val perQ = rel.groupBy(col("query_id")).agg(
+      round(sum(col("rel")) / lit(k.toDouble), 6).as(s"precision_at_$k"),
+      round(coalesce(max(when(col("rel") === 1,
+        lit(1.0) / col("rank"))), lit(0.0)), 6).as("mrr"),
+      sum(col("rel") * (lit(1.0) / log2(col("rank") + 1))).as("dcg"))
+    perQ.join(nRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col(s"precision_at_$k"), col("mrr"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("dcg") /
+            aggregate(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
+              lit(0.0), (a, i) => a + lit(1.0) / log2(i + 1)), 6))
+          .as(s"ndcg_at_$k"))
+      .orderBy(col("query_id"))
+  }
+
   def hybridTopkDf(docs: DataFrame, emb: DataFrame, k: Int,
       c: Int): DataFrame = {
     // ---- lexical leg: BM25 over the inverted (doc, term, tf) index

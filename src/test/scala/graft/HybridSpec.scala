@@ -141,6 +141,23 @@ class HybridSpec extends SparkSpec {
     assert(st == n + 2)
   }
 
+  test("retrieval metrics: bounded, consistent with their definitions") {
+    val rows = Hybrid.retrievalMetrics(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSeq == (0L until 10L))
+    rows.foreach { r =>
+      val p = r.getAs[Double]("precision_at_5")
+      val mrr = r.getAs[Double]("mrr")
+      val ndcg = r.getAs[Double]("ndcg_at_5")
+      assert(p >= 0 && p <= 1 && mrr >= 0 && mrr <= 1 && ndcg >= 0 && ndcg <= 1)
+      // precision@5 is a count over 5; MRR is 0 or a unit fraction 1/r
+      assert(math.abs(p * 5 - math.rint(p * 5)) < 1e-9)
+      assert(mrr == 0.0 ||
+        (1 to 5).exists(rk => math.abs(mrr - math.rint(1e6 / rk) / 1e6) < 1e-9))
+      // zero hits <=> zero everywhere
+      assert((p == 0.0) == (mrr == 0.0) && (p == 0.0) == (ndcg == 0.0))
+    }
+  }
+
   test("index-served hybrid: no base-table scan on either leg") {
     val served = graft.similarity.Hybrid.hybridServe(spark, Sf0001)
     val plan = served.queryExecution.executedPlan.toString
