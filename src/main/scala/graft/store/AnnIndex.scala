@@ -506,41 +506,49 @@ object AnnIndex {
     * append produces). Rollback walks the live cell dirs deleting the
     * prefix.
     */
-  def appendIvfBatch(newEmb: DataFrame, root: String, batchId: Long): Unit = {
+  def appendIvfBatch(newEmb: DataFrame, root: String, batchId: Long): Unit =
+    commitIndexBatch(newEmb.sparkSession, root, batchId,
+      Seq("lists" -> true)) { (_, path) =>
+      ivfDelta(newEmb, root).write.partitionBy("cell").parquet(path)
+    }
+
+  /** Composed-index batch append — cell-partitioned codes plus their
+    * norms, committed exactly-once like the rest of the family.
+    */
+  def appendIvfPqBatch(newEmb: DataFrame, root: String, batchId: Long,
+      filesPerBatch: Int = 1): Unit = {
     val spark = newEmb.sparkSession
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$root/_committed/batch-$batchId")
-    if (fs.exists(marker)) return
-    val prefix = s"batch$batchId-"
-    val lists = new Path(s"$root/lists")
-    if (fs.exists(lists))
-      fs.listStatus(lists).filter(_.isDirectory).foreach { cellDir =>
-        fs.listStatus(cellDir.getPath)
-          .filter(_.getPath.getName.startsWith(prefix))
-          .foreach(st => fs.delete(st.getPath, false))
-      }
-    val staging = new Path(s"$root/_staging/batch-$batchId")
-    fs.delete(staging, true)
-    ivfDelta(newEmb, root)
-      .write.partitionBy("cell").parquet(s"$staging/lists")
-    fs.listStatus(new Path(s"$staging/lists"))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .foreach { cellDir =>
-        val dest = new Path(lists, cellDir.getPath.getName)
-        fs.mkdirs(dest)
-        fs.listStatus(cellDir.getPath)
-          .filter { st =>
-            val n = st.getPath.getName
-            !n.startsWith("_") && !n.startsWith(".")
-          }
-          .foreach { st =>
-            fs.rename(st.getPath, new Path(dest, prefix + st.getPath.getName))
-          }
-      }
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
-    fs.delete(staging, true)
+    lazy val cent = Similarity.materializeSmall(
+      spark.read.parquet(s"$root/centroids"))
+    lazy val cw = Similarity.materializeSmall(
+      spark.read.parquet(s"$root/codebooks"))
+    lazy val cells = Similarity.assignCells(
+      newEmb.select(col("vec_id"), col("embedding")), cent)
+      .select(col("vec_id"), col("cell"))
+    lazy val codes = Similarity.pqAssign(
+      newEmb.select(col("vec_id"), col("embedding")), cw)
+    commitIndexBatch(spark, root, batchId,
+      Seq("cellcodes" -> true, "vnorms" -> false)) {
+      case ("cellcodes", path) =>
+        codes.join(cells, Seq("vec_id"))
+          .select(col("cell"), col("vec_id"), col("s"), col("code"))
+          .repartition(col("cell"))
+          .write.partitionBy("cell").parquet(path)
+      case (_, path) =>
+        codes.join(broadcast(cw), Seq("s", "code"))
+          .groupBy(col("vec_id"))
+          .agg(sqrt(sum(Similarity.dot(col("cw"), col("cw")))).as("vnorm"))
+          .repartition(filesPerBatch).write.parquet(path)
+    }
   }
+
+  /** Streaming maintenance for the composed IVFPQ index. */
+  def startIvfPqAppendSink(stream: DataFrame, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) => appendIvfPqBatch(b, root, id))
+      .start()
 
   /** Streaming maintenance for the IVF index — see `startPqAppendSink`. */
   def startIvfAppendSink(stream: DataFrame, root: String,
@@ -615,45 +623,78 @@ object AnnIndex {
     * the next replay removes — the same visibility contract the event
     * sink documents.
     */
-  def appendPqBatch(newEmb: DataFrame, root: String, batchId: Long,
-      filesPerBatch: Int = 1): Unit = {
-    val spark = newEmb.sparkSession
+  /** Shared exactly-once batch-commit discipline for every index
+    * append sink: marker short-circuit, UNCONDITIONAL rollback of this
+    * batch's file prefix (descending one level into partition dirs),
+    * staged write, prefix-promote, marker last. `subs` maps each
+    * sub-table to whether its staged output is cell-partitioned (the
+    * promote then walks the `cell=X` level so probe-side directory
+    * pruning sees a plain append's layout).
+    */
+  private def commitIndexBatch(spark: SparkSession, root: String,
+      batchId: Long, subs: Seq[(String, Boolean)])(
+      stage: (String, String) => Unit): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(s"$root/_committed/batch-$batchId")
     if (fs.exists(marker)) return
     val prefix = s"batch$batchId-"
-    val subs = Seq("codes", "vnorms", "vecs8", "attrs")
-    // rollback: a previous attempt's partial promote, by prefix
-    subs.foreach { sub =>
+    def dataFiles(dir: Path) = fs.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    subs.foreach { case (sub, partitioned) =>
       val dir = new Path(s"$root/$sub")
-      if (fs.exists(dir))
-        fs.listStatus(dir).filter(_.getPath.getName.startsWith(prefix))
-          .foreach(st => fs.delete(st.getPath, false))
+      if (fs.exists(dir)) {
+        val roots = if (partitioned) fs.listStatus(dir).filter(_.isDirectory)
+          .map(_.getPath).toSeq else Seq(dir)
+        roots.foreach { d =>
+          fs.listStatus(d).filter(_.getPath.getName.startsWith(prefix))
+            .foreach(st => fs.delete(st.getPath, false))
+        }
+      }
     }
     val staging = new Path(s"$root/_staging/batch-$batchId")
     fs.delete(staging, true)
+    subs.foreach { case (sub, partitioned) =>
+      stage(sub, s"$staging/$sub")
+      val src = new Path(s"$staging/$sub")
+      if (partitioned) {
+        dataFiles(src).filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("cell=")).foreach { cellDir =>
+          val dest = new Path(s"$root/$sub/${cellDir.getPath.getName}")
+          fs.mkdirs(dest)
+          dataFiles(cellDir.getPath).foreach { st =>
+            fs.rename(st.getPath, new Path(dest, prefix + st.getPath.getName))
+          }
+        }
+      } else {
+        val dest = new Path(s"$root/$sub")
+        fs.mkdirs(dest)
+        dataFiles(src).foreach { st =>
+          fs.rename(st.getPath, new Path(dest, prefix + st.getPath.getName))
+        }
+      }
+    }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    fs.delete(staging, true)
+  }
+
+  def appendPqBatch(newEmb: DataFrame, root: String, batchId: Long,
+      filesPerBatch: Int = 1): Unit = {
     // file-count bound: without it every batch promotes up to
     // shuffle.partitions files per sub-table and the listing cost grows
     // with batch count (the keyed sink's r9 growth defect, same cure).
     // The dial scales with delta size at 100 TB; table folding beyond
     // it is a REBUILD into a fresh root — the same trade the tombstone
     // scaladoc documents.
-    pqDelta(newEmb, root).foreach { case (sub, df) =>
-      df.repartition(filesPerBatch).write.parquet(s"$staging/$sub")
-      val dest = new Path(s"$root/$sub")
-      fs.mkdirs(dest)
-      fs.listStatus(new Path(s"$staging/$sub"))
-        .filter { st =>
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }
-        .foreach { st =>
-          fs.rename(st.getPath, new Path(dest, prefix + st.getPath.getName))
-        }
+    // lazy so a marker-short-circuited replay never pays the codebook
+    // read the delta computation starts with
+    lazy val deltas = pqDelta(newEmb, root).toMap
+    commitIndexBatch(newEmb.sparkSession, root, batchId,
+      Seq("attrs", "codes", "vecs8", "vnorms").map(_ -> false)) { (sub, path) =>
+      deltas(sub).repartition(filesPerBatch).write.parquet(path)
     }
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
-    fs.delete(staging, true)
   }
 
   /** STREAMING INDEX MAINTENANCE — the shape a 100 TB deployment

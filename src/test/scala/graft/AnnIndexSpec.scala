@@ -349,6 +349,45 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("IVFPQ streaming append: exactly-once into the composed index") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val n = emb.count()
+    val half = n / 2
+    val base = emb.filter(col("vec_id") < half)
+    val delta = emb.filter(col("vec_id") >= half)
+    val root = tmpRoot("ivfpqstream")
+    AnnIndex.buildIvfPq(base, root)
+    val refRoot = tmpRoot("ivfpqstreamref")
+    AnnIndex.buildIvfPq(base, refRoot)
+    AnnIndex.appendIvfPq(delta, refRoot)
+    val deltaDir = java.nio.file.Files.createTempDirectory("ivfpq_delta")
+      .toString + "/files"
+    delta.write.parquet(deltaDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfpq_ckpt").toString
+    val q = AnnIndex.startIvfPqAppendSink(
+      spark.readStream.schema(emb.schema).parquet(deltaDir), root, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val qdf = queryLits(Sf0001)
+    assert(AnnIndex.serveIvfPqTopk(spark, root, qdf).collect().toSeq ==
+      AnnIndex.serveIvfPqTopk(spark, refRoot, qdf).collect().toSeq)
+    // replay + torn promote on the cell-partitioned code table
+    AnnIndex.appendIvfPqBatch(delta, root, 0L)
+    val extra = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 92001L).as("vec_id"), col("label"),
+        col("embedding"))
+    AnnIndex.appendIvfPqBatch(extra, root, 1L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_committed/batch-1"), false)
+    AnnIndex.appendIvfPqBatch(extra, root, 1L)
+    val ids = spark.read.parquet(s"$root/cellcodes")
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
+    assert(ids.count() == n + 3)
+    assert(ids.filter(col("c") =!= 8).count() == 0,
+      "torn-promote replay left duplicate or missing codes")
+  }
+
   test("filtered serve: every hit satisfies the predicate, plan stays embeddings-free") {
     val served = AnnIndex.embPqServeFiltered(spark, Sf0001)
     val plan = served.queryExecution.executedPlan.toString
