@@ -507,7 +507,7 @@ object AnnIndex {
     * prefix.
     */
   def appendIvfBatch(newEmb: DataFrame, root: String, batchId: Long): Unit =
-    commitIndexBatch(newEmb.sparkSession, root, batchId,
+    BatchCommit.commit(newEmb.sparkSession, root, batchId,
       Seq("lists" -> true)) { (_, path) =>
       ivfDelta(newEmb, root).write.partitionBy("cell").parquet(path)
     }
@@ -527,7 +527,7 @@ object AnnIndex {
       .select(col("vec_id"), col("cell"))
     lazy val codes = Similarity.pqAssign(
       newEmb.select(col("vec_id"), col("embedding")), cw)
-    commitIndexBatch(spark, root, batchId,
+    BatchCommit.commit(spark, root, batchId,
       Seq("cellcodes" -> true, "vnorms" -> false)) {
       case ("cellcodes", path) =>
         codes.join(cells, Seq("vec_id"))
@@ -623,63 +623,6 @@ object AnnIndex {
     * the next replay removes — the same visibility contract the event
     * sink documents.
     */
-  /** Shared exactly-once batch-commit discipline for every index
-    * append sink: marker short-circuit, UNCONDITIONAL rollback of this
-    * batch's file prefix (descending one level into partition dirs),
-    * staged write, prefix-promote, marker last. `subs` maps each
-    * sub-table to whether its staged output is cell-partitioned (the
-    * promote then walks the `cell=X` level so probe-side directory
-    * pruning sees a plain append's layout).
-    */
-  private def commitIndexBatch(spark: SparkSession, root: String,
-      batchId: Long, subs: Seq[(String, Boolean)])(
-      stage: (String, String) => Unit): Unit = {
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$root/_committed/batch-$batchId")
-    if (fs.exists(marker)) return
-    val prefix = s"batch$batchId-"
-    def dataFiles(dir: Path) = fs.listStatus(dir).filter { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    subs.foreach { case (sub, partitioned) =>
-      val dir = new Path(s"$root/$sub")
-      if (fs.exists(dir)) {
-        val roots = if (partitioned) fs.listStatus(dir).filter(_.isDirectory)
-          .map(_.getPath).toSeq else Seq(dir)
-        roots.foreach { d =>
-          fs.listStatus(d).filter(_.getPath.getName.startsWith(prefix))
-            .foreach(st => fs.delete(st.getPath, false))
-        }
-      }
-    }
-    val staging = new Path(s"$root/_staging/batch-$batchId")
-    fs.delete(staging, true)
-    subs.foreach { case (sub, partitioned) =>
-      stage(sub, s"$staging/$sub")
-      val src = new Path(s"$staging/$sub")
-      if (partitioned) {
-        dataFiles(src).filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith("cell=")).foreach { cellDir =>
-          val dest = new Path(s"$root/$sub/${cellDir.getPath.getName}")
-          fs.mkdirs(dest)
-          dataFiles(cellDir.getPath).foreach { st =>
-            fs.rename(st.getPath, new Path(dest, prefix + st.getPath.getName))
-          }
-        }
-      } else {
-        val dest = new Path(s"$root/$sub")
-        fs.mkdirs(dest)
-        dataFiles(src).foreach { st =>
-          fs.rename(st.getPath, new Path(dest, prefix + st.getPath.getName))
-        }
-      }
-    }
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
-    fs.delete(staging, true)
-  }
-
   def appendPqBatch(newEmb: DataFrame, root: String, batchId: Long,
       filesPerBatch: Int = 1): Unit = {
     // file-count bound: without it every batch promotes up to
@@ -691,7 +634,7 @@ object AnnIndex {
     // lazy so a marker-short-circuited replay never pays the codebook
     // read the delta computation starts with
     lazy val deltas = pqDelta(newEmb, root).toMap
-    commitIndexBatch(newEmb.sparkSession, root, batchId,
+    BatchCommit.commit(newEmb.sparkSession, root, batchId,
       Seq("attrs", "codes", "vecs8", "vnorms").map(_ -> false)) { (sub, path) =>
       deltas(sub).repartition(filesPerBatch).write.parquet(path)
     }

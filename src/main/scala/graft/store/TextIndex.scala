@@ -97,43 +97,18 @@ object TextIndex {
     */
   def appendBatch(docs: DataFrame, root: String, batchId: Long,
       filesPerBatch: Int = 1): Unit = {
-    val spark = docs.sparkSession
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$root/_committed/batch-$batchId")
-    if (fs.exists(marker)) return
-    val prefix = s"batch$batchId-"
-    val subs = Seq("postings", "df", "dl", "stats")
-    subs.foreach { sub =>
-      val dir = new Path(s"$root/$sub")
-      if (fs.exists(dir))
-        fs.listStatus(dir).filter(_.getPath.getName.startsWith(prefix))
-          .foreach(st => fs.delete(st.getPath, false))
-    }
-    val staging = new Path(s"$root/_staging/batch-$batchId")
-    fs.delete(staging, true)
-    indexDelta(docs).foreach { case (sub, df) =>
+    lazy val deltas = indexDelta(docs).toMap
+    BatchCommit.commit(docs.sparkSession, root, batchId,
+      Seq("postings", "df", "dl", "stats").map(_ -> false)) { (sub, path) =>
       // bound files per batch WITHOUT losing the postings' term
       // clustering (row-group stats skipping depends on it)
       val bounded =
         if (sub == "postings")
-          df.repartition(filesPerBatch, col("tok"))
+          deltas(sub).repartition(filesPerBatch, col("tok"))
             .sortWithinPartitions(col("tok"))
-        else df.repartition(filesPerBatch)
-      bounded.write.parquet(s"$staging/$sub")
-      val dest = new Path(s"$root/$sub")
-      fs.mkdirs(dest)
-      fs.listStatus(new Path(s"$staging/$sub"))
-        .filter { st =>
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }
-        .foreach { st =>
-          fs.rename(st.getPath, new Path(dest, prefix + st.getPath.getName))
-        }
+        else deltas(sub).repartition(filesPerBatch)
+      bounded.write.parquet(path)
     }
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
-    fs.delete(staging, true)
   }
 
   /** Streaming maintenance for the lexical index — the document delta
