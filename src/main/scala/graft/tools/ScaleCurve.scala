@@ -80,6 +80,34 @@ object ScaleCurve {
       }
     }
 
+    // Hybrid retrieval curve: k id-shifted copies of documents AND
+    // embeddings (texts marker-tokenized, vectors mildly scaled so
+    // copies are distinct rows). The lexical leg's candidate mass is
+    // sum over query terms of df(t), so both legs should scale ~k;
+    // the panel (ids < 10) stays fixed.
+    if (section("hybrid")) {
+      val baseEmb = graft.Tables.embeddings(spark, dir)
+      def corpus(k: Int) = (
+        (0 until k).map(j =>
+          baseDocs.select((col("doc_id") + lit(j * 1000000L)).as("doc_id"),
+            concat(col("text"), lit(s" hymarker$j")).as("text")))
+          .reduce(_ unionByName _),
+        (0 until k).map(j =>
+          baseEmb.select((col("vec_id") + lit(j * 1000000L)).as("vec_id"),
+            transform(col("embedding"),
+              x => x * (lit(1.0f) + lit(j.toFloat / 1000))).as("embedding")))
+          .reduce(_ unionByName _))
+      val (wd, we) = corpus(1)
+      noop(graft.similarity.Hybrid.hybridTopkDf(wd, we, 5, 20))
+      for (k <- Seq(1, 2, 4)) {
+        val (docs, emb) = corpus(k)
+        val n = docs.count()
+        val t = Seq.fill(3)(timed(noop(
+          graft.similarity.Hybrid.hybridTopkDf(docs, emb, 5, 20)))).min
+        println(f"hybrid   n=$n%-8d $t%8.2f s")
+      }
+    }
+
     println(f"${"copies"}%8s ${"n"}%8s ${"(b,t)"}%10s ${"lsh_s"}%8s ${"exact_s"}%8s ${"ratio"}%6s")
     // Past n=24k the exact twin's measured quadratic already puts it in
     // the minutes — the 48k point runs the LSH side ONLY and projects
