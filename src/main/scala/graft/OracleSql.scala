@@ -1717,6 +1717,32 @@ object OracleSql {
     // same oracle as the one-shot serve
     "lex_bm25_append_serve" -> lexBm25ServeSql,
 
+    // store manifest (store.Manifest): actual sub-table row counts of
+    // both persisted stores vs corpus-PREDICTED cardinalities —
+    // codebooks = the trained quantizer's occupied (s, code) pairs
+    // (the full PQ chain's w2l), postings = distinct (doc, term)
+    "store_manifest" -> (pqApproxCtes + ",\n" + toksCte + """,
+        |postc AS (SELECT count(*)::BIGINT AS c FROM (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(toks) AS tok FROM t))),
+        |vocab AS (SELECT count(DISTINCT tok)::BIGINT AS c FROM (
+        |  SELECT unnest(toks) AS tok FROM t)),
+        |n_e AS (SELECT count(*)::BIGINT AS c FROM embeddings),
+        |n_d AS (SELECT count(*)::BIGINT AS c FROM documents),
+        |cbk AS (SELECT count(*)::BIGINT AS c FROM w2l)
+        |SELECT * FROM (
+        |  SELECT 'lex' AS store, 'df' AS sub_table,
+        |    (SELECT c FROM vocab) AS n_rows
+        |  UNION ALL SELECT 'lex', 'dl', (SELECT c FROM n_d)
+        |  UNION ALL SELECT 'lex', 'postings', (SELECT c FROM postc)
+        |  UNION ALL SELECT 'lex', 'stats', 1::BIGINT
+        |  UNION ALL SELECT 'pq', 'attrs', (SELECT c FROM n_e)
+        |  UNION ALL SELECT 'pq', 'codebooks', (SELECT c FROM cbk)
+        |  UNION ALL SELECT 'pq', 'codes', (SELECT c * 8 FROM n_e)
+        |  UNION ALL SELECT 'pq', 'vecs8', (SELECT c FROM n_e)
+        |  UNION ALL SELECT 'pq', 'vnorms', (SELECT c FROM n_e))
+        |ORDER BY store, sub_table""".stripMargin),
+
     // retrieval evaluation (similarity.Hybrid.retrievalMetrics):
     // precision@5 / MRR / nDCG@5 of the hybrid hits with label-match
     // relevance; ideal DCG is the running log2-discount sum at

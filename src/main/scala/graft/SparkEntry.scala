@@ -246,6 +246,9 @@ object SparkEntry {
     // ranking-quality evaluation of the hybrid hits: precision@5, MRR,
     // nDCG@5 with label-match relevance (corpus ground truth)
     "retrieval_metrics"   -> (graft.similarity.Hybrid.retrievalMetrics(_, _)),
+    // L9-style introspection for the persisted stores: actual sub-table
+    // row counts vs corpus-predicted cardinalities (structural gate)
+    "store_manifest"      -> (graft.store.Manifest.storeManifest(_, _)),
     "emb_label_centroids" -> (Similarity.embLabelCentroids(_, _)),
     "emb_norms"           -> (Similarity.embNorms(_, _)),
     "emb_lsh_buckets"     -> (Similarity.embLshBuckets(_, _)),

@@ -668,12 +668,18 @@ object AnnIndex {
       Tables.embeddings(s, dir).filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
 
-  def embPqServe(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  /** The PQ index root for a corpus dir, built if absent — the handle
+    * introspection (store.Manifest) shares with the serves.
+    */
+  def ensuredPqRoot(s: SparkSession, dir: String): String = {
     val emb = Tables.embeddings(s, dir)
     val root = indexRoot(s, dir, "pq", emb.count())
     ensureBuilt(s, root)(staging => buildPq(emb, staging))
-    servePqTopk(s, root.toString, queryLiterals(s, dir), k)
+    root.toString
   }
+
+  def embPqServe(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    servePqTopk(s, ensuredPqRoot(s, dir), queryLiterals(s, dir), k)
 
   /** The tombstone path as a registered, oracle-gated query: build the
     * PQ index, DELETE the deterministic set vec_id % 17 == 3, serve —

@@ -160,12 +160,16 @@ object TextIndex {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def lexBm25Serve(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  /** The lexical index root for a corpus dir, built if absent. */
+  def ensuredRoot(s: SparkSession, dir: String): String = {
     val docs = Tables.documents(s, dir)
     val root = indexRoot(s, dir, docs.count())
     ensureBuilt(s, root)(staging => build(docs, staging))
-    serveBm25(s, root.toString, k)
+    root.toString
   }
+
+  def lexBm25Serve(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    serveBm25(s, ensuredRoot(s, dir), k)
 
   /** The append path as a registered, oracle-gated query: build on the
     * first half of the corpus, APPEND the second half, serve. BM25's

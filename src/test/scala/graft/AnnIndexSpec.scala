@@ -426,6 +426,18 @@ class AnnIndexSpec extends SparkSpec {
       "cell census scans the corpus instead of the index")
   }
 
+  test("store manifest: internal cardinality invariants hold") {
+    val rows = graft.store.Manifest.storeManifest(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows.size == 9)
+    assert(rows(("pq", "codes")) == 8 * rows(("pq", "attrs")))
+    assert(rows(("pq", "vnorms")) == rows(("pq", "attrs")))
+    assert(rows(("pq", "vecs8")) == rows(("pq", "attrs")))
+    assert(rows(("lex", "stats")) == 1)
+    assert(rows(("lex", "postings")) >= rows(("lex", "df")))
+    assert(rows(("lex", "postings")) >= rows(("lex", "dl")))
+  }
+
   test("coarser-modulus rung ladder: pct ladder at gate scales, sub-1% beyond") {
     import Similarity.{trainSamplePct, trainSampleRung}
     // gate scales: exactly the pct ladder on modulus 100
