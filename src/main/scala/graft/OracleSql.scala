@@ -800,6 +800,20 @@ object OracleSql {
          |SELECT tok, exact_n, cm_est, cm_est - exact_n AS overcount
          |FROM est ORDER BY exact_n DESC, tok""".stripMargin,
 
+    // per-language corpus rollup (TextAnalysis.corpusReport)
+    "corpus_report" ->
+      s"""WITH $toksCte,
+         |per AS (SELECT lang, count(*)::BIGINT AS n_docs,
+         |    sum(len(toks))::BIGINT AS total_tokens,
+         |    sum(len(text))::BIGINT AS total_chars
+         |  FROM t GROUP BY lang),
+         |tot AS (SELECT sum(n_docs)::BIGINT AS n FROM per)
+         |SELECT lang, n_docs, total_tokens,
+         |  round(total_tokens / n_docs::DOUBLE, 6) AS mean_tokens,
+         |  round(total_chars / n_docs::DOUBLE, 6) AS mean_chars,
+         |  round(n_docs / (SELECT n FROM tot)::DOUBLE, 6) AS doc_share
+         |FROM per ORDER BY lang""".stripMargin,
+
     // grouped heavy hitters: per-source GROUP BY with the 3% integer
     // threshold — the per-group MG guarantee (undercount <= group
     // total / 256) makes the Spark side's exact-filtered output equal

@@ -113,6 +113,9 @@ object SparkEntry {
     "tx_boilerplate" -> (TX.txBoilerplate(_, _)),
     "tx_boilerplate_apply" -> (TX.txBoilerplateApply(_, _)),
     "tx_filter"      -> (TX.txFilter(_, _)),
+    // per-language corpus rollup (the release dashboard of a corpus
+    // build): counts, token mass, means, shares
+    "corpus_report"  -> (TX.corpusReport(_, _)),
     // PII scrub: regex redaction (email/IP/phone) with audit counts over
     // a deterministically-planted corpus — oracle runs the same automaton
     "tx_redact"      -> (TX.txRedact(_, _)),

@@ -491,6 +491,31 @@ object TextAnalysis {
     * One narrow zero-shuffle pass; rules are plain comparisons over
     * exact-arithmetic signals, so the decision is engine-independent.
     */
+  /** CORPUS REPORT — the per-language rollup a corpus build publishes
+    * with every release (doc counts, token mass, means, shares): one
+    * narrow scan, one tiny groupBy, a broadcast scalar for the shares.
+    * Exact integers divided once, so the report is engine-independent
+    * at 6 dp.
+    */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("lang"), size(tokens(col("text"))).as("n_toks"),
+        length(col("text")).as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast(LongType).as("total_tokens"),
+        sum(col("n_chars")).cast(LongType).as("total_chars"))
+    val tot = per.agg(sum(col("n_docs")).as("n"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        round(col("total_tokens") / col("n_docs").cast(DoubleType), 6)
+          .as("mean_tokens"),
+        round(col("total_chars") / col("n_docs").cast(DoubleType), 6)
+          .as("mean_chars"),
+        round(col("n_docs") / col("n").cast(DoubleType), 6).as("doc_share"))
+      .orderBy(col("lang"))
+  }
+
   def txFilter(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     Tables.documents(s, dir)
