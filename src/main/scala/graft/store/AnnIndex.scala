@@ -51,40 +51,16 @@ object AnnIndex {
     */
   private val FormatVersion = "v3"
 
-  /** Stable on-disk root for (corpus dir, table state): digest over
-    * path + row count + file mtime/size, so a regenerated corpus or a
-    * changed build format rebuilds instead of serving stale artifacts.
+  /** Root resolution + publish via the shared `StoreRoot` protocol,
+    * keyed on the embeddings table's state.
     */
   private def indexRoot(spark: SparkSession, dir: String, kind: String,
-      n: Long): Path = {
-    val src = new Path(s"$dir/embeddings.parquet")
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(src)
-    val digest = java.lang.Long.toHexString(graft.functions.TextHash.hash60(
-      s"$dir|$n|${st.getModificationTime}|${st.getLen}|$kind|$FormatVersion"))
-    new Path(s"${System.getProperty("java.io.tmpdir")}/graft_ann/$kind-$digest")
-  }
+      n: Long): Path =
+    StoreRoot.rootFor(spark, s"$dir/embeddings.parquet", kind, n, FormatVersion)
 
-  /** Build-once discipline: if `root` exists it is a COMPLETE build
-    * (publication is an atomic directory rename); otherwise run
-    * `build` into a staging dir and promote it. A lost rename race
-    * means someone else published the identical (deterministic)
-    * artifact first — use theirs.
-    */
   private def ensureBuilt(spark: SparkSession, root: Path)(
-      build: String => Unit): Unit = {
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) return
-    val staging = new Path(root.toString + s".build-${System.nanoTime()}")
-    fs.delete(staging, true)
-    build(staging.toString)
-    fs.mkdirs(root.getParent)
-    if (!fs.rename(staging, root)) {
-      if (!fs.exists(root))
-        throw new java.io.IOException(s"cannot publish ANN index at $root")
-      fs.delete(staging, true)
-    }
-  }
+      build: String => Unit): Unit =
+    StoreRoot.ensureBuilt(spark, root)(build)
 
   // ---------------------------------------------------------------- PQ
 
@@ -535,7 +511,12 @@ object AnnIndex {
           .repartition(col("cell"))
           .write.partitionBy("cell").parquet(path)
       case (_, path) =>
-        codes.join(broadcast(cw), Seq("s", "code"))
+        // norms from the JUST-STAGED codes, not a second encode pass —
+        // PQ assignment is the expensive step of the append and must
+        // run once per batch
+        val stagedCodes = path.substring(0, path.lastIndexOf('/')) + "/cellcodes"
+        spark.read.parquet(stagedCodes)
+          .join(broadcast(cw), Seq("s", "code"))
           .groupBy(col("vec_id"))
           .agg(sqrt(sum(Similarity.dot(col("cw"), col("cw")))).as("vnorm"))
           .repartition(filesPerBatch).write.parquet(path)
@@ -544,10 +525,12 @@ object AnnIndex {
 
   /** Streaming maintenance for the composed IVFPQ index. */
   def startIvfPqAppendSink(stream: DataFrame, root: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      filesPerBatch: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((b: DataFrame, id: Long) => appendIvfPqBatch(b, root, id))
+      .foreachBatch((b: DataFrame, id: Long) =>
+        appendIvfPqBatch(b, root, id, filesPerBatch))
       .start()
 
   /** Streaming maintenance for the IVF index — see `startPqAppendSink`. */
@@ -632,11 +615,30 @@ object AnnIndex {
     // it is a REBUILD into a fresh root — the same trade the tombstone
     // scaladoc documents.
     // lazy so a marker-short-circuited replay never pays the codebook
-    // read the delta computation starts with
-    lazy val deltas = pqDelta(newEmb, root).toMap
-    BatchCommit.commit(newEmb.sparkSession, root, batchId,
-      Seq("attrs", "codes", "vecs8", "vnorms").map(_ -> false)) { (sub, path) =>
-      deltas(sub).repartition(filesPerBatch).write.parquet(path)
+    // read the delta computation starts with; vnorms derive from the
+    // JUST-STAGED codes (codes staged first in the subs order), so the
+    // expensive PQ assignment runs once per batch, not twice
+    val spark = newEmb.sparkSession
+    lazy val cw = Similarity.materializeSmall(
+      spark.read.parquet(s"$root/codebooks"))
+    lazy val codes = Similarity.pqAssign(
+      newEmb.select(col("vec_id"), col("embedding")), cw)
+    BatchCommit.commit(spark, root, batchId,
+      Seq("attrs", "codes", "vecs8", "vnorms").map(_ -> false)) {
+      case ("attrs", path) =>
+        newEmb.select(col("vec_id"), col("label"))
+          .repartition(filesPerBatch).write.parquet(path)
+      case ("codes", path) =>
+        codes.repartition(filesPerBatch).write.parquet(path)
+      case ("vecs8", path) =>
+        sq8Of(newEmb).repartition(filesPerBatch).write.parquet(path)
+      case (_, path) =>
+        val stagedCodes = path.substring(0, path.lastIndexOf('/')) + "/codes"
+        spark.read.parquet(stagedCodes)
+          .join(broadcast(cw), Seq("s", "code"))
+          .groupBy(col("vec_id"))
+          .agg(sqrt(sum(Similarity.dot(col("cw"), col("cw")))).as("vnorm"))
+          .repartition(filesPerBatch).write.parquet(path)
     }
   }
 
@@ -649,10 +651,12 @@ object AnnIndex {
     * re-read, and serve stays available throughout.
     */
   def startPqAppendSink(stream: DataFrame, root: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      filesPerBatch: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((b: DataFrame, id: Long) => appendPqBatch(b, root, id))
+      .foreachBatch((b: DataFrame, id: Long) =>
+        appendPqBatch(b, root, id, filesPerBatch))
       .start()
 
   // ------------------------------------------------- registered queries
@@ -708,27 +712,17 @@ object AnnIndex {
     */
   def embPqServeFiltered(s: SparkSession, dir: String,
       k: Int = 5): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val root = indexRoot(s, dir, "pq", emb.count())
-    ensureBuilt(s, root)(staging => buildPq(emb, staging))
-    val keep = s.read.parquet(s"${root.toString}/attrs")
+    val root = ensuredPqRoot(s, dir)
+    val keep = s.read.parquet(s"$root/attrs")
       .filter(col("label") % 3 === 0).select(col("vec_id"))
-    servePqTopk(s, root.toString, queryLiterals(s, dir), k, Some(keep))
+    servePqTopk(s, root, queryLiterals(s, dir), k, Some(keep))
   }
 
-  def embPqServeSq8(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val root = indexRoot(s, dir, "pq", emb.count())
-    ensureBuilt(s, root)(staging => buildPq(emb, staging))
-    servePqTopkSq8(s, root.toString, queryLiterals(s, dir), k)
-  }
+  def embPqServeSq8(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    servePqTopkSq8(s, ensuredPqRoot(s, dir), queryLiterals(s, dir), k)
 
-  def embMmrServe(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val root = indexRoot(s, dir, "pq", emb.count())
-    ensureBuilt(s, root)(staging => buildPq(emb, staging))
-    servePqMmr(s, root.toString, queryLiterals(s, dir), k = k)
-  }
+  def embMmrServe(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    servePqMmr(s, ensuredPqRoot(s, dir), queryLiterals(s, dir), k = k)
 
   /** RECALL AUDIT — the index-quality gauge a production ANN
     * deployment monitors continuously: recall@k of the persisted PQ

@@ -35,7 +35,13 @@ object BatchCommit {
       stage: (String, String) => Unit): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(s"$root/_committed/batch-$batchId")
-    if (fs.exists(marker)) return
+    val staging0 = new Path(s"$root/_staging/batch-$batchId")
+    if (fs.exists(marker)) {
+      // crash window: marker written, staging cleanup lost — the
+      // replay must reap it here or the dead copy leaks forever
+      fs.delete(staging0, true)
+      return
+    }
     val prefix = s"batch$batchId-"
     def dataFiles(dir: Path) = fs.listStatus(dir).filter { st =>
       val n = st.getPath.getName
@@ -52,7 +58,7 @@ object BatchCommit {
         }
       }
     }
-    val staging = new Path(s"$root/_staging/batch-$batchId")
+    val staging = staging0
     fs.delete(staging, true)
     def promote(src: Path, dest: Path): Unit = {
       fs.mkdirs(dest)
@@ -62,8 +68,12 @@ object BatchCommit {
           throw new java.io.IOException(s"promote failed: ${st.getPath} -> $to")
       }
     }
+    // stage EVERYTHING first, then promote: later stages may derive
+    // from earlier staged relations (vnorms reads the staged codes),
+    // and batching the promotes narrows the torn window to the move
+    // loop alone
+    subs.foreach { case (sub, _) => stage(sub, s"$staging/$sub") }
     subs.foreach { case (sub, partitioned) =>
-      stage(sub, s"$staging/$sub")
       val src = new Path(s"$staging/$sub")
       if (partitioned)
         dataFiles(src).filter(st => st.isDirectory &&

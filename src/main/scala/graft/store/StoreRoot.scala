@@ -1,0 +1,47 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Shared root-resolution + publish protocol for the persisted stores
+  * (`AnnIndex`, `TextIndex`): one digest recipe and one staging-rename
+  * race rule, so a fix to either never silently misses a store.
+  */
+object StoreRoot {
+
+  /** Stable on-disk root for (source table state, kind, format):
+    * digest over path + row count + file mtime/size, so a regenerated
+    * corpus or a changed build format rebuilds instead of serving
+    * stale artifacts.
+    */
+  def rootFor(spark: SparkSession, srcFile: String, kind: String,
+      n: Long, version: String): Path = {
+    val src = new Path(srcFile)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val digest = java.lang.Long.toHexString(graft.functions.TextHash.hash60(
+      s"$srcFile|$n|${st.getModificationTime}|${st.getLen}|$kind|$version"))
+    new Path(s"${System.getProperty("java.io.tmpdir")}/graft_ann/$kind-$digest")
+  }
+
+  /** Build-once discipline: if `root` exists it is a COMPLETE build
+    * (publication is an atomic directory rename); otherwise run
+    * `build` into a staging dir and promote it. A lost rename race
+    * means someone else published the identical (deterministic)
+    * artifact first — use theirs.
+    */
+  def ensureBuilt(spark: SparkSession, root: Path)(
+      build: String => Unit): Unit = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) return
+    val staging = new Path(root.toString + s".build-${System.nanoTime()}")
+    fs.delete(staging, true)
+    build(staging.toString)
+    fs.mkdirs(root.getParent)
+    if (!fs.rename(staging, root)) {
+      if (!fs.exists(root))
+        throw new java.io.IOException(s"cannot publish store at $root")
+      fs.delete(staging, true)
+    }
+  }
+}

@@ -35,30 +35,16 @@ object TextIndex {
 
   private val FormatVersion = "v1"
 
+  /** Root resolution + publish via the shared `StoreRoot` protocol,
+    * keyed on the documents table's state.
+    */
   private def indexRoot(spark: SparkSession, dir: String, n: Long,
-      kind: String = "lex"): Path = {
-    val src = new Path(s"$dir/documents.parquet")
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(src)
-    val digest = java.lang.Long.toHexString(graft.functions.TextHash.hash60(
-      s"$dir|$n|${st.getModificationTime}|${st.getLen}|$kind|$FormatVersion"))
-    new Path(s"${System.getProperty("java.io.tmpdir")}/graft_ann/$kind-$digest")
-  }
+      kind: String = "lex"): Path =
+    StoreRoot.rootFor(spark, s"$dir/documents.parquet", kind, n, FormatVersion)
 
   private def ensureBuilt(spark: SparkSession, root: Path)(
-      build: String => Unit): Unit = {
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) return
-    val staging = new Path(root.toString + s".build-${System.nanoTime()}")
-    fs.delete(staging, true)
-    build(staging.toString)
-    fs.mkdirs(root.getParent)
-    if (!fs.rename(staging, root)) {
-      if (!fs.exists(root))
-        throw new java.io.IOException(s"cannot publish text index at $root")
-      fs.delete(staging, true)
-    }
-  }
+      build: String => Unit): Unit =
+    StoreRoot.ensureBuilt(spark, root)(build)
 
   /** The four index relations for a document set. `df` and `stats`
     * are stored as ADDITIVE DELTAS (serve sums them), which is what
@@ -115,10 +101,12 @@ object TextIndex {
     * stream absorbed micro-batch by micro-batch, exactly once.
     */
   def startAppendSink(stream: DataFrame, root: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      filesPerBatch: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((b: DataFrame, id: Long) => appendBatch(b, root, id))
+      .foreachBatch((b: DataFrame, id: Long) =>
+        appendBatch(b, root, id, filesPerBatch))
       .start()
 
   /** BM25 top-k from the persisted index: the query panel's terms come

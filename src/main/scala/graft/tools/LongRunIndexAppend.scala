@@ -38,8 +38,12 @@ object LongRunIndexAppend {
     AnnIndex.buildPq(emb, root)
 
     val times = new Array[Double](batches)
+    // per-batch id stride must exceed the corpus size or consecutive
+    // batches' ranges overlap (double-coding ids and tripping the
+    // integrity gate spuriously at sf >= 0.1)
+    val stride = n + 1
     for (b <- 0 until batches) {
-      val delta = emb.select((col("vec_id") + lit(100000L + b * 10000L))
+      val delta = emb.select((col("vec_id") + lit(1000000L + b * stride))
         .as("vec_id"), col("label"), col("embedding"))
       val t0 = System.nanoTime()
       AnnIndex.appendPqBatch(delta, root, b.toLong)

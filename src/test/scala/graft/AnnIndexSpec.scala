@@ -260,6 +260,15 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.servePqTopk(spark, refRoot, qdf).collect().toSeq)
     // at-least-once replay of the stream's batch: marker short-circuits
     AnnIndex.appendPqBatch(delta, root, 0L)
+    // crash-after-marker residue: a dead staging copy must be reaped by
+    // the short-circuited replay, not leak forever
+    val fsPre = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deadStaging = new org.apache.hadoop.fs.Path(s"$root/_staging/batch-0/codes")
+    fsPre.mkdirs(deadStaging)
+    AnnIndex.appendPqBatch(delta, root, 0L)
+    assert(!fsPre.exists(deadStaging.getParent),
+      "short-circuited replay left the dead staging copy")
     val codeIds = spark.read.parquet(s"$root/codes")
       .groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
     assert(codeIds.count() == n, "replayed batch double-coded the delta")
