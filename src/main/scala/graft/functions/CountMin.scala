@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -44,9 +44,14 @@ case class CountMinAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]]
+  with ImplicitCastInputTypes
   with UnaryLike[Expression] {
 
   require(d >= 1 && w >= 2, "CountMinAgg needs d >= 1 hash rows, w >= 2 cells")
+
+  // declare the string contract so a non-string column coerces (or
+  // fails analysis) instead of ClassCastException-ing at execution
+  override def inputTypes: Seq[ColumnBridge.InputType] = Seq(StringType)
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](d * w)
 

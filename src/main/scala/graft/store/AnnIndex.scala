@@ -460,13 +460,18 @@ object AnnIndex {
   /** The delta's cell-assigned list rows (frozen centroids), shared by
     * the one-shot append and the streaming sink.
     */
-  private def ivfDelta(newEmb: DataFrame, root: String): DataFrame = {
+  private def ivfDelta(newEmb: DataFrame, root: String,
+      filesPerBatch: Int = 1): DataFrame = {
     val spark = newEmb.sparkSession
     val cent = Similarity.materializeSmall(
       spark.read.parquet(s"$root/centroids"))
     Similarity.assignCells(newEmb.select(col("vec_id"), col("embedding")), cent)
       .select(col("cell"), col("vec_id"), col("embedding"))
-      .repartition(col("cell"))
+      // a cell's rows hash to one partition, so the partitionBy write
+      // stages ≤1 file per cell per batch whatever the bound; the
+      // parameter caps the shuffle width for tiny deltas and keeps the
+      // append API uniform across the four sinks
+      .repartition(filesPerBatch, col("cell"))
   }
 
   def appendIvf(newEmb: DataFrame, root: String): Unit =
@@ -482,10 +487,12 @@ object AnnIndex {
     * append produces). Rollback walks the live cell dirs deleting the
     * prefix.
     */
-  def appendIvfBatch(newEmb: DataFrame, root: String, batchId: Long): Unit =
+  def appendIvfBatch(newEmb: DataFrame, root: String, batchId: Long,
+      filesPerBatch: Int = 1): Unit =
     BatchCommit.commit(newEmb.sparkSession, root, batchId,
       Seq("lists" -> true)) { (_, path) =>
-      ivfDelta(newEmb, root).write.partitionBy("cell").parquet(path)
+      ivfDelta(newEmb, root, filesPerBatch)
+        .write.partitionBy("cell").parquet(path)
     }
 
   /** Composed-index batch append — cell-partitioned codes plus their
@@ -535,10 +542,12 @@ object AnnIndex {
 
   /** Streaming maintenance for the IVF index — see `startPqAppendSink`. */
   def startIvfAppendSink(stream: DataFrame, root: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      filesPerBatch: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((b: DataFrame, id: Long) => appendIvfBatch(b, root, id))
+      .foreachBatch((b: DataFrame, id: Long) =>
+        appendIvfBatch(b, root, id, filesPerBatch))
       .start()
 
   /** Composed-index append: the delta is routed by the frozen coarse

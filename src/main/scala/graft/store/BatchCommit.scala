@@ -54,7 +54,14 @@ object BatchCommit {
           .map(_.getPath).toSeq else Seq(dir)
         roots.foreach { d =>
           fs.listStatus(d).filter(_.getPath.getName.startsWith(prefix))
-            .foreach(st => fs.delete(st.getPath, false))
+            .foreach { st =>
+              // a silently-failed rollback delete would let the
+              // re-staged promote commit duplicate rows under the
+              // marker — fail loudly, like promote does for rename
+              if (!fs.delete(st.getPath, false) && fs.exists(st.getPath))
+                throw new java.io.IOException(
+                  s"rollback failed to delete torn file: ${st.getPath}")
+            }
         }
       }
     }

@@ -46,53 +46,69 @@ object TextIndex {
       build: String => Unit): Unit =
     StoreRoot.ensureBuilt(spark, root)(build)
 
-  /** The four index relations for a document set. `df` and `stats`
-    * are stored as ADDITIVE DELTAS (serve sums them), which is what
-    * makes incremental append exact: every BM25 statistic is a pure
-    * sum over documents, so append ≡ rebuild bit-for-bit — the
-    * lexical store needs no frozen-quantizer caveat.
+  /** The per-document token counts (the one tokenize scan an index
+    * build or append pays). `df`, `dl` and `stats` are pure aggregates
+    * of these rows, so both writers below derive them from the
+    * ALREADY-WRITTEN postings parquet rather than re-running this
+    * lineage — one tokenize pass per build/batch, the same
+    * derive-from-staged pattern as `AnnIndex`'s vnorms-from-codes.
+    * `df` and `stats` are stored as ADDITIVE DELTAS (serve sums them),
+    * which is what makes incremental append exact: every BM25
+    * statistic is a pure sum over documents, so build(A∪B) ≡
+    * build(A) + append(B) bit-for-bit — the lexical store needs no
+    * frozen-quantizer caveat.
     */
-  private def indexDelta(docs: DataFrame): Seq[(String, DataFrame)] = {
-    val tf = docs
-      .select(col("doc_id"),
-        explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    Seq(
-      "postings" -> tf.select(col("tok"), col("doc_id"), col("tf"))
-        .repartition(col("tok")).sortWithinPartitions(col("tok")),
-      "df" -> tf.groupBy(col("tok")).agg(count(lit(1)).as("df")),
-      "dl" -> dl,
-      "stats" -> dl.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("sum_dl")))
-  }
+  private def tfOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
 
-  def build(docs: DataFrame, path: String): Unit =
-    indexDelta(docs).foreach { case (sub, df) =>
-      df.write.parquet(s"$path/$sub")
-    }
+  private def dfOf(postings: DataFrame): DataFrame =
+    postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+  private def dlOf(postings: DataFrame): DataFrame =
+    postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+
+  private def statsOf(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  def build(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    tfOf(docs).select(col("tok"), col("doc_id"), col("tf"))
+      .repartition(col("tok")).sortWithinPartitions(col("tok"))
+      .write.parquet(s"$path/postings")
+    val postings = spark.read.parquet(s"$path/postings")
+    dfOf(postings).write.parquet(s"$path/df")
+    dlOf(postings).write.parquet(s"$path/dl")
+    statsOf(spark.read.parquet(s"$path/dl")).write.parquet(s"$path/stats")
+  }
 
   /** EXACTLY-ONCE incremental append — the lexical twin of
     * `AnnIndex.appendPqBatch`, same marker + rollback-by-file-prefix
     * discipline: a new document batch appends its postings/dl rows and
     * its df/stats DELTAS (serve sums deltas, so global statistics stay
-    * exact without ever re-reading the corpus). Cost is one tokenize
-    * scan of the delta. Because every statistic is additive,
-    * build(A∪B) ≡ build(A) + append(B) exactly — the registered
-    * append-serve query shares the full-build oracle verbatim.
+    * exact without ever re-reading the corpus). Cost is ONE tokenize
+    * scan of the delta: postings stage first (the subs order), and
+    * df/dl/stats derive from the just-staged postings parquet.
     */
   def appendBatch(docs: DataFrame, root: String, batchId: Long,
       filesPerBatch: Int = 1): Unit = {
-    lazy val deltas = indexDelta(docs).toMap
-    BatchCommit.commit(docs.sparkSession, root, batchId,
+    val spark = docs.sparkSession
+    BatchCommit.commit(spark, root, batchId,
       Seq("postings", "df", "dl", "stats").map(_ -> false)) { (sub, path) =>
-      // bound files per batch WITHOUT losing the postings' term
-      // clustering (row-group stats skipping depends on it)
-      val bounded =
-        if (sub == "postings")
-          deltas(sub).repartition(filesPerBatch, col("tok"))
-            .sortWithinPartitions(col("tok"))
-        else deltas(sub).repartition(filesPerBatch)
+      def staged(name: String) = spark.read.parquet(
+        path.substring(0, path.lastIndexOf('/')) + "/" + name)
+      val bounded = sub match {
+        // bound files per batch WITHOUT losing the postings' term
+        // clustering (row-group stats skipping depends on it)
+        case "postings" => tfOf(docs)
+          .select(col("tok"), col("doc_id"), col("tf"))
+          .repartition(filesPerBatch, col("tok"))
+          .sortWithinPartitions(col("tok"))
+        case "df"    => dfOf(staged("postings")).repartition(filesPerBatch)
+        case "dl"    => dlOf(staged("postings")).repartition(filesPerBatch)
+        case _       => statsOf(staged("dl"))
+      }
       bounded.write.parquet(path)
     }
   }

@@ -13,4 +13,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` went `private[sql]` in Spark 4; aggregates
+    * outside the package still need it to declare `inputTypes`.
+    */
+  type InputType = org.apache.spark.sql.types.AbstractDataType
 }

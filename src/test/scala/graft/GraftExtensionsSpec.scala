@@ -116,6 +116,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT graft_count_min(tok, cast(rand()*3 AS INT), 64) FROM toks_sql")
           .collect())
       assert(err.getMessage != null)
+      // declared string input: a non-string column implicit-casts at
+      // analysis time (used to ClassCastException at execution)
+      Seq.tabulate(60)(i => i % 5).toDF("n")
+        .createOrReplaceTempView("ints_sql")
+      val mi = spark.sql("SELECT graft_count_min(n, 2, 32) AS m FROM ints_sql")
+        .head.getSeq[Long](0)
+      assert(mi.length == 2 * 32)
+      (0 until 2).foreach(i => assert(mi.slice(i * 32, (i + 1) * 32).sum == 60))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
