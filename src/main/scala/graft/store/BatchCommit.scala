@@ -94,4 +94,35 @@ object BatchCommit {
     fs.create(marker, true).close()
     fs.delete(staging, true)
   }
+
+  private val BatchPrefix = "^batch(\\d+)-".r
+
+  /** Classify one sub-table's data files for compaction: build-time and
+    * previously-compacted files (no batch prefix) are committed by
+    * construction; a `batchN-` file is committed iff its marker exists.
+    * Files of a TORN batch (promoted, crashed before its marker) are
+    * returned separately — a fold must EXCLUDE them (their batch will
+    * replay and re-deliver in full), and dropping them in the rewrite
+    * is exactly the rollback the replay would have performed.
+    */
+  def committedDataFiles(spark: SparkSession, root: String, sub: String,
+      partitioned: Boolean): (Seq[String], Seq[String]) = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$root/$sub")
+    if (!fs.exists(dir)) return (Seq.empty, Seq.empty)
+    val dirs = if (partitioned)
+      fs.listStatus(dir).filter(_.isDirectory).map(_.getPath).toSeq
+    else Seq(dir)
+    val files = dirs.flatMap(d => fs.listStatus(d).toSeq).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val (committed, torn) = files.partition { st =>
+      BatchPrefix.findFirstMatchIn(st.getPath.getName) match {
+        case Some(m) => fs.exists(new Path(s"$root/_committed/batch-${m.group(1)}"))
+        case None    => true
+      }
+    }
+    (committed.map(_.getPath.toString), torn.map(_.getPath.toString))
+  }
 }

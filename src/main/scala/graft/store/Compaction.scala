@@ -1,0 +1,143 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FOLD COMPACTION for the persisted stores — the maintenance
+  * operation that closes the two unbounded-growth paths the tombstone
+  * and append scaladocs document (`AnnIndex.deleteVectors`,
+  * `TextIndex.appendBatch`): tombstoned ids accumulate in `deletes`
+  * and their rows persist in every sub-table until a rebuild, and each
+  * appended batch adds files (and, for the lexical store, whole
+  * df/stats delta SEGMENTS that serve must re-sum) forever. Compaction
+  * rewrites each sub-table with the tombstoned rows physically
+  * removed and the accumulated segments folded back to `filesPer`
+  * files, then truncates `deletes` — `KeyIndex.compactSegments`' trade
+  * applied to the serve stores.
+  *
+  * Serve-equivalence is exact, by construction: every ANN serve path
+  * anti-joins its candidates against `deletes`, so removing those rows
+  * and emptying the table is a no-op on results; the lexical store's
+  * df/stats segments are ADDITIVE deltas that serve sums, so replacing
+  * K segments by their sum is the identity. The specs prove both
+  * bit-for-bit.
+  *
+  * Crash-safety: each sub-table rewrite goes through
+  * `StoreRoot.swapDir` (write aside → rename live away → promote →
+  * drop old LAST; `recoverSwap` heals a crash window on the next
+  * entry). `deletes` truncates after every sub-table has swapped, so
+  * an interruption leaves at worst already-removed ids still
+  * tombstoned — over-complete, never under-complete.
+  *
+  * Torn batches: a batch that promoted files but crashed before its
+  * `_committed` marker will REPLAY in full (the `BatchCommit`
+  * contract). Its files are excluded from the fold and dropped by the
+  * swap — exactly the rollback the replay performs itself — and while
+  * any torn batch exists the `deletes` table is retained, so a
+  * tombstone aimed at a torn batch's rows still kills them when the
+  * replay re-promotes.
+  */
+object Compaction {
+
+  /** Fold `subs` of the store at `root` to `filesPer` files each,
+    * dropping rows whose `vec_id` is tombstoned in `$root/deletes`
+    * (when that table exists and the sub-table carries a vec_id).
+    * `fold` optionally replaces a sub-table's rows by a semantic
+    * aggregate (the lexical df/stats folds). Partitioned sub-tables
+    * keep their `cell=` directory layout (one file per cell when
+    * `filesPer` is 1 — a cell's rows hash to one partition).
+    */
+  def compactStore(spark: SparkSession, root: String,
+      subs: Seq[(String, Boolean)], filesPer: Int = 1,
+      fold: Map[String, DataFrame => DataFrame] = Map.empty,
+      cluster: Map[String, String] = Map.empty): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delPath = new Path(s"$root/deletes")
+    val del =
+      if (fs.exists(delPath))
+        Some(spark.read.parquet(delPath.toString)
+          .select(col("vec_id")).distinct())
+      else None
+    var tornSeen = false
+    subs.foreach { case (sub, partitioned) =>
+      StoreRoot.recoverSwap(spark, s"$root/$sub")
+      val (committed, torn) =
+        BatchCommit.committedDataFiles(spark, root, sub, partitioned)
+      tornSeen = tornSeen || torn.nonEmpty
+      if (committed.nonEmpty) {
+        val raw =
+          if (partitioned) spark.read.option("basePath", s"$root/$sub")
+            .parquet(committed: _*)
+          else spark.read.parquet(committed: _*)
+        val live = del match {
+          case Some(d) if raw.columns.contains("vec_id") =>
+            raw.join(broadcast(d), Seq("vec_id"), "left_anti")
+          case _ => raw
+        }
+        val folded = fold.get(sub).map(_(live)).getOrElse(live)
+        StoreRoot.swapDir(spark, s"$root/$sub") { tmp =>
+          if (partitioned)
+            folded.repartition(filesPer, col("cell"))
+              .write.partitionBy("cell").parquet(tmp)
+          else {
+            val out = cluster.get(sub) match {
+              case Some(c) => folded.repartition(filesPer, col(c))
+                .sortWithinPartitions(col(c))
+              case None => folded.repartition(filesPer)
+            }
+            out.write.parquet(tmp)
+          }
+        }
+      }
+    }
+    // truncate tombstones LAST, and only when nothing is torn: a torn
+    // batch replays in full after this fold dropped its files, so any
+    // tombstone aimed at its rows must survive until that replay lands
+    if (del.isDefined && !tornSeen) fs.delete(delPath, true)
+  }
+
+  /** PQ store: codes/vnorms/vecs8/attrs lose their tombstoned rows and
+    * fold to `filesPer` files; `deletes` truncates.
+    */
+  def compactPqStore(spark: SparkSession, root: String,
+      filesPer: Int = 1): Unit =
+    compactStore(spark, root,
+      Seq("codes" -> false, "vnorms" -> false, "vecs8" -> false,
+        "attrs" -> false), filesPer)
+
+  /** IVF store: the cell-partitioned inverted lists, same treatment —
+    * the directory layout a probe's partition pruning depends on is
+    * preserved by the partitioned rewrite.
+    */
+  def compactIvfStore(spark: SparkSession, root: String,
+      filesPer: Int = 1): Unit =
+    compactStore(spark, root, Seq("lists" -> true), filesPer)
+
+  /** IVFPQ store: cell-partitioned codes plus their flat norms. */
+  def compactIvfPqStore(spark: SparkSession, root: String,
+      filesPer: Int = 1): Unit =
+    compactStore(spark, root,
+      Seq("cellcodes" -> true, "vnorms" -> false), filesPer)
+
+  /** Lexical store: postings re-cluster by token (row-group stats
+    * skipping depends on it), dl folds file-wise, and the ADDITIVE
+    * df/stats delta segments fold SEMANTICALLY — K df segments become
+    * one exact per-token sum, K stats rows one summed row — restoring
+    * the single-segment shape of a fresh build. Serve sums segments,
+    * so the fold is the identity on every BM25 score.
+    */
+  def compactLexStore(spark: SparkSession, root: String,
+      filesPer: Int = 1): Unit =
+    compactStore(spark, root,
+      Seq("postings" -> false, "df" -> false, "dl" -> false,
+        "stats" -> false),
+      filesPer,
+      fold = Map(
+        "df" -> ((d: DataFrame) =>
+          d.groupBy(col("tok")).agg(sum(col("df")).as("df"))),
+        "stats" -> ((d: DataFrame) =>
+          d.agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("sum_dl")).as("sum_dl")))),
+      cluster = Map("postings" -> "tok"))
+}

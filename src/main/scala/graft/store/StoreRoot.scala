@@ -44,4 +44,46 @@ object StoreRoot {
       fs.delete(staging, true)
     }
   }
+
+  /** Crash-safe in-place rewrite of one directory — the
+    * `Lifecycle.compact` swap applied to a store sub-table: `write`
+    * produces the replacement under a `__compacting` sibling, the live
+    * dir renames aside to `__old`, the replacement promotes, and the
+    * old copy drops LAST. At any failure point the full data still
+    * exists under `dir` or `dir__old` (recovery: rename `__old` back if
+    * `dir` is missing — `recoverSwap` below, run at every compaction
+    * entry).
+    */
+  def swapDir(spark: SparkSession, dir: String)(
+      write: String => Unit): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir + "__compacting")
+    val old = new Path(dir + "__old")
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    fs.delete(old, true)
+    if (!fs.rename(new Path(dir), old))
+      throw new java.io.IOException(s"swap: cannot move $dir aside")
+    if (!fs.rename(tmp, new Path(dir))) {
+      fs.rename(old, new Path(dir)) // roll back
+      throw new java.io.IOException(s"swap: cannot promote $tmp")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Heal a crash inside `swapDir`: a missing live dir with a
+    * surviving `__old` renames back; stray `__compacting`/`__old`
+    * leftovers are dropped.
+    */
+  def recoverSwap(spark: SparkSession, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(dir)
+    val old = new Path(dir + "__old")
+    if (!fs.exists(live) && fs.exists(old)) {
+      if (!fs.rename(old, live))
+        throw new java.io.IOException(s"swap recovery failed for $dir")
+    }
+    fs.delete(new Path(dir + "__compacting"), true)
+    if (fs.exists(live)) fs.delete(old, true)
+  }
 }

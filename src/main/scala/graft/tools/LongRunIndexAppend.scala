@@ -23,6 +23,10 @@ object LongRunIndexAppend {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val batches = args.lift(1).map(_.toInt).getOrElse(60)
+    // fold the store every N batches (0 = never): the profile that
+    // certifies periodic Compaction keeps per-batch cost flat and the
+    // file census bounded instead of growing with batch count
+    val compactEvery = args.lift(2).map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -53,6 +57,11 @@ object LongRunIndexAppend {
         val t1 = System.nanoTime()
         AnnIndex.appendPqBatch(delta, root, b.toLong)
         println(f"replay of batch $b short-circuited in ${(System.nanoTime() - t1) / 1e9}%.3f s")
+      }
+      if (compactEvery > 0 && (b + 1) % compactEvery == 0) {
+        val t2 = System.nanoTime()
+        graft.store.Compaction.compactPqStore(spark, root)
+        println(f"fold after batch $b: ${(System.nanoTime() - t2) / 1e9}%.2f s")
       }
     }
 

@@ -1,0 +1,213 @@
+package graft
+
+import graft.similarity.Similarity
+import graft.store.{AnnIndex, Compaction, TextIndex}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Fold compaction for the persisted stores: serve must be
+  * BIT-IDENTICAL before and after a fold, the deletes table and the
+  * per-batch segment files must collapse, and a torn batch must
+  * neither leak rows into the fold nor lose its tombstones.
+  */
+class CompactionSpec extends SparkSpec {
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"cmp_$tag").toString + "/idx"
+
+  private def queryLits(dir: String) =
+    Similarity.materializeSmall(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataFiles(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val f = fs(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath.getName)
+  }
+
+  test("PQ fold: serve bit-identical, deletes truncated, segments back to one file") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val half = emb.count() / 2
+    val root = tmpRoot("pq")
+    AnnIndex.buildPq(emb.filter(col("vec_id") < half), root)
+    AnnIndex.appendPqBatch(emb.filter(col("vec_id") >= half), root, 0L)
+    import spark.implicits._
+    AnnIndex.deleteVectors(spark, root,
+      emb.filter(col("vec_id") % 17 === 3).select(col("vec_id")))
+    val q = queryLits(Sf0001)
+    val before = AnnIndex.servePqTopk(spark, root, q).collect().toSeq
+    val beforeSq8 = AnnIndex.servePqTopkSq8(spark, root, q).collect().toSeq
+    assert(dataFiles(s"$root/codes").size >= 2, "fixture lacks segments")
+    assert(fs(root).exists(new Path(s"$root/deletes")))
+
+    Compaction.compactPqStore(spark, root)
+
+    assert(AnnIndex.servePqTopk(spark, root, q).collect().toSeq == before)
+    assert(AnnIndex.servePqTopkSq8(spark, root, q).collect().toSeq == beforeSq8)
+    assert(!fs(root).exists(new Path(s"$root/deletes")),
+      "deletes not truncated")
+    Seq("codes", "vnorms", "vecs8", "attrs").foreach { sub =>
+      assert(dataFiles(s"$root/$sub").size == 1, s"$sub not folded")
+    }
+    // tombstoned rows are physically gone from every sub-table
+    val badIds = emb.filter(col("vec_id") % 17 === 3)
+      .select(col("vec_id")).as[Long].collect().toSet
+    Seq("codes", "vnorms", "vecs8", "attrs").foreach { sub =>
+      val n = spark.read.parquet(s"$root/$sub")
+        .filter(col("vec_id").isInCollection(badIds)).count()
+      assert(n == 0, s"$sub still holds $n tombstoned rows")
+    }
+    // idempotent: a second fold changes nothing
+    val snap = AnnIndex.servePqTopk(spark, root, q).collect().toSeq
+    Compaction.compactPqStore(spark, root)
+    assert(AnnIndex.servePqTopk(spark, root, q).collect().toSeq == snap)
+  }
+
+  test("IVF fold: cell layout and partition pruning survive, serve identical") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val half = emb.count() / 2
+    val root = tmpRoot("ivf")
+    AnnIndex.buildIvf(emb.filter(col("vec_id") < half), root)
+    AnnIndex.appendIvfBatch(emb.filter(col("vec_id") >= half), root, 0L)
+    AnnIndex.deleteVectors(spark, root,
+      emb.filter(col("vec_id") % 13 === 5).select(col("vec_id")))
+    val q = queryLits(Sf0001)
+    val before = AnnIndex.serveIvfTopk(spark, root, q).collect().toSeq
+
+    Compaction.compactIvfStore(spark, root)
+
+    val served = AnnIndex.serveIvfTopk(spark, root, q)
+    assert(served.collect().toSeq == before)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.split("PartitionFilters", 2)(1).take(200).contains("cell"),
+      "fold broke the probe's partition pruning")
+    assert(!fs(root).exists(new Path(s"$root/deletes")))
+    // each surviving cell folds to one file
+    val f = fs(root)
+    f.listStatus(new Path(s"$root/lists")).filter(_.isDirectory).foreach { d =>
+      assert(dataFiles(d.getPath.toString).size == 1,
+        s"cell ${d.getPath.getName} not folded")
+    }
+    // tombstoned rows physically removed
+    assert(spark.read.parquet(s"$root/lists")
+      .filter(col("vec_id") % 13 === 5).count() == 0)
+  }
+
+  test("IVFPQ fold: composed store folds, serve identical") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val half = emb.count() / 2
+    val root = tmpRoot("ivfpq")
+    AnnIndex.buildIvfPq(emb.filter(col("vec_id") < half), root)
+    AnnIndex.appendIvfPqBatch(emb.filter(col("vec_id") >= half), root, 0L)
+    AnnIndex.deleteVectors(spark, root,
+      emb.filter(col("vec_id") % 19 === 7).select(col("vec_id")))
+    val q = queryLits(Sf0001)
+    val before = AnnIndex.serveIvfPqTopk(spark, root, q).collect().toSeq
+    Compaction.compactIvfPqStore(spark, root)
+    assert(AnnIndex.serveIvfPqTopk(spark, root, q).collect().toSeq == before)
+    assert(dataFiles(s"$root/vnorms").size == 1)
+    assert(spark.read.parquet(s"$root/cellcodes")
+      .filter(col("vec_id") % 19 === 7).count() == 0)
+  }
+
+  test("lexical fold: df/stats delta segments collapse to one, BM25 identical") {
+    val docs = Tables.documents(spark, Sf0001)
+    val n = docs.count()
+    val root = tmpRoot("lex")
+    TextIndex.build(docs.filter(col("doc_id") < n / 4), root)
+    TextIndex.appendBatch(
+      docs.filter(col("doc_id") >= n / 4 && col("doc_id") < n / 2), root, 0L)
+    TextIndex.appendBatch(
+      docs.filter(col("doc_id") >= n / 2 && col("doc_id") < 3 * n / 4), root, 1L)
+    TextIndex.appendBatch(docs.filter(col("doc_id") >= 3 * n / 4), root, 2L)
+    val before = TextIndex.serveBm25(spark, root).collect().toSeq
+    assert(before.nonEmpty)
+    assert(dataFiles(s"$root/df").size == 4, "fixture lacks df segments")
+
+    Compaction.compactLexStore(spark, root)
+
+    assert(TextIndex.serveBm25(spark, root).collect().toSeq == before)
+    Seq("postings", "df", "dl", "stats").foreach { sub =>
+      assert(dataFiles(s"$root/$sub").size == 1, s"$sub not folded")
+    }
+    // the semantic folds really aggregated: one stats row, unique toks
+    assert(spark.read.parquet(s"$root/stats").count() == 1)
+    val dfreq = spark.read.parquet(s"$root/df")
+    assert(dfreq.count() == dfreq.select(col("tok")).distinct().count())
+    // and the folded index still equals a one-shot build of the corpus
+    val freshRoot = tmpRoot("lexfresh")
+    TextIndex.build(docs, freshRoot)
+    assert(TextIndex.serveBm25(spark, root).collect().toSeq ==
+      TextIndex.serveBm25(spark, freshRoot).collect().toSeq)
+  }
+
+  test("torn batch: fold drops its files, keeps the tombstones, replay heals") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val n = emb.count()
+    val half = n / 2
+    val root = tmpRoot("torn")
+    AnnIndex.buildPq(emb.filter(col("vec_id") < half), root)
+    // batch 0 commits; batch 1 tears (promoted, marker lost)
+    val delta0 = emb.filter(col("vec_id") >= half)
+    val delta1 = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 70001L).as("vec_id"), col("label"),
+        col("embedding"))
+    AnnIndex.appendPqBatch(delta0, root, 0L)
+    AnnIndex.appendPqBatch(delta1, root, 1L)
+    val f = fs(root)
+    f.delete(new Path(s"$root/_committed/batch-1"), false)
+    // a tombstone aimed at a torn row: must survive the fold
+    import spark.implicits._
+    AnnIndex.deleteVectors(spark, root, Seq(70001L).toDF("vec_id"))
+
+    Compaction.compactPqStore(spark, root)
+
+    // torn rows excluded from the fold (they will replay), tombstones kept
+    assert(spark.read.parquet(s"$root/codes")
+      .filter(col("vec_id") >= 70001L).count() == 0,
+      "fold committed a torn batch's rows")
+    assert(f.exists(new Path(s"$root/deletes")),
+      "deletes truncated while a batch was torn")
+    // the replay lands batch 1 exactly once; its tombstoned row stays dead
+    AnnIndex.appendPqBatch(delta1, root, 1L)
+    val codes = spark.read.parquet(s"$root/codes")
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
+    assert(codes.count() == n + 3)
+    assert(codes.filter(col("c") =!= 8).count() == 0)
+    val q = Similarity.materializeSmall(
+      emb.filter(col("vec_id") === 1)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    assert(!AnnIndex.servePqTopk(spark, root, q).collect()
+      .exists(_.getAs[Long]("neighbor_id") == 70001L),
+      "tombstoned torn row resurrected after replay")
+    // with the batch landed, the next fold truncates deletes
+    Compaction.compactPqStore(spark, root)
+    assert(!f.exists(new Path(s"$root/deletes")))
+    assert(spark.read.parquet(s"$root/codes")
+      .filter(col("vec_id") === 70001L).count() == 0)
+  }
+
+  test("swap recovery: a crash between the two renames heals on the next fold") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val root = tmpRoot("recover")
+    AnnIndex.buildPq(emb, root)
+    val q = queryLits(Sf0001)
+    val before = AnnIndex.servePqTopk(spark, root, q).collect().toSeq
+    // simulate the crash window: live dir renamed aside, promote lost
+    val f = fs(root)
+    assert(f.rename(new Path(s"$root/vecs8"), new Path(s"$root/vecs8__old")))
+    Compaction.compactPqStore(spark, root)
+    assert(AnnIndex.servePqTopk(spark, root, q).collect().toSeq == before)
+    assert(AnnIndex.servePqTopkSq8(spark, root, q).collect().nonEmpty)
+    assert(!f.exists(new Path(s"$root/vecs8__old")))
+  }
+}
