@@ -404,6 +404,32 @@ object OracleSql {
         |FROM sizes ORDER BY cell""".stripMargin
   }
 
+  /** `emb_ivf_cell_guard` (store.AnnIndex.embIvfCellGuard): the
+    * census wired to its alarm — non-empty cell count, corpus size,
+    * the 4×-uniform integer bound (ceil-division over the CENTROID
+    * count, the routing denominator), and how many cells exceed it.
+    * Same training chain as the stats row; the hash match certifies
+    * the alarm arithmetic on whichever side of the bound the corpus
+    * lands.
+    */
+  private val ivfCellGuardSql: String = {
+    val qIdx = ivfTopkSql.indexOf("q AS (SELECT vec_id AS query_id")
+    require(qIdx > 0, "cell-guard: ivf anchor missing")
+    ivfTopkSql.substring(0, qIdx) +
+      """sizes AS (SELECT cell::BIGINT AS cell, count(*)::BIGINT AS pop
+        |  FROM af GROUP BY cell),
+        |cc AS (SELECT count(*)::BIGINT AS c FROM c2l),
+        |b AS (SELECT sum(pop)::BIGINT AS n_vecs,
+        |    (4 * ((sum(pop)::BIGINT + (SELECT c FROM cc) - 1)
+        |      // (SELECT c FROM cc)))::BIGINT AS bound
+        |  FROM sizes)
+        |SELECT (SELECT count(*)::BIGINT FROM sizes) AS n_cells,
+        |  (SELECT n_vecs FROM b) AS n_vecs,
+        |  (SELECT bound FROM b) AS bound,
+        |  (SELECT count(*)::BIGINT FROM sizes
+        |    WHERE pop > (SELECT bound FROM b)) AS cells_over_bound""".stripMargin
+  }
+
   /** `emb_ivfpq_serve` (store.AnnIndex.buildIvfPq/serveIvfPqTopk):
     * the COMPOSED index — coarse IVF routing over PQ codes. Assembled
     * from the two proven chains: the IVF training CTEs (e..af) and
@@ -1859,6 +1885,11 @@ object OracleSql {
     // IVF introspection (store.AnnIndex.embIvfCellStats): per-cell
     // population + corpus share from the trained assignment
     "emb_ivf_cell_stats" -> ivfCellStatsSql,
+
+    // the census's alarm invariant (store.AnnIndex.embIvfCellGuard):
+    // physical partitions over the 4×-uniform bound, integer
+    // arithmetic mirrored exactly
+    "emb_ivf_cell_guard" -> ivfCellGuardSql,
 
     // SemDeDup: the SAME two unrolled Lloyd rounds as the IVF oracle
     // (6-dp rounds, ties to lowest cell), trained on the hash-sample

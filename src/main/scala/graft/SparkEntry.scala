@@ -230,6 +230,9 @@ object SparkEntry {
     "emb_pq_recall"       -> (graft.store.AnnIndex.embPqRecall(_, _)),
     "emb_ivfpq_recall"    -> (graft.store.AnnIndex.embIvfPqRecall(_, _)),
     "emb_ivf_cell_stats"  -> (graft.store.AnnIndex.embIvfCellStats(_, _)),
+    // the census wired to its ALARM: physical partitions over the
+    // 4×-uniform bound the split discipline enforces (0 when healthy)
+    "emb_ivf_cell_guard"  -> (graft.store.AnnIndex.embIvfCellGuard(_, _)),
     // hybrid retrieval: BM25 inverted-index leg + exact-cosine leg,
     // reciprocal-rank fusion over the two top-20 lists (the two-leg
     // RAG/search stack; doc_id ≡ vec_id in this corpus)

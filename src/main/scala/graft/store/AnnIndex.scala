@@ -254,6 +254,50 @@ object AnnIndex {
     cent.write.parquet(s"$path/centroids")
   }
 
+  /** Root ancestor of a physical partition id under the composite
+    * split scheme `(cell+1)*1024 + sub` (`Compaction.splitHotCells`) —
+    * the top-level cell the probe routes by. Identity below 1024.
+    */
+  private def rootCellOf(c: Long): Long = {
+    var x = c
+    while (x >= 1024L) x = x / 1024L - 1L
+    x
+  }
+
+  /** Partition-pruned scan of a cell-partitioned sub-table restricted
+    * to the routed top-level cells, split-aware: a routed parent
+    * expands to itself plus all its composite-split descendants (a
+    * control-plane directory listing, ≤ partitions entries), and the
+    * physical ids map back to the parent id in the `cell` column so
+    * downstream probe joins see top-level routing cells whether or not
+    * the store has ever been split. The IN literals carry the INFERRED
+    * partition-column type — a type-coercion cast wrapped around the
+    * partition attribute can defeat directory-level pruning, which is
+    * the point of the route.
+    */
+  private def routedScan(spark: SparkSession, root: String, sub: String,
+      routed: Seq[Long]): DataFrame = {
+    val dir = new Path(s"$root/$sub")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val routedSet = routed.toSet
+    val phys = fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("cell="))
+      .map(n => n.stripPrefix("cell=").toLong)
+      .map(p => p -> rootCellOf(p)).filter(t => routedSet.contains(t._2)).toSeq
+    val table = spark.read.parquet(dir.toString)
+    val physTyped: Seq[Any] = table.schema("cell").dataType match {
+      case IntegerType => phys.map(_._1.toInt)
+      case _           => phys.map(_._1)
+    }
+    import spark.implicits._
+    val parentMap = broadcast(phys.toDF("cell", "parent_cell"))
+    table.filter(col("cell").isInCollection(physTyped))
+      .withColumn("cell", col("cell").cast(LongType))
+      .join(parentMap, Seq("cell"))
+      .drop("cell")
+      .withColumnRenamed("parent_cell", "cell")
+  }
+
   /** Top-k from the persisted IVF index: rank cells per query by
     * centroid cosine (the centroid relation is tiny), collect the
     * probed (query, cell) ROUTES — a control-plane decision, ≤
@@ -276,19 +320,8 @@ object AnnIndex {
         .select(col("query_id"), col("q_emb"), col("cell")))
     val routedCells = probed.select(col("cell")).distinct()
       .collect().map(_.getAs[Number](0).longValue).toSeq
-    // the IN literals must carry the INFERRED partition-column type:
-    // a type-coercion cast wrapped around the partition attribute can
-    // defeat directory-level pruning, which is the point of the route
-    val lists0 = spark.read.parquet(s"$root/lists")
-    val routedTyped: Seq[Any] = lists0.schema("cell").dataType match {
-      case IntegerType => routedCells.map(_.toInt)
-      case _           => routedCells
-    }
     val lists = minusDeletes(spark, root,
-      lists0
-        .filter(col("cell").isInCollection(routedTyped))
-        .withColumn("cell", col("cell").cast(LongType)),
-      "vec_id")
+      routedScan(spark, root, "lists", routedCells), "vec_id")
     val cand = lists
       .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -363,14 +396,7 @@ object AnnIndex {
         .select(col("query_id"), col("cell")))
     val routedCells = probed.select(col("cell")).distinct()
       .collect().map(_.getAs[Number](0).longValue).toSeq
-    val codes0 = spark.read.parquet(s"$root/cellcodes")
-    val routedTyped: Seq[Any] = codes0.schema("cell").dataType match {
-      case IntegerType => routedCells.map(_.toInt)
-      case _           => routedCells
-    }
-    val codes = codes0
-      .filter(col("cell").isInCollection(routedTyped))
-      .withColumn("cell", col("cell").cast(LongType))
+    val codes = routedScan(spark, root, "cellcodes", routedCells)
     val lut = queries
       .select(col("query_id"), explode(sequence(lit(0), lit(7))).as("s"),
         col("q_emb"))
@@ -793,6 +819,45 @@ object AnnIndex {
       .select(col("cell"), col("n_vecs"),
         round(col("n_vecs") / lit(n.toDouble), 6).as("share"))
       .orderBy(col("cell"))
+  }
+
+  /** The ALARM INVARIANT over the census — the load-bearing wire the
+    * monitoring row feeds (`emb_ivf_cell_stats` SHOWS the skew, this
+    * gates on it): per-physical-partition populations vs the bound the
+    * split discipline enforces (`factor`× the expected uniform share,
+    * integer arithmetic mirrored by the oracle). One row out:
+    * `cells_over_bound` must be 0 on a healthy store, and
+    * `Compaction.splitHotCells` is the maintenance op that returns it
+    * to 0 — the skew spec drives the full cycle.
+    */
+  def cellGuard(s: SparkSession, root: String, sub: String,
+      rowsPerVec: Int = 1, factor: Int = 4): DataFrame = {
+    val nCells = s.read.parquet(s"$root/centroids").count()
+    val pops = s.read.parquet(s"$root/$sub")
+      .groupBy(col("cell"))
+      .agg((count(lit(1)) / rowsPerVec).cast(LongType).as("pop"))
+    val tot = pops.agg(sum(col("pop")).as("n_vecs"))
+      .select(col("n_vecs"),
+        (lit(factor.toLong) *
+          expr(s"(n_vecs + ${nCells - 1}) DIV $nCells")).as("bound"))
+    pops.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).cast(LongType).as("n_cells"),
+        max(col("n_vecs")).as("n_vecs"),
+        max(col("bound")).as("bound"),
+        sum(when(col("pop") > col("bound"), 1L).otherwise(0L)).as("cells_over_bound"))
+  }
+
+  /** The guard as a registered, oracle-gated query over the IVF store:
+    * the oracle predicts the census and the bound from the corpus via
+    * the same training CTEs as `emb_ivf_cell_stats`, so the hash match
+    * certifies the alarm arithmetic itself — whichever side of the
+    * bound the gate corpus lands on.
+    */
+  def embIvfCellGuard(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val root = indexRoot(s, dir, "ivf", emb.count())
+    ensureBuilt(s, root)(staging => buildIvf(emb, staging))
+    cellGuard(s, root.toString, "lists")
   }
 
   def embIvfServe(s: SparkSession, dir: String, k: Int = 5,

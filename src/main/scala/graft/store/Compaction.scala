@@ -120,6 +120,71 @@ object Compaction {
     compactStore(spark, root,
       Seq("cellcodes" -> true, "vnorms" -> false), filesPer)
 
+  /** BOUNDED-SKEW DISCIPLINE for the cell-partitioned list tables —
+    * the persisted twin of `Similarity.splitHotCells`: appends route
+    * against FROZEN centroids, so a drifting delta concentrates into
+    * few cells and erodes the nprobe/cells serve I/O bound toward a
+    * full scan. This splitter rewrites any physical partition whose
+    * population exceeds `factor`× the expected uniform share into
+    * hash-mod sub-partitions under the same injective composite-id
+    * scheme as the in-session splitter (`(cell+1)*1024 + sub`, nesting
+    * cleanly across repeated splits). Serve expands a routed parent to
+    * ALL its physical descendants (`AnnIndex.expandRouted`), so the
+    * candidate set per query is IDENTICAL before and after a split —
+    * the operation is pure layout, which is what lets the spec assert
+    * serve bit-equality and the oracle-gated queries stay untouched.
+    *
+    * The sub is `hash60(vec_id) mod f` rather than a cosine
+    * sub-clustering: a similarity split cannot separate an adversarial
+    * point mass (near-identical vectors all land in one sub-cell), and
+    * no routing fidelity is lost because sub-cells are never routed
+    * individually — they are always probed with their parent. `f`
+    * doubles the ceil(pop/bound) quotient so hash variance keeps every
+    * sub-partition under the bound with wide margin.
+    *
+    * `rowsPerVec` adapts the census to the sub-table's shape (1 for
+    * IVF lists, 8 for IVFPQ cellcodes). Returns the number of
+    * partitions split. Same single-writer maintenance contract as the
+    * folds above.
+    */
+  def splitHotCells(spark: SparkSession, root: String, sub: String,
+      factor: Int = 4, rowsPerVec: Int = 1): Int = {
+    StoreRoot.recoverSwap(spark, s"$root/$sub")
+    val (committed, _) =
+      BatchCommit.committedDataFiles(spark, root, sub, partitioned = true)
+    if (committed.isEmpty) return 0
+    val nCells = spark.read.parquet(s"$root/centroids").count()
+    val lists = spark.read.option("basePath", s"$root/$sub")
+      .parquet(committed: _*)
+    val pops = lists.groupBy(col("cell"))
+      .agg((count(lit(1)) / rowsPerVec).cast("long").as("pop")).collect()
+      .map(r => r.getAs[Number]("cell").longValue -> r.getAs[Long]("pop"))
+    val n = pops.map(_._2).sum
+    val bound = factor.toLong * ((n + nCells - 1) / nCells)
+    val hot = pops.filter(_._2 > bound)
+    if (hot.isEmpty) return 0
+    // per-hot-cell fan-out, doubled for hash-variance headroom
+    val fanout = hot.map { case (c, pop) =>
+      (c, math.max(2L, 2L * ((pop + bound - 1) / bound)))
+    }
+    import spark.implicits._
+    val fan = broadcast(fanout.toSeq.toDF("cell", "f")
+      .withColumn("cell", col("cell").cast(lists.schema("cell").dataType)))
+    StoreRoot.swapDir(spark, s"$root/$sub") { tmp =>
+      lists.join(fan, Seq("cell"), "left")
+        .withColumn("cell",
+          when(col("f").isNotNull,
+            (col("cell").cast("long") + 1) * 1024 +
+              pmod(graft.functions.TextFunctions.hash60(
+                col("vec_id").cast("string")), col("f")))
+            .otherwise(col("cell").cast("long")))
+        .drop("f")
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(tmp)
+    }
+    hot.length
+  }
+
   /** Lexical store: postings re-cluster by token (row-group stats
     * skipping depends on it), dl folds file-wise, and the ADDITIVE
     * df/stats delta segments fold SEMANTICALLY — K df segments become

@@ -36,7 +36,9 @@ class PlanAuditSpec extends SparkSpec {
     // merged-sketch-estimate scalars)
     "o1_recent_readings", "l8_integrity", "a6_quantile_merge",
     // 1-row sketch matrix broadcast against the 10-row probe panel
-    "tx_freq_cm", "corpus_report")
+    "tx_freq_cm", "corpus_report",
+    // 1-row (n_vecs, bound) scalar broadcast against the cell census
+    "emb_ivf_cell_guard")
 
   test("no registered query plans a CartesianProduct; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
