@@ -515,24 +515,25 @@ object Dedup {
     * durable path (readIndex → incrementalCommit → segment write)
     * computes exactly the in-memory step's semantics.
     *
-    * The driver-side collect feeds the MemoryStream test transport —
-    * delivery batches in production arrive via the Kafka/file sources;
-    * the sink under test is identical either way.
+    * The deliveries arrive through a REAL FILE SOURCE (each parity
+    * half written as parquet into the feed dir, drained fully before
+    * the next lands) — no driver-side materialization of the corpus
+    * anywhere in the path, the same transport the index-append sinks
+    * use; production swaps the feed dir for Kafka/object-store paths.
     */
   def dedupIncrementalSink(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val root = java.nio.file.Files.createTempDirectory("dedup_incr_sink")
     val (outDir, idxDir, ckpt) = (s"$root/out", s"$root/idx", s"$root/ckpt")
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val feed = s"$root/feed"
+    // delivery 1 on disk before the stream starts -> micro-batch 0
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(feed)
     val q = startIncrementalSink(
-      mem.toDF().toDF("doc_id", "text"), outDir, idxDir, ckpt)
+      s.readStream.schema(docs.schema).parquet(feed), outDir, idxDir, ckpt)
     try {
-      mem.addData(docs.filter(_._1 % 2 == 0).toSeq: _*)
       q.processAllAvailable()
-      mem.addData(docs.filter(_._1 % 2 == 1).toSeq: _*)
+      // delivery 2 appends to the feed -> micro-batch 1
+      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(feed)
       q.processAllAvailable()
     } finally q.stop()
     readSegments(s, outDir)
