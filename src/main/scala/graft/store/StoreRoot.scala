@@ -21,7 +21,7 @@ object StoreRoot {
     val st = fs.getFileStatus(src)
     val digest = java.lang.Long.toHexString(graft.functions.TextHash.hash60(
       s"$srcFile|$n|${st.getModificationTime}|${st.getLen}|$kind|$version"))
-    new Path(s"${System.getProperty("java.io.tmpdir")}/graft_ann/$kind-$digest")
+    new Path(s"$defaultBase/$kind-$digest")
   }
 
   /** Build-once discipline: if `root` exists it is a COMPLETE build
@@ -33,6 +33,7 @@ object StoreRoot {
   def ensureBuilt(spark: SparkSession, root: Path)(
       build: String => Unit): Unit = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touchLive(fs, root)
     if (fs.exists(root)) return
     val staging = new Path(root.toString + s".build-${System.nanoTime()}")
     fs.delete(staging, true)
@@ -44,6 +45,58 @@ object StoreRoot {
       fs.delete(staging, true)
     }
   }
+
+  /** Liveness stamp for a root, refreshed on EVERY ensure: the digest
+    * scheme is one-way (a root's name cannot be mapped back to its
+    * source), so retention works by recency-of-use instead — a root a
+    * regenerated corpus orphaned simply stops being touched and ages
+    * out, while anything actively served always carries a fresh stamp.
+    */
+  private def touchLive(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Unit = {
+    val live = new Path(root.getParent, s"_live/${root.getName}")
+    fs.mkdirs(live.getParent)
+    fs.create(live, true).close()
+  }
+
+  /** RETENTION SWEEP over a store base dir (the Lifecycle-style
+    * maintenance the per-(corpus × kind × version) digest roots need:
+    * every regenerated corpus orphans its old roots forever otherwise).
+    * Drops any root — including crashed `.build-*` staging leftovers —
+    * whose liveness stamp is missing or older than `ttlMs`, plus
+    * orphaned stamps. Single-writer maintenance op, like the folds.
+    * Returns the number of roots removed.
+    */
+  def sweepStale(spark: SparkSession, baseDir: String,
+      ttlMs: Long): Int = {
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return 0
+    val cutoff = System.currentTimeMillis() - ttlMs
+    var removed = 0
+    fs.listStatus(base).filter(st => st.isDirectory &&
+        st.getPath.getName != "_live").foreach { st =>
+      val stamp = new Path(base, s"_live/${st.getPath.getName}")
+      val fresh = fs.exists(stamp) &&
+        fs.getFileStatus(stamp).getModificationTime >= cutoff
+      if (!fresh) {
+        fs.delete(st.getPath, true)
+        fs.delete(stamp, false)
+        removed += 1
+      }
+    }
+    val live = new Path(base, "_live")
+    if (fs.exists(live))
+      fs.listStatus(live).foreach { st =>
+        if (!fs.exists(new Path(base, st.getPath.getName)))
+          fs.delete(st.getPath, false)
+      }
+    removed
+  }
+
+  /** The default base every `rootFor` digest lands under. */
+  def defaultBase: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ann"
 
   /** Crash-safe in-place rewrite of one directory — the
     * `Lifecycle.compact` swap applied to a store sub-table: `write`

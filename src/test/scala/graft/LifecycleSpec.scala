@@ -132,4 +132,41 @@ class LifecycleSpec extends SparkSpec {
     assert(after <= before)
     assert(spark.read.parquet(main).count() == mainCount)
   }
+
+  test("store-root retention: stale and orphaned roots age out, live roots survive") {
+    import graft.store.StoreRoot
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("rootsweep").toString
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a live root: ensured (stamped) moments ago
+    val live = new Path(s"$base/lex-feedcafe")
+    StoreRoot.ensureBuilt(spark, live) { staging =>
+      fs.mkdirs(new Path(staging)); ()
+    }
+    // a pre-stamp root (regenerated-corpus orphan: no liveness entry)
+    fs.mkdirs(new Path(s"$base/pq-deadbeef"))
+    // a stamped-but-expired root, plus a crashed build's staging dir
+    val old = new Path(s"$base/ivf-0ddba11")
+    StoreRoot.ensureBuilt(spark, old)(s => { fs.mkdirs(new Path(s)); () })
+    fs.setTimes(new Path(s"$base/_live/ivf-0ddba11"),
+      System.currentTimeMillis() - 100000L, -1)
+    fs.mkdirs(new Path(s"$base/pq-0ddba11.build-42"))
+    // an orphaned stamp (root deleted out-of-band)
+    fs.create(new Path(s"$base/_live/lex-gone"), true).close()
+
+    val removed = StoreRoot.sweepStale(spark, base, ttlMs = 60000L)
+
+    assert(removed == 3, s"expected 3 removals, got $removed")
+    assert(fs.exists(live), "sweep removed a live root")
+    assert(fs.exists(new Path(s"$base/_live/lex-feedcafe")))
+    assert(!fs.exists(new Path(s"$base/pq-deadbeef")))
+    assert(!fs.exists(old))
+    assert(!fs.exists(new Path(s"$base/pq-0ddba11.build-42")))
+    assert(!fs.exists(new Path(s"$base/_live/ivf-0ddba11")))
+    assert(!fs.exists(new Path(s"$base/_live/lex-gone")))
+    // a live root keeps serving after the sweep: ensure is a no-op
+    var rebuilt = false
+    StoreRoot.ensureBuilt(spark, live)(_ => rebuilt = true)
+    assert(!rebuilt)
+  }
 }
