@@ -2032,6 +2032,27 @@ object OracleSql {
         |FROM documents d CROSS JOIN (SELECT unnest([0, 2, 4]) AS f) f
         |ORDER BY media_id, frame_idx""".stripMargin,
 
+    // PNG (operators.Multimodal.mmPng): lossless round-trip through
+    // the REAL ImageIO PNG writer+reader — the decoded raster's exact
+    // integer sum must equal the generating arithmetic's
+    "mm_png" ->
+      """SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+        |  (SELECT sum((i * 37 + d.doc_id * 11 + length(d.text)) % 256)::BIGINT
+        |     FROM generate_series(0, 255) g(i)) AS px_sum,
+        |  (SELECT sum((i * 37 + d.doc_id * 11 + length(d.text)) % 256)::DOUBLE
+        |     FROM generate_series(0, 255) g(i)) / 65280 AS mean_luma
+        |FROM documents d ORDER BY media_id""".stripMargin,
+
+    // JPEG (operators.Multimodal.mmJpeg): lossy — the oracle emits the
+    // INVARIANTS lossy compression must preserve (exact dimensions,
+    // successful decode, mean luma within ±0.02 of the pre-encode
+    // raster); the Spark side computes the booleans from the real
+    // decode, so a hash match means every payload decoded in band
+    "mm_jpeg" ->
+      """SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+        |  TRUE AS decodes_ok, TRUE AS luma_in_band
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     // audio features from the 8-bit PCM fixture arithmetic (the Spark
     // side computes them from a REAL javax.sound.sampled WAV decode)
     "mm_audio" ->

@@ -264,6 +264,10 @@ object SparkEntry {
     "mm_resize"   -> (Multimodal.mmResize(_, _)),
     "mm_frames"   -> (Multimodal.mmFrames(_, _)),
     "mm_audio"    -> (Multimodal.mmAudio(_, _)),
+    // real-world codec families: PNG round-trips losslessly (exact
+    // raster hash); JPEG is lossy (dims exact, luma banded)
+    "mm_png"      -> (Multimodal.mmPng(_, _)),
+    "mm_jpeg"     -> (Multimodal.mmJpeg(_, _)),
     // Avro wire format (S4 core: Confluent frame + union normalization)
     "avro_roundtrip" -> (AvroPipeline.avroRoundtrip(_, _))
   )

@@ -236,6 +236,133 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** The fixture raster as a grayscale BufferedImage — the pre-encode
+    * ground truth both real-codec families (PNG lossless, JPEG lossy)
+    * encode from, same pixel arithmetic as the BMP fixture.
+    */
+  def fixtureRaster(mediaId: Long,
+      contentLen: Long): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(Side, Side,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var i = 0
+    while (i < Side * Side) {
+      val g = (((i * 37 + mediaId * 11 + contentLen) % 256) + 256) % 256
+      r.setSample(i % Side, i / Side, 0, g.toInt)
+      i += 1
+    }
+    img
+  }
+
+  /** Raw raster sample sum — `getRaster.getSample`, NOT `getRGB`: the
+    * RGB accessor routes grayscale through a colorspace conversion
+    * whose gamma step would destroy the exact-integer contract.
+    */
+  def rasterSum(img: java.awt.image.BufferedImage): Long = {
+    val r = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { sum += r.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    sum
+  }
+
+  /** Real PNG encode of the fixture raster (ImageIO's writer). Output
+    * bytes are writer-dependent — the certified quantities are the
+    * DECODED raster's, never the container's.
+    */
+  def encodePng(mediaId: Long, contentLen: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(fixtureRaster(mediaId, contentLen), "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real JPEG encode at an explicit quality (deterministic writer
+    * parameters; the default-quality path would still decode, but
+    * pinning quality keeps the loss band stable across JDK updates).
+    */
+  def encodeJpeg(mediaId: Long, contentLen: Long,
+      quality: Float = 0.9f): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.write(null,
+        new javax.imageio.IIOImage(fixtureRaster(mediaId, contentLen),
+          null, null), p)
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  case class PngFeatures(media_id: Long, width: Int, height: Int,
+      px_sum: Long, mean_luma: Double)
+
+  /** PNG operator — the first REAL-WORLD format family: encode the
+    * fixture raster with the actual PNG writer, decode it back through
+    * ImageIO, and emit exact-integer raster features. PNG round-trips
+    * losslessly, so the oracle recomputes px_sum/mean_luma from the
+    * generating arithmetic and the hash match certifies the full
+    * encode→decode cycle bit-for-bit (byte_len is deliberately absent:
+    * container bytes are writer-dependent, rasters are not).
+    */
+  def mmPng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, clen) =>
+        val img = javax.imageio.ImageIO.read(
+          new ByteArrayInputStream(encodePng(id, clen)))
+        require(img != null, s"PNG payload of media $id failed to decode")
+        val sum = rasterSum(img)
+        PngFeatures(id, img.getWidth, img.getHeight, sum,
+          sum.toDouble / (255.0 * img.getWidth * img.getHeight))
+      })
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  case class JpegFeatures(media_id: Long, width: Int, height: Int,
+      decodes_ok: Boolean, luma_in_band: Boolean)
+
+  /** JPEG operator — the LOSSY real-world family: encode at quality
+    * 0.9, decode back, and certify what lossy compression preserves —
+    * exact dimensions, a successful decode, and mean luma within a
+    * ±0.02 band of the pre-encode raster's exact value (DC coefficients
+    * survive quantization; the fixture's high-frequency sawtooth is
+    * JPEG's worst case, so the band is a real claim). The oracle emits
+    * the expected invariants (TRUE rows) from the corpus — a hash match
+    * means every document's payload decoded and landed in band.
+    */
+  def mmJpeg(s: SparkSession, dir: String, band: Double = 0.02): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, clen) =>
+        val img = javax.imageio.ImageIO.read(
+          new ByteArrayInputStream(encodeJpeg(id, clen)))
+        val ok = img != null
+        val inBand = ok && {
+          val dec = rasterSum(img).toDouble / (255.0 * img.getWidth * img.getHeight)
+          val exact = rasterSum(fixtureRaster(id, clen)).toDouble /
+            (255.0 * Side * Side)
+          math.abs(dec - exact) <= band
+        }
+        JpegFeatures(id, if (ok) img.getWidth else -1,
+          if (ok) img.getHeight else -1, ok, inBand)
+      })
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
   /** Fixture audio: 1024 samples of 8-bit unsigned mono PCM at 8 kHz,
     * sample i = (i·37 + media_id·11 + contentLen) mod 256, wrapped in a
     * standard 44-byte RIFF/WAVE header.

@@ -110,6 +110,51 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG: real writer+reader round-trip is pixel-exact") {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.encodePng(5L, 99L)))
+    assert(img != null && img.getWidth == 16 && img.getHeight == 16)
+    // raster samples equal the generating arithmetic, pixel for pixel
+    val r = img.getRaster
+    (0 until 256).foreach { i =>
+      assert(r.getSample(i % 16, i / 16, 0) == ((i * 37 + 5L * 11 + 99L) % 256),
+        s"pixel $i differs after PNG round-trip")
+    }
+    // PNG container really is PNG (magic), and is not the raw raster
+    val bytes = Multimodal.encodePng(5L, 99L)
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte)
+  }
+
+  test("JPEG: lossy decode keeps dims exact and mean luma tightly in band") {
+    val bytes = Multimodal.encodeJpeg(5L, 99L)
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) // SOI
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 16 && img.getHeight == 16)
+    val dec = Multimodal.rasterSum(img).toDouble / (255.0 * 256)
+    val exact = Multimodal.rasterSum(Multimodal.fixtureRaster(5L, 99L))
+      .toDouble / (255.0 * 256)
+    assert(math.abs(dec - exact) <= 0.02, s"luma drifted: dec=$dec exact=$exact")
+    // and the loss is REAL: the sawtooth raster does not round-trip
+    val rr = img.getRaster
+    val exactPx = (0 until 256).map(i => ((i * 37 + 5L * 11 + 99L) % 256).toInt)
+    assert((0 until 256).exists(i => rr.getSample(i % 16, i / 16, 0) != exactPx(i)),
+      "JPEG round-tripped losslessly — band test is vacuous")
+  }
+
+  test("mm_png / mm_jpeg: distributed pipelines over the corpus") {
+    val png = graft.operators.Multimodal.mmPng(spark, Sf0001).collect()
+    assert(png.nonEmpty)
+    png.foreach { r =>
+      assert(r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 16)
+      val s = r.getAs[Long]("px_sum")
+      assert(math.abs(r.getAs[Double]("mean_luma") - s / (255.0 * 256)) < 1e-12)
+    }
+    val jpeg = graft.operators.Multimodal.mmJpeg(spark, Sf0001).collect()
+    assert(jpeg.length == png.length)
+    assert(jpeg.forall(r => r.getAs[Boolean]("decodes_ok") &&
+      r.getAs[Boolean]("luma_in_band")))
+  }
+
   private implicit class TupleOps(rows: Array[(Long, Long, Int, Int, Double)]) {
     def toMap2: Map[Long, (Long, Int, Int, Double)] =
       rows.map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
