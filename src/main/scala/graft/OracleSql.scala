@@ -1697,6 +1697,18 @@ object OracleSql {
         |  FROM approx WHERE vec_id % 17 <> 3)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    // the fold-compacted tombstone serve (store.AnnIndex
+    // .embPqServeCompacted): compaction physically removes the deleted
+    // rows and is serve-identity, so the oracle is the tombstone
+    // serve's verbatim
+    "emb_pq_serve_compacted" -> (pqApproxCtes + """
+        |SELECT * FROM (
+        |  SELECT query_id, vec_id AS neighbor_id, pq_cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY pq_cos DESC, vec_id)::BIGINT AS rank
+        |  FROM approx WHERE vec_id % 17 <> 3)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     // the FILTERED serve (store.AnnIndex.embPqServeFiltered): the
     // candidate set pre-filtered to label % 3 == 0 via the attrs
     // sidecar — rank over the restricted set (pre ≡ post here; the
@@ -1756,6 +1768,11 @@ object OracleSql {
     // are additive, so build(half)+append(half) ≡ full build exactly —
     // same oracle as the one-shot serve
     "lex_bm25_append_serve" -> lexBm25ServeSql,
+
+    // append + fold (store.TextIndex.lexBm25CompactServe): collapsing
+    // the additive delta segments to their sums is the identity on
+    // every BM25 score — one-shot oracle again, now certifying the fold
+    "lex_bm25_compact_serve" -> lexBm25ServeSql,
 
     // store manifest (store.Manifest): actual sub-table row counts of
     // both persisted stores vs corpus-PREDICTED cardinalities —

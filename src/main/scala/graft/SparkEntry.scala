@@ -215,6 +215,9 @@ object SparkEntry {
     // tombstone deletes: the takedown path — deleted ids anti-joined
     // out of every serve without rebuilding the index
     "emb_pq_serve_tombstone" -> (graft.store.AnnIndex.embPqServeTombstone(_, _)),
+    // tombstone + FOLD: deleted rows physically removed by compaction
+    // before serve — shares the tombstone oracle (fold ≡ identity)
+    "emb_pq_serve_compacted" -> (graft.store.AnnIndex.embPqServeCompacted(_, _)),
     "emb_ivf_serve"       -> (graft.store.AnnIndex.embIvfServe(_, _)),
     // incremental maintenance: build on the base half, APPEND the
     // delta against the frozen quantizers, serve — the oracle trains
@@ -246,6 +249,9 @@ object SparkEntry {
     // build half + exactly-once append of the other half; additive
     // BM25 stats make append ≡ rebuild, certified by the shared oracle
     "lex_bm25_append_serve" -> (graft.store.TextIndex.lexBm25AppendServe(_, _)),
+    // append + FOLD: df/stats delta segments collapsed to exact sums
+    // before serve — shares the one-shot serve oracle (fold ≡ identity)
+    "lex_bm25_compact_serve" -> (graft.store.TextIndex.lexBm25CompactServe(_, _)),
     // the whole hybrid stack from the persisted stores: postings-table
     // BM25 + PQ ADC dense leg, RRF-fused — no base-table scan anywhere
     "hybrid_serve"        -> (graft.similarity.Hybrid.hybridServe(_, _)),

@@ -235,4 +235,20 @@ object Hybrid {
         col("rank").as("vec_rank"))
     rrfFuse(lexTop, vecTop, k)
   }
+
+  /** The served hybrid against EXPLICIT store roots — the form the
+    * scale-curve harness uses to price serve-vs-inline at corpus sizes
+    * past the gate fixtures (the registered `hybrid_serve` binds roots
+    * to the corpus dir).
+    */
+  def hybridServeFromRoots(s: SparkSession, lexRoot: String,
+      pqRoot: String, queries: DataFrame, k: Int = 5,
+      c: Int = 20): DataFrame = {
+    val lexTop = graft.store.TextIndex.serveBm25(s, lexRoot, c)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val vecTop = graft.store.AnnIndex.servePqTopk(s, pqRoot, queries, c)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    rrfFuse(lexTop, vecTop, k)
+  }
 }

@@ -738,6 +738,27 @@ object AnnIndex {
     servePqTopk(s, root.toString, queryLiterals(s, dir), k)
   }
 
+  /** The FOLD-COMPACTED tombstone path as a registered, oracle-gated
+    * query: same build + delete as the tombstone serve, then
+    * `Compaction.compactPqStore` physically removes the deleted rows
+    * and truncates `deletes` BEFORE serving. Compaction is
+    * serve-identity by construction, so this query shares the
+    * tombstone oracle VERBATIM — a hash match certifies the fold's
+    * row-removal arithmetic at every gate scale, standing.
+    */
+  def embPqServeCompacted(s: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val root = indexRoot(s, dir, "pqcmp", emb.count())
+    ensureBuilt(s, root) { staging =>
+      buildPq(emb, staging)
+      deleteVectors(s, staging,
+        emb.filter(col("vec_id") % 17 === 3).select(col("vec_id")))
+      Compaction.compactPqStore(s, staging)
+    }
+    servePqTopk(s, root.toString, queryLiterals(s, dir), k)
+  }
+
   /** FILTERED serve — the metadata-constrained vector search every
     * production deployment needs (retrieve among label=X only): the
     * predicate evaluates on the index's two-column `attrs` sidecar and

@@ -194,4 +194,26 @@ object TextIndex {
     }
     serveBm25(s, root.toString, k)
   }
+
+  /** The append-then-FOLD path as a registered query: build + append
+    * as above, then `Compaction.compactLexStore` collapses the df/stats
+    * delta segments into their exact sums before serving. The fold is
+    * the identity on every BM25 score (serve sums segments), so this
+    * shares the one-shot serve oracle verbatim — the hash match
+    * certifies the semantic fold's aggregation, standing, at every
+    * gate scale.
+    */
+  def lexBm25CompactServe(s: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val half = n / 2
+    val root = indexRoot(s, dir, n, "lexcmp")
+    ensureBuilt(s, root) { staging =>
+      build(docs.filter(col("doc_id") < half), staging)
+      appendBatch(docs.filter(col("doc_id") >= half), staging, 0L)
+      Compaction.compactLexStore(s, staging)
+    }
+    serveBm25(s, root.toString, k)
+  }
 }

@@ -94,17 +94,36 @@ object ScaleCurve {
           .reduce(_ unionByName _),
         (0 until k).map(j =>
           baseEmb.select((col("vec_id") + lit(j * 1000000L)).as("vec_id"),
+            col("label"),
             transform(col("embedding"),
               x => x * (lit(1.0f) + lit(j.toFloat / 1000))).as("embedding")))
           .reduce(_ unionByName _))
       val (wd, we) = corpus(1)
       noop(graft.similarity.Hybrid.hybridTopkDf(wd, we, 5, 20))
-      for (k <- Seq(1, 2, 4)) {
+      // serve-vs-inline crossover: build both stores per size
+      // (UNTIMED — the build-once/serve-many premise), then race the
+      // in-session stack against the index-served one. The inline path
+      // re-tokenizes the docs and exact-scans the embeddings per run;
+      // serve reads postings/codes only — its cost should flatten
+      // while inline grows ~n, and the table records where they cross.
+      for (k <- Seq(1, 2, 4, 10, 20)) {
         val (docs, emb) = corpus(k)
         val n = docs.count()
-        val t = Seq.fill(3)(timed(noop(
+        val root = java.nio.file.Files
+          .createTempDirectory(s"hycurve_$k").toString
+        val (lexRoot, pqRoot) = (s"$root/lex", s"$root/pq")
+        graft.store.TextIndex.build(docs, lexRoot)
+        graft.store.AnnIndex.buildPq(emb, pqRoot)
+        val queries = Similarity.materializeSmall(
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("q_emb")))
+        val tIn = Seq.fill(2)(timed(noop(
           graft.similarity.Hybrid.hybridTopkDf(docs, emb, 5, 20)))).min
-        println(f"hybrid   n=$n%-8d $t%8.2f s")
+        val tSv = Seq.fill(2)(timed(noop(
+          graft.similarity.Hybrid.hybridServeFromRoots(
+            spark, lexRoot, pqRoot, queries, 5, 20)))).min
+        println(f"hybrid   n=$n%-8d inline=$tIn%8.2f s  serve=$tSv%8.2f s  ratio=${tIn / tSv}%5.2f")
       }
     }
 
