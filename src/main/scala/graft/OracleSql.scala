@@ -1769,6 +1769,20 @@ object OracleSql {
     // same oracle as the one-shot serve
     "lex_bm25_append_serve" -> lexBm25ServeSql,
 
+    // lexical takedown (store.TextIndex.deleteDocs): tombstoned
+    // postings + negative df/stats deltas must equal an index built
+    // over the surviving documents only — the whole BM25 chain is
+    // re-derived with the deleted set excluded at the tokenize source
+    "lex_bm25_serve_tombstone" -> {
+      val derived = lexBm25ServeSql.replace(
+        "SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok)",
+        "SELECT doc_id, unnest(toks) AS tok FROM t\n" +
+          "  WHERE NOT (doc_id % 23 = 4 AND doc_id >= 10)) GROUP BY doc_id, tok)")
+      require(derived != lexBm25ServeSql,
+        "lex-tombstone oracle derivation matched nothing")
+      derived
+    },
+
     // append + fold (store.TextIndex.lexBm25CompactServe): collapsing
     // the additive delta segments to their sums is the identity on
     // every BM25 score — one-shot oracle again, now certifying the fold

@@ -252,6 +252,9 @@ object SparkEntry {
     // append + FOLD: df/stats delta segments collapsed to exact sums
     // before serve — shares the one-shot serve oracle (fold ≡ identity)
     "lex_bm25_compact_serve" -> (graft.store.TextIndex.lexBm25CompactServe(_, _)),
+    // takedown parity with the ANN stores: tombstoned postings plus
+    // negative df/stats deltas ≡ an index built without those docs
+    "lex_bm25_serve_tombstone" -> (graft.store.TextIndex.lexBm25ServeTombstone(_, _)),
     // the whole hybrid stack from the persisted stores: postings-table
     // BM25 + PQ ADC dense leg, RRF-fused — no base-table scan anywhere
     "hybrid_serve"        -> (graft.similarity.Hybrid.hybridServe(_, _)),

@@ -51,13 +51,14 @@ object Compaction {
   def compactStore(spark: SparkSession, root: String,
       subs: Seq[(String, Boolean)], filesPer: Int = 1,
       fold: Map[String, DataFrame => DataFrame] = Map.empty,
-      cluster: Map[String, String] = Map.empty): Unit = {
+      cluster: Map[String, String] = Map.empty,
+      idCol: String = "vec_id"): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val delPath = new Path(s"$root/deletes")
     val del =
       if (fs.exists(delPath))
         Some(spark.read.parquet(delPath.toString)
-          .select(col("vec_id")).distinct())
+          .select(col(idCol)).distinct())
       else None
     var tornSeen = false
     subs.foreach { case (sub, partitioned) =>
@@ -71,8 +72,8 @@ object Compaction {
             .parquet(committed: _*)
           else spark.read.parquet(committed: _*)
         val live = del match {
-          case Some(d) if raw.columns.contains("vec_id") =>
-            raw.join(broadcast(d), Seq("vec_id"), "left_anti")
+          case Some(d) if raw.columns.contains(idCol) =>
+            raw.join(broadcast(d), Seq(idCol), "left_anti")
           case _ => raw
         }
         val folded = fold.get(sub).map(_(live)).getOrElse(live)
@@ -188,9 +189,11 @@ object Compaction {
   /** Lexical store: postings re-cluster by token (row-group stats
     * skipping depends on it), dl folds file-wise, and the ADDITIVE
     * df/stats delta segments fold SEMANTICALLY — K df segments become
-    * one exact per-token sum, K stats rows one summed row — restoring
+    * one exact per-token sum (dropping terms a takedown's negative
+    * deltas cancelled to zero), K stats rows one summed row — restoring
     * the single-segment shape of a fresh build. Serve sums segments,
-    * so the fold is the identity on every BM25 score.
+    * so the fold is the identity on every BM25 score; tombstoned docs'
+    * postings/dl rows are removed physically, like the ANN stores'.
     */
   def compactLexStore(spark: SparkSession, root: String,
       filesPer: Int = 1): Unit =
@@ -200,9 +203,11 @@ object Compaction {
       filesPer,
       fold = Map(
         "df" -> ((d: DataFrame) =>
-          d.groupBy(col("tok")).agg(sum(col("df")).as("df"))),
+          d.groupBy(col("tok")).agg(sum(col("df")).as("df"))
+            .filter(col("df") =!= 0L)),
         "stats" -> ((d: DataFrame) =>
           d.agg(sum(col("n_docs")).as("n_docs"),
             sum(col("sum_dl")).as("sum_dl")))),
-      cluster = Map("postings" -> "tok"))
+      cluster = Map("postings" -> "tok"),
+      idCol = "doc_id")
 }

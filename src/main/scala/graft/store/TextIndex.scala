@@ -125,13 +125,63 @@ object TextIndex {
         appendBatch(b, root, id, filesPerBatch))
       .start()
 
+  /** TAKEDOWN for the lexical store — the tombstone discipline the ANN
+    * stores already have, in the form BM25's additivity makes exact:
+    * deleted doc ids land in a `deletes` table (serve anti-joins the
+    * postings against it) and the deleted docs' df/stats contributions
+    * are cancelled by NEGATIVE delta segments computed from the
+    * index's OWN postings — no corpus access, and after the sums the
+    * statistics equal an index built without those docs bit-for-bit.
+    * Committed exactly-once under `BatchCommit` (a replayed takedown
+    * batch short-circuits on its marker), and ids already tombstoned
+    * are excluded so a later batch can never double-subtract.
+    * `Compaction.compactLexStore` later removes the rows physically
+    * and folds the negatives away.
+    */
+  def deleteDocs(spark: SparkSession, root: String, ids0: DataFrame,
+      batchId: Long): Unit = {
+    val d = new Path(s"$root/deletes")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = ids0.select(col("doc_id")).distinct()
+    val ids =
+      if (!fs.exists(d)) fresh
+      else fresh.join(spark.read.parquet(d.toString).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val gone = spark.read.parquet(s"$root/postings")
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+    BatchCommit.commit(spark, root, batchId,
+      Seq("deletes", "df", "stats").map(_ -> false)) { (sub, path) =>
+      (sub match {
+        case "deletes" => ids
+        case "df" => gone.groupBy(col("tok"))
+          .agg((lit(0L) - count(lit(1))).as("df"))
+        case _ => gone.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+          .agg((lit(0L) - count(lit(1))).as("n_docs"),
+            (lit(0L) - coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
+      }).coalesce(1).write.parquet(path)
+    }
+  }
+
+  /** Postings minus the tombstoned docs; identity when none exist. */
+  private def minusDeletes(spark: SparkSession, root: String,
+      postings: DataFrame): DataFrame = {
+    val d = new Path(s"$root/deletes")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) postings
+    else postings.join(
+      broadcast(spark.read.parquet(d.toString)
+        .select(col("doc_id")).distinct()),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** BM25 top-k from the persisted index: the query panel's terms come
     * from its own postings rows (doc_id < 10), candidates from the
     * postings join on term — the identical arithmetic (and literals)
     * as the in-session lexical leg, over stored statistics.
     */
   def serveBm25(spark: SparkSession, root: String, k: Int = 5): DataFrame = {
-    val postings = spark.read.parquet(s"$root/postings")
+    val postings = minusDeletes(spark, root,
+      spark.read.parquet(s"$root/postings"))
     // df and stats are append-only DELTAS — sum them (the identity
     // when the index was built in one shot)
     val dfreq = spark.read.parquet(s"$root/df")
@@ -191,6 +241,26 @@ object TextIndex {
     ensureBuilt(s, root) { staging =>
       build(docs.filter(col("doc_id") < half), staging)
       appendBatch(docs.filter(col("doc_id") >= half), staging, 0L)
+    }
+    serveBm25(s, root.toString, k)
+  }
+
+  /** The takedown path as a registered, oracle-gated query: build the
+    * full index, DELETE the deterministic set doc_id % 23 == 4 (panel
+    * docs excluded so every query survives), serve. The oracle rebuilds
+    * the whole BM25 chain over the surviving documents only — a hash
+    * match certifies that tombstone + negative-delta statistics equal
+    * an index that never contained those docs.
+    */
+  def lexBm25ServeTombstone(s: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = indexRoot(s, dir, docs.count(), "lexdel")
+    ensureBuilt(s, root) { staging =>
+      build(docs, staging)
+      deleteDocs(s, staging,
+        docs.filter(col("doc_id") % 23 === 4 && col("doc_id") >= 10)
+          .select(col("doc_id")), 0L)
     }
     serveBm25(s, root.toString, k)
   }

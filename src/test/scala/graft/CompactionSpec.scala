@@ -150,6 +150,43 @@ class CompactionSpec extends SparkSpec {
       TextIndex.serveBm25(spark, freshRoot).collect().toSeq)
   }
 
+  test("lexical takedown: negative deltas equal a rebuild without the docs; fold removes them physically") {
+    val docs = Tables.documents(spark, Sf0001)
+    val root = tmpRoot("lexdel")
+    TextIndex.build(docs, root)
+    val deadIds = docs.filter(col("doc_id") % 7 === 3 && col("doc_id") >= 10)
+      .select(col("doc_id"))
+    TextIndex.deleteDocs(spark, root, deadIds, 0L)
+    // ground truth: an index that never contained the deleted docs
+    val refRoot = tmpRoot("lexdelref")
+    TextIndex.build(docs.join(deadIds, Seq("doc_id"), "left_anti"), refRoot)
+    val got = TextIndex.serveBm25(spark, root).collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == TextIndex.serveBm25(spark, refRoot).collect().toSeq,
+      "tombstone + negative deltas diverged from the clean rebuild")
+    // a replayed takedown batch short-circuits; a later batch with the
+    // same ids subtracts nothing (idempotence both ways)
+    TextIndex.deleteDocs(spark, root, deadIds, 0L)
+    TextIndex.deleteDocs(spark, root, deadIds, 1L)
+    assert(TextIndex.serveBm25(spark, root).collect().toSeq == got,
+      "repeated takedown double-subtracted")
+    // fold: rows physically gone, deletes truncated, serve identical
+    Compaction.compactLexStore(spark, root)
+    assert(TextIndex.serveBm25(spark, root).collect().toSeq == got)
+    assert(!fs(root).exists(new Path(s"$root/deletes")))
+    import spark.implicits._
+    val deadSet = deadIds.as[Long].collect().toSet
+    assert(spark.read.parquet(s"$root/postings")
+      .filter(col("doc_id").isInCollection(deadSet)).count() == 0)
+    assert(dataFiles(s"$root/df").size == 1)
+    // folded df equals the clean rebuild's df, row for row
+    val fold = spark.read.parquet(s"$root/df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = spark.read.parquet(s"$refRoot/df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fold == ref, "folded df diverged from the clean rebuild")
+  }
+
   test("torn batch: fold drops its files, keeps the tombstones, replay heals") {
     val emb = Tables.embeddings(spark, Sf0001)
     val n = emb.count()
