@@ -305,5 +305,9 @@ object SparkEntry {
     "dedup_embedding_090", "dedup_embedding_lsh_090",
     "tx_repetition", "dedup_semantic", "tx_heavy_hitters",
     "emb_mmr_serve", "emb_ivfpq_recall", "tx_freq_cm", "hybrid_topk",
-    "hybrid_serve")
+    "hybrid_serve",
+    // r10: fold-compacted serves (the maintenance ops priced), the
+    // lexical takedown, the census alarm, and the real-codec families
+    "emb_pq_serve_compacted", "lex_bm25_compact_serve",
+    "lex_bm25_serve_tombstone", "emb_ivf_cell_guard", "mm_png", "mm_jpeg")
 }
