@@ -27,6 +27,7 @@ class PlanAuditSpec extends SparkSpec {
     "hybrid_topk", "hybrid_snippets",
     // 1-row BM25 stats broadcast against the postings term join
     "lex_bm25_serve", "lex_bm25_append_serve", "hybrid_serve",
+    "lex_bm25_compact_serve", "lex_bm25_serve_tombstone",
     "retrieval_metrics",
     // k-means assignment: k tiny centroids broadcast x corpus scan
     "dedup_semantic",
