@@ -108,8 +108,8 @@ object Multimodal {
     */
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, dir)
-      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen"))
+    val media = graft.Par.spread(Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen")))
       .as[(Long, Long)]
       .map { case (id, clen) => MediaRow(id, "image/bmp", encodeBmp(id, clen)) }
     decodeAll(media)
@@ -160,8 +160,8 @@ object Multimodal {
     */
   def mmResize(s: SparkSession, dir: String, factor: Int = 4): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen"))
+    graft.Par.spread(Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen")))
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, clen) =>
         val img = javax.imageio.ImageIO.read(
@@ -225,8 +225,8 @@ object Multimodal {
   def mmFrames(s: SparkSession, dir: String, nFrames: Int = 6,
       stride: Int = 2): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen"))
+    graft.Par.spread(Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen")))
       .as[(Long, Long)]
       .mapPartitions(_.flatMap { case (id, clen) =>
         sampleFrames(MediaRow(id, "video/x-fixture",
@@ -314,8 +314,8 @@ object Multimodal {
     */
   def mmPng(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen"))
+    graft.Par.spread(Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen")))
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, clen) =>
         val img = javax.imageio.ImageIO.read(
@@ -343,8 +343,8 @@ object Multimodal {
     */
   def mmJpeg(s: SparkSession, dir: String, band: Double = 0.02): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen"))
+    graft.Par.spread(Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen")))
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, clen) =>
         val img = javax.imageio.ImageIO.read(
@@ -426,8 +426,8 @@ object Multimodal {
   /** Audio operator: encode → REAL WAV decode → per-clip features. */
   def mmAudio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen"))
+    graft.Par.spread(Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen")))
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, clen) =>
         decodeAudio(MediaRow(id, "audio/wav", encodeWav(id, clen)))

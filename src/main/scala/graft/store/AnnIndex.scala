@@ -881,6 +881,60 @@ object AnnIndex {
     cellGuard(s, root.toString, "lists")
   }
 
+  /** CENSUS-TRIGGERED REBUILD — the RETRAINING counterpart to the
+    * layout split (`Compaction.splitHotCells` bounds partition sizes;
+    * this restores ROUTING quality when a drifted corpus no longer
+    * matches the frozen centroids). The IVF lists CONTAIN the vectors,
+    * so the rebuild reads the index's own committed list rows (torn
+    * batches excluded — their replay re-delivers and assigns against
+    * the NEW centroids), applies the tombstones, retrains on the
+    * standard sample rung, and republishes.
+    *
+    * Atomicity: the new lists+centroids are built into a sibling dir
+    * and promoted by ONE root-level `swapDir`, so the two sub-tables
+    * can never be observed mismatched. The `_committed` markers are
+    * carried into the new root — a replayed already-committed batch
+    * must keep short-circuiting after the rebuild, or it would
+    * double-append. `deletes` is dropped (the rebuild folds it) unless
+    * a torn batch exists, same rule as the folds. Determinism: the
+    * rebuilt index is bit-identical to `buildIvf` over the same row
+    * set, which is what the spec asserts. Single-writer maintenance
+    * op, like the folds and the splitter.
+    */
+  def rebuildIvf(spark: SparkSession, root: String): Unit = {
+    StoreRoot.recoverSwap(spark, root)
+    val (committed, torn) =
+      BatchCommit.committedDataFiles(spark, root, "lists", partitioned = true)
+    require(committed.nonEmpty, s"rebuild: no committed lists under $root")
+    // the stores carry no label column, so the retrain seeds from the
+    // id (vec_id mod 16 — the seed family only picks Lloyd's starting
+    // point; the spec's reference build uses the same recipe)
+    val emb = minusDeletes(spark, root,
+      spark.read.option("basePath", s"$root/lists").parquet(committed: _*)
+        .select(col("vec_id"), pmod(col("vec_id"), lit(16L)).as("label"),
+          col("embedding")), "vec_id")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = {
+      val d = new Path(s"$root/_committed")
+      if (!fs.exists(d)) Seq.empty[String]
+      else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName).toSeq
+    }
+    val keepDeletes = torn.nonEmpty && fs.exists(new Path(s"$root/deletes"))
+    val deletesCopy =
+      if (keepDeletes)
+        Some(spark.read.parquet(s"$root/deletes").select(col("vec_id")))
+      else None
+    StoreRoot.swapDir(spark, root) { tmp =>
+      buildIvf(emb, tmp)
+      deletesCopy.foreach(_.write.parquet(s"$tmp/deletes"))
+      if (markers.nonEmpty) {
+        fs.mkdirs(new Path(s"$tmp/_committed"))
+        markers.foreach(m =>
+          fs.create(new Path(s"$tmp/_committed/$m"), true).close())
+      }
+    }
+  }
+
   def embIvfServe(s: SparkSession, dir: String, k: Int = 5,
       nprobe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(s, dir)

@@ -131,6 +131,56 @@ class IvfSkewSpec extends SparkSpec {
       .head.getAs[Long]("cells_over_bound") == 0)
   }
 
+  test("census-triggered rebuild: retrains from the lists alone, folds deletes, keeps markers") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val half = emb.count() / 2
+    val root = tmpRoot("rebuild")
+    AnnIndex.buildIvf(emb.filter(col("vec_id") < half), root)
+    val centBefore = spark.read.parquet(s"$root/centroids")
+      .orderBy(col("cell")).collect().toSeq
+    val delta = pointMass(Sf0001, 7L, 2)
+    AnnIndex.appendIvfBatch(delta, root, 0L)
+    import spark.implicits._
+    AnnIndex.deleteVectors(spark, root, Seq(100007L).toDF("vec_id"))
+
+    AnnIndex.rebuildIvf(spark, root)
+
+    // bit-identical to a fresh build over the same surviving rows with
+    // the same id-derived seed recipe (labels are not stored)
+    val rows = emb.filter(col("vec_id") < half)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(delta.select(col("vec_id"), col("embedding")))
+      .filter(col("vec_id") =!= 100007L)
+      .select(col("vec_id"), pmod(col("vec_id"), lit(16L)).as("label"),
+        col("embedding"))
+    val refRoot = tmpRoot("rebuildref")
+    AnnIndex.buildIvf(rows, refRoot)
+    val q = queryLits(Sf0001)
+    assert(AnnIndex.serveIvfTopk(spark, root, q).collect().toSeq ==
+      AnnIndex.serveIvfTopk(spark, refRoot, q).collect().toSeq,
+      "rebuild diverged from the deterministic fresh build")
+    // the quantizer really retrained on the drifted corpus
+    val centAfter = spark.read.parquet(s"$root/centroids")
+      .orderBy(col("cell")).collect().toSeq
+    assert(centAfter != centBefore, "rebuild kept the frozen centroids")
+    // deletes folded; tombstoned row physically gone
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new Path(s"$root/deletes")))
+    assert(spark.read.parquet(s"$root/lists")
+      .filter(col("vec_id") === 100007L).count() == 0)
+    // markers survived: a replayed committed batch still short-circuits
+    val n0 = spark.read.parquet(s"$root/lists").count()
+    AnnIndex.appendIvfBatch(delta, root, 0L)
+    assert(spark.read.parquet(s"$root/lists").count() == n0,
+      "replay re-appended after rebuild dropped its marker")
+    // composes with the layout splitter: serve unchanged, guard to zero
+    val before = AnnIndex.serveIvfTopk(spark, root, q).collect().toSeq
+    Compaction.splitHotCells(spark, root, "lists")
+    assert(AnnIndex.serveIvfTopk(spark, root, q).collect().toSeq == before)
+    assert(AnnIndex.cellGuard(spark, root, "lists")
+      .head.getAs[Long]("cells_over_bound") == 0)
+  }
+
   test("fold compaction preserves a split layout and its bound") {
     val emb = Tables.embeddings(spark, Sf0001)
     val root = tmpRoot("foldsplit")
