@@ -913,19 +913,57 @@ object AnnIndex {
       spark.read.option("basePath", s"$root/lists").parquet(committed: _*)
         .select(col("vec_id"), pmod(col("vec_id"), lit(16L)).as("label"),
           col("embedding")), "vec_id")
+    republish(spark, root, torn.nonEmpty)(tmp => buildIvf(emb, tmp))
+  }
+
+  /** Corpus-fed rebuilds for the code-compressed stores — PQ codes and
+    * SQ8 bytes are NOT invertible, so unlike the IVF lists these need
+    * the corpus handed back in. Same republish contract as
+    * `rebuildIvf`: tombstones applied and folded, markers carried,
+    * one root-level swap. The operational trigger is the recall audit
+    * (`embPqRecall` / `embIvfPqRecall`) showing quantizer drift after
+    * a long append history.
+    */
+  def rebuildPq(emb: DataFrame, root: String): Unit = {
+    val spark = emb.sparkSession
+    StoreRoot.recoverSwap(spark, root)
+    val (_, torn) =
+      BatchCommit.committedDataFiles(spark, root, "codes", partitioned = false)
+    val live = minusDeletes(spark, root, emb, "vec_id")
+    republish(spark, root, torn.nonEmpty)(tmp => buildPq(live, tmp))
+  }
+
+  def rebuildIvfPq(emb: DataFrame, root: String): Unit = {
+    val spark = emb.sparkSession
+    StoreRoot.recoverSwap(spark, root)
+    val (_, torn) = BatchCommit.committedDataFiles(spark, root, "cellcodes",
+      partitioned = true)
+    val live = minusDeletes(spark, root, emb, "vec_id")
+    republish(spark, root, torn.nonEmpty)(tmp => buildIvfPq(live, tmp))
+  }
+
+  /** The shared republish step of every rebuild: build the replacement
+    * store into a sibling dir, carry the `_committed` markers (a
+    * replayed already-committed batch must keep short-circuiting, or
+    * it would double-append), retain `deletes` only while a torn batch
+    * exists (its replay re-delivers; a tombstone aimed at its rows
+    * must survive), and promote everything with ONE root-level
+    * `swapDir` so no pair of sub-tables is ever observed mismatched.
+    */
+  private def republish(spark: SparkSession, root: String,
+      tornExists: Boolean)(build: String => Unit): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val markers = {
       val d = new Path(s"$root/_committed")
       if (!fs.exists(d)) Seq.empty[String]
       else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName).toSeq
     }
-    val keepDeletes = torn.nonEmpty && fs.exists(new Path(s"$root/deletes"))
     val deletesCopy =
-      if (keepDeletes)
+      if (tornExists && fs.exists(new Path(s"$root/deletes")))
         Some(spark.read.parquet(s"$root/deletes").select(col("vec_id")))
       else None
     StoreRoot.swapDir(spark, root) { tmp =>
-      buildIvf(emb, tmp)
+      build(tmp)
       deletesCopy.foreach(_.write.parquet(s"$tmp/deletes"))
       if (markers.nonEmpty) {
         fs.mkdirs(new Path(s"$tmp/_committed"))

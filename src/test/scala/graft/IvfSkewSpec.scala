@@ -181,6 +181,42 @@ class IvfSkewSpec extends SparkSpec {
       .head.getAs[Long]("cells_over_bound") == 0)
   }
 
+  test("corpus-fed rebuilds: PQ and IVFPQ republish cleanly, tombstones folded, markers kept") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val half = emb.count() / 2
+    val q = queryLits(Sf0001)
+    import spark.implicits._
+
+    // PQ: base build + append + tombstone, rebuild from the corpus
+    val pqRoot = tmpRoot("pqrebuild")
+    AnnIndex.buildPq(emb.filter(col("vec_id") < half), pqRoot)
+    AnnIndex.appendPqBatch(emb.filter(col("vec_id") >= half), pqRoot, 0L)
+    AnnIndex.deleteVectors(spark, pqRoot, Seq(13L).toDF("vec_id"))
+    AnnIndex.rebuildPq(emb, pqRoot)
+    val pqRef = tmpRoot("pqrebuildref")
+    AnnIndex.buildPq(emb.filter(col("vec_id") =!= 13L), pqRef)
+    assert(AnnIndex.servePqTopk(spark, pqRoot, q).collect().toSeq ==
+      AnnIndex.servePqTopk(spark, pqRef, q).collect().toSeq)
+    val f = new Path(pqRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new Path(s"$pqRoot/deletes")))
+    // marker carried: the replayed append short-circuits
+    val n0 = spark.read.parquet(s"$pqRoot/codes").count()
+    AnnIndex.appendPqBatch(emb.filter(col("vec_id") >= half), pqRoot, 0L)
+    assert(spark.read.parquet(s"$pqRoot/codes").count() == n0)
+
+    // IVFPQ: same contract through the composed build
+    val cRoot = tmpRoot("ivfpqrebuild")
+    AnnIndex.buildIvfPq(emb.filter(col("vec_id") < half), cRoot)
+    AnnIndex.appendIvfPqBatch(emb.filter(col("vec_id") >= half), cRoot, 0L)
+    AnnIndex.deleteVectors(spark, cRoot, Seq(13L).toDF("vec_id"))
+    AnnIndex.rebuildIvfPq(emb, cRoot)
+    val cRef = tmpRoot("ivfpqrebuildref")
+    AnnIndex.buildIvfPq(emb.filter(col("vec_id") =!= 13L), cRef)
+    assert(AnnIndex.serveIvfPqTopk(spark, cRoot, q).collect().toSeq ==
+      AnnIndex.serveIvfPqTopk(spark, cRef, q).collect().toSeq)
+    assert(!f.exists(new Path(s"$cRoot/deletes")))
+  }
+
   test("fold compaction preserves a split layout and its bound") {
     val emb = Tables.embeddings(spark, Sf0001)
     val root = tmpRoot("foldsplit")
