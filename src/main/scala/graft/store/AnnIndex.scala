@@ -454,6 +454,20 @@ object AnnIndex {
       ids: DataFrame): Unit =
     ids.select(col("vec_id")).write.mode("append").parquet(s"$root/deletes")
 
+  /** Takedown requests as a STREAM — the removal half of the streaming
+    * maintenance surface (appends already stream through the four
+    * sinks). Tombstone appends are idempotent at serve (the anti-join
+    * dedups ids), so exactly-once bookkeeping is unnecessary here; the
+    * checkpoint guarantees each request batch lands at least once.
+    */
+  def startDeleteSink(stream: DataFrame, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, _: Long) =>
+        deleteVectors(b.sparkSession, root, b))
+      .start()
+
   /** Candidate stream minus the tombstones; the identity when the
     * index has never seen a delete.
     */

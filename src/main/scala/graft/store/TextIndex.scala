@@ -162,6 +162,20 @@ object TextIndex {
     }
   }
 
+  /** Takedown requests as a STREAM — each micro-batch of doc ids lands
+    * through `deleteDocs`, whose marker short-circuits replays and
+    * whose already-deleted exclusion makes overlapping batches safe,
+    * so the negative-delta arithmetic stays exact under at-least-once
+    * delivery.
+    */
+  def startDeleteSink(stream: DataFrame, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        deleteDocs(b.sparkSession, root, b, 1000000L + id))
+      .start()
+
   /** Postings minus the tombstoned docs; identity when none exist. */
   private def minusDeletes(spark: SparkSession, root: String,
       postings: DataFrame): DataFrame = {

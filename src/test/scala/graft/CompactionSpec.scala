@@ -233,6 +233,48 @@ class CompactionSpec extends SparkSpec {
       .filter(col("vec_id") === 70001L).count() == 0)
   }
 
+  test("streaming takedown: delete requests drain through both stores' sinks") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = Similarity.materializeSmall(
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    // ANN: ids arrive as a file-source stream; tombstones land at
+    // least once, serve anti-join dedups
+    val pqRoot = tmpRoot("delstream")
+    AnnIndex.buildPq(emb, pqRoot)
+    val before = AnnIndex.servePqTopk(spark, pqRoot, q).collect()
+      .map(_.getAs[Long]("neighbor_id")).toSet
+    assert(before.nonEmpty)
+    val victim = before.head
+    val feed = java.nio.file.Files.createTempDirectory("del_feed").toString + "/f"
+    Seq(victim).toDF("vec_id").write.parquet(feed)
+    val ckpt = java.nio.file.Files.createTempDirectory("del_ckpt").toString
+    val qs = AnnIndex.startDeleteSink(
+      spark.readStream.schema("vec_id LONG").parquet(feed), pqRoot, ckpt)
+    try qs.processAllAvailable() finally qs.stop()
+    assert(!AnnIndex.servePqTopk(spark, pqRoot, q).collect()
+      .exists(_.getAs[Long]("neighbor_id") == victim))
+
+    // lexical: the negative-delta takedown through the stream, equal
+    // to a clean rebuild without the docs
+    val docs = Tables.documents(spark, Sf0001)
+    val lexRoot = tmpRoot("lexdelstream")
+    TextIndex.build(docs, lexRoot)
+    val dead = docs.filter(col("doc_id") % 11 === 5 && col("doc_id") >= 10)
+      .select(col("doc_id"))
+    val lfeed = java.nio.file.Files.createTempDirectory("ldel_feed").toString + "/f"
+    dead.write.parquet(lfeed)
+    val lckpt = java.nio.file.Files.createTempDirectory("ldel_ckpt").toString
+    val lq = TextIndex.startDeleteSink(
+      spark.readStream.schema("doc_id LONG").parquet(lfeed), lexRoot, lckpt)
+    try lq.processAllAvailable() finally lq.stop()
+    val refRoot = tmpRoot("lexdelstreamref")
+    TextIndex.build(docs.join(dead, Seq("doc_id"), "left_anti"), refRoot)
+    assert(TextIndex.serveBm25(spark, lexRoot).collect().toSeq ==
+      TextIndex.serveBm25(spark, refRoot).collect().toSeq)
+  }
+
   test("swap recovery: a crash between the two renames heals on the next fold") {
     val emb = Tables.embeddings(spark, Sf0001)
     val root = tmpRoot("recover")
