@@ -76,12 +76,21 @@ object StoreRoot {
     var removed = 0
     fs.listStatus(base).filter(st => st.isDirectory &&
         st.getPath.getName != "_live").foreach { st =>
-      val stamp = new Path(base, s"_live/${st.getPath.getName}")
-      val fresh = fs.exists(stamp) &&
-        fs.getFileStatus(stamp).getModificationTime >= cutoff
+      val name = st.getPath.getName
+      // a `.build-*` staging dir belongs to a build possibly IN
+      // PROGRESS (it is never stamped) — only its own age can say it
+      // is a crash leftover, so it is reaped by mtime, not by stamp
+      val fresh =
+        if (name.contains(".build-"))
+          st.getModificationTime >= cutoff
+        else {
+          val stamp = new Path(base, s"_live/$name")
+          fs.exists(stamp) &&
+            fs.getFileStatus(stamp).getModificationTime >= cutoff
+        }
       if (!fresh) {
         fs.delete(st.getPath, true)
-        fs.delete(stamp, false)
+        fs.delete(new Path(base, s"_live/$name"), false)
         removed += 1
       }
     }

@@ -150,7 +150,12 @@ class LifecycleSpec extends SparkSpec {
     StoreRoot.ensureBuilt(spark, old)(s => { fs.mkdirs(new Path(s)); () })
     fs.setTimes(new Path(s"$base/_live/ivf-0ddba11"),
       System.currentTimeMillis() - 100000L, -1)
+    // a crashed build's staging: reaped by its own age (never stamped
+    // — a FRESH one must survive, it may be a build in progress)
     fs.mkdirs(new Path(s"$base/pq-0ddba11.build-42"))
+    fs.setTimes(new Path(s"$base/pq-0ddba11.build-42"),
+      System.currentTimeMillis() - 100000L, -1)
+    fs.mkdirs(new Path(s"$base/pq-0ddba11.build-77"))
     // an orphaned stamp (root deleted out-of-band)
     fs.create(new Path(s"$base/_live/lex-gone"), true).close()
 
@@ -162,6 +167,8 @@ class LifecycleSpec extends SparkSpec {
     assert(!fs.exists(new Path(s"$base/pq-deadbeef")))
     assert(!fs.exists(old))
     assert(!fs.exists(new Path(s"$base/pq-0ddba11.build-42")))
+    assert(fs.exists(new Path(s"$base/pq-0ddba11.build-77")),
+      "sweep reaped a possibly in-progress build staging")
     assert(!fs.exists(new Path(s"$base/_live/ivf-0ddba11")))
     assert(!fs.exists(new Path(s"$base/_live/lex-gone")))
     // a live root keeps serving after the sweep: ensure is a no-op
