@@ -80,6 +80,11 @@ class HybridSpec extends SparkSpec {
     val plan = served.queryExecution.executedPlan.toString
     assert(!plan.contains("documents.parquet"),
       "lexical serve re-tokenizes the corpus")
+    // the panel's term set must push into the candidate postings scan
+    // as a parquet IN filter so the token-sorted row groups skip — the
+    // property that bounds serve I/O to the queried vocabulary's slice
+    assert(plan.contains("In(tok") || plan.contains("in(tok"),
+      s"query terms not pushed into the postings scan:\n$plan")
     val rows = served.collect()
     assert(rows.nonEmpty)
     assert(rows.map(_.getAs[Long]("query_id")).distinct.length == 10)
