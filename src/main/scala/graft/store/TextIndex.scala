@@ -198,23 +198,24 @@ object TextIndex {
       spark.read.parquet(s"$root/postings"))
     // df and stats are append-only DELTAS — sum them (the identity
     // when the index was built in one shot)
-    val dfreq = spark.read.parquet(s"$root/df")
-      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
     val dl = spark.read.parquet(s"$root/dl")
     val stats = spark.read.parquet(s"$root/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     // the panel's terms as a LITERAL relation (control-plane — ≤
     // panel×terms rows, the lexical twin of the IVF probe route): the
-    // IN literals push into the postings scan as a parquet filter, so
-    // the term-sorted row groups SKIP everything outside the query
-    // vocabulary. Without this the candidate join reads the whole
-    // postings table; with it, serve I/O is the queried terms' slice —
-    // the property that makes a 100 TB postings store servable.
+    // IN literals push into the postings AND df scans as parquet
+    // filters, so the term-sorted row groups SKIP everything outside
+    // the query vocabulary. Without this the candidate join reads the
+    // whole postings table; with it, serve I/O is the queried terms'
+    // slice — the property that makes a 100 TB postings store servable.
     val qt = graft.similarity.Similarity.materializeSmall(
       postings.filter(col("doc_id") < 10)
         .select(col("doc_id").as("query_id"), col("tok")))
     val queryToks: Seq[Any] = qt.select(col("tok")).distinct()
       .collect().map(_.getString(0)).toSeq
+    val dfreq = spark.read.parquet(s"$root/df")
+      .filter(col("tok").isInCollection(queryToks))
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
     val term = postings.filter(col("tok").isInCollection(queryToks))
       .join(qt, Seq("tok"))
       .filter(col("doc_id") =!= col("query_id"))
