@@ -469,17 +469,22 @@ object AnnIndex {
       .start()
 
   /** Candidate stream minus the tombstones; the identity when the
-    * index has never seen a delete.
+    * index has never seen a delete. Shared with the lexical store
+    * (`idCol` = doc_id there).
     */
-  private def minusDeletes(spark: SparkSession, root: String,
+  private[store] def minusDeletes(spark: SparkSession, root: String,
       df: DataFrame, idCol: String): DataFrame = {
     val d = new Path(s"$root/deletes")
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(d)) df
-    else df.join(
-      broadcast(spark.read.parquet(d.toString)
-        .select(col("vec_id").as(idCol)).distinct()),
-      Seq(idCol), "left_anti")
+    else {
+      // the deletes table is single-column by contract (vec_id for the
+      // ANN stores, doc_id for the lexical one)
+      val dels = spark.read.parquet(d.toString)
+      df.join(
+        broadcast(dels.select(col(dels.columns.head).as(idCol)).distinct()),
+        Seq(idCol), "left_anti")
+    }
   }
 
   // -------------------------------------------------- incremental append
@@ -501,21 +506,24 @@ object AnnIndex {
     * the one-shot append and the streaming sink.
     */
   private def ivfDelta(newEmb: DataFrame, root: String,
-      filesPerBatch: Int = 1): DataFrame = {
+      filesPerBatch: Int): DataFrame = {
     val spark = newEmb.sparkSession
     val cent = Similarity.materializeSmall(
       spark.read.parquet(s"$root/centroids"))
-    Similarity.assignCells(newEmb.select(col("vec_id"), col("embedding")), cent)
+    val assigned = Similarity
+      .assignCells(newEmb.select(col("vec_id"), col("embedding")), cent)
       .select(col("cell"), col("vec_id"), col("embedding"))
-      // a cell's rows hash to one partition, so the partitionBy write
-      // stages ≤1 file per cell per batch whatever the bound; the
-      // parameter caps the shuffle width for tiny deltas and keeps the
-      // append API uniform across the four sinks
-      .repartition(filesPerBatch, col("cell"))
+    // a cell's rows hash to one partition either way, so the
+    // partitionBy write stages ≤1 file per cell per batch; the bound
+    // caps the shuffle width for the micro-batch sinks' tiny deltas,
+    // while `<= 0` keeps the one-shot bulk append at full shuffle
+    // width (a large delta must not serialize onto one task)
+    if (filesPerBatch <= 0) assigned.repartition(col("cell"))
+    else assigned.repartition(filesPerBatch, col("cell"))
   }
 
   def appendIvf(newEmb: DataFrame, root: String): Unit =
-    ivfDelta(newEmb, root)
+    ivfDelta(newEmb, root, filesPerBatch = 0)
       .write.mode("append").partitionBy("cell").parquet(s"$root/lists")
 
   /** The IVF twin of `appendPqBatch` — same marker + rollback-by-
@@ -868,7 +876,14 @@ object AnnIndex {
   def cellGuard(s: SparkSession, root: String, sub: String,
       rowsPerVec: Int = 1, factor: Int = 4): DataFrame = {
     val nCells = s.read.parquet(s"$root/centroids").count()
-    val pops = s.read.parquet(s"$root/$sub")
+    // COMMITTED files only — the same census the splitter acts on: a
+    // torn batch's rows must not trip an alarm the splitter (rightly)
+    // refuses to touch, or maintenance would loop on a phantom action
+    // until the replay lands
+    val (committed, _) =
+      BatchCommit.committedDataFiles(s, root, sub, partitioned = true)
+    val pops = s.read.option("basePath", s"$root/$sub")
+      .parquet(committed: _*)
       .groupBy(col("cell"))
       .agg((count(lit(1)) / rowsPerVec).cast(LongType).as("pop"))
     val tot = pops.agg(sum(col("pop")).as("n_vecs"))
@@ -933,8 +948,14 @@ object AnnIndex {
   /** Corpus-fed rebuilds for the code-compressed stores — PQ codes and
     * SQ8 bytes are NOT invertible, so unlike the IVF lists these need
     * the corpus handed back in. Same republish contract as
-    * `rebuildIvf`: tombstones applied and folded, markers carried,
-    * one root-level swap. The operational trigger is the recall audit
+    * `rebuildIvf` — with one difference: the caller DECLARES the
+    * passed corpus complete (it is the base table every delta came
+    * from), so a TORN append batch's rows are already inside the
+    * rebuild and its marker is written too — the replay must
+    * short-circuit, or it would re-append rows the rebuild absorbed
+    * (the lists-based IVF rebuild instead EXCLUDES torn rows and lets
+    * the replay land them, because there the row set comes from the
+    * store itself). The operational trigger is the recall audit
     * (`embPqRecall` / `embIvfPqRecall`) showing quantizer drift after
     * a long append history.
     */
@@ -944,7 +965,8 @@ object AnnIndex {
     val (_, torn) =
       BatchCommit.committedDataFiles(spark, root, "codes", partitioned = false)
     val live = minusDeletes(spark, root, emb, "vec_id")
-    republish(spark, root, torn.nonEmpty)(tmp => buildPq(live, tmp))
+    republish(spark, root, tornExists = false,
+      absorbBatches = tornBatchIds(torn))(tmp => buildPq(live, tmp))
   }
 
   def rebuildIvfPq(emb: DataFrame, root: String): Unit = {
@@ -953,8 +975,16 @@ object AnnIndex {
     val (_, torn) = BatchCommit.committedDataFiles(spark, root, "cellcodes",
       partitioned = true)
     val live = minusDeletes(spark, root, emb, "vec_id")
-    republish(spark, root, torn.nonEmpty)(tmp => buildIvfPq(live, tmp))
+    republish(spark, root, tornExists = false,
+      absorbBatches = tornBatchIds(torn))(tmp => buildIvfPq(live, tmp))
   }
+
+  /** Batch ids parsed from a torn file set's `batchN-` prefixes. */
+  private def tornBatchIds(torn: Seq[String]): Seq[Long] =
+    torn.flatMap { f =>
+      "^batch(\\d+)-".r.findFirstMatchIn(new Path(f).getName)
+        .map(_.group(1).toLong)
+    }.distinct
 
   /** The shared republish step of every rebuild: build the replacement
     * store into a sibling dir, carry the `_committed` markers (a
@@ -965,13 +995,15 @@ object AnnIndex {
     * `swapDir` so no pair of sub-tables is ever observed mismatched.
     */
   private def republish(spark: SparkSession, root: String,
-      tornExists: Boolean)(build: String => Unit): Unit = {
+      tornExists: Boolean, absorbBatches: Seq[Long] = Nil)(
+      build: String => Unit): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val markers = {
       val d = new Path(s"$root/_committed")
-      if (!fs.exists(d)) Seq.empty[String]
-      else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName).toSeq
-    }
+      (if (!fs.exists(d)) Seq.empty[String]
+       else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName).toSeq) ++
+        absorbBatches.map(id => s"batch-$id")
+    }.distinct
     val deletesCopy =
       if (tornExists && fs.exists(new Path(s"$root/deletes")))
         Some(spark.read.parquet(s"$root/deletes").select(col("vec_id")))

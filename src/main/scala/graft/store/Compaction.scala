@@ -55,12 +55,21 @@ object Compaction {
       idCol: String = "vec_id"): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val delPath = new Path(s"$root/deletes")
+    // COMMITTED tombstones only: a torn takedown batch's ids must not
+    // drive physical row removal — its negative df/stats deltas are
+    // equally torn, and the replay recomputes them FROM THE POSTINGS
+    // (removing the rows first would make the re-derived deltas empty
+    // and leave the summed statistics overcounting forever). Torn
+    // delete files also force the deletes table to survive the fold.
+    val (delCommitted, delTorn) =
+      BatchCommit.committedDataFiles(spark, root, "deletes",
+        partitioned = false)
     val del =
-      if (fs.exists(delPath))
-        Some(spark.read.parquet(delPath.toString)
+      if (delCommitted.nonEmpty)
+        Some(spark.read.parquet(delCommitted: _*)
           .select(col(idCol)).distinct())
       else None
-    var tornSeen = false
+    var tornSeen = delTorn.nonEmpty
     subs.foreach { case (sub, partitioned) =>
       StoreRoot.recoverSwap(spark, s"$root/$sub")
       val (committed, torn) =
@@ -130,7 +139,7 @@ object Compaction {
     * hash-mod sub-partitions under the same injective composite-id
     * scheme as the in-session splitter (`(cell+1)*1024 + sub`, nesting
     * cleanly across repeated splits). Serve expands a routed parent to
-    * ALL its physical descendants (`AnnIndex.expandRouted`), so the
+    * ALL its physical descendants (`AnnIndex.routedScan`), so the
     * candidate set per query is IDENTICAL before and after a split —
     * the operation is pure layout, which is what lets the spec assert
     * serve bit-equality and the oracle-gated queries stay untouched.

@@ -32,6 +32,8 @@ object Maintenance {
     */
   private[store] def familyOf(name: String): Option[String] =
     if (name.contains(".build-")) None // possibly in-progress staging
+    else if (name.endsWith("__old") || name.endsWith("__compacting"))
+      None // root-level swap leftovers; recoverSwap reconciles them
     else if (name.startsWith("ivfpq")) Some("ivfpq")
     else if (name.startsWith("ivf")) Some("ivf")
     else if (name.startsWith("pq")) Some("pq")
@@ -59,6 +61,15 @@ object Maintenance {
     val roots = fs.listStatus(new Path(base))
       .filter(st => st.isDirectory && st.getPath.getName != "_live")
       .map(_.getPath).toSeq.sortBy(_.getName)
+    // heal root-level swap crashes (a rebuild's) FIRST: a `__old`
+    // leftover whose live root vanished mid-swap renames back, stray
+    // `__compacting` copies drop — so the store walk below only ever
+    // sees whole roots
+    roots.map(_.getName)
+      .filter(n => n.endsWith("__old") || n.endsWith("__compacting"))
+      .map(n => n.stripSuffix("__old").stripSuffix("__compacting"))
+      .distinct
+      .foreach(b => StoreRoot.recoverSwap(spark, s"$base/$b"))
     roots.foreach { rootPath =>
       val root = rootPath.toString
       familyOf(rootPath.getName).foreach { family =>

@@ -140,16 +140,26 @@ object TextIndex {
     */
   def deleteDocs(spark: SparkSession, root: String, ids0: DataFrame,
       batchId: Long): Unit = {
-    val d = new Path(s"$root/deletes")
-    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh = ids0.select(col("doc_id")).distinct()
+    // already-deleted exclusion against COMMITTED tombstones only: a
+    // torn prior attempt's deletes file is about to be rolled back by
+    // this very commit's replay path — counting it would make the
+    // replay see its own ids as already deleted and write EMPTY
+    // deltas, silently losing the takedown
+    val (delCommitted, _) =
+      BatchCommit.committedDataFiles(spark, root, "deletes",
+        partitioned = false)
     val ids =
-      if (!fs.exists(d)) fresh
-      else fresh.join(spark.read.parquet(d.toString).select(col("doc_id")),
+      if (delCommitted.isEmpty) fresh
+      else fresh.join(
+        spark.read.parquet(delCommitted: _*).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
+    // cached for the batch: the df and stats stages both aggregate the
+    // deleted docs' postings — one scan of the store's largest table,
+    // not two
     val gone = spark.read.parquet(s"$root/postings")
-      .join(broadcast(ids), Seq("doc_id"), "left_semi")
-    BatchCommit.commit(spark, root, batchId,
+      .join(broadcast(ids), Seq("doc_id"), "left_semi").persist()
+    try BatchCommit.commit(spark, root, batchId,
       Seq("deletes", "df", "stats").map(_ -> false)) { (sub, path) =>
       (sub match {
         case "deletes" => ids
@@ -159,7 +169,7 @@ object TextIndex {
           .agg((lit(0L) - count(lit(1))).as("n_docs"),
             (lit(0L) - coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
       }).coalesce(1).write.parquet(path)
-    }
+    } finally gone.unpersist()
   }
 
   /** Takedown requests as a STREAM — each micro-batch of doc ids lands
@@ -176,17 +186,12 @@ object TextIndex {
         deleteDocs(b.sparkSession, root, b, 1000000L + id))
       .start()
 
-  /** Postings minus the tombstoned docs; identity when none exist. */
+  /** Postings minus the tombstoned docs; identity when none exist
+    * (the ANN stores' anti-join, keyed on doc_id).
+    */
   private def minusDeletes(spark: SparkSession, root: String,
-      postings: DataFrame): DataFrame = {
-    val d = new Path(s"$root/deletes")
-    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(d)) postings
-    else postings.join(
-      broadcast(spark.read.parquet(d.toString)
-        .select(col("doc_id")).distinct()),
-      Seq("doc_id"), "left_anti")
-  }
+      postings: DataFrame): DataFrame =
+    AnnIndex.minusDeletes(spark, root, postings, "doc_id")
 
   /** BM25 top-k from the persisted index: the query panel's terms come
     * from its own postings rows (doc_id < 10), candidates from the

@@ -233,6 +233,50 @@ class CompactionSpec extends SparkSpec {
       .filter(col("vec_id") === 70001L).count() == 0)
   }
 
+  test("torn takedown: fold must not act on a torn batch's tombstones; replay heals exactly") {
+    val docs = Tables.documents(spark, Sf0001)
+    val root = tmpRoot("lextorn")
+    TextIndex.build(docs, root)
+    val idsA = docs.filter(col("doc_id") % 13 === 4 && col("doc_id") >= 10)
+      .select(col("doc_id"))
+    val idsB = docs.filter(col("doc_id") % 13 === 7 && col("doc_id") >= 10)
+      .select(col("doc_id"))
+    TextIndex.deleteDocs(spark, root, idsA, 0L) // committed takedown
+    TextIndex.deleteDocs(spark, root, idsB, 1L)
+    val f = fs(root)
+    f.delete(new Path(s"$root/_committed/batch-1"), false) // batch 1 tears
+
+    Compaction.compactLexStore(spark, root)
+
+    import spark.implicits._
+    val aSet = idsA.as[Long].collect().toSet
+    val bSet = idsB.as[Long].collect().toSet
+    // committed tombstones acted on; torn ones NOT (their negative
+    // deltas are equally torn — acting would corrupt df/stats forever)
+    assert(spark.read.parquet(s"$root/postings")
+      .filter(col("doc_id").isInCollection(aSet)).count() == 0)
+    assert(spark.read.parquet(s"$root/postings")
+      .filter(col("doc_id").isInCollection(bSet)).count() > 0,
+      "fold removed a torn takedown's rows")
+    assert(f.exists(new Path(s"$root/deletes")),
+      "deletes truncated while a takedown batch was torn")
+
+    // the replay must re-deliver B IN FULL (its rolled-back tombstone
+    // file must not count as 'already deleted')
+    TextIndex.deleteDocs(spark, root, idsB, 1L)
+    val refRoot = tmpRoot("lextornref")
+    TextIndex.build(docs
+      .filter(!col("doc_id").isInCollection(aSet ++ bSet)), refRoot)
+    assert(TextIndex.serveBm25(spark, root).collect().toSeq ==
+      TextIndex.serveBm25(spark, refRoot).collect().toSeq,
+      "post-replay statistics diverged from the clean rebuild")
+    // with everything landed, the next fold truncates and stays exact
+    Compaction.compactLexStore(spark, root)
+    assert(!f.exists(new Path(s"$root/deletes")))
+    assert(TextIndex.serveBm25(spark, root).collect().toSeq ==
+      TextIndex.serveBm25(spark, refRoot).collect().toSeq)
+  }
+
   test("streaming takedown: delete requests drain through both stores' sinks") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, Sf0001)

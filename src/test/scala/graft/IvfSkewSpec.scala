@@ -217,6 +217,27 @@ class IvfSkewSpec extends SparkSpec {
     assert(!f.exists(new Path(s"$cRoot/deletes")))
   }
 
+  test("corpus-fed rebuild absorbs a TORN batch: marker written, replay short-circuits") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val half = emb.count() / 2
+    val q = queryLits(Sf0001)
+    val pqRoot = tmpRoot("pqtornrebuild")
+    AnnIndex.buildPq(emb.filter(col("vec_id") < half), pqRoot)
+    val delta = emb.filter(col("vec_id") >= half)
+    AnnIndex.appendPqBatch(delta, pqRoot, 0L)
+    val f = new Path(pqRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(s"$pqRoot/_committed/batch-0"), false) // batch 0 tears
+    // the rebuild DECLARES the corpus complete, so the torn batch's
+    // rows are absorbed and its marker written
+    AnnIndex.rebuildPq(emb, pqRoot)
+    val n0 = spark.read.parquet(s"$pqRoot/codes").count()
+    assert(n0 == emb.count() * 8, s"absorbed rebuild missing rows: $n0")
+    AnnIndex.appendPqBatch(delta, pqRoot, 0L) // replay must short-circuit
+    assert(spark.read.parquet(s"$pqRoot/codes").count() == n0,
+      "replay double-delivered rows the rebuild absorbed")
+    assert(AnnIndex.servePqTopk(spark, pqRoot, q).collect().length == 50)
+  }
+
   test("fold compaction preserves a split layout and its bound") {
     val emb = Tables.embeddings(spark, Sf0001)
     val root = tmpRoot("foldsplit")
