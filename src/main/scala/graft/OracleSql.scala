@@ -2074,6 +2074,17 @@ object OracleSql {
         |     FROM generate_series(0, 255) g(i)) / 65280 AS mean_luma
         |FROM documents d ORDER BY media_id""".stripMargin,
 
+    // GIF (operators.Multimodal.mmGif): the palette family — 256 gray
+    // levels exactly fill the palette, so the real-codec round-trip is
+    // lossless and the oracle is the PNG family's arithmetic verbatim
+    "mm_gif" ->
+      """SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+        |  (SELECT sum((i * 37 + d.doc_id * 11 + length(d.text)) % 256)::BIGINT
+        |     FROM generate_series(0, 255) g(i)) AS px_sum,
+        |  (SELECT sum((i * 37 + d.doc_id * 11 + length(d.text)) % 256)::DOUBLE
+        |     FROM generate_series(0, 255) g(i)) / 65280 AS mean_luma
+        |FROM documents d ORDER BY media_id""".stripMargin,
+
     // JPEG (operators.Multimodal.mmJpeg): lossy — the oracle emits the
     // INVARIANTS lossy compression must preserve (exact dimensions,
     // successful decode, mean luma within ±0.02 of the pre-encode

@@ -277,6 +277,9 @@ object SparkEntry {
     // raster hash); JPEG is lossy (dims exact, luma banded)
     "mm_png"      -> (Multimodal.mmPng(_, _)),
     "mm_jpeg"     -> (Multimodal.mmJpeg(_, _)),
+    // palette family: 256 gray levels exactly fill GIF's palette, so
+    // the round-trip is lossless and raster-hash certified like PNG
+    "mm_gif"      -> (Multimodal.mmGif(_, _)),
     // Avro wire format (S4 core: Confluent frame + union normalization)
     "avro_roundtrip" -> (AvroPipeline.avroRoundtrip(_, _))
   )
@@ -309,5 +312,6 @@ object SparkEntry {
     // r10: fold-compacted serves (the maintenance ops priced), the
     // lexical takedown, the census alarm, and the real-codec families
     "emb_pq_serve_compacted", "lex_bm25_compact_serve",
-    "lex_bm25_serve_tombstone", "emb_ivf_cell_guard", "mm_png", "mm_jpeg")
+    "lex_bm25_serve_tombstone", "emb_ivf_cell_guard", "mm_png", "mm_jpeg",
+    "mm_gif", "lex_bm25_serve", "lex_bm25_append_serve")
 }

@@ -329,6 +329,45 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Real GIF encode of the fixture raster — the PALETTE-based family:
+    * the 256-level gray raster exactly fills GIF's 256-color palette,
+    * so the round-trip is lossless and the raster certifies exactly
+    * like PNG. Decoded pixels read through `getRGB` (an IndexColorModel
+    * stores literal sRGB palette entries — no colorspace conversion,
+    * unlike TYPE_BYTE_GRAY's gamma path).
+    */
+  def encodeGif(mediaId: Long, contentLen: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(fixtureRaster(mediaId, contentLen), "gif", bos)
+    bos.toByteArray
+  }
+
+  def mmGif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Par.spread(Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("clen")))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, clen) =>
+        val img = javax.imageio.ImageIO.read(
+          new ByteArrayInputStream(encodeGif(id, clen)))
+        require(img != null, s"GIF payload of media $id failed to decode")
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += (img.getRGB(x, y) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        PngFeatures(id, img.getWidth, img.getHeight, sum,
+          sum.toDouble / (255.0 * img.getWidth * img.getHeight))
+      })
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
   case class JpegFeatures(media_id: Long, width: Int, height: Int,
       decodes_ok: Boolean, luma_in_band: Boolean)
 

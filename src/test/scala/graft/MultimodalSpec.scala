@@ -125,6 +125,26 @@ class MultimodalSpec extends SparkSpec {
     assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte)
   }
 
+  test("GIF: palette round-trip is pixel-exact, palette entries carry literal gray") {
+    val bytes = Multimodal.encodeGif(5L, 99L)
+    assert(bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte && bytes(2) == 'F'.toByte)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 16 && img.getHeight == 16)
+    (0 until 256).foreach { i =>
+      val want = ((i * 37 + 5L * 11 + 99L) % 256).toInt
+      val rgb = img.getRGB(i % 16, i / 16)
+      assert((rgb & 0xff) == want && ((rgb >> 16) & 0xff) == want,
+        s"pixel $i differs after GIF round-trip: got ${rgb.toHexString}, want $want")
+    }
+    val rows = graft.operators.Multimodal.mmGif(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 16)
+      assert(math.abs(r.getAs[Double]("mean_luma") -
+        r.getAs[Long]("px_sum") / (255.0 * 256)) < 1e-12)
+    }
+  }
+
   test("JPEG: lossy decode keeps dims exact and mean luma tightly in band") {
     val bytes = Multimodal.encodeJpeg(5L, 99L)
     assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) // SOI
