@@ -491,6 +491,38 @@ object OracleSql {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** `emb_ivfpq_serve_sq8` (store.AnnIndex.serveIvfPqTopkSq8): the
+    * composed index's two-tier serve — the IVFPQ routed-ADC chain's
+    * `approx` feeding the SAME cut-64 + symmetric-int8 rescore tail
+    * the flat-PQ sq8 serve certifies, verbatim.
+    */
+  private val ivfPqSq8ServeSql: String = {
+    val idx = ivfPqServeSql.lastIndexOf("SELECT * FROM (")
+    require(idx > 0, "ivfpq-sq8: tail anchor missing")
+    ivfPqServeSql.substring(0, idx).stripTrailing.stripSuffix(",") + ",\n" +
+      """cut AS (SELECT query_id, vec_id AS neighbor_id, pq_cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY pq_cos DESC, vec_id) AS r FROM approx) WHERE r <= 64),
+        |i8 AS (SELECT vec_id, qv,
+        |    sqrt(list_sum(list_transform(qv, v -> v * v))::DOUBLE) AS qn
+        |  FROM (SELECT vec_id, list_transform(emb, x ->
+        |      floor(x * (127.0 / list_max(list_transform(emb, y -> abs(y))))
+        |        + 0.5)::BIGINT) AS qv
+        |    FROM e)),
+        |resc8 AS (SELECT c.query_id, c.neighbor_id, c.pq_cos,
+        |    round(list_sum(list_transform(generate_series(1, len(a.qv)),
+        |      i -> a.qv[i] * b.qv[i]))::DOUBLE / (a.qn * b.qn), 6) AS q8_cos
+        |  FROM cut c
+        |  JOIN i8 a ON a.vec_id = c.query_id
+        |  JOIN i8 b ON b.vec_id = c.neighbor_id)
+        |SELECT * FROM (
+        |  SELECT query_id, neighbor_id, pq_cos, q8_cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY q8_cos DESC, neighbor_id)::BIGINT AS rank
+        |  FROM resc8)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** `emb_ivfpq_recall`: the full IVFPQ serve chain with its final
     * top-5 select swapped for the shared recall-census tail.
     */
@@ -1916,6 +1948,10 @@ object OracleSql {
     // IVF introspection (store.AnnIndex.embIvfCellStats): per-cell
     // population + corpus share from the trained assignment
     "emb_ivf_cell_stats" -> ivfCellStatsSql,
+
+    // the composed index's two-tier serve (FAISS IVFPQ+refine):
+    // routed ADC cut rescored by the stored SQ8 table
+    "emb_ivfpq_serve_sq8" -> ivfPqSq8ServeSql,
 
     // the census's alarm invariant (store.AnnIndex.embIvfCellGuard):
     // physical partitions over the 4×-uniform bound, integer

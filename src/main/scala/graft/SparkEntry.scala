@@ -227,6 +227,9 @@ object SparkEntry {
     // codes (the FAISS IVFPQ layout) — probe prunes to nprobe code
     // partitions, ADC reads nibbles, no float vector touched at serve
     "emb_ivfpq_serve"     -> (graft.store.AnnIndex.embIvfPqServe(_, _)),
+    // the composed index's two-tier serve: routed ADC cut + SQ8
+    // rescore (the FAISS IVFPQ+refine shape), embeddings-free
+    "emb_ivfpq_serve_sq8" -> (graft.store.AnnIndex.embIvfPqServeSq8(_, _)),
     // recall@5 audit of the PQ serve vs the exact scan (index-quality
     // monitoring — the measurement of the 64×-compression trade) and
     // the per-cell census of the IVF lists (the skew dial's gauge)

@@ -48,8 +48,9 @@ object AnnIndex {
     * indexes from an older build must never serve a newer query.
     * v2: added the `vecs8` SQ8 rescore table to the PQ index.
     * v3: added the `attrs` metadata sidecar (filtered serve).
+    * v4: added `vecs8` to the IVFPQ index (two-tier rescored serve).
     */
-  private val FormatVersion = "v3"
+  private val FormatVersion = "v4"
 
   /** Root resolution + publish via the shared `StoreRoot` protocol,
     * keyed on the embeddings table's state.
@@ -171,17 +172,27 @@ object AnnIndex {
     * rescored cosine, ties to the lowest id.
     */
   def servePqTopkSq8(spark: SparkSession, root: String, queries: DataFrame,
-      k: Int = 5, cut: Int = 64): DataFrame = {
+      k: Int = 5, cut: Int = 64): DataFrame =
+    sq8Rescore(spark, root, pqAdcApprox(spark, root, queries), queries, k, cut)
+
+  /** The SQ8 rescore stage shared by the flat-PQ and IVFPQ two-tier
+    * serves: top-`cut` ADC candidates rescored by the symmetric int8
+    * cosine against the index's own `vecs8` table, ranked by the
+    * rescored cosine, ties to the lowest id — embeddings-free like
+    * every serve (the query side's int8 derives from query literals
+    * in-plan, the same `sq8Of` math as the stored table).
+    */
+  private def sq8Rescore(spark: SparkSession, root: String,
+      approx: DataFrame, queries: DataFrame, k: Int,
+      cut: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val topCut = udaf(new TopKByCos(cut))
-    val cand = pqAdcApprox(spark, root, queries)
+    val cand = approx
       .groupBy(col("query_id"))
       .agg(topCut(col("vec_id"), col("pq_cos")).as("nbrs"))
       .select(col("query_id"), explode(col("nbrs")).as("nbr"))
       .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
         col("nbr.cos_sim").as("pq_cos"))
-    // query-side int8 derives from the query literals in-plan — same
-    // math as the stored table (sq8Of), no corpus access
     val q8 = sq8Of(queries.select(col("query_id").as("vec_id"),
         col("q_emb").as("embedding")))
       .select(col("vec_id").as("query_id"),
@@ -363,6 +374,8 @@ object AnnIndex {
       .groupBy(col("vec_id"))
       .agg(sqrt(sum(Similarity.dot(col("cw"), col("cw")))).as("vnorm"))
       .write.parquet(s"$path/vnorms")
+    // SQ8 rescore tier for the composed index too (FAISS IVFPQ+refine)
+    sq8Of(emb).write.parquet(s"$path/vecs8")
   }
 
   /** Route → partition-pruned ADC: rank cells per query by centroid
@@ -381,8 +394,11 @@ object AnnIndex {
     * the cell-count ladder at build time, same as every quantizer
     * here.
     */
-  def serveIvfPqTopk(spark: SparkSession, root: String, queries: DataFrame,
-      k: Int = 5, nprobe: Int = 2): DataFrame = {
+  /** The routed ADC candidate stage shared by the plain IVFPQ serve
+    * and its two-tier rescored twin.
+    */
+  private def ivfPqAdcApprox(spark: SparkSession, root: String,
+      queries: DataFrame, nprobe: Int): DataFrame = {
     val cent = spark.read.parquet(s"$root/centroids")
     val cw = spark.read.parquet(s"$root/codebooks")
     val vnorms = spark.read.parquet(s"$root/vnorms")
@@ -407,7 +423,7 @@ object AnnIndex {
         Similarity.dot(col("qsub"), col("cw")).as("part"))
     val qnorm = queries.select(col("query_id"),
       sqrt(Similarity.dot(col("q_emb"), col("q_emb"))).as("qnorm"))
-    val approx = minusDeletes(spark, root,
+    minusDeletes(spark, root,
       codes
         .join(broadcast(probed.withColumn("cell", col("cell").cast(LongType))),
           Seq("cell"))
@@ -420,8 +436,12 @@ object AnnIndex {
         .select(col("query_id"), col("vec_id"),
           round(col("raw_dot") / (col("qnorm") * col("vnorm")), 6).as("pq_cos")),
       "vec_id")
+  }
+
+  def serveIvfPqTopk(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
     val topk = udaf(new TopKByCos(k))
-    approx
+    ivfPqAdcApprox(spark, root, queries, nprobe)
       .groupBy(col("query_id"))
       .agg(topk(col("vec_id"), col("pq_cos")).as("nbrs"))
       .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
@@ -432,12 +452,30 @@ object AnnIndex {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The composed index's TWO-TIER serve — the full FAISS
+    * IVFPQ+refine shape: routed, partition-pruned ADC cut of `cut`
+    * candidates, rescored from the index's own SQ8 table. Still no
+    * float vector read anywhere in the serve plan.
+    */
+  def serveIvfPqTopkSq8(spark: SparkSession, root: String,
+      queries: DataFrame, k: Int = 5, cut: Int = 64,
+      nprobe: Int = 2): DataFrame =
+    sq8Rescore(spark, root,
+      ivfPqAdcApprox(spark, root, queries, nprobe), queries, k, cut)
+
   def embIvfPqServe(s: SparkSession, dir: String, k: Int = 5,
       nprobe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val root = indexRoot(s, dir, "ivfpq", emb.count())
     ensureBuilt(s, root)(staging => buildIvfPq(emb, staging))
     serveIvfPqTopk(s, root.toString, queryLiterals(s, dir), k, nprobe)
+  }
+
+  def embIvfPqServeSq8(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val root = indexRoot(s, dir, "ivfpq", emb.count())
+    ensureBuilt(s, root)(staging => buildIvfPq(emb, staging))
+    serveIvfPqTopkSq8(s, root.toString, queryLiterals(s, dir), k)
   }
 
   // ----------------------------------------------------------- deletes
@@ -559,12 +597,14 @@ object AnnIndex {
     lazy val codes = Similarity.pqAssign(
       newEmb.select(col("vec_id"), col("embedding")), cw)
     BatchCommit.commit(spark, root, batchId,
-      Seq("cellcodes" -> true, "vnorms" -> false)) {
+      Seq("cellcodes" -> true, "vnorms" -> false, "vecs8" -> false)) {
       case ("cellcodes", path) =>
         codes.join(cells, Seq("vec_id"))
           .select(col("cell"), col("vec_id"), col("s"), col("code"))
           .repartition(col("cell"))
           .write.partitionBy("cell").parquet(path)
+      case ("vecs8", path) =>
+        sq8Of(newEmb).repartition(filesPerBatch).write.parquet(path)
       case (_, path) =>
         // norms from the JUST-STAGED codes, not a second encode pass —
         // PQ assignment is the expensive step of the append and must
@@ -621,6 +661,7 @@ object AnnIndex {
       .groupBy(col("vec_id"))
       .agg(sqrt(sum(Similarity.dot(col("cw"), col("cw")))).as("vnorm"))
       .write.mode("append").parquet(s"$root/vnorms")
+    sq8Of(newEmb).write.mode("append").parquet(s"$root/vecs8")
   }
 
   /** The three delta relations a PQ append produces — codes from the

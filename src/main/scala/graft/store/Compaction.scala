@@ -124,11 +124,14 @@ object Compaction {
       filesPer: Int = 1): Unit =
     compactStore(spark, root, Seq("lists" -> true), filesPer)
 
-  /** IVFPQ store: cell-partitioned codes plus their flat norms. */
+  /** IVFPQ store: cell-partitioned codes plus the flat norms and SQ8
+    * rescore table.
+    */
   def compactIvfPqStore(spark: SparkSession, root: String,
       filesPer: Int = 1): Unit =
     compactStore(spark, root,
-      Seq("cellcodes" -> true, "vnorms" -> false), filesPer)
+      Seq("cellcodes" -> true, "vnorms" -> false, "vecs8" -> false),
+      filesPer)
 
   /** BOUNDED-SKEW DISCIPLINE for the cell-partitioned list tables —
     * the persisted twin of `Similarity.splitHotCells`: appends route

@@ -184,6 +184,29 @@ class AnnIndexSpec extends SparkSpec {
       rows.map(_.getAs[Double]("pq_cos")).max)
   }
 
+  test("IVFPQ two-tier serve: routed ADC cut + SQ8 rescore, embeddings-free, twin at rank 1") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") === 3)
+        .select((col("vec_id") + 10007L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+    val root = tmpRoot("ivfpqsq8")
+    AnnIndex.buildIvfPq(planted, root)
+    val q = Similarity.materializeSmall(
+      planted.filter(col("vec_id") === 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val df = AnnIndex.serveIvfPqTopkSq8(spark, root, q)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      "IVFPQ SQ8 serve scans the corpus")
+    assert(plan.contains("PartitionFilters") &&
+      plan.split("PartitionFilters", 2)(1).take(300).contains("cell"))
+    val rows = df.collect()
+    val top = rows.minBy(_.getAs[Long]("rank"))
+    assert(top.getAs[Long]("neighbor_id") == 10010L, s"twin not rank 1: ${rows.toSeq}")
+    assert(top.getAs[Double]("q8_cos") > 0.99)
+  }
+
   test("IVFPQ append: delta routed and coded by the frozen quantizers, twin served") {
     val emb = Tables.embeddings(spark, Sf0001)
     val half = emb.count() / 2
