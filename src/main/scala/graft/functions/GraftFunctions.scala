@@ -52,6 +52,11 @@ object GraftFunctions {
       "graft_dot(a, b) - dot product of two FLOAT[]/DOUBLE[] vectors") {
       case Seq(a, b) => DotProductExpr(a, b)
     },
+    fd("graft_int_dot",
+      "graft_int_dot(a, b) - exact integer dot product (BIGINT) of two " +
+        "integer-typed arrays") {
+      case Seq(a, b) => IntDotExpr(a, b)
+    },
     // these two compose builtins rather than wrap a native kernel; the
     // trees are built directly (a Column->Expression bridge of the
     // TextFunctions formulations would leave unresolvable ColumnNode

@@ -123,6 +123,40 @@ object TextHash {
     dot
   }
 
+  /** Integer dot product with LONG accumulation — the pair kernel of the
+    * int8-quantized ANN paths (`emb_quantized_topk`, the SQ8 rescore
+    * tier). Inputs are integer-typed arrays (the `kind` flags pick the
+    * getter, baked as codegen literals: 0=byte 1=short 2=int 3=long), and
+    * every intermediate is exact — the worst case (dim × 127²) is far
+    * below 2^63 — so the result is engine-independent regardless of fold
+    * order, which is what lets the DuckDB oracle certify the quantized
+    * ranking. Replaces the interpreted aggregate(zip_with(...)) column
+    * formulation that allocated an array and evaluated two lambdas per
+    * candidate pair.
+    */
+  def intDot(a: ArrayData, b: ArrayData, aKind: Int, bKind: Int): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      val x: Long = aKind match {
+        case 0 => a.getByte(i).toLong
+        case 1 => a.getShort(i).toLong
+        case 2 => a.getInt(i).toLong
+        case _ => a.getLong(i)
+      }
+      val y: Long = bKind match {
+        case 0 => b.getByte(i).toLong
+        case 1 => b.getShort(i).toLong
+        case 2 => b.getInt(i).toLong
+        case _ => b.getLong(i)
+      }
+      dot += x * y
+      i += 1
+    }
+    dot
+  }
+
   /** Distinct space-joined n-grams over a token array (first-seen order). */
   def shingles(tokens: ArrayData, n: Int): ArrayData = {
     val len = tokens.numElements()
@@ -310,6 +344,46 @@ case class DotProductExpr(left: Expression, right: Expression)
       s"graft.functions.TextHash.dotProduct($a, $b, ${isFloat(left)}, ${isFloat(right)})")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `int_dot(a, b)` — exact integer dot product (LONG accumulation) of
+  * two integer-typed arrays; the codegen'd sibling of `DotProductExpr`
+  * for the int8-quantized pair loops. Element kinds are resolved from
+  * the child types at planning and baked as codegen literals (the JIT
+  * hoists the branch out of the loop, same pattern as CosineSimExpr's
+  * float flags).
+  */
+case class IntDotExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  private def kind(e: Expression): Int = e.dataType match {
+    case ArrayType(ByteType, _) => 0
+    case ArrayType(ShortType, _) => 1
+    case ArrayType(IntegerType, _) => 2
+    case ArrayType(LongType, _) => 3
+    case other => throw new IllegalArgumentException(
+      s"int_dot expects integer-typed arrays, got ${other.sql}")
+  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(ByteType | ShortType | IntegerType | LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"int_dot expects two integer-typed arrays, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.intDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      kind(left), kind(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHash.intDot($a, $b, ${kind(left)}, ${kind(right)})")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotExpr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.Tables
-import graft.functions.{CosineSimExpr, DotProductExpr, LshBucketsExpr}
+import graft.functions.{CosineSimExpr, DotProductExpr, IntDotExpr, LshBucketsExpr}
 import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -78,6 +78,14 @@ object Similarity {
     ColumnBridge.column(DotProductExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Native codegen'd EXACT integer dot (LONG accumulation) for the
+    * int8-quantized pair loops — order-independent (every intermediate
+    * exact), so oracle-comparable regardless of engine fold order.
+    */
+  def intDot(a: Column, b: Column): Column =
+    ColumnBridge.column(IntDotExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Brute-force cosine top-5 neighbors for the query vectors
     * (vec_id < 10): broadcast queries × corpus scan, then TWO-PHASE
     * top-k — each scan partition folds its candidates into a ≤5-element
@@ -89,7 +97,14 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // stream-side round-robin repartition, same discipline as
+    // embKnnGraphDf: the BNLJ's parallelism IS the stream side's split
+    // count, so a single-row-group corpus file would otherwise run the
+    // whole n×q scan on one task (r10 bench: cpu/wall ≈ 1 at 32 cores)
+    val shufflePartitions =
+      s.conf.get("spark.sql.shuffle.partitions").toInt
     val pairs = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .repartition(shufflePartitions)
       .crossJoin(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -312,15 +327,21 @@ object Similarity {
         array_max(transform(col("embedding"), x => abs(x.cast(DoubleType)))))
       .withColumn("qv", transform(col("embedding"),
         x => floor(x.cast(DoubleType) * (lit(127.0) / col("amax")) + lit(0.5))))
-      .withColumn("qn",
-        sqrt(aggregate(col("qv"), lit(0L), (a, v) => a + v * v).cast(DoubleType)))
+      .withColumn("qn", sqrt(intDot(col("qv"), col("qv")).cast(DoubleType)))
       .select(col("vec_id"), col("embedding"), col("qv"), col("qn"))
     val queries = qemb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("qv").as("q_qv"), col("qn").as("q_qn"))
-    val qdot = aggregate(
-      zip_with(col("q_qv"), col("qv"), (a, b) => a * b), lit(0L), (a, v) => a + v)
-    val pairs = qemb.crossJoin(broadcast(queries))
+    // native exact-integer dot (codegen'd; LONG accumulation, order-
+    // independent) — the interpreted aggregate(zip_with(...)) twin
+    // allocated an array and evaluated two lambdas per candidate pair
+    val qdot = intDot(col("q_qv"), col("qv"))
+    // stream-side repartition, same reason as embTopk/embKnnGraphDf:
+    // BNLJ parallelism = corpus split count
+    val shufflePartitions =
+      s.conf.get("spark.sql.shuffle.partitions").toInt
+    val pairs = qemb.repartition(shufflePartitions)
+      .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("embedding"), col("q_emb"),

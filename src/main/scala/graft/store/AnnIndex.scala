@@ -196,17 +196,14 @@ object AnnIndex {
     val q8 = sq8Of(queries.select(col("query_id").as("vec_id"),
         col("q_emb").as("embedding")))
       .select(col("vec_id").as("query_id"),
-        transform(col("qv8"), v => v.cast(DoubleType)).as("q_qv"),
-        col("qn").as("q_qn"))
+        col("qv8").as("q_qv"), col("qn").as("q_qn"))
     val v8 = spark.read.parquet(s"$root/vecs8")
       .select(col("vec_id").as("neighbor_id"),
-        transform(col("qv8"), v => v.cast(DoubleType)).as("n_qv"),
-        col("qn").as("n_qn"))
-    // double accumulator (integral values, exact to 2^53 — far above
-    // the 64×127² worst case); a long zero fails to coerce against the
-    // double element products
-    val qdot = aggregate(
-      zip_with(col("q_qv"), col("n_qv"), (a, b) => a * b), lit(0.0), (a, v) => a + v)
+        col("qv8").as("n_qv"), col("qn").as("n_qn"))
+    // native exact-integer dot straight over the stored BYTE arrays
+    // (LONG accumulation — 64×127² worst case is far under 2^63), no
+    // per-pair double-cast transform or interpreted lambda fold
+    val qdot = graft.similarity.Similarity.intDot(col("q_qv"), col("n_qv"))
     val rescored = cand
       .join(v8, Seq("neighbor_id"))
       .join(broadcast(q8), Seq("query_id"))
