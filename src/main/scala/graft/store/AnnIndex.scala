@@ -920,6 +920,13 @@ object AnnIndex {
     // until the replay lands
     val (committed, _) =
       BatchCommit.committedDataFiles(s, root, sub, partitioned = true)
+    // a sub dir whose every file is torn (no committed batch yet)
+    // reads as an EMPTY census, not an AnalysisException from a
+    // zero-path parquet read: zero cells, nothing over bound — healthy
+    if (committed.isEmpty)
+      return s.range(1).select(
+        lit(0L).as("n_cells"), lit(0L).as("n_vecs"),
+        lit(0L).as("bound"), lit(0L).as("cells_over_bound"))
     val pops = s.read.option("basePath", s"$root/$sub")
       .parquet(committed: _*)
       .groupBy(col("cell"))

@@ -160,6 +160,17 @@ object Compaction {
     * partitions split. Same single-writer maintenance contract as the
     * folds above.
     */
+  /** Per-hot-cell split fan-out: doubled ceil(pop/bound) for
+    * hash-variance headroom, CLAMPED below the composite-id radix — at
+    * f ≥ 1024 the id (cell+1)*1024 + sub would alias into other
+    * parents' ranges (rootCellOf strips base-1024 digits), silently
+    * mis-routing the serve. An extreme point mass instead converges
+    * via repeated NESTED splits on later maintenance passes: each
+    * sub-cell is a first-class cell to the next census.
+    */
+  private[graft] def fanoutFor(pop: Long, bound: Long): Long =
+    math.min(1023L, math.max(2L, 2L * ((pop + bound - 1) / bound)))
+
   def splitHotCells(spark: SparkSession, root: String, sub: String,
       factor: Int = 4, rowsPerVec: Int = 1): Int = {
     StoreRoot.recoverSwap(spark, s"$root/$sub")
@@ -176,10 +187,7 @@ object Compaction {
     val bound = factor.toLong * ((n + nCells - 1) / nCells)
     val hot = pops.filter(_._2 > bound)
     if (hot.isEmpty) return 0
-    // per-hot-cell fan-out, doubled for hash-variance headroom
-    val fanout = hot.map { case (c, pop) =>
-      (c, math.max(2L, 2L * ((pop + bound - 1) / bound)))
-    }
+    val fanout = hot.map { case (c, pop) => (c, fanoutFor(pop, bound)) }
     import spark.implicits._
     val fan = broadcast(fanout.toSeq.toDF("cell", "f")
       .withColumn("cell", col("cell").cast(lists.schema("cell").dataType)))

@@ -7,13 +7,16 @@ import org.apache.spark.sql.SparkSession
   * runs against its store base, unifying the primitives this layer
   * provides into a single idempotent pass:
   *
-  *   1. retention: `StoreRoot.sweepStale` drops roots (and crashed
+  *   1. healing: `StoreRoot.recoverSwap` reconciles root-level swap
+  *      crash leftovers (`__old`/`__compacting`) so retention never
+  *      sees a store's only surviving copy unstamped;
+  *   2. retention: `StoreRoot.sweepStale` drops roots (and crashed
   *      staging) not used within the TTL;
-  *   2. per surviving root, by store family (the kind prefix of the
+  *   3. per surviving root, by store family (the kind prefix of the
   *      digest dir name): FOLD when a tombstone table exists or the
   *      representative sub-table's committed file count exceeds
   *      `segmentBound` (append history growing);
-  *   3. for the cell-partitioned families, SPLIT when the census
+  *   4. for the cell-partitioned families, SPLIT when the census
   *      guard reports partitions over the skew bound.
   *
   * Every action is one of the already-certified single-writer ops
@@ -54,22 +57,27 @@ object Maintenance {
       segmentBound: Int = 8): Seq[Report] = {
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = Seq.newBuilder[Report]
+    // heal root-level swap crashes (a rebuild's) FIRST — before the
+    // retention sweep can see the unstamped `__old`/`__compacting`
+    // leftovers (a `__old` whose live root vanished mid-swap is the
+    // ONLY surviving copy; healing renames it back under its stamp)
+    if (fs.exists(new Path(base)))
+      fs.listStatus(new Path(base))
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => n.endsWith("__old") || n.endsWith("__compacting"))
+        .map(n => n.stripSuffix("__old").stripSuffix("__compacting"))
+        .distinct
+        .foreach(b => StoreRoot.recoverSwap(spark, s"$base/$b"))
     val swept = StoreRoot.sweepStale(spark, base, ttlMs)
     if (swept > 0)
       out += Report(base, "-", "retention", s"$swept stale root(s) removed")
     if (!fs.exists(new Path(base))) return out.result()
+    // list AFTER healing + retention, so a root recovered this pass is
+    // walked this pass and a reaped root is not
     val roots = fs.listStatus(new Path(base))
       .filter(st => st.isDirectory && st.getPath.getName != "_live")
       .map(_.getPath).toSeq.sortBy(_.getName)
-    // heal root-level swap crashes (a rebuild's) FIRST: a `__old`
-    // leftover whose live root vanished mid-swap renames back, stray
-    // `__compacting` copies drop — so the store walk below only ever
-    // sees whole roots
-    roots.map(_.getName)
-      .filter(n => n.endsWith("__old") || n.endsWith("__compacting"))
-      .map(n => n.stripSuffix("__old").stripSuffix("__compacting"))
-      .distinct
-      .foreach(b => StoreRoot.recoverSwap(spark, s"$base/$b"))
     roots.foreach { rootPath =>
       val root = rootPath.toString
       familyOf(rootPath.getName).foreach { family =>

@@ -79,25 +79,37 @@ object StoreRoot {
       val name = st.getPath.getName
       // a `.build-*` staging dir belongs to a build possibly IN
       // PROGRESS (it is never stamped) — only its own age can say it
-      // is a crash leftover, so it is reaped by mtime, not by stamp
+      // is a crash leftover, so it is reaped by mtime, not by stamp.
+      // `__old`/`__compacting` root-swap leftovers never carry a stamp
+      // of their own either, but unlike staging they can be the ONLY
+      // surviving copy of a store (a crash between swapDir's two
+      // renames) — their freshness is the BASE root's stamp, so a
+      // fresh store keeps its recoverable `__old` until recoverSwap
+      // heals it, while a genuinely TTL-stale store is reaped whole
+      val stampName = name.stripSuffix("__old").stripSuffix("__compacting")
       val fresh =
         if (name.contains(".build-"))
           st.getModificationTime >= cutoff
         else {
-          val stamp = new Path(base, s"_live/$name")
+          val stamp = new Path(base, s"_live/$stampName")
           fs.exists(stamp) &&
             fs.getFileStatus(stamp).getModificationTime >= cutoff
         }
       if (!fresh) {
         fs.delete(st.getPath, true)
-        fs.delete(new Path(base, s"_live/$name"), false)
+        fs.delete(new Path(base, s"_live/$stampName"), false)
         removed += 1
       }
     }
     val live = new Path(base, "_live")
     if (fs.exists(live))
       fs.listStatus(live).foreach { st =>
-        if (!fs.exists(new Path(base, st.getPath.getName)))
+        val n = st.getPath.getName
+        // keep the stamp while a recoverable `__old` copy remains —
+        // dropping it would orphan (and next pass reap) the one copy
+        // recoverSwap can still heal
+        if (!fs.exists(new Path(base, n)) &&
+            !fs.exists(new Path(base, n + "__old")))
           fs.delete(st.getPath, false)
       }
     removed

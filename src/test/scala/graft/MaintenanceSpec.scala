@@ -77,4 +77,59 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.run(spark, base, ttlMs = 3600000L).isEmpty,
       "second pass was not idle")
   }
+
+  test("crash mid root-swap: healing precedes retention, fresh __old is never reaped") {
+    val base = java.nio.file.Files.createTempDirectory("maintswap").toString
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val emb = Tables.embeddings(spark, Sf0001)
+    val root = new Path(s"$base/pq-swap1111")
+    StoreRoot.ensureBuilt(spark, root)(s => AnnIndex.buildPq(emb, s))
+    val q = queryLits(Sf0001)
+    val before = AnnIndex.servePqTopk(spark, root.toString, q).collect().toSeq
+    // simulate a republish crash between swapDir's two renames: the
+    // live root renamed aside, the promotion never happened — the
+    // __old copy is the ONLY surviving data
+    assert(fs.rename(root, new Path(root.toString + "__old")))
+    // a standalone retention sweep keeps both the unstamped __old copy
+    // (its freshness is the BASE root's stamp) and the stamp itself
+    assert(StoreRoot.sweepStale(spark, base, ttlMs = 3600000L) == 0)
+    assert(fs.exists(new Path(root.toString + "__old")), "__old reaped while fresh")
+    assert(fs.exists(new Path(s"$base/_live/${root.getName}")), "stamp dropped")
+    // the scheduled pass heals FIRST, then sweeps — the store survives
+    Maintenance.run(spark, base, ttlMs = 3600000L)
+    assert(fs.exists(root), "crashed swap not healed")
+    assert(!fs.exists(new Path(root.toString + "__old")))
+    assert(AnnIndex.servePqTopk(spark, root.toString, q).collect().toSeq == before)
+    // a genuinely TTL-stale store is reaped WHOLE, __old included
+    assert(fs.rename(root, new Path(root.toString + "__old")))
+    val stamp = new Path(s"$base/_live/${root.getName}")
+    fs.setTimes(stamp, System.currentTimeMillis() - 7200000L, -1)
+    assert(StoreRoot.sweepStale(spark, base, ttlMs = 3600000L) >= 1)
+    assert(!fs.exists(new Path(root.toString + "__old")))
+    assert(!fs.exists(stamp))
+  }
+
+  test("cellGuard on a sub-table with no committed batch is a healthy census, not an exception") {
+    val base = java.nio.file.Files.createTempDirectory("maintguard").toString
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    val root = s"$base/ivf-torn0001"
+    Seq((0L, Array(0.1f)), (1L, Array(0.9f))).toDF("cell", "centroid")
+      .write.parquet(s"$root/centroids")
+    // one data file from a batch whose marker never landed: all torn
+    fs.mkdirs(new Path(s"$root/lists/cell=0"))
+    fs.create(new Path(s"$root/lists/cell=0/batch7-part.parquet"), true).close()
+    val row = AnnIndex.cellGuard(spark, root, "lists").head
+    assert(row.getAs[Long]("n_cells") == 0L)
+    assert(row.getAs[Long]("cells_over_bound") == 0L)
+  }
+
+  test("split fan-out clamps below the 1024 composite radix") {
+    assert(graft.store.Compaction.fanoutFor(10, 4) == 6L)
+    assert(graft.store.Compaction.fanoutFor(1, 4) == 2L)
+    // point mass: 10^9 rows against bound 1 would want f = 2×10^9 —
+    // clamped so composite ids never alias into other parents' ranges
+    assert(graft.store.Compaction.fanoutFor(1000000000L, 1L) == 1023L)
+    assert(graft.store.Compaction.fanoutFor(512L * 4, 4L) == 1023L)
+  }
 }
