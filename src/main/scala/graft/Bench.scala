@@ -55,9 +55,26 @@ import scala.jdk.CollectionConverters._
 object Bench {
 
   /** One accepted run: wall seconds + the process-cpu and gc-time
-    * deltas over the same window.
+    * deltas over the same window, plus the DRIFT DISCRIMINATORS the
+    * r10 postmortem demanded (an unchanged query ran 6× more CPU in
+    * the widened 56-query bench JVM than in r9's 46-query one, flat
+    * spin — so the inflation was in-process, and the artifact had no
+    * field that could say WHERE):
+    *  - `codegen`: Janino compilations during the run
+    *    (CodegenMetrics.METRIC_COMPILATION_TIME count delta). The
+    *    driver-side codegen cache holds `spark.sql.codegen.cache
+    *    .maxEntries` generated classes (default 100) — a 56-query
+    *    session's working set evicts it, so every re-run re-compiles
+    *    every stage: runs 2-3 of an UNCHANGED query showing nonzero
+    *    deltas = cache thrash, and that compile burn lands in the
+    *    process-cpu number.
+    *  - `jit`: HotSpot compiler-thread time delta (C2 re-JIT of
+    *    freshly loaded generated classes — rides cpu, not wall).
+    *  - `oldGenMB`: old-gen occupancy after the run (heap creep across
+    *    a long bench changes GC behavior for later queries).
     */
-  private case class Run(wall: Double, cpu: Double, gc: Double)
+  private case class Run(wall: Double, cpu: Double, gc: Double,
+      codegen: Long, jit: Double, oldGenMB: Double)
 
   /** SPIN CALIBRATION — the work-unit normalizer for cpu-INFLATING
     * contention (the r8 driver-bench shape: cpu/wall ≈ cores yet every
@@ -96,8 +113,17 @@ object Bench {
     val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(SparkEntry.benchQueries)
+    // Codegen cache sized for the session's working set (static conf —
+    // set at build). The default 100 entries is evicted several times
+    // over by a 56-query headline sweep, so every re-run of every query
+    // re-compiled its generated stages — the r10 drift where unchanged
+    // queries burned multiples of their r9 CPU. 4096 keeps every
+    // benched plan's classes resident; override to A/B the effect.
+    val codegenCache =
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.codegen.cache.maxEntries", codegenCache)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
@@ -147,6 +173,18 @@ object Bench {
     def gcSeconds(): Double =
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum / 1e3
+    def codegenCount(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+    def jitSeconds(): Double = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime / 1e3 else 0.0
+    }
+    def oldGenMB(): Double =
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.contains("Old") || p.getName.contains("Tenured"))
+        .map(_.getUsage.getUsed).sum / 1e6
     // Stall test: on local[32] every benched plan burns more process-
     // cpu than wall (parallel execution), so wall > 3× cpu means the
     // JVM spent ≥ 2/3 of the window not running — an environment
@@ -163,6 +201,7 @@ object Bench {
       // timed window so the measurement stays "cost of the plan".
       def once(i: Int): Option[Either[Stall, Run]] = {
         val (cpu0, gc0) = (cpuSeconds(), gcSeconds())
+        val (cg0, jit0) = (codegenCount(), jitSeconds())
         val wallStart = System.currentTimeMillis() / 1e3
         val t0 = System.nanoTime()
         val r =
@@ -175,18 +214,21 @@ object Bench {
               None
           }
         val (cpuD, gcD) = (cpuSeconds() - cpu0, gcSeconds() - gc0)
+        val (cgD, jitD, og) =
+          (codegenCount() - cg0, jitSeconds() - jit0, oldGenMB())
         // one line per RUN (not just the min): a bench artifact that
         // only carries min-of-3 can't distinguish "one cold run" from
         // "every run slow" after the fact — exactly the ambiguity that
         // made r4's dedup_embedding_090 driver reading undiagnosable
         System.err.println(
           f"[bench] $name run $i ${r.map(t => f"$t%.2fs").getOrElse("ERR")}%-8s " +
-            f"cpu=$cpuD%.1fs gc=$gcD%.2fs ${footprint()}")
+            f"cpu=$cpuD%.1fs gc=$gcD%.2fs codegen=$cgD jit=$jitD%.2fs " +
+            f"oldGenMB=$og%.0f ${footprint()}")
         if (freeBetween) graft.store.Checkpoints.free(spark)
         r.map { wall =>
           if (isStall(wall, cpuD))
             Left(Stall(name, i, wallStart, wallStart + wall, wall, cpuD, gcD))
-          else Right(Run(wall, cpuD, gcD))
+          else Right(Run(wall, cpuD, gcD, cgD, jitD, og))
         }
       }
       var accepted = Vector.empty[Run]
@@ -216,7 +258,7 @@ object Bench {
             System.err.println(
               f"[bench] $name run ${stall.run} stall-shaped but retry budget " +
                 f"exhausted — KEPT (wall=${stall.wall}%.1fs cpu=${stall.cpu}%.1fs)")
-            accepted :+= Run(stall.wall, stall.cpu, stall.gc)
+            accepted :+= Run(stall.wall, stall.cpu, stall.gc, 0L, 0.0, oldGenMB())
             attemptsCounted += 1
           case None =>
             attemptsCounted += 1 // failed run: error recorded, no timing row
@@ -255,6 +297,17 @@ object Bench {
       .mkString(",\"runsCpu\":{", ",", "}")
     val gcJson = results.map { case (k, rs) => "\"" + k + "\":" + arr(rs.map(_.gc)) }
       .mkString(",\"runsGc\":{", ",", "}")
+    // drift discriminators (r10 postmortem): per-run codegen compile
+    // counts, HotSpot JIT seconds, old-gen occupancy — all artifact-
+    // only (the compact stdout line stays ~1-2 KB)
+    val cgJson = results.map { case (k, rs) =>
+      "\"" + k + "\":" + rs.map(_.codegen).mkString("[", ",", "]")
+    }.mkString(",\"runsCodegen\":{", ",", "}")
+    val jitJson = results.map { case (k, rs) => "\"" + k + "\":" + arr(rs.map(_.jit)) }
+      .mkString(",\"runsJit\":{", ",", "}")
+    val ogJson = results.map { case (k, rs) =>
+      "\"" + k + "\":" + rs.map(r => f"${r.oldGenMB}%.0f").mkString("[", ",", "]")
+    }.mkString(",\"runsOldGenMB\":{", ",", "}")
     val retriesJson = retries.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString(",\"retries\":{", ",", "}")
     val stallsJson = stalls.map { s =>
@@ -282,7 +335,7 @@ object Bench {
     //    whatever size it grows to.
     val spinJson = spins.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString(f""","spinBaseline":$spinBaseline%.3f,"spinCalib":{""", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$cpuJson$gcJson$retriesJson$stallsJson$spinJson$errJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$cpuJson$gcJson$cgJson$jitJson$ogJson$retriesJson$stallsJson$spinJson,"codegenCacheMaxEntries":$codegenCache$errJson,"sf":"$sfDir"}"""
     val artifactPath = java.nio.file.Paths.get("bench_artifact.json")
     try {
       java.nio.file.Files.write(artifactPath, (fullJson + "\n").getBytes("UTF-8"))
