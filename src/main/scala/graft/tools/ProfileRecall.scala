@@ -87,6 +87,29 @@ object ProfileRecall {
       val t = Seq.fill(3)(timed(noop(served))).min
       println(f"ivfpq    nprobe=$nprobe%-2d    recall@5=${meanRecall(served)}%.3f  t=$t%6.2f s")
     }
+
+    // TWO-TIER FRONTIER — the measured dial behind the rescored serves'
+    // candidate-cut defaults (cut=64): sweep the ADC cut for the flat
+    // PQ+SQ8 twin and cut × nprobe for the composed IVFPQ+SQ8 serve.
+    // The operating question is where the frontier flattens: past that
+    // cut, more rescored candidates buy no recall (the ADC ranking's
+    // true positives are already inside the cut) and only add rescore
+    // rows; below it, the SQ8 tier re-ranks a candidate set that never
+    // contained the true neighbors.
+    println("\n| serve | nprobe | cut | recall@5 | min s |")
+    println("|---|---|---|---|---|")
+    for (cut <- Seq(8, 16, 32, 64, 128)) {
+      val served = AnnIndex.servePqTopkSq8(spark, pqRoot, panel,
+        k = 5, cut = cut)
+      val t = Seq.fill(3)(timed(noop(served))).min
+      println(f"| pq+sq8 | - | $cut | ${meanRecall(served)}%.3f | $t%.2f |")
+    }
+    for (nprobe <- Seq(1, 2, 4); cut <- Seq(8, 16, 32, 64, 128)) {
+      val served = AnnIndex.serveIvfPqTopkSq8(spark, ivfpqRoot, panel,
+        k = 5, cut = cut, nprobe = nprobe)
+      val t = Seq.fill(3)(timed(noop(served))).min
+      println(f"| ivfpq+sq8 | $nprobe | $cut | ${meanRecall(served)}%.3f | $t%.2f |")
+    }
     spark.stop()
   }
 }
