@@ -82,7 +82,9 @@ object AnnIndex {
         x => floor(x.cast(DoubleType) * (lit(127.0) / col("amax")) + lit(0.5))))
       .select(col("vec_id"),
         transform(col("qv"), v => v.cast(ByteType)).as("qv8"),
-        sqrt(aggregate(col("qv"), lit(0L), (a, v) => a + v * v)
+        // native exact-integer self-dot (same value as the interpreted
+        // fold it replaces — LONG accumulation of integral terms)
+        sqrt(graft.similarity.Similarity.intDot(col("qv"), col("qv"))
           .cast(DoubleType)).as("qn"))
   }
 

@@ -16,6 +16,30 @@ class TextHashSpec extends SparkSpec {
     assert(viaCol.toSeq == viaScala)
   }
 
+  test("intDot: exact integer dot over byte/long arrays, codegen and SQL paths agree") {
+    // long arrays (the floor()-quantized shape embQuantizedTopk feeds)
+    val viaLong = Seq((Seq(1L, -2L, 3L), Seq(4L, 5L, -6L)))
+      .toDF("a", "b").select(Similarity.intDot(col("a"), col("b"))).as[Long].head()
+    assert(viaLong == 1 * 4 + -2 * 5 + 3 * -6)
+    // byte arrays (the stored SQ8 shape — ARRAY<TINYINT>, not BINARY:
+    // Seq[Byte], since Array[Byte] encodes as BINARY), kinds byte×long
+    val bytes = Seq((Seq[Byte](127, -128, 1), Seq(2L, 3L, -4L))).toDF("a", "b")
+    assert(bytes.select(Similarity.intDot(col("a"), col("b"))).as[Long].head()
+      == 127L * 2 - 128L * 3 - 4L)
+    // worst-case magnitude stays exact in the LONG accumulator
+    val big = Seq((Seq.fill(4096)(127L), Seq.fill(4096)(127L))).toDF("a", "b")
+    assert(big.select(Similarity.intDot(col("a"), col("b"))).as[Long].head()
+      == 4096L * 127 * 127)
+    // registered SQL twin
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_int_dot(array(1L,2L,3L), array(4L,5L,6L))")
+      .as[Long].head() == 32L)
+    // self-dot equals the norm path sq8Of relies on
+    val sd = Seq(Seq(-3L, 4L)).toDF("a")
+      .select(Similarity.intDot(col("a"), col("a"))).as[Long].head()
+    assert(sd == 25L)
+  }
+
   test("simhash60: empty → 0; identical token lists → identical; near-dup close") {
     val df = Seq(
       (1L, "a b c d e f g h i j"),
