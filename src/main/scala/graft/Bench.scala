@@ -102,9 +102,14 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** One discarded (stall-shaped) run, with its wall-clock window. */
+  /** One discarded (stall-shaped) run, with its wall-clock window and
+    * the measured drift discriminators (carried so a run KEPT after
+    * retry exhaustion records the real codegen/jit/old-gen deltas, not
+    * zeros — 0 must stay distinguishable from genuinely-no-compile).
+    */
   private case class Stall(query: String, run: Int, startEpochSec: Double,
-      endEpochSec: Double, wall: Double, cpu: Double, gc: Double)
+      endEpochSec: Double, wall: Double, cpu: Double, gc: Double,
+      codegen: Long, jit: Double, oldGenMB: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -227,7 +232,8 @@ object Bench {
         if (freeBetween) graft.store.Checkpoints.free(spark)
         r.map { wall =>
           if (isStall(wall, cpuD))
-            Left(Stall(name, i, wallStart, wallStart + wall, wall, cpuD, gcD))
+            Left(Stall(name, i, wallStart, wallStart + wall, wall, cpuD, gcD,
+              cgD, jitD, og))
           else Right(Run(wall, cpuD, gcD, cgD, jitD, og))
         }
       }
@@ -258,7 +264,8 @@ object Bench {
             System.err.println(
               f"[bench] $name run ${stall.run} stall-shaped but retry budget " +
                 f"exhausted — KEPT (wall=${stall.wall}%.1fs cpu=${stall.cpu}%.1fs)")
-            accepted :+= Run(stall.wall, stall.cpu, stall.gc, 0L, 0.0, oldGenMB())
+            accepted :+= Run(stall.wall, stall.cpu, stall.gc,
+              stall.codegen, stall.jit, stall.oldGenMB)
             attemptsCounted += 1
           case None =>
             attemptsCounted += 1 // failed run: error recorded, no timing row

@@ -54,7 +54,8 @@ object GraftFunctions {
     },
     fd("graft_int_dot",
       "graft_int_dot(a, b) - exact integer dot product (BIGINT) of two " +
-        "integer-typed arrays") {
+        "integer-typed arrays; folds over min(size(a), size(b)), null " +
+        "elements read as 0 (like graft_cosine/graft_dot)") {
       case Seq(a, b) => IntDotExpr(a, b)
     },
     // these two compose builtins rather than wrap a native kernel; the

@@ -133,6 +133,14 @@ object TextHash {
     * ranking. Replaces the interpreted aggregate(zip_with(...)) column
     * formulation that allocated an array and evaluated two lambdas per
     * candidate pair.
+    *
+    * Edge semantics match the sibling cosine/dotProduct kernels, NOT
+    * the zip_with fold they replace: the fold runs over min(len_a,
+    * len_b) (mismatched tails ignored) and a NULL ELEMENT reads as 0
+    * through the primitive getter (a NULL array still yields NULL via
+    * the expressions' null-intolerant contract). The engine's callers
+    * feed same-length non-null quantized arrays, where the two
+    * formulations are identical.
     */
   def intDot(a: ArrayData, b: ArrayData, aKind: Int, bKind: Int): Long = {
     val n = math.min(a.numElements(), b.numElements())

@@ -178,7 +178,12 @@ object Mmr {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // stream-side repartition, same discipline as embTopk: the BNLJ's
+    // parallelism is the corpus side's split count
+    val shufflePartitions =
+      s.conf.get("spark.sql.shuffle.partitions").toInt
     val pairs = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .repartition(shufflePartitions)
       .crossJoin(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

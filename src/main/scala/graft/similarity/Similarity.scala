@@ -496,6 +496,11 @@ object Similarity {
     */
   private[graft] def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame =
     vecs.select(col("vec_id"), col("embedding"))
+      // stream-side repartition (embTopk's discipline): the n×k scan's
+      // parallelism is otherwise the input's split count — a one-file
+      // corpus would run the whole assignment on one task at build
+      .repartition(
+        vecs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
       .crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cell"),
         round(cosine(col("embedding"), col("centroid")), 6).as("cos_c"))

@@ -46,7 +46,7 @@ object Maintenance {
   /** The sub-table whose committed-file census stands for the store's
     * append-history growth, plus its partitioning.
     */
-  private val representative: Map[String, (String, Boolean)] = Map(
+  private[graft] val representative: Map[String, (String, Boolean)] = Map(
     "pq" -> ("codes", false),
     "ivf" -> ("lists", true),
     "ivfpq" -> ("cellcodes", true),
@@ -61,14 +61,7 @@ object Maintenance {
     // retention sweep can see the unstamped `__old`/`__compacting`
     // leftovers (a `__old` whose live root vanished mid-swap is the
     // ONLY surviving copy; healing renames it back under its stamp)
-    if (fs.exists(new Path(base)))
-      fs.listStatus(new Path(base))
-        .filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .filter(n => n.endsWith("__old") || n.endsWith("__compacting"))
-        .map(n => n.stripSuffix("__old").stripSuffix("__compacting"))
-        .distinct
-        .foreach(b => StoreRoot.recoverSwap(spark, s"$base/$b"))
+    StoreRoot.healSwapsUnder(spark, base)
     val swept = StoreRoot.sweepStale(spark, base, ttlMs)
     if (swept > 0)
       out += Report(base, "-", "retention", s"$swept stale root(s) removed")

@@ -149,6 +149,25 @@ object StoreRoot {
     * surviving `__old` renames back; stray `__compacting`/`__old`
     * leftovers are dropped.
     */
+  /** Heal every root-level swap crash under a base dir: each
+    * `__old`/`__compacting` leftover reconciles through `recoverSwap`
+    * on its base name. The suffix scheme is THIS module's protocol
+    * (`swapDir` creates the names) — callers sweep through here rather
+    * than re-deriving it.
+    */
+  def healSwapsUnder(spark: SparkSession, baseDir: String): Unit = {
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    fs.listStatus(base)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith("__old") || n.endsWith("__compacting"))
+      .map(n => n.stripSuffix("__old").stripSuffix("__compacting"))
+      .distinct
+      .foreach(b => recoverSwap(spark, s"$baseDir/$b"))
+  }
+
   def recoverSwap(spark: SparkSession, dir: String): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(dir)

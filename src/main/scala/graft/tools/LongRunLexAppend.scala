@@ -65,9 +65,14 @@ object LongRunLexAppend {
     def serve(): Seq[org.apache.spark.sql.Row] =
       TextIndex.serveBm25(spark, root).collect().toSeq
 
+    // mutated on the streaming micro-batch thread, polled from main —
+    // all access through `lock` (Thread.sleep alone establishes no
+    // happens-before edge)
+    val lock = new Object
     val times = mutable.ArrayBuffer.empty[Double]
     val segLog = mutable.ArrayBuffer.empty[(Long, Map[String, Int], String)]
     var folds = 0
+    def delivered(): Int = lock.synchronized(times.size)
     def sink(b: DataFrame, id: Long): Unit = {
       val t0 = System.nanoTime()
       TextIndex.appendBatch(b, root, id)
@@ -78,11 +83,15 @@ object LongRunLexAppend {
         val before = serve()
         Compaction.compactLexStore(spark, root)
         require(serve() == before, s"fold after batch $id changed the serve")
-        folds += 1
         note = "append+fold"
       }
-      times += (System.nanoTime() - t0) / 1e9
-      segLog += ((id, segs(), note))
+      val dt = (System.nanoTime() - t0) / 1e9
+      val sg = segs()
+      lock.synchronized {
+        if (note == "append+fold") folds += 1
+        times += dt
+        segLog += ((id, sg, note))
+      }
     }
 
     // startAppendSink's exact shape (checkpointed foreachBatch), with
@@ -98,15 +107,35 @@ object LongRunLexAppend {
     // first leg: roughly half the batches, then a hard stop — the
     // restart must resume from the checkpoint, not re-deliver
     val q1 = startQuery()
-    while (times.size < batches / 2) Thread.sleep(200)
+    while (delivered() < batches / 2) {
+      if (!q1.isActive)
+        // surface the sink's failure (e.g. a fold-identity require)
+        // instead of polling forever on a dead query
+        throw new IllegalStateException(
+          s"first leg died after ${delivered()} micro-batches",
+          q1.exception.orNull)
+      Thread.sleep(200)
+    }
     q1.stop()
-    val deliveredAtStop = times.size
+    val deliveredAtStop = delivered()
+    require(deliveredAtStop < batches,
+      s"first leg drained all $batches batches — the restart leg would be vacuous")
     println(s"stopped after $deliveredAtStop micro-batches; restarting from checkpoint")
     val q2 = startQuery()
     q2.processAllAvailable()
     q2.stop()
-    require(times.size >= batches,
-      s"only ${times.size} of $batches micro-batches delivered")
+    val (nDelivered, ids) = lock.synchronized((times.size, segLog.map(_._1).toVector))
+    require(nDelivered >= batches,
+      s"only $nDelivered of $batches micro-batches delivered")
+    // resume actually RESUMED: every batch id delivered exactly once
+    // (re-delivery from a failed checkpoint would pass a >=-only bound
+    // — appendBatch's markers keep the serve right either way, so the
+    // id census is the only witness), with at most the one in-flight
+    // micro-batch of the stop replayed
+    require(ids.distinct.size == batches,
+      s"${ids.distinct.size} distinct batch ids, expected $batches")
+    require(nDelivered <= batches + 1,
+      s"$nDelivered deliveries for $batches ids — checkpoint resume re-delivered")
 
     // flat segments: between folds each sub-table grows by 1 file per
     // batch; a fold resets it — so the census never exceeds the cadence

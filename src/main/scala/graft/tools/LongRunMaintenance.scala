@@ -76,9 +76,13 @@ object LongRunMaintenance {
       "lex" -> TextIndex.serveBm25(spark, lexRoot).collect().toSeq)
 
     // the segment census the fold policy reads: committed files per
-    // dir of each family's representative sub-table
-    val reps = Seq(("pq", pqRoot, "codes", false), ("ivf", ivfRoot, "lists", true),
-      ("ivfpq", ivfpqRoot, "cellcodes", true), ("lex", lexRoot, "postings", false))
+    // dir of each family's representative sub-table — taken from the
+    // SAME map the policy uses, so this census cannot diverge from it
+    val reps = Seq(("pq", pqRoot), ("ivf", ivfRoot),
+      ("ivfpq", ivfpqRoot), ("lex", lexRoot)).map { case (fam, root) =>
+      val (sub, part) = Maintenance.representative(fam)
+      (fam, root, sub, part)
+    }
     def census(): Map[String, Int] = reps.map { case (fam, root, sub, part) =>
       val (committed, _) = BatchCommit.committedDataFiles(spark, root, sub, part)
       fam -> (if (part)
