@@ -93,8 +93,10 @@ object Similarity {
     * only q×partitions tiny buffers. No stage ever shuffles the n×q
     * pair set or concentrates one query's pairs on one task.
     */
-  def embTopk(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+  def embTopk(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    embTopkDf(Tables.embeddings(s, dir), k)
+
+  def embTopkDf(emb: DataFrame, k: Int): DataFrame = {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // stream-side round-robin repartition, same discipline as
@@ -102,7 +104,7 @@ object Similarity {
     // count, so a single-row-group corpus file would otherwise run the
     // whole n×q scan on one task (r10 bench: cpu/wall ≈ 1 at 32 cores)
     val shufflePartitions =
-      s.conf.get("spark.sql.shuffle.partitions").toInt
+      emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val pairs = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
       .repartition(shufflePartitions)
       .crossJoin(broadcast(queries))
@@ -319,9 +321,11 @@ object Similarity {
     * did the reduction.
     */
   def embQuantizedTopk(s: SparkSession, dir: String, k: Int = 5,
-      cut: Int = 15): DataFrame = {
+      cut: Int = 15): DataFrame =
+    embQuantizedTopkDf(Tables.embeddings(s, dir), k, cut)
+
+  def embQuantizedTopkDf(emb: DataFrame, k: Int, cut: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(s, dir)
     val qemb = emb.select(col("vec_id"), col("embedding"))
       .withColumn("amax",
         array_max(transform(col("embedding"), x => abs(x.cast(DoubleType)))))
@@ -339,7 +343,7 @@ object Similarity {
     // stream-side repartition, same reason as embTopk/embKnnGraphDf:
     // BNLJ parallelism = corpus split count
     val shufflePartitions =
-      s.conf.get("spark.sql.shuffle.partitions").toInt
+      emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val pairs = qemb.repartition(shufflePartitions)
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
