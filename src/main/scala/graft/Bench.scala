@@ -47,8 +47,25 @@ import scala.jdk.CollectionConverters._
   *    occurrence is data, not a dispute. The field is present (possibly
   *    empty) in every artifact.
   *
+  * The artifact's per-run drift discriminators (grown round over
+  * round as each driver-vs-builder discrepancy demanded a new one):
+  * `runsCpu`/`runsGc` (work vs stall), `runsCodegen`/`runsJit`
+  * (compile burn), `runsOldGenMB` (heap creep), `runsNativeCpu`
+  * (process cpu minus Java-thread cpu — concurrent-GC workers, the
+  * one CPU consumer invisible to BOTH the gc-pause counter and
+  * per-thread accounting), `spinCalib` (register-only work-rate
+  * dilution), `memCalib` (memory-bandwidth dilution — the shape that
+  * inflates cpu+wall on memory-heavy queries while spin stays flat),
+  * `oldGenPostGCMB` (post-collection live set: retained state vs
+  * uncollected garbage), `heapMaxMB` (the session's -Xmx — IHOP
+  * geometry differs per heap, see COVERAGE's r12 adjudication note).
+  *
   * Env knobs: SPARK_GRAFT_SF_DIR (data), SPARK_GRAFT_CPUS (local[N]),
-  * SPARK_GRAFT_BENCH_FREE (default 1),
+  * SPARK_GRAFT_BENCH_FREE (default 1), SPARK_GRAFT_BENCH_GC
+  * (default 1 — explicit collection between queries, outside every
+  * timed window), SPARK_GRAFT_ARTIFACT (diagnostic JSON path,
+  * default bench_artifact.json — the gate pair redirects run 1 so
+  * run 2 cannot clobber it),
   * SPARK_GRAFT_BENCH_QUERIES (comma-separated override of the query
   * list/order — used for the order-variance probes).
   */
@@ -74,7 +91,7 @@ object Bench {
     *    a long bench changes GC behavior for later queries).
     */
   private case class Run(wall: Double, cpu: Double, gc: Double,
-      codegen: Long, jit: Double, oldGenMB: Double)
+      codegen: Long, jit: Double, oldGenMB: Double, nativeCpu: Double)
 
   /** SPIN CALIBRATION — the work-unit normalizer for cpu-INFLATING
     * contention (the r8 driver-bench shape: cpu/wall ≈ cores yet every
@@ -102,6 +119,36 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** MEMORY-BANDWIDTH CALIBRATION — the discriminator the r11
+    * driver-vs-builder discrepancy adjudication was missing. The spin
+    * loop is REGISTER-ONLY by design (work-rate dilution), so it is
+    * blind to the one contention shape that inflates cpu AND wall
+    * together on memory-heavy queries while leaving integer work
+    * untouched: memory-bandwidth/LLC pressure (co-tenant traffic, or
+    * G1 concurrent-mark threads streaming a multi-GB old gen). This
+    * loop streams a fixed 32 MB array (read+write, 4 passes ≈ 256 MB
+    * of traffic — far past any private cache): sample/baseline ≈ 1 on
+    * a quiet memory system and inflates exactly when loads/stores
+    * stall. Rides the artifact as `memCalib` (per query) +
+    * `memBaseline`. Read together with spin: spin flat + mem inflated
+    * = bandwidth contention; both flat + cpu up = the query really did
+    * more work.
+    */
+  private val memArr = new Array[Long](4 << 20) // 32 MB
+  private def memCalib(): Double = {
+    val t0 = System.nanoTime()
+    val a = memArr
+    var acc = spinSink
+    var pass = 0
+    while (pass < 4) {
+      var i = 0
+      while (i < a.length) { acc ^= a(i); a(i) = acc + i; i += 1 }
+      pass += 1
+    }
+    spinSink = acc
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** One discarded (stall-shaped) run, with its wall-clock window and
     * the measured drift discriminators (carried so a run KEPT after
     * retry exhaustion records the real codegen/jit/old-gen deltas, not
@@ -115,6 +162,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val freeBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_FREE", "1") == "1"
+    val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") == "1"
     val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(SparkEntry.benchQueries)
@@ -124,8 +172,10 @@ object Bench {
     // re-compiled its generated stages — the r10 drift where unchanged
     // queries burned multiples of their r9 CPU. 4096 keeps every
     // benched plan's classes resident; override to A/B the effect.
-    val codegenCache =
-      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096")
+    // parsed at read time so a malformed override fails HERE, loudly,
+    // not as an invalid number interpolated into the artifact JSON
+    val codegenCache: Int =
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.codegen.cache.maxEntries", codegenCache)
@@ -135,6 +185,21 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Bound the status-store live set. Even with the UI off, the
+      // app-status and SQL listeners retain per-execution state —
+      // including the full physical-plan description string of every
+      // execution (deep ANN serve plans run to ~1 MB each) — at
+      // defaults of 1000 executions / 1000 jobs / 100k tasks. Across a
+      // 55-query × 3-run sweep that is a multi-GB drag on the old gen
+      // of a long bench session for data nothing reads; on a heap
+      // whose G1 IHOP threshold sits near the accumulated size it is
+      // the difference between a quiet old gen and a continuous
+      // concurrent-mark treadmill taxing every query's cpu.
+      .config("spark.sql.ui.retainedExecutions", "16")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.ui.retainedDeadExecutors", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: materializes every row of the final plan (sorts,
@@ -143,9 +208,15 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     // JVM+Spark warm-up (codegen, parquet footers, broadcast machinery)
-    // outside the timed loop — scan+agg, broadcast+SMJ join, window paths
-    Seq("q1_pricing_summary", "q5_region_revenue", "w2_moving_avg")
-      .foreach(n => run(SparkEntry.queries(n)(spark, sfDir)))
+    // outside the timed loop — scan+agg, broadcast+SMJ join, window
+    // paths, and the three imageio codec families (PNG/JPEG/GIF each
+    // JIT a distinct native-reader loop: the r11 gate pair's 1.5×
+    // min-cpu residue lived entirely in C2 state of those loops, so
+    // they are warmed explicitly and the list rides the artifact)
+    val warmupQueries = Seq("q1_pricing_summary", "q5_region_revenue",
+      "w2_moving_avg", "mm_png", "mm_jpeg", "mm_gif")
+      .filter(n => SparkEntry.queries.contains(n) && names.contains(n))
+    warmupQueries.foreach(n => run(SparkEntry.queries(n)(spark, sfDir)))
     // …plus the broadcast-nested-loop cosine kernel: the O(n²) dedup
     // twins' hot loop is JIT-sensitive (measured 30s first-execution vs
     // 7.5s steady-state at n=12 000 — C2 compilation of the codegen'd
@@ -156,11 +227,15 @@ object Bench {
     val errors = mutable.LinkedHashMap.empty[String, String]
     val retries = mutable.LinkedHashMap.empty[String, Int]
     val stalls = mutable.ArrayBuffer.empty[Stall]
-    // session-start baseline work rate: min-of-3 (first sample may pay
+    // session-start baseline work rates: min-of-3 (first sample may pay
     // JIT warm-up of the loop itself)
     val spinBaseline = Seq.fill(3)(spinCalib()).min
+    val memBaseline = Seq.fill(3)(memCalib()).min
     val spins = mutable.LinkedHashMap.empty[String, Double]
-    System.err.println(f"[bench] spin-calibration baseline ${spinBaseline}%.3fs")
+    val mems = mutable.LinkedHashMap.empty[String, Double]
+    val oldGenPostGC = mutable.LinkedHashMap.empty[String, Double]
+    System.err.println(f"[bench] spin-calibration baseline ${spinBaseline}%.3fs" +
+      f", mem-calibration baseline ${memBaseline}%.3fs")
     def footprint(): String = {
       val (n, mem, disk) = graft.store.Checkpoints.storageFootprint(spark)
       f"cachedRdds=$n memMB=${mem / 1e6}%.1f diskMB=${disk / 1e6}%.1f"
@@ -190,6 +265,31 @@ object Bench {
       java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
         .filter(p => p.getName.contains("Old") || p.getName.contains("Tenured"))
         .map(_.getUsage.getUsed).sum / 1e6
+    // NATIVE-THREAD CPU: process cpu minus the sum over Java threads.
+    // The residue is the JVM's native threads — G1's concurrent-mark/
+    // refine workers above all (their burn lands in process cpu but in
+    // NEITHER the gc-pause counter nor any Java thread), plus JIT
+    // compiler threads (measured separately as `jit`). This is the
+    // column that catches the concurrent-GC treadmill: a driver JVM
+    // whose old gen rides its IHOP threshold re-marks a multi-GB live
+    // set continuously, and every query's cpu inflates with flat
+    // gc/jit/codegen — exactly the r11 driver-artifact shape on
+    // tx_repetition/emb_mmr_serve. Threads that die between samples
+    // take their cpu with them, so the delta is clamped at 0 and reads
+    // as a small undercount of java cpu (task pools are long-lived;
+    // the bias is noise-level).
+    val threadBean = java.lang.management.ManagementFactory.getThreadMXBean
+    def javaCpuSeconds(): Double = {
+      val ids = threadBean.getAllThreadIds
+      var s = 0L
+      var i = 0
+      while (i < ids.length) {
+        val t = threadBean.getThreadCpuTime(ids(i))
+        if (t > 0) s += t
+        i += 1
+      }
+      s / 1e9
+    }
     // Stall test: on local[32] every benched plan burns more process-
     // cpu than wall (parallel execution), so wall > 3× cpu means the
     // JVM spent ≥ 2/3 of the window not running — an environment
@@ -207,6 +307,7 @@ object Bench {
       def once(i: Int): Option[Either[Stall, Run]] = {
         val (cpu0, gc0) = (cpuSeconds(), gcSeconds())
         val (cg0, jit0) = (codegenCount(), jitSeconds())
+        val jcpu0 = javaCpuSeconds()
         val wallStart = System.currentTimeMillis() / 1e3
         val t0 = System.nanoTime()
         val r =
@@ -221,6 +322,7 @@ object Bench {
         val (cpuD, gcD) = (cpuSeconds() - cpu0, gcSeconds() - gc0)
         val (cgD, jitD, og) =
           (codegenCount() - cg0, jitSeconds() - jit0, oldGenMB())
+        val nativeD = math.max(0.0, cpuD - (javaCpuSeconds() - jcpu0))
         // one line per RUN (not just the min): a bench artifact that
         // only carries min-of-3 can't distinguish "one cold run" from
         // "every run slow" after the fact — exactly the ambiguity that
@@ -228,13 +330,13 @@ object Bench {
         System.err.println(
           f"[bench] $name run $i ${r.map(t => f"$t%.2fs").getOrElse("ERR")}%-8s " +
             f"cpu=$cpuD%.1fs gc=$gcD%.2fs codegen=$cgD jit=$jitD%.2fs " +
-            f"oldGenMB=$og%.0f ${footprint()}")
+            f"native=$nativeD%.1fs oldGenMB=$og%.0f ${footprint()}")
         if (freeBetween) graft.store.Checkpoints.free(spark)
         r.map { wall =>
           if (isStall(wall, cpuD))
             Left(Stall(name, i, wallStart, wallStart + wall, wall, cpuD, gcD,
               cgD, jitD, og))
-          else Right(Run(wall, cpuD, gcD, cgD, jitD, og))
+          else Right(Run(wall, cpuD, gcD, cgD, jitD, og, nativeD))
         }
       }
       var accepted = Vector.empty[Run]
@@ -265,7 +367,7 @@ object Bench {
               f"[bench] $name run ${stall.run} stall-shaped but retry budget " +
                 f"exhausted — KEPT (wall=${stall.wall}%.1fs cpu=${stall.cpu}%.1fs)")
             accepted :+= Run(stall.wall, stall.cpu, stall.gc,
-              stall.codegen, stall.jit, stall.oldGenMB)
+              stall.codegen, stall.jit, stall.oldGenMB, 0.0)
             attemptsCounted += 1
           case None =>
             attemptsCounted += 1 // failed run: error recorded, no timing row
@@ -291,6 +393,29 @@ object Bench {
             System.err.println(f"[bench] $name spin-calib $sp%.3fs vs baseline " +
               f"$spinBaseline%.3fs — cpu-seconds around this query were diluted " +
               f"~${sp / spinBaseline}%.1fx by the environment")
+          // …and one bandwidth sample (see memCalib's scaladoc): the
+          // discriminator for memory-system contention that the
+          // register-only spin cannot see
+          // min-of-2: the first sample can catch the query's own tail
+          // work (finishing task threads, a concurrent cycle it
+          // triggered) — which is signal for the judge's trend read,
+          // but min-of-2 keeps the WARNING for sustained dilution only
+          val mc = math.min(memCalib(), memCalib())
+          mems(name) = mc
+          if (mc > 4 * memBaseline)
+            System.err.println(f"[bench] $name mem-calib $mc%.3fs vs baseline " +
+              f"$memBaseline%.3fs — memory bandwidth around this query was " +
+              f"~${mc / memBaseline}%.1fx diluted")
+          // explicit collection between queries (outside every timed
+          // window): processes the ContextCleaner's weak refs, and the
+          // post-GC old-gen sample is the session's true LIVE set —
+          // the r11 driver artifact's constant 7.3 GB post-run old gen
+          // could not distinguish "7 GB retained" from "7 GB of
+          // not-yet-collected garbage on a big heap"; this column can.
+          if (gcBetween) {
+            System.gc()
+            oldGenPostGC(name) = oldGenMB()
+          }
           r
       }
     }
@@ -315,6 +440,18 @@ object Bench {
     val ogJson = results.map { case (k, rs) =>
       "\"" + k + "\":" + rs.map(r => f"${r.oldGenMB}%.0f").mkString("[", ",", "]")
     }.mkString(",\"runsOldGenMB\":{", ",", "}")
+    val nativeJson = results.map { case (k, rs) =>
+      "\"" + k + "\":" + arr(rs.map(_.nativeCpu))
+    }.mkString(",\"runsNativeCpu\":{", ",", "}")
+    val memJson = mems.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString(f""","memBaseline":$memBaseline%.3f,"memCalib":{""", ",", "}")
+    val ogGcJson =
+      if (oldGenPostGC.isEmpty) ""
+      else oldGenPostGC.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
+        .mkString(",\"oldGenPostGCMB\":{", ",", "}")
+    val heapMaxMB = Runtime.getRuntime.maxMemory / 1e6
+    val warmupJson = warmupQueries.map("\"" + _ + "\"")
+      .mkString(",\"warmup\":[", ",", "]")
     val retriesJson = retries.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString(",\"retries\":{", ",", "}")
     val stallsJson = stalls.map { s =>
@@ -342,8 +479,9 @@ object Bench {
     //    whatever size it grows to.
     val spinJson = spins.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString(f""","spinBaseline":$spinBaseline%.3f,"spinCalib":{""", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$cpuJson$gcJson$cgJson$jitJson$ogJson$retriesJson$stallsJson$spinJson,"codegenCacheMaxEntries":$codegenCache$errJson,"sf":"$sfDir"}"""
-    val artifactPath = java.nio.file.Paths.get("bench_artifact.json")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$cpuJson$gcJson$cgJson$jitJson$ogJson$nativeJson$retriesJson$stallsJson$spinJson$memJson$ogGcJson$warmupJson,"codegenCacheMaxEntries":$codegenCache,"heapMaxMB":${f"$heapMaxMB%.0f"}$errJson,"sf":"$sfDir"}"""
+    val artifactPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_ARTIFACT", "bench_artifact.json"))
     try {
       java.nio.file.Files.write(artifactPath, (fullJson + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] full diagnostic artifact -> ${artifactPath.toAbsolutePath}")
@@ -360,7 +498,7 @@ object Bench {
     // compact line carries the dilution summary (baseline + worst
     // per-query sample) — the full per-query map rides the artifact
     val spinWorst = if (spins.isEmpty) spinBaseline else spins.values.max
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queriesCpu":$qsCpuCompact,"stalls":${stalls.size},"retries":$retriesTotal,"spinBaseline":$spinBaseline%.3f,"spinWorst":$spinWorst%.3f$errJson,"artifact":"bench_artifact.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queriesCpu":$qsCpuCompact,"stalls":${stalls.size},"retries":$retriesTotal,"spinBaseline":$spinBaseline%.3f,"spinWorst":$spinWorst%.3f$errJson,"artifact":"${artifactPath}","sf":"$sfDir"}""")
     if (stalls.nonEmpty)
       System.err.println(s"[bench] ${stalls.size} stall-shaped run(s) recorded in stall_windows")
     if (errors.nonEmpty)

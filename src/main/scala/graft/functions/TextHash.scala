@@ -373,6 +373,9 @@ case class IntDotExpr(left: Expression, right: Expression)
     case other => throw new IllegalArgumentException(
       s"int_dot expects integer-typed arrays, got ${other.sql}")
   }
+  // resolved once per plan, not re-pattern-matched per interpreted row
+  @transient private lazy val leftKind: Int = kind(left)
+  @transient private lazy val rightKind: Int = kind(right)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -386,10 +389,10 @@ case class IntDotExpr(left: Expression, right: Expression)
   }
   override protected def nullSafeEval(a: Any, b: Any): Any =
     TextHash.intDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      kind(left), kind(right))
+      leftKind, rightKind)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.TextHash.intDot($a, $b, ${kind(left)}, ${kind(right)})")
+      s"graft.functions.TextHash.intDot($a, $b, $leftKind, $rightKind)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): IntDotExpr =
     copy(left = newLeft, right = newRight)

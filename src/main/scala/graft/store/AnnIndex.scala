@@ -235,9 +235,15 @@ object AnnIndex {
       .select(col("query_id"), col("neighbor_id").as("vec_id"),
         col("q8_cos").as("rel"))
     val v8 = spark.read.parquet(s"$root/vecs8")
-      .select(col("vec_id"),
-        transform(col("qv8"), v => v.cast(DoubleType)).as("emb"))
+      .select(col("vec_id"), col("qv8"))
+    // the qv8→double cast feeds only MMR's pairwise stage, so it runs
+    // AFTER the broadcast join — |queries|×c interpreted transforms
+    // (a few hundred), never one per corpus row: the pre-join
+    // formulation would re-materialize the whole vecs8 relation
+    // through a non-codegen HOF at 100 TB corpus scale
     v8.join(broadcast(cand), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("rel"),
+        transform(col("qv8"), v => v.cast(DoubleType)).as("emb"))
       .groupBy(col("query_id"))
       .agg(collect_list(struct(col("vec_id"), col("rel"), col("emb"))).as("cands"))
       .select(col("query_id"),

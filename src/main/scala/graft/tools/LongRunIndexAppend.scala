@@ -76,7 +76,8 @@ object LongRunIndexAppend {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq("codes", "vnorms", "vecs8").foreach { sub =>
       val c = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$sub"))
-        .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
       println(s"$sub files: $c (build + $batches batches)")
     }
     val ids = spark.read.parquet(s"$root/codes")

@@ -60,7 +60,8 @@ object LongRunLexAppend {
     def segs(): Map[String, Int] =
       Seq("postings", "df", "dl", "stats").map { sub =>
         sub -> fs.listStatus(new Path(s"$root/$sub"))
-          .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .count(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
       }.toMap
     def serve(): Seq[org.apache.spark.sql.Row] =
       TextIndex.serveBm25(spark, root).collect().toSeq
