@@ -532,6 +532,28 @@ object OracleSql {
     ivfPqServeSql.substring(0, cut).stripTrailing() + ",\n" + recallTailSql
   }
 
+  /** `emb_ivfpq_recall_clustered` (store.AnnIndex
+    * .embIvfPqRecallClustered): the SAME certified IVFPQ recall chain
+    * with its corpus swapped for the planted-cluster showcase shape —
+    * `aug` (the `dedup_embedding_090` corpus CTE, bit-identical
+    * perturbation arithmetic) wearing derived labels
+    * pmod(vec_id, 16) as the Lloyd seeds. Every `FROM embeddings` of
+    * the proven chain (the corpus CTE `e` and both sample-rung `pc`
+    * counts) re-points at `aug2`; the require guards certify the swap
+    * was total and that the splice point still matches.
+    */
+  private val ivfPqRecallClusteredSql: String = {
+    require(ivfPqRecallSql.startsWith("WITH e AS"),
+      "ivfpq-recall-clustered: chain head anchor missing")
+    val body = ivfPqRecallSql.stripPrefix("WITH ")
+      .replace("FROM embeddings", "FROM aug2")
+    require(!body.contains("FROM embeddings"),
+      "ivfpq-recall-clustered: corpus swap incomplete")
+    "WITH " + augEmbCte + ",\n" +
+      "aug2 AS (SELECT vec_id, (vec_id % 16)::INT AS label, embedding " +
+      "FROM aug),\n" + body
+  }
+
   /** `hybrid_topk` / `hybrid_snippets` (similarity.Hybrid): BM25
     * inverted-index leg + exact-cosine leg, RRF-fused. Every float
     * literal is ::DOUBLE so DuckDB's decimal literals never enter the
@@ -1944,6 +1966,11 @@ object OracleSql {
     // (nprobe misses) compounds PQ's compression loss, so this is the
     // number that prices the nprobe dial
     "emb_ivfpq_recall" -> ivfPqRecallSql,
+
+    // the same audit on ANN's operating geometry: the certified chain
+    // over the planted-cluster corpus (aug + derived labels) — recall
+    // where each panel query's exact top-5 is its planted clique
+    "emb_ivfpq_recall_clustered" -> ivfPqRecallClusteredSql,
 
     // IVF introspection (store.AnnIndex.embIvfCellStats): per-cell
     // population + corpus share from the trained assignment

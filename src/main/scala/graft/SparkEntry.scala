@@ -235,6 +235,11 @@ object SparkEntry {
     // the per-cell census of the IVF lists (the skew dial's gauge)
     "emb_pq_recall"       -> (graft.store.AnnIndex.embPqRecall(_, _)),
     "emb_ivfpq_recall"    -> (graft.store.AnnIndex.embIvfPqRecall(_, _)),
+    // the same audit on ANN's operating geometry (planted clusters):
+    // the uniform panel is PQ's adversarial floor, this is the recall
+    // the nprobe/cut defaults are justified on (0.96 at nprobe=2)
+    "emb_ivfpq_recall_clustered" ->
+      (graft.store.AnnIndex.embIvfPqRecallClustered(_, _)),
     "emb_ivf_cell_stats"  -> (graft.store.AnnIndex.embIvfCellStats(_, _)),
     // the census wired to its ALARM: physical partitions over the
     // 4×-uniform bound the split discipline enforces (0 when healthy)
@@ -312,6 +317,8 @@ object SparkEntry {
     "tx_repetition", "dedup_semantic", "tx_heavy_hitters",
     "emb_mmr_serve", "emb_ivfpq_recall", "tx_freq_cm", "hybrid_topk",
     "hybrid_serve",
+    // r12: recall audit on the clustered operating geometry
+    "emb_ivfpq_recall_clustered",
     // r10: fold-compacted serves (the maintenance ops priced), the
     // lexical takedown, the census alarm, and the real-codec families
     "emb_pq_serve_compacted", "lex_bm25_compact_serve",

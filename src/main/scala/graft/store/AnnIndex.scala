@@ -870,6 +870,34 @@ object AnnIndex {
   def embIvfPqRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame =
     recallCensus(Similarity.embTopk(s, dir, k), embIvfPqServe(s, dir, k), k)
 
+  /** The same composed-index audit on ANN's OPERATING geometry. The
+    * driver's synthetic embeddings are near-uniform on the sphere —
+    * PQ's worst case (neighbor cosines crowd one narrow band, so the
+    * uniform-panel recall is an adversarial floor, 0.10-0.63 across
+    * the cut sweep), not the shape vector search is deployed against.
+    * This audit rebuilds the IVFPQ index over the planted-cluster
+    * corpus (`Similarity.augmentedEmbeddings` — every base vector
+    * plus five perturbed copies at cos ≥ 0.95, the
+    * `dedup_embedding_090` showcase shape) where each panel query's
+    * exact top-5 IS its planted clique, and certifies the recall
+    * census end-to-end: routing + compression loss on clustered data
+    * (measured 0.96 at the nprobe=2 default vs 0.10 uniform — see the
+    * two-geometry frontier in COVERAGE.md). Labels (the deterministic
+    * Lloyd seeds) derive as pmod(vec_id, 16): plant offsets are
+    * multiples of 16, so every copy co-seeds with its base vector.
+    */
+  def embIvfPqRecallClustered(s: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val emb = Similarity.augmentedEmbeddings(Tables.embeddings(s, dir))
+      .withColumn("label", pmod(col("vec_id"), lit(16L)).cast(IntegerType))
+    val root = indexRoot(s, dir, "ivfpqc", emb.count())
+    ensureBuilt(s, root)(staging => buildIvfPq(emb, staging))
+    val q = Similarity.materializeSmall(emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    recallCensus(Similarity.embTopkDf(emb, k),
+      serveIvfPqTopk(s, root.toString, q, k), k)
+  }
+
   /** Per-query overlap census of a served top-k against the exact
     * top-k: hits = |exact ∩ served|, recall = hits/k. Both inputs are
     * queries×k rows — the census itself is control-plane-sized

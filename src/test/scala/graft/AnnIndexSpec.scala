@@ -379,6 +379,17 @@ class AnnIndexSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("recall") -
         r.getAs[Long]("hits") / 5.0) < 1e-9)
     }
+    // the CLUSTERED-geometry audit (planted 6-cliques): each panel
+    // query's exact top-5 is its planted clique, so the composed index
+    // must retrieve most of it — the operating-geometry contract the
+    // uniform floor above cannot express (r12 frontier: 0.96 at sf0.1;
+    // the bound here is loose against sf0.001 routing variance)
+    val clustered = AnnIndex.embIvfPqRecallClustered(spark, Sf0001).collect()
+    assert(clustered.map(_.getAs[Long]("query_id")).toSeq == (0L until 10L))
+    val clusteredMean =
+      clustered.map(_.getAs[Double]("recall")).sum / clustered.length
+    assert(clusteredMean >= 0.6,
+      s"clustered-geometry mean recall@5 $clusteredMean below floor")
   }
 
   test("IVFPQ streaming append: exactly-once into the composed index") {

@@ -21,7 +21,7 @@ class PlanAuditSpec extends SparkSpec {
     "emb_pq_topk", "emb_mmr_topk",
     // recall audits embed the exact broadcast-query × corpus scan as
     // their denominator (the audit's sampled-panel cost, q×n by design)
-    "emb_pq_recall", "emb_ivfpq_recall",
+    "emb_pq_recall", "emb_ivfpq_recall", "emb_ivfpq_recall_clustered",
     // hybrid's dense leg is the embTopk broadcast-panel scan; its
     // lexical leg also broadcasts the 1-row corpus stats
     "hybrid_topk", "hybrid_snippets",
