@@ -209,12 +209,14 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     // JVM+Spark warm-up (codegen, parquet footers, broadcast machinery)
     // outside the timed loop — scan+agg, broadcast+SMJ join, window
-    // paths, and the three imageio codec families (PNG/JPEG/GIF each
-    // JIT a distinct native-reader loop: the r11 gate pair's 1.5×
-    // min-cpu residue lived entirely in C2 state of those loops, so
-    // they are warmed explicitly and the list rides the artifact)
+    // paths. The imageio codec families are deliberately NOT warmed:
+    // measured r12, pre-warming all three formats drove the shared
+    // ImageIO.read call-site chain megamorphic before any timed run
+    // and DOUBLED per-family decode cpu; the real fix is the
+    // format-pinned direct readers in operators/Multimodal.scala
+    // (each family's reader.read gets its own monomorphic call site).
     val warmupQueries = Seq("q1_pricing_summary", "q5_region_revenue",
-      "w2_moving_avg", "mm_png", "mm_jpeg", "mm_gif")
+      "w2_moving_avg")
       .filter(n => SparkEntry.queries.contains(n) && names.contains(n))
     warmupQueries.foreach(n => run(SparkEntry.queries(n)(spark, sfDir)))
     // …plus the broadcast-nested-loop cosine kernel: the O(n²) dedup

@@ -304,6 +304,49 @@ object Multimodal {
   case class PngFeatures(media_id: Long, width: Int, height: Int,
       px_sum: Long, mean_luma: Double)
 
+  /** Format-pinned decodes: a DIRECT reader per family instead of the
+    * `ImageIO.read` convenience static. That static funnels every
+    * format through one shared call-site chain (stream → provider
+    * iterator → `reader.read`), so a session that has decoded several
+    * formats drives those sites megamorphic and C2 settles the shared
+    * path at a ~2× slower steady state — measured r12: warming all
+    * three codec families before timing doubled per-family decode cpu
+    * (mm_jpeg 12–17 s → 26–47 s process-cpu, flat gc/jit, zero
+    * codegen), and the r11 gate pair's 1.5× min-cpu residue was the
+    * transient between the mono- and megamorphic states. One method
+    * per family — bodies deliberately NOT factored through a shared
+    * helper, which would just recreate the single funnel — gives each
+    * family's `reader.read(0)` a monomorphic call site of its own, so
+    * per-family decode cost no longer depends on which other formats
+    * the session has seen.
+    */
+  private def decodePngDirect(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val r = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new ByteArrayInputStream(bytes))
+    try { r.setInput(iis, true, true); r.read(0) }
+    finally { r.dispose(); iis.close() }
+  }
+
+  private def decodeJpegDirect(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val r = javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new ByteArrayInputStream(bytes))
+    // ImageIO.read reports undecodable data as null; the direct reader
+    // throws — map it back so mmJpeg's decodes_ok contract holds
+    try { r.setInput(iis, true, true); r.read(0) }
+    catch { case _: javax.imageio.IIOException => null }
+    finally { r.dispose(); iis.close() }
+  }
+
+  private def decodeGifDirect(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new ByteArrayInputStream(bytes))
+    try { r.setInput(iis, true, true); r.read(0) }
+    finally { r.dispose(); iis.close() }
+  }
+
   /** PNG operator — the first REAL-WORLD format family: encode the
     * fixture raster with the actual PNG writer, decode it back through
     * ImageIO, and emit exact-integer raster features. PNG round-trips
@@ -318,8 +361,7 @@ object Multimodal {
       .select(col("doc_id"), length(col("text")).cast(LongType).as("clen")))
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, clen) =>
-        val img = javax.imageio.ImageIO.read(
-          new ByteArrayInputStream(encodePng(id, clen)))
+        val img = decodePngDirect(encodePng(id, clen))
         require(img != null, s"PNG payload of media $id failed to decode")
         val sum = rasterSum(img)
         PngFeatures(id, img.getWidth, img.getHeight, sum,
@@ -348,8 +390,7 @@ object Multimodal {
       .select(col("doc_id"), length(col("text")).cast(LongType).as("clen")))
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, clen) =>
-        val img = javax.imageio.ImageIO.read(
-          new ByteArrayInputStream(encodeGif(id, clen)))
+        val img = decodeGifDirect(encodeGif(id, clen))
         require(img != null, s"GIF payload of media $id failed to decode")
         var sum = 0L
         var y = 0
@@ -386,8 +427,7 @@ object Multimodal {
       .select(col("doc_id"), length(col("text")).cast(LongType).as("clen")))
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, clen) =>
-        val img = javax.imageio.ImageIO.read(
-          new ByteArrayInputStream(encodeJpeg(id, clen)))
+        val img = decodeJpegDirect(encodeJpeg(id, clen))
         val ok = img != null
         val inBand = ok && {
           val dec = rasterSum(img).toDouble / (255.0 * img.getWidth * img.getHeight)
