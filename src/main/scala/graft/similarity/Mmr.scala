@@ -194,9 +194,14 @@ object Mmr {
       .select(col("query_id"), explode(col("nbrs")).as("nbr"))
       .select(col("query_id"), col("nbr.neighbor_id").as("vec_id"),
         col("nbr.cos_sim").as("rel"))
-    val cemb = emb.select(col("vec_id"),
-      col("embedding").cast(ArrayType(DoubleType)).as("emb"))
-    val packed = cemb.join(broadcast(cand), Seq("vec_id"))
+    // the float→double cast feeds only MMR's pairwise stage, so it
+    // runs AFTER the broadcast candidate join — |queries|×c rows, not
+    // one converted array per corpus row (same discipline as
+    // AnnIndex.servePqMmr's post-join qv8 transform)
+    val packed = emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("rel"),
+        col("embedding").cast(ArrayType(DoubleType)).as("emb"))
       .groupBy(col("query_id"))
       .agg(collect_list(struct(col("vec_id"), col("rel"), col("emb"))).as("cands"))
     packed
