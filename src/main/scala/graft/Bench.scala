@@ -156,7 +156,7 @@ object Bench {
     */
   private case class Stall(query: String, run: Int, startEpochSec: Double,
       endEpochSec: Double, wall: Double, cpu: Double, gc: Double,
-      codegen: Long, jit: Double, oldGenMB: Double)
+      codegen: Long, jit: Double, oldGenMB: Double, nativeCpu: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -222,9 +222,17 @@ object Bench {
     // …plus the broadcast-nested-loop cosine kernel: the O(n²) dedup
     // twins' hot loop is JIT-sensitive (measured 30s first-execution vs
     // 7.5s steady-state at n=12 000 — C2 compilation of the codegen'd
-    // pair loop), so warm it on a small slice to keep run 1 comparable
-    run(graft.similarity.Similarity.dedupEmbeddingDf(
-      graft.Tables.embeddings(spark, sfDir).limit(2000), 0.9))
+    // pair loop), so warm it on a small slice to keep run 1 comparable.
+    // Conditional on a kernel consumer being benched, and recorded in
+    // the artifact's warmup list — a subset session's artifact must
+    // not claim a cold JVM while a substantial warm-up ran (review r12)
+    val kernelWarm = names.exists(n =>
+      n.startsWith("dedup_embedding") || n.startsWith("emb_knn_graph"))
+    if (kernelWarm)
+      run(graft.similarity.Similarity.dedupEmbeddingDf(
+        graft.Tables.embeddings(spark, sfDir).limit(2000), 0.9))
+    val warmupRan =
+      warmupQueries ++ (if (kernelWarm) Seq("__dedup_cosine_kernel") else Nil)
     graft.store.Checkpoints.free(spark)
     val errors = mutable.LinkedHashMap.empty[String, String]
     val retries = mutable.LinkedHashMap.empty[String, Int]
@@ -337,7 +345,7 @@ object Bench {
         r.map { wall =>
           if (isStall(wall, cpuD))
             Left(Stall(name, i, wallStart, wallStart + wall, wall, cpuD, gcD,
-              cgD, jitD, og))
+              cgD, jitD, og, nativeD))
           else Right(Run(wall, cpuD, gcD, cgD, jitD, og, nativeD))
         }
       }
@@ -369,7 +377,7 @@ object Bench {
               f"[bench] $name run ${stall.run} stall-shaped but retry budget " +
                 f"exhausted — KEPT (wall=${stall.wall}%.1fs cpu=${stall.cpu}%.1fs)")
             accepted :+= Run(stall.wall, stall.cpu, stall.gc,
-              stall.codegen, stall.jit, stall.oldGenMB, 0.0)
+              stall.codegen, stall.jit, stall.oldGenMB, stall.nativeCpu)
             attemptsCounted += 1
           case None =>
             attemptsCounted += 1 // failed run: error recorded, no timing row
@@ -452,7 +460,7 @@ object Bench {
       else oldGenPostGC.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
         .mkString(",\"oldGenPostGCMB\":{", ",", "}")
     val heapMaxMB = Runtime.getRuntime.maxMemory / 1e6
-    val warmupJson = warmupQueries.map("\"" + _ + "\"")
+    val warmupJson = warmupRan.map("\"" + _ + "\"")
       .mkString(",\"warmup\":[", ",", "]")
     val retriesJson = retries.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString(",\"retries\":{", ",", "}")

@@ -545,10 +545,18 @@ object OracleSql {
   private val ivfPqRecallClusteredSql: String = {
     require(ivfPqRecallSql.startsWith("WITH e AS"),
       "ivfpq-recall-clustered: chain head anchor missing")
-    val body = ivfPqRecallSql.stripPrefix("WITH ")
-      .replace("FROM embeddings", "FROM aug2")
-    require(!body.contains("FROM embeddings"),
-      "ivfpq-recall-clustered: corpus swap incomplete")
+    val orig = ivfPqRecallSql.stripPrefix("WITH ")
+    // the swap is total only if the literal still matches the chain's
+    // formatting everywhere the corpus is read: the `e` CTE and the
+    // two sample-rung `pc` counts. Counting occurrences (not checking
+    // the post-replace string, which is tautologically clean) is what
+    // fires if a future reformat breaks the literal (review r12).
+    val occurrences = orig.sliding("FROM embeddings".length)
+      .count(_ == "FROM embeddings")
+    require(occurrences >= 3,
+      s"ivfpq-recall-clustered: expected >= 3 corpus reads to swap, " +
+        s"found $occurrences — chain formatting drifted")
+    val body = orig.replace("FROM embeddings", "FROM aug2")
     "WITH " + augEmbCte + ",\n" +
       "aug2 AS (SELECT vec_id, (vec_id % 16)::INT AS label, embedding " +
       "FROM aug),\n" + body

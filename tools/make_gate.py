@@ -45,19 +45,22 @@ def main():
     for q in qs:
         a, b = s1["minCpu"][q], s2["minCpu"][q]
         lo, hi = min(a, b), max(a, b)
-        ratio[q] = round(hi / lo, 3) if lo > 0 else None
+        # floor lo at one artifact quantum (0.001s) so a zero reading
+        # yields a huge finite ratio instead of None — a query reading
+        # 0.0 in one run and seconds in the other is the MOST
+        # non-reproducing case and must land in residue, not fall out
+        ratio[q] = round(hi / max(lo, 0.001), 3)
     floor = 1.0
     residue = sorted(
         q for q in qs
         if max(s1["minCpu"][q], s2["minCpu"][q]) >= floor
-        and ratio[q] is not None and ratio[q] > 1.3)
+        and ratio[q] > 1.3)
     doc = {
         "gateRuns": [s1, s2],
         "cpuRatio": ratio,
         "residue_floor_cpu_sec": floor,
         "residue": residue,
-        "within_1p3x": sum(1 for q in qs
-                           if ratio[q] is not None and ratio[q] <= 1.3),
+        "within_1p3x": sum(1 for q in qs if ratio[q] <= 1.3),
         "queries_compared": len(qs),
     }
     with open(out, "w") as f:
