@@ -547,15 +547,18 @@ object OracleSql {
       "ivfpq-recall-clustered: chain head anchor missing")
     val orig = ivfPqRecallSql.stripPrefix("WITH ")
     // the swap is total only if the literal still matches the chain's
-    // formatting everywhere the corpus is read: the `e` CTE and the
-    // two sample-rung `pc` counts. Counting occurrences (not checking
-    // the post-replace string, which is tautologically clean) is what
-    // fires if a future reformat breaks the literal (review r12).
+    // formatting everywhere the corpus is read. The composed chain
+    // reads the raw table EXACTLY twice — the `e` CTE and the IVF
+    // sample-rung `pc` count (the spliced PQ mid-section starts at its
+    // `sub` CTE and references `e`/`pc`, never the table). Counting
+    // occurrences (not checking the post-replace string, which is
+    // tautologically clean) is what fires if a future reformat breaks
+    // the literal or adds an unswapped read (review r12).
     val occurrences = orig.sliding("FROM embeddings".length)
       .count(_ == "FROM embeddings")
-    require(occurrences >= 3,
-      s"ivfpq-recall-clustered: expected >= 3 corpus reads to swap, " +
-        s"found $occurrences — chain formatting drifted")
+    require(occurrences == 2,
+      s"ivfpq-recall-clustered: expected exactly 2 corpus reads to " +
+        s"swap (e, pc), found $occurrences — chain formatting drifted")
     val body = orig.replace("FROM embeddings", "FROM aug2")
     "WITH " + augEmbCte + ",\n" +
       "aug2 AS (SELECT vec_id, (vec_id % 16)::INT AS label, embedding " +
