@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Classify bench drift mechanically from the full-fidelity artifact.
+
+The r11→r12 loop: the driver's bench showed 2–4× cpu drift on
+untouched code that the builder's gate could not reproduce, and the
+artifact carried no column that could say WHY. r12 added the
+discriminators (runsNativeCpu, memCalib, oldGenPostGCMB, heapMaxMB);
+this tool reads them together and names the mechanism per query, so
+the next verdict adjudicates drift from data instead of prose.
+
+Usage:
+  adjudicate_bench.py ARTIFACT.json [BASELINE.json] [--floor 1.0]
+
+ARTIFACT is a full-fidelity bench artifact (bench_artifact.json as the
+driver leaves it in the repo root, or a SPARK_GRAFT_ARTIFACT capture).
+BASELINE is optional: either another full artifact or a GATE_rN.json
+pair (gateRuns schema, per-query minima taken across both runs).
+
+Classification per drifting query (cpu ratio vs baseline > 1.3 at
+>= floor s min-cpu; without a baseline, every query >= floor):
+  native-burn   minNativeCpu/minCpu > 0.25 — process cpu the Java
+                threads never saw: concurrent-GC / native treadmill
+  bandwidth     memCalib > 2.5 x session memBaseline — the streaming
+                probe ran slower beside this query: co-tenant or
+                self-inflicted memory-bandwidth dilution
+  recompile     per-run codegen counts above baseline — cache churn
+  jit-warmup    min JIT time > 0.5 x min cpu — compiler, not the plan
+  plan-work     all discriminators flat: the query really did more
+                work; read the plan, not the environment
+Session flags: heap geometry, post-GC live set, spin/mem baselines.
+"""
+import json
+import signal
+import sys
+
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+
+
+def load_minima(path):
+    a = json.load(open(path))
+    if "gateRuns" in a:  # GATE_rN.json pair
+        runs = a["gateRuns"]
+        qs = set(runs[0]["minCpu"])
+        for r in runs[1:]:
+            qs &= set(r["minCpu"])
+        return {
+            "minCpu": {q: min(r["minCpu"][q] for r in runs) for q in qs},
+            "minWall": {q: min(r["minWall"][q] for r in runs) for q in qs},
+            "codegenTotal": {q: min(r.get("codegenTotal", {}).get(q, 0)
+                                    for r in runs) for q in qs},
+        }
+    return {
+        "minCpu": {q: min(v) for q, v in a.get("runsCpu", {}).items()},
+        "minWall": {q: min(v) for q, v in a.get("runs", {}).items()},
+        "codegenTotal": {q: sum(v) for q, v in
+                         a.get("runsCodegen", {}).items()},
+    }
+
+
+def main():
+    args = [x for x in sys.argv[1:] if not x.startswith("--")]
+    floor = 1.0
+    for x in sys.argv[1:]:
+        if x.startswith("--floor"):
+            floor = float(x.split("=", 1)[1])
+    art = json.load(open(args[0]))
+    base = load_minima(args[1]) if len(args) > 1 else None
+
+    min_cpu = {q: min(v) for q, v in art.get("runsCpu", {}).items()}
+    min_wall = {q: min(v) for q, v in art.get("runs", {}).items()}
+    min_native = {q: min(v) for q, v in
+                  art.get("runsNativeCpu", {}).items()}
+    min_jit = {q: min(v) for q, v in art.get("runsJit", {}).items()}
+    codegen = {q: sum(v) for q, v in art.get("runsCodegen", {}).items()}
+    mem_calib = art.get("memCalib", {})
+    mem_base = art.get("memBaseline") or None
+
+    rows = []
+    for q in sorted(min_cpu):
+        cpu = min_cpu[q]
+        if cpu < floor:
+            continue
+        ratio = None
+        if base and q in base["minCpu"]:
+            ratio = cpu / max(base["minCpu"][q], 0.001)
+            if ratio <= 1.3:
+                continue
+        causes = []
+        native_share = min_native.get(q, 0.0) / max(cpu, 0.001)
+        if native_share > 0.25:
+            causes.append(f"native-burn({native_share:.0%})")
+        mc = mem_calib.get(q)
+        if mc is not None and mem_base and mc > 2.5 * mem_base:
+            causes.append(f"bandwidth({mc / mem_base:.1f}x)")
+        # recompile is only meaningful against a baseline's codegen
+        # count — without one, first-compile counts would flag every
+        # query that emits any generated code
+        if base and codegen.get(q, 0) > base["codegenTotal"].get(q, 0) + 10:
+            causes.append(f"recompile({codegen.get(q, 0)})")
+        if min_jit.get(q, 0.0) > 0.5 * cpu:
+            causes.append("jit-warmup")
+        if not causes:
+            causes.append("plan-work")
+        rows.append((q, cpu, min_wall.get(q), ratio, causes))
+
+    hdr = "drifting" if base else "all >= floor"
+    print(f"# {args[0]} — {hdr} queries (floor {floor}s cpu)")
+    for q, cpu, wall, ratio, causes in rows:
+        r = f" x{ratio:.2f}" if ratio else ""
+        print(f"{q:32s} cpu {cpu:7.2f} wall {wall:6.2f}{r}  "
+              f"{', '.join(causes)}")
+    if not rows:
+        print("(none — every query reproduces within 1.3x)")
+
+    old_gen = art.get("oldGenPostGCMB", {})
+    worst_live = max(old_gen.values()) if old_gen else None
+    worst_mem = max(mem_calib.values()) if mem_calib else None
+    print(f"\nsession: heapMaxMB={art.get('heapMaxMB')} "
+          f"postGC-live-set max={worst_live}MB "
+          f"spin={art.get('spinBaseline')} "
+          f"mem={mem_base}..{worst_mem} "
+          f"stalls={len(art.get('stall_windows', []))} "
+          f"retries={sum(art.get('retries', {}).values()) if art.get('retries') else 0}")
+    if mem_base and worst_mem and worst_mem > 2.5 * mem_base:
+        print("WARNING: memory-bandwidth probe degraded >2.5x during the "
+              "session — ambient contention; treat cpu drift as suspect")
+    if worst_live and art.get("heapMaxMB") and \
+            worst_live > 0.40 * art["heapMaxMB"]:
+        print("WARNING: post-GC live set exceeds 40% of heap — G1 "
+              "concurrent-mark treadmill territory (check native-burn)")
+
+
+if __name__ == "__main__":
+    main()
