@@ -538,9 +538,10 @@ object OracleSql {
     * `aug` (the `dedup_embedding_090` corpus CTE, bit-identical
     * perturbation arithmetic) wearing derived labels
     * pmod(vec_id, 16) as the Lloyd seeds. Every `FROM embeddings` of
-    * the proven chain (the corpus CTE `e` and both sample-rung `pc`
-    * counts) re-points at `aug2`; the require guards certify the swap
-    * was total and that the splice point still matches.
+    * the proven chain — exactly two reads: the corpus CTE `e` and the
+    * IVF sample-rung `pc` count (the spliced PQ mid-section references
+    * `e`/`pc`, never the raw table) — re-points at `aug2`; the require
+    * guards certify the swap was total and the splice point matches.
     */
   private val ivfPqRecallClusteredSql: String = {
     require(ivfPqRecallSql.startsWith("WITH e AS"),

@@ -18,15 +18,20 @@ pair (gateRuns schema, per-query minima taken across both runs).
 
 Classification per drifting query (cpu ratio vs baseline > 1.3 at
 >= floor s min-cpu; without a baseline, every query >= floor):
-  native-burn   minNativeCpu/minCpu > 0.25 — process cpu the Java
-                threads never saw: concurrent-GC / native treadmill
-  bandwidth     memCalib > 2.5 x session memBaseline — the streaming
-                probe ran slower beside this query: co-tenant or
-                self-inflicted memory-bandwidth dilution
-  recompile     per-run codegen counts above baseline — cache churn
-  jit-warmup    min JIT time > 0.5 x min cpu — compiler, not the plan
-  plan-work     all discriminators flat: the query really did more
-                work; read the plan, not the environment
+  native-burn        minNativeCpu/minCpu > 0.25 — process cpu the Java
+                     threads never saw: concurrent-GC / native treadmill
+  bandwidth          memCalib > 2.5 x session memBaseline — the probe
+                     ran slower beside this query: memory-bandwidth
+                     dilution local to this point in the session
+  bandwidth-session  the ARTIFACT's own memBaseline is > 2.5 x the
+                     BASELINE artifact's — the whole session ran on a
+                     diluted box, so per-query memCalib (measured
+                     against the same diluted floor) cannot see it;
+                     every drifting row is suspect
+  recompile          per-run codegen counts above baseline — cache churn
+  jit-warmup         min JIT time > 0.5 x min cpu — compiler, not plan
+  plan-work          all discriminators flat: the query really did more
+                     work; read the plan, not the environment
 Session flags: heap geometry, post-GC live set, spin/mem baselines.
 """
 import json
@@ -43,37 +48,66 @@ def load_minima(path):
         qs = set(runs[0]["minCpu"])
         for r in runs[1:]:
             qs &= set(r["minCpu"])
+        mems = [r.get("memBaseline") for r in runs if r.get("memBaseline")]
+        spins = [r.get("spinBaseline") for r in runs if r.get("spinBaseline")]
         return {
             "minCpu": {q: min(r["minCpu"][q] for r in runs) for q in qs},
-            "minWall": {q: min(r["minWall"][q] for r in runs) for q in qs},
             "codegenTotal": {q: min(r.get("codegenTotal", {}).get(q, 0)
                                     for r in runs) for q in qs},
+            "memBaseline": min(mems) if mems else None,
+            "spinBaseline": min(spins) if spins else None,
         }
     return {
         "minCpu": {q: min(v) for q, v in a.get("runsCpu", {}).items()},
-        "minWall": {q: min(v) for q, v in a.get("runs", {}).items()},
         "codegenTotal": {q: sum(v) for q, v in
                          a.get("runsCodegen", {}).items()},
+        "memBaseline": a.get("memBaseline") or None,
+        "spinBaseline": a.get("spinBaseline") or None,
     }
 
 
 def main():
-    args = [x for x in sys.argv[1:] if not x.startswith("--")]
-    floor = 1.0
-    for x in sys.argv[1:]:
+    argv = sys.argv[1:]
+    args, floor, i = [], 1.0, 0
+    while i < len(argv):
+        x = argv[i]
         if x.startswith("--floor"):
-            floor = float(x.split("=", 1)[1])
+            if "=" in x:
+                floor = float(x.split("=", 1)[1])
+            else:  # space-separated form: --floor 1.0
+                i += 1
+                floor = float(argv[i])
+        else:
+            args.append(x)
+        i += 1
+    if not args:
+        sys.exit(__doc__.split("Usage:")[1].split("\n\n")[0].strip())
     art = json.load(open(args[0]))
     base = load_minima(args[1]) if len(args) > 1 else None
 
     min_cpu = {q: min(v) for q, v in art.get("runsCpu", {}).items()}
+    if not min_cpu:
+        sys.exit(f"ERROR: {args[0]} has no runsCpu — not a full-fidelity "
+                 "bench artifact (a GATE_rN.json passed as ARTIFACT?)")
     min_wall = {q: min(v) for q, v in art.get("runs", {}).items()}
     min_native = {q: min(v) for q, v in
                   art.get("runsNativeCpu", {}).items()}
     min_jit = {q: min(v) for q, v in art.get("runsJit", {}).items()}
     codegen = {q: sum(v) for q, v in art.get("runsCodegen", {}).items()}
     mem_calib = art.get("memCalib", {})
-    mem_base = art.get("memBaseline") or None
+    mem_base = art.get("memBaseline")
+    if mem_base == 0:
+        print("NOTE: artifact memBaseline is 0 — bandwidth probe broken "
+              "or absent; the bandwidth discriminator is DISABLED")
+        mem_base = None
+
+    # session-level dilution: the artifact's own baseline vs the
+    # baseline artifact's. Within a uniformly contaminated session
+    # memCalib ~= its own inflated memBaseline, so the per-query check
+    # can NEVER fire — only this cross-artifact comparison can.
+    session_dilution = None
+    if base and mem_base and base.get("memBaseline"):
+        session_dilution = mem_base / base["memBaseline"]
 
     rows = []
     for q in sorted(min_cpu):
@@ -92,6 +126,8 @@ def main():
         mc = mem_calib.get(q)
         if mc is not None and mem_base and mc > 2.5 * mem_base:
             causes.append(f"bandwidth({mc / mem_base:.1f}x)")
+        if session_dilution and session_dilution > 2.5:
+            causes.append(f"bandwidth-session({session_dilution:.1f}x)")
         # recompile is only meaningful against a baseline's codegen
         # count — without one, first-compile counts would flag every
         # query that emits any generated code
@@ -110,7 +146,9 @@ def main():
         print(f"{q:32s} cpu {cpu:7.2f} wall {wall:6.2f}{r}  "
               f"{', '.join(causes)}")
     if not rows:
-        print("(none — every query reproduces within 1.3x)")
+        print("(none drifting — every baseline-matched query >= floor "
+              "reproduces within 1.3x)" if base else
+              f"(no query reached {floor}s min-cpu)")
 
     old_gen = art.get("oldGenPostGCMB", {})
     worst_live = max(old_gen.values()) if old_gen else None
@@ -121,6 +159,17 @@ def main():
           f"mem={mem_base}..{worst_mem} "
           f"stalls={len(art.get('stall_windows', []))} "
           f"retries={sum(art.get('retries', {}).values()) if art.get('retries') else 0}")
+    if session_dilution and session_dilution > 2.5:
+        print(f"WARNING: session memBaseline {mem_base} is "
+              f"{session_dilution:.1f}x the baseline artifact's "
+              f"{base['memBaseline']} — the WHOLE session ran "
+              "bandwidth-diluted; treat every cpu reading as suspect "
+              "and re-run on a quiet box")
+    if base and base.get("spinBaseline") and art.get("spinBaseline") and \
+            art["spinBaseline"] > 2.0 * base["spinBaseline"]:
+        print(f"WARNING: spin baseline {art['spinBaseline']} is >2x the "
+              f"baseline artifact's {base['spinBaseline']} — cpu "
+              "oversubscription during the session")
     if mem_base and worst_mem and worst_mem > 2.5 * mem_base:
         print("WARNING: memory-bandwidth probe degraded >2.5x during the "
               "session — ambient contention; treat cpu drift as suspect")
