@@ -508,7 +508,14 @@ object Bench {
     // compact line carries the dilution summary (baseline + worst
     // per-query sample) — the full per-query map rides the artifact
     val spinWorst = if (spins.isEmpty) spinBaseline else spins.values.max
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queriesCpu":$qsCpuCompact,"stalls":${stalls.size},"retries":$retriesTotal,"spinBaseline":$spinBaseline%.3f,"spinWorst":$spinWorst%.3f$errJson,"artifact":"${artifactPath}","sf":"$sfDir"}""")
+    // session-health scalars ride the compact line too (r12): the
+    // tracked BENCH_rN.json series is what gets diffed round-over-round,
+    // so the four adjudication discriminators' summaries must survive
+    // even if the untracked artifact file is lost (as r11's was) —
+    // four scalars, ~90 bytes, far inside the line-capture budget
+    val memWorst = if (mems.isEmpty) memBaseline else mems.values.max
+    val ogGcMax = if (oldGenPostGC.isEmpty) 0.0 else oldGenPostGC.values.max
+    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queriesCpu":$qsCpuCompact,"stalls":${stalls.size},"retries":$retriesTotal,"spinBaseline":$spinBaseline%.3f,"spinWorst":$spinWorst%.3f,"memBaseline":$memBaseline%.3f,"memWorst":$memWorst%.3f,"heapMaxMB":${f"$heapMaxMB%.0f"},"oldGenPostGCMaxMB":${f"$ogGcMax%.0f"}$errJson,"artifact":"${artifactPath}","sf":"$sfDir"}""")
     if (stalls.nonEmpty)
       System.err.println(s"[bench] ${stalls.size} stall-shaped run(s) recorded in stall_windows")
     if (errors.nonEmpty)
