@@ -501,21 +501,41 @@ object Bench {
         // line below still carries the round's headline numbers
         System.err.println(s"[bench] could not write ${artifactPath}: $e")
     }
-    val qsCpuCompact = results
-      .map { case (k, rs) => "\"" + k + "\":" + f"${rs.map(_.cpu).min}%.3f" }
+    // COMPACT LINE BUDGET (r12): the driver archives only the LAST
+    // 2000 chars of stdout (every BENCH_rN.json to date: parsed=null,
+    // tail_len=2000 — the 3 KB compact line lost its head, including
+    // "value" and most per-query walls, in every round's archive). The
+    // line below is sized to survive that window WHOLE (~1.85 KB at 56
+    // queries, + ~80 chars of sbt epilogue after it): per-query walls
+    // at 2 decimals, cpu only as a total plus the 10 heaviest rows
+    // (the ones a parallelism audit reads), error NAMES not messages.
+    // Full-fidelity everything stays in the artifact file above.
+    val minCpus = results.map { case (k, rs) => k -> rs.map(_.cpu).min }
+    val cpuTotal = minCpus.map(_._2).sum
+    val cpuTop = minCpus.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
       .mkString("{", ",", "}")
+    val qsCompact = results
+      .map { case (k, rs) => "\"" + k + "\":" + f"${rs.map(_.wall).min}%.2f" }
+      .mkString("{", ",", "}")
+    val errNames =
+      if (errors.isEmpty) ""
+      else errors.keys.map("\"" + _ + "\"")
+        .mkString(",\"errorQueries\":[", ",", "]")
     val retriesTotal = retries.values.sum
-    // compact line carries the dilution summary (baseline + worst
-    // per-query sample) — the full per-query map rides the artifact
+    // dilution summary (baseline + worst per-query sample) and the
+    // four session-health adjudication scalars — these must survive
+    // the archive window even if the untracked artifact file is lost
+    // (as r11's was)
     val spinWorst = if (spins.isEmpty) spinBaseline else spins.values.max
-    // session-health scalars ride the compact line too (r12): the
-    // tracked BENCH_rN.json series is what gets diffed round-over-round,
-    // so the four adjudication discriminators' summaries must survive
-    // even if the untracked artifact file is lost (as r11's was) —
-    // four scalars, ~90 bytes, far inside the line-capture budget
     val memWorst = if (mems.isEmpty) memBaseline else mems.values.max
     val ogGcMax = if (oldGenPostGC.isEmpty) 0.0 else oldGenPostGC.values.max
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queriesCpu":$qsCpuCompact,"stalls":${stalls.size},"retries":$retriesTotal,"spinBaseline":$spinBaseline%.3f,"spinWorst":$spinWorst%.3f,"memBaseline":$memBaseline%.3f,"memWorst":$memWorst%.3f,"heapMaxMB":${f"$heapMaxMB%.0f"},"oldGenPostGCMaxMB":${f"$ogGcMax%.0f"}$errJson,"artifact":"${artifactPath}","sf":"$sfDir"}""")
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"cpuTotal":$cpuTotal%.1f,"cpuTop":$cpuTop,"stalls":${stalls.size},"retries":$retriesTotal,"spinBaseline":$spinBaseline%.3f,"spinWorst":$spinWorst%.3f,"memBaseline":$memBaseline%.3f,"memWorst":$memWorst%.3f,"heapMaxMB":${f"$heapMaxMB%.0f"},"oldGenPostGCMaxMB":${f"$ogGcMax%.0f"}$errNames,"artifact":"${artifactPath}","sf":"$sfDir"}"""
+    if (compact.length > 1900)
+      System.err.println(s"[bench] compact line ${compact.length} chars — " +
+        "past the ~1.9 KB archive-window budget; trim it or the driver's " +
+        "2000-char tail capture will clip the head again")
+    println(compact)
     if (stalls.nonEmpty)
       System.err.println(s"[bench] ${stalls.size} stall-shaped run(s) recorded in stall_windows")
     if (errors.nonEmpty)
