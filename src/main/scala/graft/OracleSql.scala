@@ -697,6 +697,26 @@ object OracleSql {
          |  list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) AS mean_token_len
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    // token-budget selection oracle: the NAIVE global-window greedy
+    // prefix (sort by quality, cumsum, keep while within budget). The
+    // Spark side computes the same set via histogram thresholding with
+    // no data-scale sort — this oracle certifies the equivalence.
+    // quality = exact ints divided once (bit-reproducible); budget =
+    // floor(0.4 · total) with the literal kept in double math.
+    "tx_budget_select" ->
+      s"""WITH $toksCte,
+         |scored AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    len(list_distinct(toks))::DOUBLE / len(toks) AS quality
+         |  FROM t WHERE len(toks) > 0),
+         |budget AS (SELECT FLOOR(0.4::DOUBLE * SUM(n_tokens)::DOUBLE)::BIGINT
+         |    AS budget FROM scored),
+         |ranked AS (SELECT doc_id, n_tokens, quality,
+         |    SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+         |  FROM scored)
+         |SELECT doc_id, n_tokens, quality FROM ranked, budget
+         |WHERE csum <= budget ORDER BY doc_id""".stripMargin,
+
     // BPE-ish pre-tokenization count: the same lookahead-free pattern
     // (Java regex on the Spark side, RE2 here — identical on this
     // alternation) over the raw text; ratio = exact ints divided once

@@ -87,6 +87,8 @@ object SparkEntry {
     "tx_tokens_bpe"  -> (TX.txTokensBpe(_, _)),
     "tx_split"       -> (TX.txSplit(_, _)),
     "tx_quality"     -> (TX.txQuality(_, _)),
+    // token-budget selection: histogram-threshold greedy prefix
+    "tx_budget_select" -> (TX.txBudgetSelect(_, _)),
     "tx_repetition"  -> (TX.txRepetition(_, _)),
     "tx_langid"      -> (TX.txLangid(_, _)),
     "tx_fingerprint" -> (TX.txFingerprint(_, _)),

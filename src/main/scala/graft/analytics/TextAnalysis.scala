@@ -945,4 +945,77 @@ object TextAnalysis {
         ((col("cum_tokens") - col("n_tokens")) / capacity).cast(LongType))
       .orderBy(col("doc_id"))
   }
+
+  /** Token-budget data selection: keep the highest-quality documents
+    * whose token counts fit a global budget (`frac` of the corpus's
+    * total tokens) — the "best N tokens" selection step of a training
+    * run, made scale-shaped.
+    *
+    * The naive formulation is a GLOBAL window cumsum over
+    * (quality DESC) — a single-partition sort of the whole corpus, the
+    * same scale-killer `txPack` documents. Instead the selection is the
+    * classic two-level histogram threshold:
+    *   1. bucket = floor(quality · 1000): a ≤1001-row histogram of
+    *      token mass per quality bucket (one tiny shuffle);
+    *   2. the bucket cumsum (window over ≤1001 rows) finds the boundary
+    *      bucket where the budget runs out; whole buckets above it are
+    *      kept with a broadcast semi-join — no sort, no window over
+    *      data-scale rows;
+    *   3. only INSIDE the boundary bucket (~1/1000 of the corpus for
+    *      any non-degenerate quality distribution) does an ordered
+    *      cumsum run, partitioned by bucket.
+    * Because every document in a higher bucket outranks every document
+    * in a lower one, the result is EXACTLY the greedy
+    * (quality DESC, doc_id) prefix that fits the budget — asserted
+    * against the windowed twin in the spec. Quality is the certified
+    * `tx_quality` distinct-token ratio; tokens are the certified
+    * whitespace count; ties broken by doc_id, so the selected set is
+    * deterministic and engine-reproducible.
+    *
+    * At 100 TB: two narrow scans of (doc_id, text) — one feeding the
+    * histogram, one re-scored for the final broadcast join (persist
+    * `scored` to make it one) — plus a shuffle of ONLY the boundary
+    * bucket. The budget scalar and the ≤1001-row cum table ride
+    * broadcasts (1-row cross join allowlisted in PlanAuditSpec).
+    */
+  def txBudgetSelect(s: SparkSession, dir: String, frac: Double = 0.4): DataFrame =
+    txBudgetSelectDf(Tables.documents(s, dir), frac)
+
+  def txBudgetSelectDf(docs: DataFrame, frac: Double): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs
+      .select(col("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"),
+        (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("quality"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket", floor(col("quality") * lit(1000)).cast(IntegerType))
+    val hist = scored.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+    // single-partition window is FINE here: hist is ≤1001 rows
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum(col("bucket_tokens")).over(wCum), lit(0L)))
+    val budget = hist.agg(
+      floor(lit(frac) * sum(col("bucket_tokens")).cast(DoubleType))
+        .cast(LongType).as("budget"))
+    val joined = scored
+      .join(broadcast(cum), Seq("bucket"))
+      .crossJoin(broadcast(budget))
+    val whole = joined
+      .filter(col("cum_before") + col("bucket_tokens") <= col("budget"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val boundary = joined
+      .filter(col("cum_before") <= col("budget") &&
+        col("cum_before") + col("bucket_tokens") > col("budget"))
+      .withColumn("csum", sum(col("n_tokens")).over(wIn))
+      .filter(col("cum_before") + col("csum") <= col("budget"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    whole.unionByName(boundary).orderBy(col("doc_id"))
+  }
 }

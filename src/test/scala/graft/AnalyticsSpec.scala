@@ -170,6 +170,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(oob == 1)
   }
 
+  test("tx_budget_select: histogram threshold equals the global greedy prefix") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.tokens
+    val got = graft.analytics.TextAnalysis.txBudgetSelect(spark, Sf0001)
+    // naive twin: global-window cumsum over (quality DESC, doc_id)
+    val toks = tokens($"text")
+    val scored = Tables.documents(spark, Sf0001)
+      .select($"doc_id", size(toks).cast("long").as("n_tokens"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("quality"))
+      .filter($"n_tokens" > 0)
+    val total = scored.agg(sum($"n_tokens")).head().getLong(0)
+    val budget = math.floor(0.4 * total.toDouble).toLong
+    val w = Window.orderBy($"quality".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = scored.withColumn("csum", sum($"n_tokens").over(w))
+      .filter($"csum" <= budget)
+      .select($"doc_id", $"n_tokens", $"quality").orderBy($"doc_id")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // the selection actually fits the budget, and is non-trivial
+    val sel = got.agg(sum($"n_tokens")).head().getLong(0)
+    assert(sel <= budget && sel > 0)
+    // scale shape: the only window keyed on document-scale rows is the
+    // boundary-bucket cumsum, and it is PARTITIONED (hashpartitioning
+    // on bucket) — the histogram cumsum's SinglePartition exchange
+    // carries ≤1001 rows by construction. A global (quality DESC)
+    // sort-window over the corpus would surface as a windowspec whose
+    // ORDER BY leads with quality but has no partition keys; assert
+    // the boundary window keeps its bucket partitioning instead.
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"boundary window lost its bucket partitioning:\n$plan")
+  }
+
   test("emb_topk plan: two-phase aggregate with map-side partial, no rank window") {
     val plan = graft.similarity.Similarity.embTopk(spark, Sf0001)
       .queryExecution.executedPlan.toString

@@ -39,7 +39,9 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row sketch matrix broadcast against the 10-row probe panel
     "tx_freq_cm", "corpus_report",
     // 1-row (n_vecs, bound) scalar broadcast against the cell census
-    "emb_ivf_cell_guard")
+    "emb_ivf_cell_guard",
+    // 1-row token-budget scalar broadcast against the scored scan
+    "tx_budget_select")
 
   test("no registered query plans a CartesianProduct; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
