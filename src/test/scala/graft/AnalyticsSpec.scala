@@ -204,6 +204,40 @@ class AnalyticsSpec extends SparkSpec {
       s"boundary window lost its bucket partitioning:\n$plan")
   }
 
+  test("tx_budget_select edges: overflowing top bucket; exact whole-bucket fit") {
+    import spark.implicits._
+    // Distinct-ratio quality: "a b c" = 1.0 (bucket 1000), "a a b" = 2/3
+    // (bucket 666), "a a a" = 1/3 (bucket 333). 3 tokens per doc.
+    def corpus(texts: (Long, String)*) =
+      texts.toDF("doc_id", "text")
+    // All 4 docs in the TOP bucket (12 tokens); budget = floor(0.25·12)
+    // = 3 → the boundary cumsum must cut INSIDE the top bucket, keeping
+    // exactly the lowest doc_id (ties in quality break by doc_id).
+    val top = graft.analytics.TextAnalysis.txBudgetSelectDf(
+      corpus(1L -> "a b c", 2L -> "d e f", 3L -> "g h i", 4L -> "j k l"),
+      0.25).select("doc_id").as[Long].collect().toSeq
+    assert(top == Seq(1L))
+    // Quality ladder, budget = floor(0.5·9) = 4: bucket 1000 (3 tokens)
+    // fits whole; bucket 666 (3 tokens) would overflow (6 > 4) and its
+    // boundary prefix is empty (3+3 > 4); bucket 333 never reached.
+    val ladder = graft.analytics.TextAnalysis.txBudgetSelectDf(
+      corpus(1L -> "a b c", 2L -> "a a b", 3L -> "a a a"),
+      0.5).select("doc_id").as[Long].collect().toSeq
+    assert(ladder == Seq(1L))
+    // Exact fit: budget = floor(0.75·9) = 6 (binary-exact fraction) —
+    // two whole buckets fit with zero slack, and the third bucket's
+    // boundary prefix is empty (the <= vs < edge).
+    val exact = graft.analytics.TextAnalysis.txBudgetSelectDf(
+      corpus(1L -> "a b c", 2L -> "a a b", 3L -> "a a a"),
+      0.75).select("doc_id").as[Long].collect().toSeq
+    assert(exact == Seq(1L, 2L))
+    // Empty-token docs are excluded, not divide-by-zero
+    val empties = graft.analytics.TextAnalysis.txBudgetSelectDf(
+      corpus(1L -> "a b c", 2L -> "   "), 1.0)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(empties == Seq(1L))
+  }
+
   test("emb_topk plan: two-phase aggregate with map-side partial, no rank window") {
     val plan = graft.similarity.Similarity.embTopk(spark, Sf0001)
       .queryExecution.executedPlan.toString
