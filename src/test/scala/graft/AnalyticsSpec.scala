@@ -238,6 +238,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(empties == Seq(1L))
   }
 
+  test("tx_budget_select fuzz: equals the brute-force greedy prefix on random corpora") {
+    import spark.implicits._
+    // Seeded random corpora spanning quality-tie-heavy shapes (tiny
+    // vocabularies force many identical distinct-ratios) through
+    // near-unique ones; reference = plain Scala sort + cumsum. Seeds
+    // fixed: failures reproduce.
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 5 + rnd.nextInt(60)).map(i => s"w$i")
+      val corpus = (0 until 30 + rnd.nextInt(50)).map { i =>
+        val len = 1 + rnd.nextInt(60)
+        (i.toLong,
+          (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val frac = Seq(0.1, 0.3, 0.5, 0.8)(rnd.nextInt(4))
+      val scored = corpus.map { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        (id, toks.length.toLong, toks.distinct.length.toDouble / toks.length)
+      }.filter(_._2 > 0)
+      val budget = math.floor(frac * scored.map(_._2).sum.toDouble).toLong
+      val want = scored.sortBy { case (id, _, q) => (-q, id) }
+        .scanLeft((0L, -1L)) { case ((cum, _), (id, n, _)) => (cum + n, id) }
+        .drop(1).takeWhile(_._1 <= budget).map(_._2).sorted
+      val got = graft.analytics.TextAnalysis
+        .txBudgetSelectDf(corpus.toDF("doc_id", "text"), frac)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      assert(got == want, s"seed=$seed frac=$frac n=${corpus.size}")
+    }
+  }
+
   test("emb_topk plan: two-phase aggregate with map-side partial, no rank window") {
     val plan = graft.similarity.Similarity.embTopk(spark, Sf0001)
       .queryExecution.executedPlan.toString
