@@ -999,6 +999,68 @@ object OracleSql {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    // per-source top-40%-by-count selection: the windowed twin of the
+    // histogram threshold (rank · 100 ≤ n_src · 40, all-integer keep
+    // rule; quality = exact ints divided once, bit-reproducible)
+    "tx_select_by_source" ->
+      s"""WITH $toksCte,
+         |scored AS (SELECT t.doc_id, d.source, len(toks)::BIGINT AS n_tokens,
+         |    len(list_distinct(toks))::DOUBLE / len(toks) AS quality
+         |  FROM t JOIN documents d USING (doc_id) WHERE len(toks) > 0),
+         |ranked AS (SELECT doc_id, source, n_tokens, quality,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n_src
+         |  FROM scored)
+         |SELECT doc_id, source, n_tokens, quality FROM ranked
+         |WHERE rk * 100 <= n_src * 40 ORDER BY doc_id""".stripMargin,
+
+    // winnowing (MOSS): positional 5-gram hash60s, each 4-window keeps
+    // its rightmost minimum (offset argmax over hash = window min);
+    // short docs (1 ≤ grams < 4) winnow one whole-array window;
+    // n_shared = this doc's selected hashes selected in ≥1 other doc
+    "tx_winnow" ->
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id,
+         |    CASE WHEN len(toks) >= 5 THEN list_transform(
+         |      generate_series(1, len(toks) - 4),
+         |      i -> ('0x' || substr(md5(
+         |        array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 15))::BIGINT)
+         |    ELSE []::BIGINT[] END AS h
+         |  FROM t),
+         |s AS (SELECT doc_id, len(h)::BIGINT AS n_grams, h FROM g),
+         |nz AS (SELECT doc_id, n_grams, h,
+         |    least(4, n_grams)::INT AS wlen,
+         |    greatest(n_grams - 3, 1)::BIGINT AS n_windows
+         |  FROM s WHERE n_grams >= 1),
+         |sel AS (SELECT doc_id, n_grams, n_windows, h,
+         |    list_distinct(list_transform(generate_series(1, n_windows), j ->
+         |      j + list_max(list_filter(generate_series(0, wlen - 1),
+         |        q -> h[(j + q)::INT] =
+         |          list_min(list_slice(h, j::INT, (j + wlen - 1)::INT))))))
+         |      AS pos
+         |  FROM nz),
+         |ph AS (SELECT doc_id, n_grams, n_windows,
+         |    len(pos)::BIGINT AS n_prints,
+         |    list_distinct(list_transform(pos, p -> h[p::INT])) AS phs
+         |  FROM sel),
+         |pr AS (SELECT doc_id, unnest(phs) AS gh FROM ph),
+         |dfc AS (SELECT gh, count(*) AS df FROM pr GROUP BY gh),
+         |shr AS (SELECT pr.doc_id,
+         |    count(*) FILTER (WHERE dfc.df >= 2)::BIGINT AS n_shared
+         |  FROM pr JOIN dfc USING (gh) GROUP BY pr.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(ph.n_grams, 0)::BIGINT AS n_grams,
+         |  coalesce(ph.n_windows, 0)::BIGINT AS n_windows,
+         |  coalesce(ph.n_prints, 0)::BIGINT AS n_prints,
+         |  CASE WHEN coalesce(ph.n_windows, 0) > 0
+         |    THEN round(ph.n_prints::DOUBLE / ph.n_windows, 6)
+         |    ELSE 0.0 END AS winnow_density,
+         |  coalesce(shr.n_shared, 0)::BIGINT AS n_shared
+         |FROM documents d LEFT JOIN ph ON ph.doc_id = d.doc_id
+         |LEFT JOIN shr ON shr.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     // per-epoch shuffle: hash60('epoch0|' || id) drives shard and rank
     "shuffle_documents" ->
       """SELECT doc_id, shard, pos FROM (

@@ -89,6 +89,12 @@ object SparkEntry {
     "tx_quality"     -> (TX.txQuality(_, _)),
     // token-budget selection: histogram-threshold greedy prefix
     "tx_budget_select" -> (TX.txBudgetSelect(_, _)),
+    // per-source top-40% quality calibration: the same histogram
+    // threshold generalized per-group (no per-source global sort)
+    "tx_select_by_source" -> (TX.txSelectBySource(_, _)),
+    // winnowing fingerprints (MOSS): rightmost-min-per-window selection
+    // over positional 5-gram hashes + cross-doc shared-print counts
+    "tx_winnow" -> (TX.txWinnow(_, _)),
     "tx_repetition"  -> (TX.txRepetition(_, _)),
     "tx_langid"      -> (TX.txLangid(_, _)),
     "tx_fingerprint" -> (TX.txFingerprint(_, _)),
@@ -325,5 +331,7 @@ object SparkEntry {
     // lexical takedown, the census alarm, and the real-codec families
     "emb_pq_serve_compacted", "lex_bm25_compact_serve",
     "lex_bm25_serve_tombstone", "emb_ivf_cell_guard", "mm_png", "mm_jpeg",
-    "mm_gif", "lex_bm25_serve", "lex_bm25_append_serve")
+    "mm_gif", "lex_bm25_serve", "lex_bm25_append_serve",
+    // r12: winnowed fingerprints (per-row HOF argmin + df shuffle)
+    "tx_winnow")
 }

@@ -1018,4 +1018,116 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("quality"))
     whole.unionByName(boundary).orderBy(col("doc_id"))
   }
+
+  /** Per-source quality calibration: within EACH source keep the top
+    * `pct`% of documents by (quality DESC, doc_id) — the "top X% per
+    * domain" admission gate of corpus builds (an absolute quality
+    * threshold over-prunes clean domains and under-prunes noisy ones;
+    * rank-within-source is the calibration that survives domain drift).
+    * Quality is the certified `tx_quality` distinct-token ratio; the
+    * keep rule is all-integer (`rank · 100 ≤ n_src · pct`), so no float
+    * threshold ever decides membership.
+    *
+    * Scale shape: [[txBudgetSelectDf]]'s histogram threshold generalized
+    * per-group — the naive formulation is a row_number window
+    * partitioned by source, i.e. a full sort of every source's
+    * documents (one giant domain serializes it). Instead: a
+    * per-(source, quality-bucket) doc-count histogram (≤1001 rows per
+    * source — control-plane sized, broadcast), whole buckets admitted
+    * by the integer rank compare, and only each source's BOUNDARY
+    * bucket (~1/1000 of its rows) pays a (source, bucket)-partitioned
+    * row_number. Asserted equal to the windowed twin in the spec.
+    */
+  def txSelectBySource(s: SparkSession, dir: String, pct: Int = 40): DataFrame =
+    txSelectBySourceDf(Tables.documents(s, dir), pct)
+
+  def txSelectBySourceDf(docs: DataFrame, pct: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs
+      .select(col("doc_id"), col("source"),
+        size(toks).cast(LongType).as("n_tokens"),
+        (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("quality"))
+      .filter(col("n_tokens") > 0)
+      // monotone in quality, so bucket-desc order refines quality-desc
+      .withColumn("bucket", floor(col("quality") * lit(1000)).cast(IntegerType))
+    val hist = scored.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_docs"))
+    // both windows run over the histogram (≤1001 rows per source)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("cum_before",
+        coalesce(sum(col("bucket_docs")).over(wCum), lit(0L)))
+      .withColumn("n_src", sum(col("bucket_docs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+    val joined = scored.join(broadcast(cum), Seq("source", "bucket"))
+    val whole = joined
+      .filter((col("cum_before") + col("bucket_docs")) * 100 <= col("n_src") * pct)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("bucket"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val boundary = joined
+      .filter(col("cum_before") * 100 <= col("n_src") * pct &&
+        (col("cum_before") + col("bucket_docs")) * 100 > col("n_src") * pct)
+      .withColumn("rk", row_number().over(wIn).cast(LongType))
+      .filter((col("cum_before") + col("rk")) * 100 <= col("n_src") * pct)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"))
+    whole.unionByName(boundary).orderBy(col("doc_id"))
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    * selection): over the positional `k`-gram hash stream, every window
+    * of `w` consecutive hashes selects its RIGHTMOST minimum; the
+    * distinct selected hashes are the document's fingerprint. The
+    * winnowing guarantee: any token run of length ≥ w + k − 1 (= 8 at
+    * the defaults) shared by two documents yields a shared selected
+    * hash, while only ~2/(w+1) of the gram hashes are kept — the
+    * cross-document span signal of `tx_boilerplate` at a fraction of
+    * the index mass. `n_shared` counts this document's fingerprints
+    * selected in ≥1 other document.
+    *
+    * Scale shape: selection is a shuffle-free per-row pass — native
+    * positional gram hashes into the native O(n_grams) monotonic-deque
+    * selection (`WinnowExpr`; the HOF-argmin formulation it replaced
+    * interpreted O(windows · w²) expression nodes per row and read
+    * ~290 s on the sf0.1 corpus vs ~1 s native). Only the ~n_grams/w
+    * SELECTED hashes enter the cross-doc df shuffle, so the exchange
+    * moves a quarter of what the full 8-gram index pays for the same
+    * ≥8-token-run guarantee. Short docs (0 < n_grams < w) winnow a
+    * single whole-array window; docs with fewer than k tokens report
+    * zeros.
+    */
+  def txWinnow(s: SparkSession, dir: String, k: Int = 5, w: Int = 4): DataFrame =
+    txWinnowDf(Tables.documents(s, dir), k, w)
+
+  def txWinnowDf(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), gramHashes(tokens(col("text")), k).as("h"))
+      .withColumn("n_grams", size(col("h")))
+    val nz = base.filter(col("n_grams") >= 1)
+      .withColumn("n_windows", greatest(col("n_grams") - lit(w - 1), lit(1)))
+      .withColumn("sel", winnowPositions(col("h"), w))
+      .withColumn("phs", array_distinct(transform(col("sel"),
+        p => element_at(col("h"), p))))
+      .select(col("doc_id"), col("n_windows"),
+        size(col("sel")).as("n_prints"), col("phs"))
+    val pr = nz.select(col("doc_id"), explode(col("phs")).as("gh"))
+    val dfc = pr.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val shr = pr.join(dfc, Seq("gh")).filter(col("df") >= 2)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    base.select(col("doc_id"), col("n_grams"))
+      .join(nz.drop("phs"), Seq("doc_id"), "left")
+      .join(shr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_grams").cast(LongType).as("n_grams"),
+        coalesce(col("n_windows").cast(LongType), lit(0L)).as("n_windows"),
+        coalesce(col("n_prints").cast(LongType), lit(0L)).as("n_prints"),
+        when(coalesce(col("n_windows"), lit(0)) > 0,
+          round(col("n_prints").cast(DoubleType) / col("n_windows"), 6))
+          .otherwise(lit(0.0)).as("winnow_density"),
+        coalesce(col("n_shared").cast(LongType), lit(0L)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -212,6 +212,41 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Winnowing selection (Schleimer/Wilkerson/Aiken 2003) over a
+    * positional hash stream: every window of `w` consecutive hashes
+    * selects its RIGHTMOST minimum; returns the DISTINCT selected
+    * positions (1-based, to pair with SQL `element_at`) in increasing
+    * order. Short streams (0 < n < w) winnow one whole-array window.
+    * O(n) via the monotonic deque — popping `>=` from the back makes the
+    * newer of two equal hashes win, which IS the rightmost-min tiebreak;
+    * the per-window selection is non-decreasing as the window slides, so
+    * dedup is append-if-changed.
+    */
+  def winnowPositions(hashes: ArrayData, w: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val wlen = math.min(w, n)
+    val deque = new Array[Int](n) // candidate indices, window [head, tail)
+    var head = 0
+    var tail = 0
+    val out = new java.util.ArrayList[Any](n / w + 2)
+    var last = -1
+    var i = 0
+    while (i < n) {
+      val v = hashes.getLong(i)
+      while (tail > head && hashes.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - wlen) head += 1
+      if (i >= wlen - 1) {
+        val p = deque(head)
+        if (p != last) { out.add(p + 1); last = p }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** One-pass gram statistics (see GramStatsExpr): hash-count the word
     * n-grams, then a single map walk yields the mode count, the
     * tiebroken mode gram (binary-UTF8-smallest among max-count grams —
@@ -424,6 +459,20 @@ case class GramStatsExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Winnowed fingerprint positions (TextAnalysis.txWinnow) as one native
+  * pass — replaces an O(windows · w²) interpreted HOF argmin (which read
+  * ~290 s on the sf0.1 corpus) with the O(n) monotonic deque.
+  */
+case class WinnowExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.winnowPositions(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.winnowPositions($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}
+
 case class GramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
@@ -542,6 +591,12 @@ object TextFunctions {
   /** One-pass n-gram mode/duplication stats (repetition signals). */
   def gramStats(tokensCol: Column, n: Int): Column =
     ColumnBridge.column(GramStatsExpr(ColumnBridge.expression(tokensCol), n))
+
+  /** Distinct winnow-selected 1-based positions over a positional hash
+    * array (rightmost-min per w-window; see TextHash.winnowPositions).
+    */
+  def winnowPositions(hashesCol: Column, w: Int): Column =
+    ColumnBridge.column(WinnowExpr(ColumnBridge.expression(hashesCol), w))
 
   /** Count of tokens found in a (small, broadcast-as-literal) stopword set. */
   def stopwordCount(toks: Column, words: Seq[String]): Column =

@@ -268,6 +268,94 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("tx_select_by_source: histogram threshold equals the per-source rank window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.tokens
+    val got = graft.analytics.TextAnalysis.txSelectBySource(spark, Sf0001)
+    val toks = tokens($"text")
+    val scored = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"source", size(toks).cast("long").as("n_tokens"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("quality"))
+      .filter($"n_tokens" > 0)
+    val wr = Window.partitionBy($"source").orderBy($"quality".desc, $"doc_id")
+    val want = scored
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy($"source")))
+      .filter($"rk" * 100 <= $"n_src" * 40)
+      .select($"doc_id", $"source", $"n_tokens", $"quality").orderBy($"doc_id")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // scale shape: the only document-scale window is the boundary one,
+    // and it keeps its (source, bucket) partitioning
+    val plan = got.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(source#\\d+, bucket#\\d+".r
+      .findFirstIn(plan).isDefined,
+      s"boundary window lost its (source, bucket) partitioning:\n$plan")
+  }
+
+  test("tx_select_by_source fuzz: equals the per-source brute-force ranking") {
+    import spark.implicits._
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(100 + seed)
+      val nSrc = 1 + rnd.nextInt(6)
+      val corpus = (0 until 40 + rnd.nextInt(60)).map { i =>
+        val len = rnd.nextInt(30) // includes empty docs
+        val vocab = 3 + rnd.nextInt(15) // tiny vocab: quality-tie-heavy
+        (i.toLong, s"s${rnd.nextInt(nSrc)}",
+          (0 until len).map(_ => s"w${rnd.nextInt(vocab)}").mkString(" "))
+      }
+      val pct = Seq(10, 25, 40, 50, 75)(rnd.nextInt(5))
+      val scored = corpus.flatMap { case (id, src, text) =>
+        val t = text.split("\\s+").filter(_.nonEmpty)
+        if (t.isEmpty) None
+        else Some((id, src, t.length.toLong, t.distinct.length.toDouble / t.length))
+      }
+      val want = scored.groupBy(_._2).toSeq.flatMap { case (_, docs) =>
+        val n = docs.size
+        docs.sortBy { case (id, _, _, q) => (-q, id) }
+          .zipWithIndex
+          .filter { case (_, idx) => (idx + 1) * 100 <= n * pct }
+          .map(_._1._1)
+      }.sorted
+      val got = graft.analytics.TextAnalysis
+        .txSelectBySourceDf(corpus.toDF("doc_id", "source", "text"), pct)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      assert(got == want, s"seed=$seed pct=$pct nSrc=$nSrc")
+    }
+  }
+
+  test("tx_winnow: sharing guarantee, short-doc window, zero rows") {
+    import spark.implicits._
+    // two docs share an 8-token run (= w + k − 1 at the 5/4 defaults)
+    // amid doc-unique filler → the winnowing guarantee forces ≥1 shared
+    // selected hash in BOTH docs
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 $shared b1 b2 b3"),
+      (2L, s"c1 c2 $shared d1 d2 d3 d4 d5"),
+      (3L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"), // no overlap with anyone
+      (4L, "f1 f2 f3 f4 f5 f6"), // n_grams = 2 < w: one whole-array window
+      (5L, "g1 g2 g3"),          // < k tokens: all-zero row
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val r = graft.analytics.TextAnalysis.txWinnowDf(docs, 5, 4)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_shared") >= 1 && r(2L).getAs[Long]("n_shared") >= 1)
+    assert(r(3L).getAs[Long]("n_shared") == 0)
+    assert(r(4L).getAs[Long]("n_windows") == 1 && r(4L).getAs[Long]("n_prints") == 1)
+    assert(r(5L).getAs[Long]("n_grams") == 0 &&
+      r(5L).getAs[Double]("winnow_density") == 0.0)
+    assert(r(6L).getAs[Long]("n_grams") == 0 && r(6L).getAs[Long]("n_shared") == 0)
+    // real corpus: every winnowed doc keeps 1 ≤ n_prints ≤ n_windows
+    val c = graft.analytics.TextAnalysis.txWinnow(spark, Sf0001)
+      .filter($"n_windows" > 0).collect()
+    assert(c.nonEmpty)
+    c.foreach { x =>
+      val np = x.getAs[Long]("n_prints")
+      assert(np >= 1 && np <= x.getAs[Long]("n_windows"), x.toString)
+    }
+  }
+
   test("emb_topk plan: two-phase aggregate with map-side partial, no rank window") {
     val plan = graft.similarity.Similarity.embTopk(spark, Sf0001)
       .queryExecution.executedPlan.toString

@@ -463,4 +463,35 @@ class TextHashSpec extends SparkSpec {
       r.getAs[Long]("doc_id") -> r.getAs[Long]("admit_offset")).toMap
     assert(gotMap == naive)
   }
+
+  test("winnowPositions: equals brute-force rightmost-min over random streams") {
+    // reference: per window, the rightmost index attaining the minimum
+    def ref(h: Seq[Long], w: Int): Seq[Int] = {
+      val n = h.length
+      if (n == 0) Seq.empty
+      else {
+        val wlen = math.min(w, n)
+        (0 to n - wlen).map { j =>
+          val win = h.slice(j, j + wlen)
+          j + win.lastIndexOf(win.min) + 1 // 1-based
+        }.distinct
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.tabulate(60) { i =>
+      val n = i % 12 match {
+        case 0 => 0
+        case 1 => 1
+        case _ => rnd.nextInt(50) + 2
+      }
+      // tiny value range: duplicate-heavy streams stress the tiebreak
+      val range = 1 + rnd.nextInt(6)
+      (Seq.fill(n)(rnd.nextInt(range).toLong), 2 + rnd.nextInt(5))
+    }
+    cases.foreach { case (h, w) =>
+      val got = Seq(Tuple1(h)).toDF("h")
+        .select(TextFunctions.winnowPositions(col("h"), w)).as[Seq[Int]].head()
+      assert(got == ref(h, w), s"h=$h w=$w")
+    }
+  }
 }
