@@ -332,6 +332,6 @@ object SparkEntry {
     "emb_pq_serve_compacted", "lex_bm25_compact_serve",
     "lex_bm25_serve_tombstone", "emb_ivf_cell_guard", "mm_png", "mm_jpeg",
     "mm_gif", "lex_bm25_serve", "lex_bm25_append_serve",
-    // r12: winnowed fingerprints (per-row HOF argmin + df shuffle)
+    // r12: winnowed fingerprints (native deque selection + df shuffle)
     "tx_winnow")
 }
