@@ -981,14 +981,22 @@ object TextAnalysis {
   def txBudgetSelect(s: SparkSession, dir: String, frac: Double = 0.4): DataFrame =
     txBudgetSelectDf(Tables.documents(s, dir), frac)
 
-  def txBudgetSelectDf(docs: DataFrame, frac: Double): DataFrame = {
+  /** Shared scoring for the quality-selection operators: the certified
+    * `tx_quality` distinct-token ratio + token count, empty docs
+    * dropped, bucket = floor(quality · 1000) — monotone in quality, so
+    * bucket-desc order refines quality-desc.
+    */
+  private def qualityBucketed(docs: DataFrame, extra: Column*): DataFrame = {
     val toks = tokens(col("text"))
-    val scored = docs
-      .select(col("doc_id"),
+    docs.select((col("doc_id") +: extra) ++ Seq(
         size(toks).cast(LongType).as("n_tokens"),
-        (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("quality"))
+        (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("quality")): _*)
       .filter(col("n_tokens") > 0)
       .withColumn("bucket", floor(col("quality") * lit(1000)).cast(IntegerType))
+  }
+
+  def txBudgetSelectDf(docs: DataFrame, frac: Double): DataFrame = {
+    val scored = qualityBucketed(docs)
     val hist = scored.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("bucket_tokens"))
     // single-partition window is FINE here: hist is ≤1001 rows
@@ -1042,14 +1050,7 @@ object TextAnalysis {
     txSelectBySourceDf(Tables.documents(s, dir), pct)
 
   def txSelectBySourceDf(docs: DataFrame, pct: Int): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = docs
-      .select(col("doc_id"), col("source"),
-        size(toks).cast(LongType).as("n_tokens"),
-        (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("quality"))
-      .filter(col("n_tokens") > 0)
-      // monotone in quality, so bucket-desc order refines quality-desc
-      .withColumn("bucket", floor(col("quality") * lit(1000)).cast(IntegerType))
+    val scored = qualityBucketed(docs, col("source"))
     val hist = scored.groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("bucket_docs"))
     // both windows run over the histogram (≤1001 rows per source)
@@ -1079,47 +1080,58 @@ object TextAnalysis {
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
     * selection): over the positional `k`-gram hash stream, every window
-    * of `w` consecutive hashes selects its RIGHTMOST minimum; the
-    * distinct selected hashes are the document's fingerprint. The
+    * of `w` consecutive hashes selects its RIGHTMOST minimum. The
     * winnowing guarantee: any token run of length ≥ w + k − 1 (= 8 at
     * the defaults) shared by two documents yields a shared selected
-    * hash, while only ~2/(w+1) of the gram hashes are kept — the
-    * cross-document span signal of `tx_boilerplate` at a fraction of
-    * the index mass. `n_shared` counts this document's fingerprints
-    * selected in ≥1 other document.
+    * hash, while only ~2/(w+1) of the gram POSITIONS are selected
+    * (`n_prints` counts them; `winnow_density` = n_prints/n_windows,
+    * measured 0.43 on the corpus at w=4). The document's fingerprint is
+    * the DISTINCT hashes at the selected positions (≤ n_prints — a
+    * repetitive doc selects one hash at many positions); `n_shared`
+    * counts fingerprints selected in ≥1 other document — the
+    * cross-document span signal of `tx_boilerplate` at ~0.4× the
+    * exchanged index mass.
     *
     * Scale shape: selection is a shuffle-free per-row pass — native
     * positional gram hashes into the native O(n_grams) monotonic-deque
     * selection (`WinnowExpr`; the HOF-argmin formulation it replaced
     * interpreted O(windows · w²) expression nodes per row and read
-    * ~290 s on the sf0.1 corpus vs ~1 s native). Only the ~n_grams/w
-    * SELECTED hashes enter the cross-doc df shuffle, so the exchange
-    * moves a quarter of what the full 8-gram index pays for the same
-    * ≥8-token-run guarantee. Short docs (0 < n_grams < w) winnow a
-    * single whole-array window; docs with fewer than k tokens report
-    * zeros.
+    * ~290 s on the sf0.1 corpus vs ~1 s native). The expensive pipeline
+    * is evaluated ONCE: per-doc stats ride the exploded fingerprint
+    * rows through the df window and are re-grouped, instead of
+    * re-reading the corpus per consumer; only the fingerprint hashes
+    * (~0.4× the full gram index) cross the wire. Short docs
+    * (0 < n_grams < w) winnow a single whole-array window; docs with
+    * fewer than k tokens report zeros.
     */
   def txWinnow(s: SparkSession, dir: String, k: Int = 5, w: Int = 4): DataFrame =
     txWinnowDf(Tables.documents(s, dir), k, w)
 
   def txWinnowDf(docs: DataFrame, k: Int, w: Int): DataFrame = {
-    val base = docs
+    // every nz doc has ≥1 window → ≥1 selected position → ≥1 fingerprint
+    // hash, so the explode never drops a doc and the stats survive the
+    // round trip through the fingerprint rows
+    val nz = docs
       .select(col("doc_id"), gramHashes(tokens(col("text")), k).as("h"))
-      .withColumn("n_grams", size(col("h")))
-    val nz = base.filter(col("n_grams") >= 1)
-      .withColumn("n_windows", greatest(col("n_grams") - lit(w - 1), lit(1)))
+      .filter(size(col("h")) >= 1)
+      .withColumn("n_windows", greatest(size(col("h")) - lit(w - 1), lit(1)))
       .withColumn("sel", winnowPositions(col("h"), w))
-      .withColumn("phs", array_distinct(transform(col("sel"),
-        p => element_at(col("h"), p))))
       .select(col("doc_id"), col("n_windows"),
-        size(col("sel")).as("n_prints"), col("phs"))
-    val pr = nz.select(col("doc_id"), explode(col("phs")).as("gh"))
-    val dfc = pr.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-    val shr = pr.join(dfc, Seq("gh")).filter(col("df") >= 2)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    base.select(col("doc_id"), col("n_grams"))
-      .join(nz.drop("phs"), Seq("doc_id"), "left")
-      .join(shr, Seq("doc_id"), "left")
+        size(col("sel")).as("n_prints"),
+        explode(array_distinct(transform(col("sel"),
+          p => element_at(col("h"), p)))).as("gh"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+    val perDoc = nz
+      .withColumn("df", count(lit(1)).over(wDf))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_windows")).as("n_windows"),
+        max(col("n_prints")).as("n_prints"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    // the zero-row side never hashes: gram COUNT is derivable from the
+    // token count alone
+    docs.select(col("doc_id"),
+        greatest(size(tokens(col("text"))) - lit(k - 1), lit(0)).as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         col("n_grams").cast(LongType).as("n_grams"),
         coalesce(col("n_windows").cast(LongType), lit(0L)).as("n_windows"),
@@ -1127,7 +1139,7 @@ object TextAnalysis {
         when(coalesce(col("n_windows"), lit(0)) > 0,
           round(col("n_prints").cast(DoubleType) / col("n_windows"), 6))
           .otherwise(lit(0.0)).as("winnow_density"),
-        coalesce(col("n_shared").cast(LongType), lit(0L)).as("n_shared"))
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .orderBy(col("doc_id"))
   }
 }

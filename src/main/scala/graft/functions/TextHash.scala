@@ -223,6 +223,9 @@ object TextHash {
     * dedup is append-if-changed.
     */
   def winnowPositions(hashes: ArrayData, w: Int): ArrayData = {
+    // w ≤ 0 would read never-written deque slots and return garbage
+    // positions silently; fail loudly instead (one branch per row)
+    require(w >= 1, s"winnow window must be >= 1, got $w")
     val n = hashes.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val wlen = math.min(w, n)

@@ -193,14 +193,16 @@ class AnalyticsSpec extends SparkSpec {
     val sel = got.agg(sum($"n_tokens")).head().getLong(0)
     assert(sel <= budget && sel > 0)
     // scale shape: the only window keyed on document-scale rows is the
-    // boundary-bucket cumsum, and it is PARTITIONED (hashpartitioning
-    // on bucket) — the histogram cumsum's SinglePartition exchange
-    // carries ≤1001 rows by construction. A global (quality DESC)
-    // sort-window over the corpus would surface as a windowspec whose
-    // ORDER BY leads with quality but has no partition keys; assert
-    // the boundary window keeps its bucket partitioning instead.
+    // boundary-bucket cumsum, and it is PARTITIONED by bucket — the
+    // histogram cumsum's SinglePartition exchange carries ≤1001 rows by
+    // construction. Anchor on the boundary window's OWN spec (partition
+    // key then quality ordering), not on any hashpartitioning in the
+    // plan: the histogram's groupBy(bucket) exchange also hash-
+    // partitions by bucket, which would keep a weaker assert green
+    // after the window degraded to a global sort.
     val plan = got.queryExecution.executedPlan.toString
-    assert(plan.contains("hashpartitioning(bucket"),
+    assert("windowspecdefinition\\(bucket#\\d+, quality#\\d+ DESC".r
+      .findFirstIn(plan).isDefined,
       s"boundary window lost its bucket partitioning:\n$plan")
   }
 
@@ -286,9 +288,14 @@ class AnalyticsSpec extends SparkSpec {
       .select($"doc_id", $"source", $"n_tokens", $"quality").orderBy($"doc_id")
     assert(got.collect().toSeq == want.collect().toSeq)
     // scale shape: the only document-scale window is the boundary one,
-    // and it keeps its (source, bucket) partitioning
+    // and it keeps its (source, bucket) partitioning. Anchor on the
+    // row_number window's OWN spec — the histogram's
+    // groupBy(source, bucket) exchange also hash-partitions by the same
+    // keys, so a hashpartitioning-anywhere assert would stay green after
+    // the window degraded to per-source global ranking.
     val plan = got.queryExecution.executedPlan.toString
-    assert("hashpartitioning\\(source#\\d+, bucket#\\d+".r
+    assert(("row_number\\(\\) windowspecdefinition\\(" +
+      "source#\\d+, bucket#\\d+, quality#\\d+ DESC").r
       .findFirstIn(plan).isDefined,
       s"boundary window lost its (source, bucket) partitioning:\n$plan")
   }
