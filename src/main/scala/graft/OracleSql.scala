@@ -1061,6 +1061,40 @@ object OracleSql {
          |LEFT JOIN shr ON shr.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // winnowed-fingerprint pairs: the tx_winnow selection replayed,
+    // fingerprints with 2 ≤ df ≤ 64 joined doc×doc (doc_a < doc_b),
+    // shared-print counts per pair
+    "dedup_winnow" ->
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id,
+         |    CASE WHEN len(toks) >= 5 THEN list_transform(
+         |      generate_series(1, len(toks) - 4),
+         |      i -> ('0x' || substr(md5(
+         |        array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 15))::BIGINT)
+         |    ELSE []::BIGINT[] END AS h
+         |  FROM t),
+         |nz AS (SELECT doc_id, h,
+         |    greatest(len(h) - 3, 1)::BIGINT AS n_windows,
+         |    least(4, len(h))::INT AS wlen
+         |  FROM g WHERE len(h) >= 1),
+         |sel AS (SELECT doc_id, h,
+         |    list_distinct(list_transform(generate_series(1, n_windows), j ->
+         |      j + list_max(list_filter(generate_series(0, wlen - 1),
+         |        q -> h[(j + q)::INT] =
+         |          list_min(list_slice(h, j::INT, (j + wlen - 1)::INT))))))
+         |      AS pos
+         |  FROM nz),
+         |pr AS (SELECT doc_id,
+         |    unnest(list_distinct(list_transform(pos, p -> h[p::INT]))) AS gh
+         |  FROM sel),
+         |hot AS (SELECT gh FROM pr GROUP BY gh
+         |  HAVING count(*) >= 2 AND count(*) <= 64),
+         |p2 AS (SELECT pr.doc_id, pr.gh FROM pr JOIN hot USING (gh))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*)::BIGINT AS shared_prints
+         |FROM p2 a JOIN p2 b ON a.gh = b.gh AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+
     // per-epoch shuffle: hash60('epoch0|' || id) drives shard and rank
     "shuffle_documents" ->
       """SELECT doc_id, shard, pos FROM (

@@ -156,6 +156,9 @@ object SparkEntry {
     // MinHash-LSH family, chunk-dup pairs rolled up to doc pairs
     "dedup_chunks"        -> (Dedup.dedupChunks(_, _)),
     "dedup_simhash"       -> (Dedup.dedupSimhash(_, _)),
+    // winnowed-fingerprint pairs (MOSS): guaranteed detection of shared
+    // ≥8-token runs from the ~0.4× winnow index, inverted-index join
+    "dedup_winnow"        -> (Dedup.dedupWinnow(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
     "dedup_apply"         -> (Dedup.dedupApply(_, _)),
     // apply over the UNIONED pair graphs of all three near-dup

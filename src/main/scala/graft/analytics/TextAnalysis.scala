@@ -1111,7 +1111,7 @@ object TextAnalysis {
     // every nz doc has ≥1 window → ≥1 selected position → ≥1 fingerprint
     // hash, so the explode never drops a doc and the stats survive the
     // round trip through the fingerprint rows
-    val nz = docs
+    val nz = graft.Par.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), gramHashes(tokens(col("text")), k).as("h"))
       .filter(size(col("h")) >= 1)
       .withColumn("n_windows", greatest(size(col("h")) - lit(w - 1), lit(1)))

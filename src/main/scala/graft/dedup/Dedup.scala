@@ -782,4 +782,43 @@ object Dedup {
       .filter(col("hamming") <= 4)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Winnowed-fingerprint near-dup pairs (the MOSS pair report): doc
+    * pairs sharing winnow-selected 5-gram hashes, with the count of
+    * shared fingerprints as the match mass. Complements the other
+    * families: MinHash estimates SET similarity (misses a short verbatim
+    * run inside two long distinct docs), SimHash thresholds global
+    * Hamming distance — winnowing GUARANTEES a pair for any shared run
+    * of ≥ w + k − 1 = 8 tokens while indexing only ~2/(w+1) of the gram
+    * positions (tx_winnow's selection).
+    *
+    * Scale shape: inverted fingerprint→doc index, one shuffle on the
+    * hash; candidates are fingerprint-mates only, never the O(n²) pair
+    * space. `maxDf` drops ubiquitous fingerprints (corpus boilerplate —
+    * a hash in d docs yields d·(d−1)/2 pairs, the same stop-shingle
+    * discipline as dedupNgramJaccard's cap); the spread guard keeps the
+    * CPU-heavy hash+winnow scan off a single input split.
+    */
+  def dedupWinnow(s: SparkSession, dir: String, k: Int = 5, w: Int = 4,
+      maxDf: Int = 64): DataFrame =
+    dedupWinnowDf(Tables.documents(s, dir), k, w, maxDf)
+
+  def dedupWinnowDf(documents: DataFrame, k: Int, w: Int,
+      maxDf: Int): DataFrame = {
+    val prints = graft.Par.spread(documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), gramHashes(tokens(col("text")), k).as("h"))
+      .filter(size(col("h")) >= 1)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        winnowPositions(col("h"), w), p => element_at(col("h"), p)))).as("gh"))
+    val hot = prints.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("gh"))
+    val p2 = prints.join(hot, Seq("gh"))
+    p2.select(col("gh"), col("doc_id").as("doc_a"))
+      .join(p2.select(col("gh"), col("doc_id").as("doc_b")), Seq("gh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_prints"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -169,6 +169,55 @@ class DedupFuzzSpec extends SparkSpec {
     }
   }
 
+  // reference winnow fingerprint set: positional 5-gram hash60s, each
+  // w-window's rightmost minimum, distinct selected hashes
+  private def refWinnowPrints(text: String, k: Int, w: Int): Set[Long] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) Set.empty
+    else {
+      val h = (0 to toks.length - k)
+        .map(i => graft.functions.TextHash.hash60(toks.slice(i, i + k).mkString(" ")))
+      val n = h.length
+      val wlen = math.min(w, n)
+      (0 to n - wlen).map { j =>
+        val win = h.slice(j, j + wlen)
+        h(j + win.lastIndexOf(win.min))
+      }.toSet
+    }
+  }
+
+  test("dedup_winnow fuzz: equals the brute-force winnow pair report") {
+    for (seed <- 1 to 4) {
+      val corpus = genCorpus(300 + seed, 24)
+      val got = Dedup.dedupWinnowDf(corpus.toDF("doc_id", "text"), 5, 4, 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val prints = corpus.map { case (id, t) => id -> refWinnowPrints(t, 5, 4) }
+      val dfc = prints.flatMap(_._2).groupBy(identity).map { case (g, v) => g -> v.size }
+      val hot = dfc.collect { case (g, c) if c >= 2 && c <= 64 => g }.toSet
+      val want = (for {
+        (a, pa) <- prints
+        (b, pb) <- prints if a < b
+        shared = (pa intersect pb intersect hot).size if shared >= 1
+      } yield (a, b) -> shared.toLong).toMap
+      assert(got == want, s"seed=$seed")
+      assert(want.nonEmpty, s"seed=$seed: degenerate plant")
+    }
+  }
+
+  test("dedup_winnow: maxDf drops ubiquitous fingerprints; small groups pair fully") {
+    // 70 byte-identical docs: every selected hash has df = 70 > 64, so
+    // the boilerplate discipline yields ZERO pairs instead of 70·69/2
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val many = (0 until 70).map(i => (i.toLong, boiler))
+    assert(Dedup.dedupWinnowDf(many.toDF("doc_id", "text"), 5, 4, 64).count() == 0)
+    // the same text in 3 docs sits under the cap: all 3 pairs, and the
+    // shared mass is the doc's full fingerprint set
+    val got = Dedup.dedupWinnowDf(many.take(3).toDF("doc_id", "text"), 5, 4, 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val full = refWinnowPrints(boiler, 5, 4).size.toLong
+    assert(got == Map((0L, 1L) -> full, (0L, 2L) -> full, (1L, 2L) -> full))
+  }
+
   test("apply invariant: the deduplicated corpus has no remaining pair") {
     val corpus = genCorpus(11, 60)
     val df = corpus.toDF("doc_id", "text").persist()
