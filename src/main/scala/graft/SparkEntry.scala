@@ -336,5 +336,6 @@ object SparkEntry {
     "lex_bm25_serve_tombstone", "emb_ivf_cell_guard", "mm_png", "mm_jpeg",
     "mm_gif", "lex_bm25_serve", "lex_bm25_append_serve",
     // r12: winnowed fingerprints (native deque selection + df shuffle)
-    "tx_winnow")
+    // and their pair report (inverted-index self-join)
+    "tx_winnow", "dedup_winnow")
 }
