@@ -1118,8 +1118,7 @@ object TextAnalysis {
       .withColumn("sel", winnowPositions(col("h"), w))
       .select(col("doc_id"), col("n_windows"),
         size(col("sel")).as("n_prints"),
-        explode(array_distinct(transform(col("sel"),
-          p => element_at(col("h"), p)))).as("gh"))
+        explode(winnowFingerprints(col("h"), col("sel"))).as("gh"))
     val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
     val perDoc = nz
       .withColumn("df", count(lit(1)).over(wDf))

@@ -808,8 +808,7 @@ object Dedup {
     val prints = graft.Par.spread(documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), gramHashes(tokens(col("text")), k).as("h"))
       .filter(size(col("h")) >= 1)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        winnowPositions(col("h"), w), p => element_at(col("h"), p)))).as("gh"))
+      .select(col("doc_id"), explode(winnowFingerprints(col("h"), w)).as("gh"))
     val hot = prints.groupBy(col("gh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select(col("gh"))

@@ -601,6 +601,18 @@ object TextFunctions {
   def winnowPositions(hashesCol: Column, w: Int): Column =
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(hashesCol), w))
 
+  /** The document's winnowed fingerprint SET: distinct hashes at the
+    * winnow-selected positions. One source of truth for the MOSS
+    * selection semantics shared by tx_winnow and dedup_winnow. The
+    * two-arg form takes already-selected positions so a caller that
+    * also reports them (tx_winnow's n_prints) runs the deque once.
+    */
+  def winnowFingerprints(hashesCol: Column, w: Int): Column =
+    winnowFingerprints(hashesCol, winnowPositions(hashesCol, w))
+
+  def winnowFingerprints(hashesCol: Column, posCol: Column): Column =
+    array_distinct(transform(posCol, p => element_at(hashesCol, p)))
+
   /** Count of tokens found in a (small, broadcast-as-literal) stopword set. */
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))

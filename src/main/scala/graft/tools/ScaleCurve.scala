@@ -53,6 +53,24 @@ object ScaleCurve {
       println(f"minhash  n=$n%-8d $t%8.2f s")
     }
 
+    // Winnowed fingerprints: the selection is per-row (native deque) and
+    // the pair stage an inverted-index join — both should scale ~n. The
+    // k near-identical copies give the pair stage real work (each
+    // fingerprint lands in ~k docs, well under the df cap), so the
+    // curve prices detection, not an empty join.
+    for (k <- Seq(1, 4, 16) if section("winnow")) {
+      val docs = (0 until k).map(j =>
+        baseDocs.select((col("doc_id") + lit(j * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" copymarker$j")).as("text")))
+        .reduce(_ unionByName _)
+      val n = docs.count()
+      val tw = Seq.fill(2)(timed(noop(
+        graft.analytics.TextAnalysis.txWinnowDf(docs, 5, 4)))).min
+      val td = Seq.fill(2)(timed(noop(
+        graft.dedup.Dedup.dedupWinnowDf(docs, 5, 4, 64)))).min
+      println(f"winnow   n=$n%-8d tx=$tw%8.2f s  dedup=$td%8.2f s")
+    }
+
     // Chunk-level dedup + boilerplate spans at growing corpus FRACTIONS
     // (subsets keep the natural text-duplication structure, so the work
     // profile stays honest — copy-planting would make every gram hot).
