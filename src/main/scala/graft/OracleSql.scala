@@ -1130,6 +1130,30 @@ object OracleSql {
          |SELECT doc_id, lang, n_tokens, admit_offset FROM c
          |WHERE admit_offset < 2000 ORDER BY doc_id""".stripMargin,
 
+    // temperature mix: per-language budget = totalBudget·isqrt(mass) /
+    // Σ isqrt(mass), all-integer (floor(sqrt(bigint)) is engine-exact,
+    // // is integer division); admission = corpus_mix's per-language
+    // cumsum in (bucket, hash, id) order against the language's budget
+    "corpus_mix_temperature" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, lang, len(toks)::BIGINT AS n_tokens,
+         |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM t),
+         |m AS (SELECT lang, sum(n_tokens)::BIGINT AS mm FROM d GROUP BY lang),
+         |wt AS (SELECT lang, floor(sqrt(mm::DOUBLE))::BIGINT AS w FROM m),
+         |den AS (SELECT sum(w)::BIGINT AS wsum FROM wt),
+         |b AS (SELECT lang, ((4000 * w) // wsum)::BIGINT AS lang_budget
+         |  FROM wt, den),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY lang
+         |    ORDER BY h % 256, h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |    AS admit_offset
+         |  FROM d)
+         |SELECT c.doc_id, c.lang, c.n_tokens, b.lang_budget, c.admit_offset
+         |FROM c JOIN b USING (lang)
+         |WHERE c.admit_offset < b.lang_budget ORDER BY doc_id""".stripMargin,
+
     // shard = same 60-bit id hash as sample_documents, mod nShards=16 —
     // the bounded window key txPack uses (one cumsum per (lang, shard))
     "pack_sequences" ->

@@ -138,6 +138,9 @@ object SparkEntry {
     // per-language token-budget admission (training-mix rebalancing);
     // two-phase bucketed cumsum — no whole-language window partitions
     "corpus_mix"       -> (TX.corpusMix(_, _)),
+    // α=1/2 temperature reweighting over the same admission machinery;
+    // all-integer per-language budgets (isqrt of exact token mass)
+    "corpus_mix_temperature" -> (TX.corpusMixTemperature(_, _)),
     "pack_sequences"   -> (TX.txPack(_, _)),
     "a6_approx_distribution" -> (TX.approxDistribution(_, _)),
     // the registered-SQL-function surface (SparkSessionExtensions /

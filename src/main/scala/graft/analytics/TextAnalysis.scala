@@ -864,6 +864,55 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-reweighted corpus mix — the α-mixing step of LLM data
+    * pipelines (sample languages ∝ mass^α with α < 1, flattening the
+    * head so low-resource languages are up-weighted; α = 1/2 here):
+    * per-language token budget
+    * b_l = ⌊totalBudget · isqrt(m_l) / Σ_k isqrt(m_k)⌋ with m_l the
+    * language's EXACT token mass and isqrt the integer square root —
+    * all-integer weight math end-to-end (⌊√longExact⌋ is engine-exact
+    * because IEEE sqrt is correctly rounded, and the budget division is
+    * SQL `div`, not float), so no float sum ever decides membership.
+    * Admission within a language is the same deterministic (hash, id)
+    * order and two-phase bucketed cumsum as [[corpusMix]] (which see
+    * for the scale argument); the ≤#langs-row budget table rides a
+    * broadcast join, the 1-row denominator a broadcast cross join
+    * (allowlisted in PlanAuditSpec).
+    */
+  def corpusMixTemperature(s: SparkSession, dir: String,
+      totalBudget: Long = 4000L, nBuckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("h", hash60(col("doc_id").cast(StringType)))
+      .withColumn("bucket", (col("h") % nBuckets).cast(LongType))
+    val mass = docs.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("m"))
+      .withColumn("w", floor(sqrt(col("m").cast(DoubleType))).cast(LongType))
+    val denom = mass.agg(sum(col("w")).as("wsum"))
+    val budgets = mass.crossJoin(broadcast(denom))
+      .select(col("lang"),
+        expr(s"(${totalBudget}L * w) div wsum").as("lang_budget"))
+    val wB = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val starts = docs.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("bucket_start", coalesce(sum(col("bt")).over(wB), lit(0L)))
+      .select(col("lang"), col("bucket"), col("bucket_start"))
+    val wD = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(starts), Seq("lang", "bucket"))
+      .join(broadcast(budgets), Seq("lang"))
+      .withColumn("admit_offset",
+        col("bucket_start") + coalesce(sum(col("n_tokens")).over(wD), lit(0L)))
+      .filter(col("admit_offset") < col("lang_budget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("lang_budget"), col("admit_offset"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
     * the distributed-systems standard): each item draws u ∈ (0,1) and
     * ranks by log(u)/w — the top-k under that key is exactly a

@@ -41,7 +41,10 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row (n_vecs, bound) scalar broadcast against the cell census
     "emb_ivf_cell_guard",
     // 1-row token-budget scalar broadcast against the scored scan
-    "tx_budget_select")
+    "tx_budget_select",
+    // 1-row isqrt-weight denominator broadcast against the ≤#langs
+    // mass table (the admission scan itself joins on equi keys)
+    "corpus_mix_temperature")
 
   test("no registered query plans a CartesianProduct; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

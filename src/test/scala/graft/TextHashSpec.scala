@@ -494,4 +494,37 @@ class TextHashSpec extends SparkSpec {
       assert(got == ref(h, w), s"h=$h w=$w")
     }
   }
+
+  test("corpus_mix_temperature: exact isqrt budgets, naive-twin admission, sqrt flattening") {
+    import org.apache.spark.sql.types.LongType
+    val got = graft.analytics.TextAnalysis
+      .corpusMixTemperature(spark, Sf0001).collect()
+    val rows = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("lang"),
+        size(TextFunctions.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("h", TextFunctions.hash60(col("doc_id").cast("string")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val mass = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val w = mass.view.mapValues(m => math.sqrt(m.toDouble).toLong).toMap
+    val wsum = w.values.sum
+    val budget = w.view.mapValues(x => 4000L * x / wsum).toMap
+    got.groupBy(_.getAs[String]("lang")).foreach { case (l, g) =>
+      assert(g.head.getAs[Long]("lang_budget") == budget(l), l)
+      // admission rule: tokens BEFORE each admitted doc stay under budget
+      assert(g.map(_.getAs[Long]("admit_offset")).max < budget(l), l)
+    }
+    // naive twin: one cumsum per language in (h % 256, h, id) order
+    val naive = rows.groupBy(_._2).flatMap { case (l, ds) =>
+      val sorted = ds.toSeq.sortBy { case (id, _, _, h) => (h % 256, h, id) }
+      sorted.scanLeft(0L) { case (cum, (_, _, n, _)) => cum + n }
+        .zip(sorted).collect { case (before, (id, _, _, _))
+          if before < budget(l) => id }
+    }.toSet
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == naive)
+    // α = 1/2 actually flattens: the heaviest language's budget share
+    // never exceeds its mass share
+    val top = mass.maxBy(_._2)._1
+    assert(budget(top).toDouble / budget.values.sum <=
+      mass(top).toDouble / mass.values.sum + 1e-12)
+  }
 }
