@@ -1113,6 +1113,19 @@ object OracleSql {
         |WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100) < 10
         |ORDER BY doc_id""".stripMargin,
 
+    // stratified sample: the naive rank-window twin of the bounded-heap
+    // per-source top-N (key = salted hash60 mod 2^40, id tiebreak)
+    "sample_stratified" ->
+      """SELECT source, rk, doc_id, hs FROM (
+        |  SELECT source, doc_id, hs,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY hs, doc_id)::BIGINT AS rk
+        |  FROM (SELECT source, doc_id,
+        |    ('0x' || substr(md5('strat|' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      % 1099511627776 AS hs
+        |    FROM documents))
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+
     // corpus mix: ONE cumsum per language over the global admission
     // order (bucket, hash, doc_id) — semantically identical to the
     // Spark side's two-phase bucketed plan

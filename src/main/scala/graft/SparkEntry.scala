@@ -131,6 +131,9 @@ object SparkEntry {
     // planted contamination (the eval gram set is the broadcast side)
     "decontaminate"  -> (TX.decontaminate(_, _)),
     "sample_documents" -> (TX.txSample(_, _)),
+    // balanced per-source eval slice: bounded-heap top-N per source on
+    // a content-addressed key — no rank window, no per-source sort
+    "sample_stratified" -> (TX.sampleStratified(_, _)),
     // content-addressed per-epoch shuffle (reproducible training order)
     "shuffle_documents" -> (TX.txShuffle(_, _)),
     // Efraimidis-Spirakis weighted sampling (deterministic u from hash)

@@ -864,6 +864,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Stratified exact-N sample: the N documents per source minimizing
+    * the content-addressed key (hash60("strat|" + id) mod 2^40, doc_id)
+    * — the balanced eval-slice constructor (equal representation per
+    * source regardless of source skew), reproducible on any
+    * engine/partitioning/rerun like `txSample`/`txShuffle`. The mod-2^40
+    * reduction keeps the key exactly representable in the aggregator's
+    * Double score: raw 2^60-range hashes would collide after mantissa
+    * rounding and make the survivor set engine-dependent at the margin.
+    *
+    * Scale shape: the same bounded-heap two-phase aggregate as
+    * `embTopk` — each partition reduces to ≤N candidates per source
+    * BEFORE the shuffle, so the exchange carries sources × partitions
+    * N-row states and no task ever holds a source's full document list
+    * (the rank-window formulation's scale-killer; the oracle
+    * deliberately runs that naive form, so the hash match certifies the
+    * equivalence).
+    */
+  def sampleStratified(s: SparkSession, dir: String, n: Int = 10): DataFrame = {
+    import graft.similarity.TopKByCos
+    val hs = pmod(hash60(concat(lit("strat|"), col("doc_id").cast(StringType))),
+      lit(1L << 40))
+    val topn = udaf(new TopKByCos(n))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id").as("neighbor_id"),
+        // min-key selection through the max-first heap: score = −key
+        (-hs.cast(DoubleType)).as("cos_sim"))
+      .groupBy(col("source"))
+      .agg(topn(col("neighbor_id"), col("cos_sim")).as("picked"))
+      .select(col("source"), posexplode(col("picked")).as(Seq("pos", "p")))
+      .select(col("source"),
+        (col("pos") + 1).cast(LongType).as("rk"),
+        col("p.neighbor_id").as("doc_id"),
+        (-col("p.cos_sim")).cast(LongType).as("hs"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Temperature-reweighted corpus mix — the α-mixing step of LLM data
     * pipelines (sample languages ∝ mass^α with α < 1, flattening the
     * head so low-resource languages are up-weighted; α = 1/2 here):

@@ -363,6 +363,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("sample_stratified: equals the rank-window twin; bounded-heap plan") {
+    val got = graft.analytics.TextAnalysis.sampleStratified(spark, Sf0001)
+    val rows = Tables.documents(spark, Sf0001).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.toSeq.map { case (id, _) =>
+        (src, id, graft.functions.TextHash.hash60(s"strat|$id") % (1L << 40)) }
+        .sortBy { case (_, id, h) => (h, id) }.take(10).zipWithIndex
+        .map { case ((s2, id, h), i) => (s2, (i + 1).toLong, id, h) }
+    }.toSet
+    val gotSet = got.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotSet == want)
+    // scale shape: two-phase bounded-heap aggregate, never a per-source
+    // rank window over the corpus
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank window crept in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("emb_topk plan: two-phase aggregate with map-side partial, no rank window") {
     val plan = graft.similarity.Similarity.embTopk(spark, Sf0001)
       .queryExecution.executedPlan.toString
