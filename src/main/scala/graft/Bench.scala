@@ -209,15 +209,21 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     // JVM+Spark warm-up (codegen, parquet footers, broadcast machinery)
     // outside the timed loop — scan+agg, broadcast+SMJ join, window
-    // paths. The imageio codec families are deliberately NOT warmed:
-    // measured r12, pre-warming all three formats drove the shared
-    // ImageIO.read call-site chain megamorphic before any timed run
-    // and DOUBLED per-family decode cpu; the real fix is the
-    // format-pinned direct readers in operators/Multimodal.scala
-    // (each family's reader.read gets its own monomorphic call site).
+    // paths. SPARK_GRAFT_BENCH_WARMUP overrides the default
+    // benched-queries-only gating (r12 review note): "full"/"1" warms
+    // everything even in a SPARK_GRAFT_BENCH_QUERIES subset session
+    // (so subset numbers stay comparable against full-run numbers),
+    // "0" skips all warm-up (fully-cold probe); default "auto" warms
+    // exactly the families the session benches.
+    val warmMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "auto")
+    def warmWanted(benched: Boolean): Boolean = warmMode match {
+      case "0" => false
+      case "1" | "full" => true
+      case _ => benched
+    }
     val warmupQueries = Seq("q1_pricing_summary", "q5_region_revenue",
       "w2_moving_avg")
-      .filter(n => SparkEntry.queries.contains(n) && names.contains(n))
+      .filter(n => SparkEntry.queries.contains(n) && warmWanted(names.contains(n)))
     warmupQueries.foreach(n => run(SparkEntry.queries(n)(spark, sfDir)))
     // …plus the broadcast-nested-loop cosine kernel: the O(n²) dedup
     // twins' hot loop is JIT-sensitive (measured 30s first-execution vs
@@ -226,13 +232,27 @@ object Bench {
     // Conditional on a kernel consumer being benched, and recorded in
     // the artifact's warmup list — a subset session's artifact must
     // not claim a cold JVM while a substantial warm-up ran (review r12)
-    val kernelWarm = names.exists(n =>
-      n.startsWith("dedup_embedding") || n.startsWith("emb_knn_graph"))
+    val kernelWarm = warmWanted(names.exists(n =>
+      n.startsWith("dedup_embedding") || n.startsWith("emb_knn_graph")))
     if (kernelWarm)
       run(graft.similarity.Similarity.dedupEmbeddingDf(
         graft.Tables.embeddings(spark, sfDir).limit(2000), 0.9))
+    // …plus the format-pinned DIRECT image readers (never the shared
+    // ImageIO.read static — warming THAT chain measured 2× slower
+    // steady-state decode, see operators/Multimodal.scala). Each
+    // family's pinned reader path is monomorphic by construction, so
+    // pre-compiling it moves run 1's C2 transition outside the timed
+    // window without touching what the other families see.
+    val wantPng = warmWanted(names.contains("mm_png"))
+    val wantJpeg = warmWanted(names.contains("mm_jpeg"))
+    val wantGif = warmWanted(names.contains("mm_gif"))
+    if (wantPng || wantJpeg || wantGif)
+      graft.operators.Multimodal.warmDirectReaders(wantPng, wantJpeg, wantGif)
+    val codecWarm = Seq("png" -> wantPng, "jpeg" -> wantJpeg, "gif" -> wantGif)
+      .collect { case (f, true) => s"__${f}_direct_reader" }
     val warmupRan =
-      warmupQueries ++ (if (kernelWarm) Seq("__dedup_cosine_kernel") else Nil)
+      warmupQueries ++
+        (if (kernelWarm) Seq("__dedup_cosine_kernel") else Nil) ++ codecWarm
     graft.store.Checkpoints.free(spark)
     val errors = mutable.LinkedHashMap.empty[String, String]
     val retries = mutable.LinkedHashMap.empty[String, Int]
@@ -494,7 +514,12 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_ARTIFACT", "bench_artifact.json"))
     try {
       java.nio.file.Files.write(artifactPath, (fullJson + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] full diagnostic artifact -> ${artifactPath.toAbsolutePath}")
+      // stdout, not stderr: sbt relays stderr through its [error]
+      // logger, and this informational line was the one thing making a
+      // clean rc=0 bench tail read as a failure (r12 verdict nit). It
+      // prints BEFORE the compact line so the driver's 2000-char tail
+      // capture clips IT, never the contract line below.
+      println(s"[bench] full diagnostic artifact -> ${artifactPath.toAbsolutePath}")
     } catch {
       case e: Exception =>
         // never let artifact IO take down the bench; the compact stdout

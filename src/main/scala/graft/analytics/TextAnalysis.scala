@@ -555,22 +555,46 @@ object TextAnalysis {
   def txBoilerplate(s: SparkSession, dir: String): DataFrame =
     txBoilerplateDf(Tables.documents(s, dir))
 
+  /** One-pass tokenize+hash base for the boilerplate pair, persisted
+    * and materialized EXPLICITLY before any consumer runs. The r12
+    * driver bench priced the previous shape: the corpus was tokenized
+    * THREE times per report (both sides of the hot-gram join plus the
+    * final per-doc counts), and with the hot-gram join's build side
+    * living near AQE's broadcast threshold, consecutive runs of the
+    * unchanged query flipped physical shapes and recompiled 12–15
+    * generated classes per flip (the adjudicator's `recompile(45)`
+    * row). One cached pass + a `count()` barrier makes the expensive
+    * scan run exactly once and the downstream plan small and stable.
+    * At 100 TB the same persist trades the 3× corpus recompute for a
+    * MEMORY_AND_DISK spill of (toks, gh) — the standard cache-vs-
+    * recompute call for a base feeding 3 consumers; the blocks are
+    * query-scoped and freed at the harness's query boundary
+    * (`Checkpoints.free`).
+    */
+  private def boilerplateBase(docs0: DataFrame, n: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = graft.Par.spread(docs0)
+      .select(col("doc_id"), toks.as("toks"), gramHashes(toks, n).as("gh"))
+      .persist()
+    base.count() // materialize once, sequentially, before the consumers
+    base
+  }
+
   /** Shared detection for the boilerplate pair: merged flagged-span
     * islands per doc — (doc_id, island, span_start, span_end, nf).
     * Gaps-and-islands over the flagged starts: intervals are all length
     * n and starts are sorted, so a run of starts with gaps < n merges
     * into one island covering [min(pos), max(pos) + n).
     */
-  private def boilerplateIslands(docs: DataFrame, n: Int, minDf: Int): DataFrame = {
+  private def boilerplateIslands(base: DataFrame, n: Int, minDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs
-      .select(col("doc_id"),
-        posexplode(gramHashes(tokens(col("text")), n)).as(Seq("pos", "gh")))
-    val hot = grams.groupBy(col("gh"))
+    val grams = base
+      .select(col("doc_id"), posexplode(col("gh")).as(Seq("pos", "g")))
+    val hot = grams.groupBy(col("g"))
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
-      .select(col("gh"))
-    val flagged = grams.join(hot, Seq("gh")).select(col("doc_id"), col("pos"))
+      .select(col("g"))
+    val flagged = grams.join(hot, Seq("g")).select(col("doc_id"), col("pos"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     flagged
       .withColumn("prev_end",
@@ -585,17 +609,14 @@ object TextAnalysis {
   }
 
   def txBoilerplateDf(docs0: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
-    // both consumers below re-tokenize the corpus (gram explode + the
-    // per-doc token counts) — spread once so neither scan serializes
-    // on a single input split
-    val docs = graft.Par.spread(docs0)
-    val covered = boilerplateIslands(docs, n, minDf)
+    val base = boilerplateBase(docs0, n)
+    val covered = boilerplateIslands(base, n, minDf)
       .groupBy(col("doc_id"))
       .agg(sum(col("span_end") - col("span_start")).cast(LongType).as("covered_tokens"),
         sum(col("nf")).cast(LongType).as("n_flagged"))
-    docs.select(col("doc_id"),
-        size(tokens(col("text"))).cast(LongType).as("n_tokens"),
-        size(gramHashes(tokens(col("text")), n)).cast(LongType).as("n_grams"))
+    val result = base.select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        size(col("gh")).cast(LongType).as("n_grams"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_grams"),
         coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
@@ -604,6 +625,9 @@ object TextAnalysis {
           round(coalesce(col("covered_tokens"), lit(0L)).cast(DoubleType) /
             col("n_tokens"), 6)).otherwise(0.0).as("boilerplate_ratio"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    base.unpersist()
+    result
   }
 
   /** The APPLY step of substring-level dedup: rewrite each document with
@@ -617,17 +641,21 @@ object TextAnalysis {
     txBoilerplateApplyDf(Tables.documents(s, dir))
 
   def txBoilerplateApplyDf(docs0: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
-    val docs = graft.Par.spread(docs0)
-    val spans = boilerplateIslands(docs, n, minDf)
+    // same one-pass base as the report; the result is corpus-scale
+    // (cleaned_text), so it is NOT checkpointed — the base stays
+    // persisted for the consumer's action and is freed at the
+    // harness's query boundary (Checkpoints.free)
+    val base = boilerplateBase(docs0, n)
+    val spans = boilerplateIslands(base, n, minDf)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     val sp = coalesce(col("spans"),
       array().cast("array<struct<span_start:int,span_end:int>>"))
-    val kept = filter(tokens(col("text")), (_, i) =>
+    val kept = filter(col("toks"), (_, i) =>
       !exists(sp, p => i >= p("span_start") && i < p("span_end")))
-    docs.join(spans, Seq("doc_id"), "left")
+    base.join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        size(tokens(col("text"))).cast(LongType).as("n_before"),
+        size(col("toks")).cast(LongType).as("n_before"),
         size(kept).cast(LongType).as("n_after"),
         array_join(kept, " ").as("cleaned_text"))
       .orderBy(col("doc_id"))
@@ -905,10 +933,12 @@ object TextAnalysis {
     * head so low-resource languages are up-weighted; α = 1/2 here):
     * per-language token budget
     * b_l = ⌊totalBudget · isqrt(m_l) / Σ_k isqrt(m_k)⌋ with m_l the
-    * language's EXACT token mass and isqrt the integer square root —
-    * all-integer weight math end-to-end (⌊√longExact⌋ is engine-exact
-    * because IEEE sqrt is correctly rounded, and the budget division is
-    * SQL `div`, not float), so no float sum ever decides membership.
+    * language's EXACT token mass and isqrt = ⌊sqrt(m.toDouble)⌋ — the
+    * same correctly-rounded IEEE-double sqrt on BOTH engines, so the
+    * weights agree bit-for-bit (a true integer sqrt could differ by 1
+    * once m approaches 2^52, but whatever this expression yields, the
+    * oracle's identical expression yields too), and the budget division
+    * is SQL `div`, not float — no float sum ever decides membership.
     * Admission within a language is the same deterministic (hash, id)
     * order and two-phase bucketed cumsum as [[corpusMix]] (which see
     * for the scale argument); the ≤#langs-row budget table rides a

@@ -716,15 +716,28 @@ object Dedup {
     dedupChunksDf(graft.analytics.TextAnalysis.txChunk(s, dir))
 
   def dedupChunksDf(chunks: DataFrame): DataFrame = {
-    // (doc, chunk) → shingle set; persisted: feeds the band explode and
-    // both sides of the verify join
+    // (doc, chunk) → shingle set + 16-slot MinHash signature, computed
+    // in ONE pass and persisted. Two materialization disciplines the
+    // r12 driver bench demanded (its adjudicator read dedup_chunks at
+    // ×2.96 the gate pair's cpu, classified plan-work — the extra work
+    // was this stage evaluated up to 3×):
+    //  - the SIGNATURE lives inside the persisted base: the bucket
+    //    self-join below reads `bands` twice, and only identical
+    //    SHUFFLE exchanges are reused — whenever AQE plans one side as
+    //    a broadcast there is no reuse, so a signature computed outside
+    //    the cache pays the 16-perm MinHash once per side;
+    //  - the persist is materialized EXPLICITLY (count) before any
+    //    consumer plan is submitted: the band explode and both
+    //    verify-join sides are otherwise submitted as concurrently
+    //    runnable stages racing the cold cache.
     val base = chunks
       .select(col("doc_id"), col("chunk_id"),
         shingles(col("chunk_text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSig(col("sh"), 16))
       .persist()
+    base.count() // materialize once, sequentially, before the consumers
     val bands = base
-      .select(col("doc_id"), col("chunk_id"), minhashSig(col("sh"), 16).as("sig"))
       .select(col("doc_id"), col("chunk_id"), col("sig"),
         explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("band_key", concat_ws("|",

@@ -333,9 +333,13 @@ object Multimodal {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new ByteArrayInputStream(bytes))
     // ImageIO.read reports undecodable data as null; the direct reader
-    // throws — map it back so mmJpeg's decodes_ok contract holds
+    // throws — map it back so mmJpeg's decodes_ok contract holds. The
+    // convenience static swallowed MORE than IIOException (corrupt
+    // streams can surface as e.g. IndexOutOfBoundsException from the
+    // JPEG reader internals), so any non-fatal decode failure lands in
+    // the decodes_ok=false bucket rather than failing the task.
     try { r.setInput(iis, true, true); r.read(0) }
-    catch { case _: javax.imageio.IIOException => null }
+    catch { case scala.util.control.NonFatal(_) => null }
     finally { r.dispose(); iis.close() }
   }
 
@@ -345,6 +349,51 @@ object Multimodal {
       new ByteArrayInputStream(bytes))
     try { r.setInput(iis, true, true); r.read(0) }
     finally { r.dispose(); iis.close() }
+  }
+
+  /** Bench warm-up for the pinned readers (Bench.scala calls this once
+    * per session, outside every timed window): decode a fixture payload
+    * per requested family through the family's DIRECT reader until C2
+    * has seen the path, so run 1 of the mm_* queries no longer pays the
+    * interpreter→compiled transition inside its timed window. Warm-up
+    * payloads are produced by per-family direct writers — NEVER the
+    * shared `ImageIO.write`/`ImageIO.read` statics, whose call-site
+    * chains the r12 experiment matrix measured settling ~2× slower
+    * once driven megamorphic (the reason the r12 bench warmed no codec
+    * at all; the pinned readers make per-family warm-up safe).
+    */
+  def warmDirectReaders(png: Boolean, jpeg: Boolean, gif: Boolean,
+      iters: Int = 256): Unit = {
+    def directEncode(fmt: String): Array[Byte] = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try { w.setOutput(ios); w.write(fixtureRaster(7L, 1234L)) }
+      finally { w.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    var sink = 0L
+    if (png) {
+      val b = directEncode("png")
+      var i = 0
+      while (i < iters) { sink += rasterSum(decodePngDirect(b)); i += 1 }
+    }
+    if (jpeg) {
+      val b = encodeJpeg(7L, 1234L)
+      var i = 0
+      while (i < iters) {
+        val im = decodeJpegDirect(b)
+        if (im != null) sink += rasterSum(im)
+        i += 1
+      }
+    }
+    if (gif) {
+      val b = directEncode("gif")
+      var i = 0
+      while (i < iters) { sink += rasterSum(decodeGifDirect(b)); i += 1 }
+    }
+    // defeat dead-code elimination of the warm loops
+    if (sink == Long.MinValue) System.err.println("[warm] impossible sink")
   }
 
   /** PNG operator — the first REAL-WORLD format family: encode the

@@ -30,8 +30,18 @@ object Checkpoints {
   /** Unpersist every persistent/checkpointed RDD still registered with
     * the context (blocking, so block-manager memory is measurably freed
     * before the next query starts). Returns the number of RDDs freed.
+    *
+    * The plan cache is cleared FIRST: `catalog.clearCache()` removes
+    * the CacheManager's logical-plan → InMemoryRelation entries along
+    * with their blocks. Dropping only the RDD blocks (the pre-r13
+    * behavior) left those entries dangling — the next run of the same
+    * query would `persist()` the same analyzed plan, hit the stale
+    * entry ("already cached"), and re-plan against an InMemoryRelation
+    * whose blocks were gone, which is both re-computation and a
+    * different physical plan (fresh codegen) for an unchanged query.
     */
   def free(spark: SparkSession): Int = {
+    spark.catalog.clearCache()
     val rdds = spark.sparkContext.getPersistentRDDs
     rdds.values.foreach(_.unpersist(blocking = true))
     rdds.size

@@ -42,9 +42,14 @@ object ScaleCurve {
     // planted copy groups keep the verify stage honest.
     val baseDocs = Tables.documents(spark, dir)
     import org.apache.spark.sql.functions._
+    // copy-id offset derived from the corpus itself: a fixed 1e6 would
+    // silently merge copies with base docs on any corpus whose ids
+    // reach 1e6 (review r12)
+    val docOffset = math.max(1000000L,
+      baseDocs.agg(max(col("doc_id"))).first().getLong(0) + 1)
     for (k <- Seq(1, 4) if section("minhash")) {
       val docs = (0 until k).map(j =>
-        baseDocs.select((col("doc_id") + lit(j * 1000000L)).as("doc_id"),
+        baseDocs.select((col("doc_id") + lit(j * docOffset)).as("doc_id"),
           concat(col("text"), lit(s" copymarker$j")).as("text")))
         .reduce(_ unionByName _)
       val n = docs.count()
@@ -60,7 +65,7 @@ object ScaleCurve {
     // curve prices detection, not an empty join.
     for (k <- Seq(1, 4, 16) if section("winnow")) {
       val docs = (0 until k).map(j =>
-        baseDocs.select((col("doc_id") + lit(j * 1000000L)).as("doc_id"),
+        baseDocs.select((col("doc_id") + lit(j * docOffset)).as("doc_id"),
           concat(col("text"), lit(s" copymarker$j")).as("text")))
         .reduce(_ unionByName _)
       val n = docs.count()
@@ -105,13 +110,15 @@ object ScaleCurve {
     // the panel (ids < 10) stays fixed.
     if (section("hybrid")) {
       val baseEmb = graft.Tables.embeddings(spark, dir)
+      val vecOffset = math.max(1000000L,
+        baseEmb.agg(max(col("vec_id"))).first().getLong(0) + 1)
       def corpus(k: Int) = (
         (0 until k).map(j =>
-          baseDocs.select((col("doc_id") + lit(j * 1000000L)).as("doc_id"),
+          baseDocs.select((col("doc_id") + lit(j * docOffset)).as("doc_id"),
             concat(col("text"), lit(s" hymarker$j")).as("text")))
           .reduce(_ unionByName _),
         (0 until k).map(j =>
-          baseEmb.select((col("vec_id") + lit(j * 1000000L)).as("vec_id"),
+          baseEmb.select((col("vec_id") + lit(j * vecOffset)).as("vec_id"),
             col("label"),
             transform(col("embedding"),
               x => x * (lit(1.0f) + lit(j.toFloat / 1000))).as("embedding")))

@@ -50,10 +50,19 @@ def load_minima(path):
             qs &= set(r["minCpu"])
         mems = [r.get("memBaseline") for r in runs if r.get("memBaseline")]
         spins = [r.get("spinBaseline") for r in runs if r.get("spinBaseline")]
+        # codegen: only queries the baseline actually measured — a gate
+        # run from an older artifact schema has no codegenTotal, and
+        # defaulting it to 0 would spuriously classify every >10-class
+        # query as 'recompile' (missing != zero)
+        cg = {}
+        for q in qs:
+            vals = [r["codegenTotal"][q] for r in runs
+                    if q in r.get("codegenTotal", {})]
+            if vals:
+                cg[q] = min(vals)
         return {
             "minCpu": {q: min(r["minCpu"][q] for r in runs) for q in qs},
-            "codegenTotal": {q: min(r.get("codegenTotal", {}).get(q, 0)
-                                    for r in runs) for q in qs},
+            "codegenTotal": cg,
             "memBaseline": min(mems) if mems else None,
             "spinBaseline": min(spins) if spins else None,
         }
@@ -128,10 +137,12 @@ def main():
             causes.append(f"bandwidth({mc / mem_base:.1f}x)")
         if session_dilution and session_dilution > 2.5:
             causes.append(f"bandwidth-session({session_dilution:.1f}x)")
-        # recompile is only meaningful against a baseline's codegen
-        # count — without one, first-compile counts would flag every
-        # query that emits any generated code
-        if base and codegen.get(q, 0) > base["codegenTotal"].get(q, 0) + 10:
+        # recompile is only meaningful against a baseline's MEASURED
+        # codegen count — without one (no baseline, or an older-schema
+        # baseline with no codegen column for this query), first-compile
+        # counts would flag every query that emits any generated code
+        if base and q in base["codegenTotal"] and \
+                codegen.get(q, 0) > base["codegenTotal"][q] + 10:
             causes.append(f"recompile({codegen.get(q, 0)})")
         if min_jit.get(q, 0.0) > 0.5 * cpu:
             causes.append("jit-warmup")
