@@ -1078,7 +1078,10 @@ object TextAnalysis {
     *      data-scale rows;
     *   3. only INSIDE the boundary bucket (~1/1000 of the corpus for
     *      any non-degenerate quality distribution) does an ordered
-    *      cumsum run, partitioned by bucket.
+    *      cumsum run — and that cumsum is itself a distributed prefix
+    *      sum over range shards, so even a DEGENERATE corpus whose
+    *      quality mass concentrates in one bucket never re-creates the
+    *      global single-partition window (see the guard in the body).
     * Because every document in a higher bucket outranks every document
     * in a lower one, the result is EXACTLY the greedy
     * (quality DESC, doc_id) prefix that fits the budget — asserted
@@ -1111,13 +1114,13 @@ object TextAnalysis {
   }
 
   def txBudgetSelectDf(docs: DataFrame, frac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = qualityBucketed(docs)
     val hist = scored.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("bucket_tokens"))
     // single-partition window is FINE here: hist is ≤1001 rows
-    val wCum = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bucket").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val cum = hist.withColumn("cum_before",
       coalesce(sum(col("bucket_tokens")).over(wCum), lit(0L)))
     val budget = hist.agg(
@@ -1129,14 +1132,48 @@ object TextAnalysis {
     val whole = joined
       .filter(col("cum_before") + col("bucket_tokens") <= col("budget"))
       .select(col("doc_id"), col("n_tokens"), col("quality"))
-    val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket"))
-      .orderBy(col("quality").desc, col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val boundary = joined
+    // DEGENERATE-QUALITY GUARD (r12 verdict #2): the boundary bucket is
+    // ~1/1000 of the corpus only when quality is spread across buckets —
+    // a constant-quality corpus (machine-generated shards) puts EVERY
+    // row in one bucket, and a window partitioned by bucket would be
+    // the global single-partition sort this operator exists to avoid.
+    // So the boundary cumsum is a distributed prefix sum instead:
+    // range-partition the boundary rows by the selection order itself,
+    // take per-shard token totals (≤nShards rows — control plane),
+    // prefix them into per-shard offsets, and run the ordered window
+    // WITHIN each shard. Range partitioning guarantees every key in
+    // shard i precedes every key in shard i+1, so
+    // offset(shard) + local cumsum IS the global cumsum — exact, same
+    // rows selected, no partition ever holds more than ~|boundary|/
+    // nShards rows regardless of the quality distribution.
+    val nShards = docs.sparkSession.sparkContext.defaultParallelism
+    // the shard tag is MATERIALIZED once (eager local checkpoint):
+    // spark_partition_id over a range exchange is nondeterministic
+    // across plan instantiations (each consumer would sample its OWN
+    // RangePartitioner boundaries), and the offsets aggregate and the
+    // window below must see the SAME assignment or the prefix math is
+    // inconsistent — this is a correctness materialization, not a
+    // perf one. The checkpointed set is the boundary bucket only
+    // (narrow columns), freed at the harness query boundary.
+    val bRows = joined
       .filter(col("cum_before") <= col("budget") &&
         col("cum_before") + col("bucket_tokens") > col("budget"))
-      .withColumn("csum", sum(col("n_tokens")).over(wIn))
+      .repartitionByRange(nShards, col("quality").desc, col("doc_id"))
+      .withColumn("shard", spark_partition_id())
+      .localCheckpoint(true)
+    val wShard = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bRows.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("shard_before",
+        coalesce(sum(col("shard_tokens")).over(wShard), lit(0L)))
+      .select(col("shard"), col("shard_before"))
+    val wIn = Window.partitionBy(col("shard"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundary = bRows
+      .join(broadcast(offsets), Seq("shard"))
+      .withColumn("csum", col("shard_before") + sum(col("n_tokens")).over(wIn))
       .filter(col("cum_before") + col("csum") <= col("budget"))
       .select(col("doc_id"), col("n_tokens"), col("quality"))
     whole.unionByName(boundary).orderBy(col("doc_id"))
@@ -1158,8 +1195,11 @@ object TextAnalysis {
     * per-(source, quality-bucket) doc-count histogram (≤1001 rows per
     * source — control-plane sized, broadcast), whole buckets admitted
     * by the integer rank compare, and only each source's BOUNDARY
-    * bucket (~1/1000 of its rows) pays a (source, bucket)-partitioned
-    * row_number. Asserted equal to the windowed twin in the spec.
+    * bucket (~1/1000 of its rows) pays a row_number — itself sharded
+    * by range partitions with prefix-count offsets, so even a
+    * constant-quality source never re-creates the per-source global
+    * sort (see the guard in the body). Asserted equal to the windowed
+    * twin in the spec.
     */
   def txSelectBySource(s: SparkSession, dir: String, pct: Int = 40): DataFrame =
     txSelectBySourceDf(Tables.documents(s, dir), pct)
@@ -1181,13 +1221,40 @@ object TextAnalysis {
     val whole = joined
       .filter((col("cum_before") + col("bucket_docs")) * 100 <= col("n_src") * pct)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"))
-    val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"), col("bucket"))
-      .orderBy(col("quality").desc, col("doc_id"))
-    val boundary = joined
+    // Same degenerate-quality guard as [[txBudgetSelectDf]], per group:
+    // a source whose docs share one quality value puts its whole corpus
+    // in its boundary bucket, so the boundary rank is a distributed
+    // prefix count over range shards of (source, quality DESC, doc_id)
+    // — per-(source, shard) counts prefix into offsets (≤ #sources ×
+    // nShards rows, the same control-plane size as `cum`), and
+    // row_number runs within (source, shard) only. Exact: range
+    // partitioning keeps each source's shards ordered, so
+    // offset + local rank IS the source-global rank.
+    val nShards = docs.sparkSession.sparkContext.defaultParallelism
+    val wSh = org.apache.spark.sql.expressions.Window
+    // materialized once for the same reason as [[txBudgetSelectDf]]'s
+    // guard: the offsets aggregate and the rank window must agree on
+    // the sampled range boundaries behind spark_partition_id
+    val bRows = joined
       .filter(col("cum_before") * 100 <= col("n_src") * pct &&
         (col("cum_before") + col("bucket_docs")) * 100 > col("n_src") * pct)
-      .withColumn("rk", row_number().over(wIn).cast(LongType))
+      .repartitionByRange(nShards,
+        col("source"), col("quality").desc, col("doc_id"))
+      .withColumn("shard", spark_partition_id())
+      .localCheckpoint(true)
+    val wShard = wSh.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(wSh.unboundedPreceding, -1)
+    val offsets = bRows.groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("shard_docs"))
+      .withColumn("shard_before",
+        coalesce(sum(col("shard_docs")).over(wShard), lit(0L)))
+      .select(col("source"), col("shard"), col("shard_before"))
+    val wIn = wSh.partitionBy(col("source"), col("shard"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val boundary = bRows
+      .join(broadcast(offsets), Seq("source", "shard"))
+      .withColumn("rk",
+        col("shard_before") + row_number().over(wIn).cast(LongType))
       .filter((col("cum_before") + col("rk")) * 100 <= col("n_src") * pct)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"))
     whole.unionByName(boundary).orderBy(col("doc_id"))

@@ -193,17 +193,20 @@ class AnalyticsSpec extends SparkSpec {
     val sel = got.agg(sum($"n_tokens")).head().getLong(0)
     assert(sel <= budget && sel > 0)
     // scale shape: the only window keyed on document-scale rows is the
-    // boundary-bucket cumsum, and it is PARTITIONED by bucket — the
-    // histogram cumsum's SinglePartition exchange carries ≤1001 rows by
-    // construction. Anchor on the boundary window's OWN spec (partition
-    // key then quality ordering), not on any hashpartitioning in the
-    // plan: the histogram's groupBy(bucket) exchange also hash-
-    // partitions by bucket, which would keep a weaker assert green
-    // after the window degraded to a global sort.
+    // boundary cumsum, and it is PARTITIONED by the range shard (the
+    // r13 degenerate-quality guard) — the histogram cumsum's
+    // SinglePartition exchange carries ≤1001 rows and the shard-offset
+    // cumsum ≤nShards rows, both by construction. Anchor on the
+    // boundary window's OWN spec (shard partition key then quality
+    // ordering): a weaker hashpartitioning-anywhere assert would stay
+    // green after the window degraded to a global sort.
+    // (the range exchange behind the shard tag runs inside the guard's
+    // eager checkpoint — it is not visible in this plan; its exactness
+    // is covered by the value fuzz tests, degenerate corpus included)
     val plan = got.queryExecution.executedPlan.toString
-    assert("windowspecdefinition\\(bucket#\\d+, quality#\\d+ DESC".r
+    assert("windowspecdefinition\\(shard#\\d+, quality#\\d+ DESC".r
       .findFirstIn(plan).isDefined,
-      s"boundary window lost its bucket partitioning:\n$plan")
+      s"boundary window lost its shard partitioning:\n$plan")
   }
 
   test("tx_budget_select edges: overflowing top bucket; exact whole-bucket fit") {
@@ -270,6 +273,93 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("tx_budget_select degenerate: constant-quality corpus selects exactly and stays sharded") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    // Every doc all-distinct tokens → quality ≡ 1.0: the WHOLE corpus
+    // is the boundary bucket (machine-generated-shard shape). The old
+    // bucket-partitioned window would run it as one global partition;
+    // the r13 guard must (a) still select the exact greedy prefix and
+    // (b) spread the boundary across range shards with no shard holding
+    // more than ~n/nShards rows.
+    val n = 3000
+    val corpus = (0 until n).map { i =>
+      val len = 1 + (i % 7)
+      (i.toLong, (0 until len).map(j => s"u${i}_$j").mkString(" "))
+    }
+    val docs = corpus.toDF("doc_id", "text").repartition(8)
+    val frac = 0.37
+    val scored = corpus.map { case (id, text) =>
+      (id, text.split("\\s+").count(_.nonEmpty).toLong)
+    }
+    val budget = math.floor(frac * scored.map(_._2).sum.toDouble).toLong
+    // constant quality → greedy (quality DESC, doc_id) order is doc_id
+    val want = scored.sortBy(_._1)
+      .scanLeft((0L, -1L)) { case ((c, _), (id, t)) => (c + t, id) }
+      .drop(1).takeWhile(_._1 <= budget).map(_._2).sorted
+    val got = graft.analytics.TextAnalysis.txBudgetSelectDf(docs, frac)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got == want)
+    assert(want.length > 1000, "degenerate case must be non-trivial")
+    // replicate the guard's shard assignment and bound the largest
+    // window partition — the claim 'no partition exceeds ~n/nShards'
+    val nShards = spark.sparkContext.defaultParallelism
+    val toksC = tokens(col("text"))
+    val shardSizes = docs
+      .select($"doc_id", size(toksC).cast("long").as("n_tokens"),
+        (size(array_distinct(toksC)).cast("double") / size(toksC)).as("quality"))
+      .filter($"n_tokens" > 0)
+      .repartitionByRange(nShards, $"quality".desc, $"doc_id")
+      .groupBy(spark_partition_id().as("shard")).count()
+      .as[(Int, Long)].collect()
+    assert(shardSizes.length > 1, "degenerate corpus landed in one shard")
+    val mx = shardSizes.map(_._2).max
+    assert(mx <= 3L * n / nShards + 64,
+      s"largest boundary shard $mx rows exceeds ~n/nShards (${n / nShards})")
+  }
+
+  test("tx_select_by_source degenerate: constant-quality dominant source selects exactly and stays sharded") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    // One source holds 90% of the corpus and every doc has all-distinct
+    // tokens (quality ≡ 1.0): that source's whole corpus is its
+    // boundary bucket, the one-giant-domain shape the per-source
+    // histogram exists for.
+    val n = 3000
+    val corpus = (0 until n).map { i =>
+      val src = if (i % 10 == 0) "small" else "big"
+      val len = 1 + (i % 5)
+      (i.toLong, src, (0 until len).map(j => s"v${i}_$j").mkString(" "))
+    }
+    val docs = corpus.toDF("doc_id", "source", "text").repartition(8)
+    val pct = 40
+    val want = corpus.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val nSrc = rows.size.toLong
+      // constant quality → rank within source is doc_id order
+      rows.sortBy(_._1).zipWithIndex.collect {
+        case ((id, _, _), idx) if (idx + 1) * 100 <= nSrc * pct => id
+      }
+    }.sorted
+    val got = graft.analytics.TextAnalysis.txSelectBySourceDf(docs, pct)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got == want)
+    assert(want.length > 1000, "degenerate case must be non-trivial")
+    val nShards = spark.sparkContext.defaultParallelism
+    val toksC = tokens(col("text"))
+    val shardSizes = docs
+      .select($"doc_id", $"source", size(toksC).cast("long").as("n_tokens"),
+        (size(array_distinct(toksC)).cast("double") / size(toksC)).as("quality"))
+      .filter($"n_tokens" > 0)
+      .repartitionByRange(nShards, $"source", $"quality".desc, $"doc_id")
+      .groupBy($"source", spark_partition_id().as("shard")).count()
+      .as[(String, Int, Long)].collect()
+    assert(shardSizes.count(_._1 == "big") > 1,
+      "dominant source landed in one shard")
+    val mx = shardSizes.map(_._3).max
+    assert(mx <= 3L * n / nShards + 64,
+      s"largest (source, shard) window $mx rows exceeds ~n/nShards (${n / nShards})")
+  }
+
   test("tx_select_by_source: histogram threshold equals the per-source rank window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -288,16 +378,15 @@ class AnalyticsSpec extends SparkSpec {
       .select($"doc_id", $"source", $"n_tokens", $"quality").orderBy($"doc_id")
     assert(got.collect().toSeq == want.collect().toSeq)
     // scale shape: the only document-scale window is the boundary one,
-    // and it keeps its (source, bucket) partitioning. Anchor on the
-    // row_number window's OWN spec — the histogram's
-    // groupBy(source, bucket) exchange also hash-partitions by the same
-    // keys, so a hashpartitioning-anywhere assert would stay green after
+    // and it keeps its (source, shard) partitioning (the r13
+    // degenerate-quality guard). Anchor on the row_number window's OWN
+    // spec — a hashpartitioning-anywhere assert would stay green after
     // the window degraded to per-source global ranking.
     val plan = got.queryExecution.executedPlan.toString
     assert(("row_number\\(\\) windowspecdefinition\\(" +
-      "source#\\d+, bucket#\\d+, quality#\\d+ DESC").r
+      "source#\\d+, shard#\\d+, quality#\\d+ DESC").r
       .findFirstIn(plan).isDefined,
-      s"boundary window lost its (source, bucket) partitioning:\n$plan")
+      s"boundary window lost its (source, shard) partitioning:\n$plan")
   }
 
   test("tx_select_by_source fuzz: equals the per-source brute-force ranking") {
