@@ -2423,6 +2423,18 @@ object OracleSql {
          |  min(value) AS min_value, max(value) AS max_value
          |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
 
+    // served_hourly: the Spark side runs materialize → refreshRange →
+    // servedHourly (store/Backfill.servedHourlyCertified) — the oracle
+    // is the continuous aggregate's DEFINITION over the full raw table
+    // (the reference's fully-refreshed state, init.sql:324-345), i.e.
+    // exactly a2_hourly_agg. The hash match certifies the whole
+    // materialize/refresh/serve lifecycle reproduces it.
+    "served_hourly" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+         |  count(*) AS n, ${davg("value")} AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
+
     // week parity: time_bucket('1 week') aligns to 2000-01-03 (Monday)
     // = Spark date_trunc("week")'s ISO-Monday boundaries; month parity:
     // calendar months on both sides (SURVEY §7.4#3 pin)

@@ -38,6 +38,11 @@ object SparkEntry {
     // week/month vs DuckDB time_bucket, certified by the oracle gate
     "a2_weekly_agg"           -> (EA.a2WeeklyAgg(_, _)),
     "a2_monthly_agg"          -> (EA.a2MonthlyAgg(_, _)),
+    // A12 continuous aggregate END-TO-END (r12 verdict #4): stale
+    // materialize → refreshRange → servedHourly, hashed against the
+    // a2_hourly_agg oracle — the served rollup equals the reference's
+    // fully-refreshed continuous aggregate (init.sql:324-345)
+    "served_hourly"           -> (graft.store.Backfill.servedHourlyCertified(_, _)),
     "a3_daily_agg"            -> (EA.a3DailyAgg(_, _)),
     "a4_device_stats"         -> (EA.a4DeviceStats(_, _)),
     "a5_timeseries_stats"     -> (EA.a5TimeseriesStats(_, _)),

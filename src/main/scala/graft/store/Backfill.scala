@@ -60,6 +60,58 @@ object Backfill {
     closed.unionByName(tail)
   }
 
+  /** The ORACLE-CERTIFIED end-to-end continuous-aggregate exercise
+    * (registered as `served_hourly`): the one A12 path whose SERVED
+    * output goes through the DuckDB gate instead of spec-only checks.
+    * It drives the full lifecycle against the fixture events table:
+    *
+    *  1. materialize the rollup from a deliberately STALE snapshot —
+    *     every 10th event in the last two days missing (the late-data /
+    *     corrupted-chunk scenario refresh exists for);
+    *  2. `refreshRange` the affected date partitions from the full raw
+    *     table (dynamic partition overwrite — untouched partitions keep
+    *     their files);
+    *  3. serve with `servedHourly`: closed buckets from the refreshed
+    *     MATERIALIZED store, the live tail (last ~2 hours) aggregated
+    *     from raw.
+    *
+    * The result is projected to `a2_hourly_agg`'s exact shape
+    * (avg = exact decimal sum ÷ n, the `Cols.davg` arithmetic), so the
+    * oracle hash certifies that materialize → refresh → serve equals
+    * the reference's fully-refreshed continuous aggregate
+    * (init.sql:324-345 semantics, SURVEY §7.4#4) — which only holds if
+    * the refresh really replaced the stale partitions AND the
+    * closed/tail seam at `servedUntil` lost and duplicated nothing.
+    */
+  def servedHourlyCertified(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, TimestampType}
+    val ev = graft.Tables.events(spark, dir)
+    val span = ev.agg(min(col("ts")).cast(TimestampType),
+      max(col("ts")).cast(TimestampType)).head()
+    val (minT, maxT) = (span.getTimestamp(0), span.getTimestamp(1))
+    def utcDate(t: java.sql.Timestamp): LocalDate =
+      java.time.Instant.ofEpochMilli(t.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val (minD, maxD) = (utcDate(minT), utcDate(maxT))
+    val midD = { val m = maxD.minusDays(2); if (m.isBefore(minD)) minD else m }
+    val servedUntil = new java.sql.Timestamp(
+      math.max(maxT.getTime / 3600000L * 3600000L - 2 * 3600000L,
+        minT.getTime / 3600000L * 3600000L + 3600000L))
+    val root = java.nio.file.Files.createTempDirectory("graft_rollup_").toString
+    val stale = ev.filter(
+      col("ts") < graft.Cols.tsLit(midD.toString) ||
+        pmod(col("event_id"), lit(10)) =!= 0)
+    materialize(stale, root)
+    refreshRange(spark, ev, root, midD, maxD.plusDays(1))
+    servedHourly(spark, ev, root, servedUntil)
+      .select(col("bucket").cast("timestamp_ntz").as("bucket"),
+        col("event_type"), col("n"),
+        (col("sum_value").cast(DoubleType) / col("n")).cast(DoubleType)
+          .as("avg_value"),
+        col("min_value"), col("max_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   /** Refresh [from, to): recompute the range from the raw table and
     * overwrite ONLY the affected bucket_date partitions.
     */

@@ -28,6 +28,14 @@ object Streams {
   /** A12: hourly rollup with 1-hour watermark. In append mode a window
     * only materializes once the watermark passes — exactly the
     * reference's "never refresh the most recent hour" semantics.
+    *
+    * `sum_value` is an EXACT decimal sum (graft.Cols policy): the
+    * rollup is a MATERIALIZED table that later unions with freshly
+    * aggregated tails and partition refreshes (store/Backfill), and a
+    * float sum's low bits would depend on which path computed each
+    * bucket — the exact decimal makes the stored rollup equal to the
+    * direct aggregation bit-for-bit in any engine and any order (the
+    * `served_hourly` oracle row certifies exactly that).
     */
   def hourlyRollup(events: DataFrame): DataFrame =
     events
@@ -36,7 +44,7 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value")).as("sum_value"),
+        sum(graft.Cols.dec2(col("value"))).as("sum_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
       .select(col("window.start").as("bucket"), col("event_type"),

@@ -34,11 +34,15 @@ class StreamingSpec extends SparkSpec {
       mem.addData(EventRow(5, ts("2024-01-01 05:00:00"), 3, "view", 1.0))
       q.processAllAvailable()
       val streamed = spark.table("rollup")
-        .select("bucket", "event_type", "n", "sum_value").as[(java.sql.Timestamp, String, Long, Double)]
+        .select(col("bucket"), col("event_type"), col("n"),
+          col("sum_value").cast("double"))
+        .as[(java.sql.Timestamp, String, Long, Double)]
         .collect().toSet
       val batch = Streams.hourlyRollup(sampleRows.toDF())
         .filter(col("bucket") < lit(ts("2024-01-01 02:00:00")))
-        .select("bucket", "event_type", "n", "sum_value").as[(java.sql.Timestamp, String, Long, Double)]
+        .select(col("bucket"), col("event_type"), col("n"),
+          col("sum_value").cast("double"))
+        .as[(java.sql.Timestamp, String, Long, Double)]
         .collect().toSet
       assert(batch.subsetOf(streamed), s"streamed=$streamed batch=$batch")
       assert(batch.nonEmpty)
