@@ -909,12 +909,15 @@ object TextAnalysis {
     * deliberately runs that naive form, so the hash match certifies the
     * equivalence).
     */
-  def sampleStratified(s: SparkSession, dir: String, n: Int = 10): DataFrame = {
+  def sampleStratified(s: SparkSession, dir: String, n: Int = 10): DataFrame =
+    sampleStratifiedDf(Tables.documents(s, dir), n)
+
+  def sampleStratifiedDf(documents: DataFrame, n: Int): DataFrame = {
     import graft.similarity.TopKByCos
     val hs = pmod(hash60(concat(lit("strat|"), col("doc_id").cast(StringType))),
       lit(1L << 40))
     val topn = udaf(new TopKByCos(n))
-    Tables.documents(s, dir)
+    documents
       .select(col("source"), col("doc_id").as("neighbor_id"),
         // min-key selection through the max-first heap: score = −key
         (-hs.cast(DoubleType)).as("cos_sim"))

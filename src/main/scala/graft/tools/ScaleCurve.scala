@@ -76,6 +76,62 @@ object ScaleCurve {
       println(f"winnow   n=$n%-8d tx=$tw%8.2f s  dedup=$td%8.2f s")
     }
 
+    // Selection family (r12 verdict #5): the histogram threshold
+    // selectors and the bounded-heap stratified sample at 1×/4×/16×
+    // (≈5k/20k/80k docs on sf0.1), each also on a one-source-dominates
+    // skew corpus (95% of docs forced into one source — the shape that
+    // serializes the naive per-source rank window), plus the
+    // constant-quality DEGENERATE corpus for the budget selector (the
+    // whole corpus is the boundary bucket — the r13 range-shard guard's
+    // worst case). All should scale ~n, skew and degenerate included.
+    if (section("selection")) {
+      val TA = graft.analytics.TextAnalysis
+      def copies(k: Int) = (0 until k).map(j =>
+        baseDocs.select((col("doc_id") + lit(j * docOffset)).as("doc_id"),
+          col("source"),
+          concat(col("text"), lit(s" selmarker$j")).as("text")))
+        .reduce(_ unionByName _)
+      def skewed(docs: org.apache.spark.sql.DataFrame) =
+        docs.withColumn("source",
+          when(pmod(col("doc_id"), lit(20)) === 0, col("source"))
+            .otherwise(lit("megadomain")))
+      val warm = copies(1)
+      noop(TA.txBudgetSelectDf(warm, 0.4))
+      noop(TA.txSelectBySourceDf(warm, 40))
+      noop(TA.sampleStratifiedDf(warm, 10))
+      graft.store.Checkpoints.free(spark)
+      for (k <- Seq(1, 4, 16)) {
+        val docs = copies(k)
+        val skew = skewed(docs)
+        val n = docs.count()
+        def t2(f: => Unit): Double = Seq.fill(2)(timed(f)).min
+        val tB = t2(noop(TA.txBudgetSelectDf(docs, 0.4)))
+        val tS = t2(noop(TA.txSelectBySourceDf(docs, 40)))
+        val tSk = t2(noop(TA.txSelectBySourceDf(skew, 40)))
+        val tT = t2(noop(TA.sampleStratifiedDf(docs, 10)))
+        val tTk = t2(noop(TA.sampleStratifiedDf(skew, 10)))
+        println(f"selection n=$n%-8d budget=$tB%7.2f  bysource=$tS%7.2f  " +
+          f"bysource_skew=$tSk%7.2f  strat=$tT%7.2f  strat_skew=$tTk%7.2f")
+        graft.store.Checkpoints.free(spark)
+      }
+      // degenerate: every doc all-distinct tokens → quality ≡ 1.0,
+      // whole corpus in one bucket; token counts 1..40 from doc_id
+      for (k <- Seq(1, 16)) {
+        val degen = copies(k).select(col("doc_id"),
+          concat_ws(" ", transform(
+            sequence(lit(1), (pmod(col("doc_id"), lit(40)) + 1).cast("int")),
+            i => concat(col("doc_id").cast("string"), lit("x"),
+              i.cast("string")))).as("text"))
+        val n = degen.count()
+        val tD = Seq.fill(2)(timed(noop(TA.txBudgetSelectDf(degen, 0.4)))).min
+        val tDs = Seq.fill(2)(timed(noop(
+          TA.txSelectBySourceDf(skewed(degen.withColumn("source", lit("s0"))),
+            40)))).min
+        println(f"selection_degen n=$n%-8d budget=$tD%7.2f  bysource_skew=$tDs%7.2f")
+        graft.store.Checkpoints.free(spark)
+      }
+    }
+
     // Chunk-level dedup + boilerplate spans at growing corpus FRACTIONS
     // (subsets keep the natural text-duplication structure, so the work
     // profile stays honest — copy-planting would make every gram hot).
