@@ -334,8 +334,10 @@ object AnnIndex {
     val probed = Similarity.materializeSmall(
       qc.withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
         .select(col("query_id"), col("q_emb"), col("cell")))
+    // sorted: these become partition-pruning IN literals — stable
+    // order keeps the generated plan source codegen-cache-friendly
     val routedCells = probed.select(col("cell")).distinct()
-      .collect().map(_.getAs[Number](0).longValue).toSeq
+      .collect().map(_.getAs[Number](0).longValue).toSeq.sorted
     val lists = minusDeletes(spark, root,
       routedScan(spark, root, "lists", routedCells), "vec_id")
     val cand = lists
@@ -415,8 +417,10 @@ object AnnIndex {
     val probed = Similarity.materializeSmall(
       qc.withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
         .select(col("query_id"), col("cell")))
+    // sorted: these become partition-pruning IN literals — stable
+    // order keeps the generated plan source codegen-cache-friendly
     val routedCells = probed.select(col("cell")).distinct()
-      .collect().map(_.getAs[Number](0).longValue).toSeq
+      .collect().map(_.getAs[Number](0).longValue).toSeq.sorted
     val codes = routedScan(spark, root, "cellcodes", routedCells)
     val lut = queries
       .select(col("query_id"), explode(sequence(lit(0), lit(7))).as("s"),
