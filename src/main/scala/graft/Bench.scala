@@ -499,9 +499,11 @@ object Bench {
     // driver's line capture in r6 (BENCH_r06 came back `parsed: null`
     // with only the tail fragments of the line surviving). The artifact
     // must fit the pipe that carries it, so:
-    //  - stdout carries exactly ONE line, the driver contract, and it is
-    //    COMPACT: per-query min-wall (`queries`) + min-cpu (`queriesCpu`),
-    //    no arrays — ~1-2 KB regardless of query count;
+    //  - stdout carries the driver CONTRACT line LAST (plus one short
+    //    artifact-path notice before it, which the tail capture clips
+    //    first), and the contract line is COMPACT: per-query min-wall
+    //    (`queries`) + min-cpu summary, no arrays — ~1-2 KB regardless
+    //    of query count;
     //  - the FULL diagnostic JSON (runs/runsCpu/runsGc/retries/
     //    stall_windows, per-run resolution) is written to
     //    bench_artifact.json in the working directory (the repo root when

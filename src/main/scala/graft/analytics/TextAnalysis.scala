@@ -614,7 +614,12 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("span_end") - col("span_start")).cast(LongType).as("covered_tokens"),
         sum(col("nf")).cast(LongType).as("n_flagged"))
-    val result = base.select(col("doc_id"),
+    // returned LAZY (no checkpoint): the full plan stays visible to
+    // PlanAuditSpec's anti-pattern audit, and the persisted base backs
+    // the single downstream action before the harness's query-boundary
+    // free (a checkpointed result would replace the audited plan with
+    // a bare RDD scan — review r13)
+    base.select(col("doc_id"),
         size(col("toks")).cast(LongType).as("n_tokens"),
         size(col("gh")).cast(LongType).as("n_grams"))
       .join(covered, Seq("doc_id"), "left")
@@ -625,9 +630,6 @@ object TextAnalysis {
           round(coalesce(col("covered_tokens"), lit(0L)).cast(DoubleType) /
             col("n_tokens"), 6)).otherwise(0.0).as("boilerplate_ratio"))
       .orderBy(col("doc_id"))
-      .localCheckpoint(true)
-    base.unpersist()
-    result
   }
 
   /** The APPLY step of substring-level dedup: rewrite each document with

@@ -75,9 +75,12 @@ object Backfill {
     *     MATERIALIZED store, the live tail (last ~2 hours) aggregated
     *     from raw.
     *
-    * The result is projected to `a2_hourly_agg`'s exact shape
-    * (avg = exact decimal sum ÷ n, the `Cols.davg` arithmetic), so the
-    * oracle hash certifies that materialize → refresh → serve equals
+    * The result is projected to `a2_hourly_agg`'s shape with
+    * avg = exact decimal sum ÷ n (n = count(*), the rollup's stored
+    * row count — the oracle mirrors this division verbatim; it equals
+    * `Cols.davg`'s ÷count(value) whenever value is non-null, which the
+    * fixture guarantees), so the oracle hash certifies that
+    * materialize → refresh → serve equals
     * the reference's fully-refreshed continuous aggregate
     * (init.sql:324-345 semantics, SURVEY §7.4#4) — which only holds if
     * the refresh really replaced the stale partitions AND the
@@ -97,7 +100,16 @@ object Backfill {
     val servedUntil = new java.sql.Timestamp(
       math.max(maxT.getTime / 3600000L * 3600000L - 2 * 3600000L,
         minT.getTime / 3600000L * 3600000L + 3600000L))
-    val root = java.nio.file.Files.createTempDirectory("graft_rollup_").toString
+    // deterministic per-corpus root, cleared before each rebuild: the
+    // lifecycle is re-exercised every invocation but at most ONE rollup
+    // tree per corpus ever lives in tmp (a fresh createTempDirectory
+    // per call accumulated unboundedly across gate loops — review r13).
+    // The tree must outlive this method: the served plan lazily reads
+    // the closed buckets from it at action time.
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_rollup",
+      java.lang.Integer.toHexString(dir.hashCode)).toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val stale = ev.filter(
       col("ts") < graft.Cols.tsLit(midD.toString) ||
         pmod(col("event_id"), lit(10)) =!= 0)

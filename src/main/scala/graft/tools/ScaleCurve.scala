@@ -33,6 +33,11 @@ object ScaleCurve {
     }
 
     val base = Tables.embeddings(spark, dir)
+    // copy-id offset for the embedding-section factors — same collision
+    // guard as docOffset below (review r13: the fix had missed these)
+    val embOffset = math.max(1000000L,
+      base.agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("vec_id"))).first().getLong(0) + 1)
     // warm-up: codegen, parquet footers
     if (section("embedding")) noop(Similarity.dedupEmbeddingDf(base, 0.9))
 
@@ -246,7 +251,7 @@ object ScaleCurve {
       var lastSemN = 0L
       for (k <- Seq(2, 5, 11, 23)) {
         val factors = (1 to k).map(j =>
-          (j * 1000000L, 0.2 + 0.1 * (j - 1) / math.max(1, k - 1)))
+          (j * embOffset, 0.2 + 0.1 * (j - 1) / math.max(1, k - 1)))
         val corpus = Similarity.augmentedEmbeddings(base, factors = factors)
           .persist()
         val n = corpus.count()
@@ -273,7 +278,7 @@ object ScaleCurve {
     var lastN = 0L
     for (k <- Seq(2, 5, 11, 23) if section("embedding")) {
       val factors = (1 to k).map(j =>
-        (j * 1000000L, 0.2 + 0.1 * (j - 1) / math.max(1, k - 1)))
+        (j * embOffset, 0.2 + 0.1 * (j - 1) / math.max(1, k - 1)))
       val corpus = Similarity.augmentedEmbeddings(base, factors = factors)
       val n = corpus.count()
       val params = LshParams.derive(n, 0.9, 0.9999, 4)
