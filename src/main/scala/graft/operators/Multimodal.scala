@@ -390,7 +390,23 @@ object Multimodal {
     if (gif) {
       val b = directEncode("gif")
       var i = 0
-      while (i < iters) { sink += rasterSum(decodeGifDirect(b)); i += 1 }
+      while (i < iters) {
+        // getRGB loop, NOT the shared rasterSum: production feeds
+        // rasterSum gray rasters only (png/jpeg), and summing the
+        // GIF's IndexColorModel raster here would drive rasterSum's
+        // getSample site megamorphic for the rest of the session —
+        // measured as a bimodal 10 s vs 22 s mm_jpeg cpu depending on
+        // whether C2 compiled rasterSum before or after this loop.
+        // This mirrors mmGif's own per-pixel path exactly.
+        val img = decodeGifDirect(b)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { sink += (img.getRGB(x, y) & 0xff); x += 1 }
+          y += 1
+        }
+        i += 1
+      }
     }
     // defeat dead-code elimination of the warm loops
     if (sink == Long.MinValue) System.err.println("[warm] impossible sink")
