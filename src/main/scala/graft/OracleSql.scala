@@ -89,18 +89,25 @@ object OracleSql {
        |  FROM saf$i),""".stripMargin
   }
 
-  /** Boilerplate-span detection (TextAnalysis.boilerplateIslands):
-    * positional 8-gram hashes → df >= 2 hot set → flagged starts →
-    * gaps-and-islands merge. Ends at `isl(doc_id, island, s, e, nf)`.
+  /** Positional 8-gram hashes per document — shared by the boilerplate
+    * pair and `dedup_exact_runs`. Ends at `g(doc_id, pos, gh)` with pos
+    * 0-based, gh = hash60 of the space-joined 8-token slice (the
+    * `GramHashesExpr` mirror).
     */
-  private val boilerplateCtes =
+  private val gram8Ctes =
     """g0 AS (SELECT doc_id, CASE WHEN len(toks) >= 8 THEN list_transform(
       |    generate_series(1, len(toks) - 7),
       |    i -> {'pos': i - 1, 'gh': ('0x' || substr(md5(
       |      array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15))::BIGINT})
       |  ELSE []::STRUCT(pos BIGINT, gh BIGINT)[] END AS gl FROM t),
-      |g AS (SELECT doc_id, unnest(gl, recursive := true) FROM g0),
-      |hot AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      |g AS (SELECT doc_id, unnest(gl, recursive := true) FROM g0)""".stripMargin
+
+  /** Boilerplate-span detection (TextAnalysis.boilerplateIslands):
+    * positional 8-gram hashes → df >= 2 hot set → flagged starts →
+    * gaps-and-islands merge. Ends at `isl(doc_id, island, s, e, nf)`.
+    */
+  private val boilerplateCtes = gram8Ctes + ",\n" +
+    """hot AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
       |f AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (gh)),
       |w1 AS (SELECT doc_id, pos,
       |  max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
@@ -802,6 +809,35 @@ object OracleSql {
          |  ELSE 0.0 END AS boilerplate_ratio
          |FROM t LEFT JOIN cov ON cov.doc_id = t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    // exact-substring dedup (the Lee et al. 2022 "Deduplicating
+    // Training Data" §4 signal, gram-anchored instead of
+    // suffix-array): a shared verbatim run of R >= 16 tokens is
+    // exactly a chain of R-7 consecutive shared 8-gram positions on
+    // one (pa - pb) diagonal — islands of consecutive pa within each
+    // (a, b, diagonal) group, run length = island size + 7. The df cap
+    // (2..64) is the stop-gram discipline: a gram in d docs yields
+    // d(d-1)/2 matched pairs, so ubiquitous boilerplate grams are
+    // dropped (a run crossing one is split — both engines split it
+    // identically). The oracle replays the identical diagonal-island
+    // construction from the same gram CTE text.
+    "dedup_exact_runs" ->
+      s"""WITH $toksCte, $gram8Ctes,
+         |keep AS (SELECT gh FROM g GROUP BY gh
+         |  HAVING count(DISTINCT doc_id) >= 2 AND count(DISTINCT doc_id) <= 64),
+         |g2 AS (SELECT g.doc_id, g.pos, g.gh FROM g JOIN keep USING (gh)),
+         |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+         |  FROM g2 x JOIN g2 y ON x.gh = y.gh AND x.doc_id < y.doc_id),
+         |r AS (SELECT a, b, pa - pb AS d, pa,
+         |  pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp
+         |  FROM m),
+         |runs AS (SELECT a, b, count(*) + 7 AS run_len
+         |  FROM r GROUP BY a, b, d, grp)
+         |SELECT a AS doc_a, b AS doc_b,
+         |  max(run_len)::BIGINT AS max_run_tokens,
+         |  (count(*) FILTER (WHERE run_len >= 16))::BIGINT AS n_runs
+         |FROM runs GROUP BY a, b HAVING max(run_len) >= 16
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // the APPLY step: every doc rewritten with its flagged spans cut
     "tx_boilerplate_apply" ->

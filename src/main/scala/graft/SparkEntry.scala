@@ -170,6 +170,9 @@ object SparkEntry {
     // winnowed-fingerprint pairs (MOSS): guaranteed detection of shared
     // ≥8-token runs from the ~0.4× winnow index, inverted-index join
     "dedup_winnow"        -> (Dedup.dedupWinnow(_, _)),
+    // exact-substring dedup (Lee et al. 2022 §4, gram-anchored):
+    // longest verbatim cross-doc token runs via diagonal islands
+    "dedup_exact_runs"    -> (Dedup.dedupExactRuns(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
     "dedup_apply"         -> (Dedup.dedupApply(_, _)),
     // apply over the UNIONED pair graphs of all three near-dup

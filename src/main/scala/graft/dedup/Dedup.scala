@@ -796,6 +796,68 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** EXACT-SUBSTRING dedup pairs — the Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", §4) signal, the one
+    * dedup family the detectors above deliberately approximate: for
+    * every cross-doc pair sharing a VERBATIM token run of ≥ `minRun`
+    * tokens, the length of the longest shared run and the count of
+    * qualifying runs. MinHash estimates set similarity (misses a short
+    * verbatim quote inside two long distinct docs), winnowing
+    * guarantees a shared FINGERPRINT for ≥ w+k−1 runs but reports
+    * match mass, not extents — this reports the exact extent, the
+    * quantity the reference pipeline's span-removal policies cut on.
+    *
+    * Construction (gram-anchored, no suffix array): a shared verbatim
+    * run of R tokens is EXACTLY a chain of R−k+1 consecutive shared
+    * k-gram positions on one (pa − pb) diagonal, so: positional gram
+    * hashes (native codegen'd pass, no gram strings) → df-capped
+    * inverted index (2 ≤ df ≤ maxDf — the stop-gram discipline; a gram
+    * in d docs yields d(d−1)/2 matched pairs, so ubiquitous corpus
+    * boilerplate is dropped and any run crossing it splits, in both
+    * engines identically) → matched positions joined on the hash →
+    * gaps-and-islands of consecutive `pa` within each (a, b, diagonal)
+    * group; run length = island size + k − 1.
+    *
+    * Scale shape: one shuffle of the df-capped gram index on the hash;
+    * candidates are gram-mates only, never the O(n²) pair space; the
+    * island window is partitioned by (pair, diagonal) — bounded by the
+    * shorter document's length. hash60 collisions would need 2^60
+    * birthday mass to matter and the oracle runs the SAME hash, so the
+    * gate compares identical semantics.
+    */
+  def dedupExactRuns(s: SparkSession, dir: String, k: Int = 8,
+      maxDf: Int = 64, minRun: Int = 16): DataFrame =
+    dedupExactRunsDf(Tables.documents(s, dir), k, maxDf, minRun)
+
+  def dedupExactRunsDf(documents: DataFrame, k: Int, maxDf: Int,
+      minRun: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = graft.Par.spread(documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        posexplode(gramHashes(tokens(col("text")), k)).as(Seq("pos", "gh")))
+    val keep = grams.groupBy(col("gh"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("gh"))
+    val g2 = grams.join(keep, Seq("gh"))
+    val m = g2.select(col("gh"), col("doc_id").as("a"), col("pos").as("pa"))
+      .join(g2.select(col("gh"), col("doc_id").as("b"), col("pos").as("pb")),
+        Seq("gh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("pa"), (col("pa") - col("pb")).as("d"))
+    val w = Window.partitionBy(col("a"), col("b"), col("d")).orderBy(col("pa"))
+    val runs = m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("a"), col("b"), col("d"), col("grp"))
+      .agg((count(lit(1)) + lit(k - 1)).as("run_len"))
+    runs.groupBy(col("a"), col("b"))
+      .agg(max(col("run_len")).cast(LongType).as("max_run_tokens"),
+        sum(when(col("run_len") >= minRun, 1L).otherwise(0L)).as("n_runs"))
+      .filter(col("max_run_tokens") >= minRun)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("max_run_tokens"), col("n_runs"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Winnowed-fingerprint near-dup pairs (the MOSS pair report): doc
     * pairs sharing winnow-selected 5-gram hashes, with the count of
     * shared fingerprints as the match mass. Complements the other

@@ -218,6 +218,87 @@ class DedupFuzzSpec extends SparkSpec {
     assert(got == Map((0L, 1L) -> full, (0L, 2L) -> full, (1L, 2L) -> full))
   }
 
+  /** Brute-force exact-substring pair report (string grams, not
+    * hashes — hash equality == string equality modulo 2^60 collisions,
+    * which these corpora cannot reach): df-capped grams, matched
+    * positions, diagonal islands, run = island + k − 1.
+    */
+  private def refExactRuns(corpus: Seq[(Long, String)], k: Int,
+      maxDf: Int, minRun: Int): Map[(Long, Long), (Long, Long)] = {
+    val grams = corpus.map { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      id -> (0 to toks.length - k).map(i => i -> toks.slice(i, i + k).mkString(" "))
+    }
+    val df = grams.flatMap { case (id, gs) => gs.map(_._2).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, v) => g -> v.size }
+    val keep = df.collect { case (g, c) if c >= 2 && c <= maxDf => g }.toSet
+    val byDoc = grams.map { case (id, gs) => id -> gs.filter(p => keep(p._2)) }
+    val rows = for {
+      (a, ga) <- byDoc
+      (b, gb) <- byDoc if a < b
+      pairs = for { (pa, s1) <- ga; (pb, s2) <- gb if s1 == s2 } yield (pa, pb)
+      if pairs.nonEmpty
+    } yield {
+      val runs = pairs.groupBy { case (pa, pb) => pa - pb }.values.flatMap { diag =>
+        val pas = diag.map(_._1).sorted
+        val islands = pas.foldLeft(List.empty[List[Int]]) {
+          case (Nil, p) => List(List(p))
+          case (h :: t, p) if p == h.head + 1 => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map(_.size + k - 1)
+      }.toSeq
+      (a, b) -> (runs.max.toLong, runs.count(_ >= minRun).toLong)
+    }
+    rows.filter(_._2._1 >= minRun).toMap
+  }
+
+  test("dedup_exact_runs: planted verbatim run reports its exact extent") {
+    val run = (1 to 20).map(i => s"r$i").mkString(" ")
+    val a = "x1 x2 x3 " + run + " y1 y2"
+    val b = "z1 " + run + " q1 q2 q3"
+    val got = Dedup.dedupExactRunsDf(Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
+        8, 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // the shared extent is EXACTLY the 20 planted tokens, one run
+    assert(got == Map((1L, 2L) -> (20L, 1L)))
+    // a 12-token shared run sits below minRun=16 → no row
+    val short = (1 to 12).map(i => s"s$i").mkString(" ")
+    assert(Dedup.dedupExactRunsDf(
+      Seq((1L, "x1 x2 " + short), (2L, short + " q1 q2"))
+        .toDF("doc_id", "text"), 8, 64, 16).count() == 0)
+  }
+
+  test("dedup_exact_runs: maxDf splits ubiquitous grams; small groups pair fully") {
+    // 70 byte-identical 20-token docs: every gram's df = 70 > 64 → the
+    // stop-gram discipline yields ZERO pairs instead of 70·69/2
+    val text = (1 to 20).map(i => s"t$i").mkString(" ")
+    val many = (0 until 70).map(i => (i.toLong, text))
+    assert(Dedup.dedupExactRunsDf(many.toDF("doc_id", "text"), 8, 64, 16)
+      .count() == 0)
+    // 3 identical docs sit under the cap: all 3 pairs at the full
+    // 20-token extent, one run each
+    val got = Dedup.dedupExactRunsDf(many.take(3).toDF("doc_id", "text"),
+        8, 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map((0L, 1L) -> (20L, 1L), (0L, 2L) -> (20L, 1L),
+      (1L, 2L) -> (20L, 1L)))
+  }
+
+  test("dedup_exact_runs fuzz: equals the brute-force diagonal-island report") {
+    for (seed <- 1 to 4) {
+      val corpus = genCorpus(500 + seed, 24)
+      val got = Dedup.dedupExactRunsDf(corpus.toDF("doc_id", "text"), 8, 64, 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val want = refExactRuns(corpus, 8, 64, 16)
+      assert(got == want, s"seed=$seed")
+      assert(want.nonEmpty, s"seed=$seed: degenerate plant")
+    }
+  }
+
   test("apply invariant: the deduplicated corpus has no remaining pair") {
     val corpus = genCorpus(11, 60)
     val df = corpus.toDF("doc_id", "text").persist()
