@@ -839,6 +839,50 @@ object OracleSql {
          |FROM runs GROUP BY a, b HAVING max(run_len) >= 16
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // the APPLY step of exact-substring dedup: keep-FIRST-occurrence —
+    // every doc cuts the spans it shares verbatim (>= 16 tokens) with
+    // any LOWER doc_id; spans are the runs' extents in the higher doc,
+    // union-merged per doc with a running-max gaps-and-islands (spans
+    // have varying lengths, unlike the fixed-width boilerplate merge),
+    // then the same kept-token rewrite as tx_boilerplate_apply
+    "dedup_exact_runs_apply" ->
+      s"""WITH $toksCte, $gram8Ctes,
+         |keep AS (SELECT gh FROM g GROUP BY gh
+         |  HAVING count(DISTINCT doc_id) >= 2 AND count(DISTINCT doc_id) <= 64),
+         |g2 AS (SELECT g.doc_id, g.pos, g.gh FROM g JOIN keep USING (gh)),
+         |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+         |  FROM g2 x JOIN g2 y ON x.gh = y.gh AND x.doc_id < y.doc_id),
+         |r AS (SELECT a, b, pa - pb AS d, pa, pb,
+         |  pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp
+         |  FROM m),
+         |runs AS (SELECT a, b, min(pb) AS s, max(pb) + 8 AS e,
+         |  count(*) + 7 AS run_len
+         |  FROM r GROUP BY a, b, d, grp),
+         |spans0 AS (SELECT DISTINCT b AS doc_id, s, e FROM runs
+         |  WHERE run_len >= 16),
+         |v1 AS (SELECT doc_id, s, e,
+         |  max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM spans0),
+         |v2 AS (SELECT doc_id, s, e,
+         |  sum(CASE WHEN prev_end IS NULL OR s >= prev_end THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+         |  FROM v1),
+         |isl2 AS (SELECT doc_id, min(s) AS s, max(e) AS e
+         |  FROM v2 GROUP BY doc_id, island),
+         |spans AS (SELECT doc_id, list({'s': s, 'e': e}) AS sp
+         |  FROM isl2 GROUP BY doc_id),
+         |kk AS (SELECT t.doc_id, t.toks,
+         |  list_transform(list_filter(generate_series(1, len(t.toks)),
+         |    i -> coalesce(len(list_filter(sp.sp,
+         |      p -> i - 1 >= p.s AND i - 1 < p.e)), 0) = 0),
+         |    i -> t.toks[i]) AS kept
+         |  FROM t LEFT JOIN spans sp ON sp.doc_id = t.doc_id)
+         |SELECT doc_id, len(toks)::BIGINT AS n_before,
+         |  len(kept)::BIGINT AS n_after,
+         |  coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+         |FROM kk ORDER BY doc_id""".stripMargin,
+
     // the APPLY step: every doc rewritten with its flagged spans cut
     "tx_boilerplate_apply" ->
       s"""WITH $toksCte, $boilerplateCtes,

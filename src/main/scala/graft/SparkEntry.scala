@@ -173,6 +173,7 @@ object SparkEntry {
     // exact-substring dedup (Lee et al. 2022 §4, gram-anchored):
     // longest verbatim cross-doc token runs via diagonal islands
     "dedup_exact_runs"    -> (Dedup.dedupExactRuns(_, _)),
+    "dedup_exact_runs_apply" -> (Dedup.dedupExactRunsApply(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
     "dedup_apply"         -> (Dedup.dedupApply(_, _)),
     // apply over the UNIONED pair graphs of all three near-dup

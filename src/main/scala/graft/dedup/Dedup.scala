@@ -858,6 +858,83 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The APPLY step of exact-substring dedup — what the Lee et al.
+    * pipeline actually does with the runs: DELETE them, keeping the
+    * FIRST occurrence (every doc cuts the token spans it shares
+    * verbatim with any LOWER doc_id — doc_a keeps its copy, doc_b
+    * loses it — so exactly one copy of every duplicated ≥minRun
+    * substring survives the corpus rewrite). Same diagonal-island
+    * construction as [[dedupExactRunsDf]], with each qualifying run's
+    * extent in the HIGHER doc ([min pb, max pb + k)) emitted as a cut
+    * span, spans union-merged per doc (varying lengths → running-max
+    * gaps-and-islands), and the rewrite reusing the boilerplate-apply
+    * HOF pattern (no second corpus explode; spans per doc are tiny).
+    *
+    * Scale shape: the pair stage is [[dedupExactRunsDf]]'s; the merge
+    * window is per-doc (bounded by a doc's span count); the rewrite is
+    * one narrow pass over the persisted (toks, gh) base — which is
+    * computed ONCE (count() barrier) and feeds the gram explode and
+    * the rewrite.
+    */
+  def dedupExactRunsApply(s: SparkSession, dir: String, k: Int = 8,
+      maxDf: Int = 64, minRun: Int = 16): DataFrame =
+    dedupExactRunsApplyDf(Tables.documents(s, dir), k, maxDf, minRun)
+
+  def dedupExactRunsApplyDf(documents: DataFrame, k: Int, maxDf: Int,
+      minRun: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.Par.spread(documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), gramHashes(col("toks"), k).as("gh"))
+      .persist()
+    base.count() // materialize once before the gram explode + rewrite
+    val grams = base.select(col("doc_id"),
+      posexplode(col("gh")).as(Seq("pos", "g")))
+    val keep = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("g"))
+    val g2 = grams.join(keep, Seq("g"))
+    val m = g2.select(col("g"), col("doc_id").as("a"), col("pos").as("pa"))
+      .join(g2.select(col("g"), col("doc_id").as("b"), col("pos").as("pb")),
+        Seq("g"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("d"))
+    val wRun = Window.partitionBy(col("a"), col("b"), col("d")).orderBy(col("pa"))
+    val runs = m.withColumn("grp", col("pa") - row_number().over(wRun))
+      .groupBy(col("a"), col("b"), col("d"), col("grp"))
+      .agg(min(col("pb")).cast(LongType).as("s"),
+        (max(col("pb")) + lit(k)).cast(LongType).as("e"),
+        (count(lit(1)) + lit(k - 1)).as("run_len"))
+    val spans0 = runs.filter(col("run_len") >= minRun)
+      .select(col("b").as("doc_id"), col("s"), col("e"))
+      .distinct()
+    // union-of-intervals merge: spans have varying lengths, so the
+    // island break is against the running MAX end over preceding spans
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val merged = spans0
+      .withColumn("prev_end",
+        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("s") >= col("prev_end"), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(wOrd))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val spans = merged.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    val sp = coalesce(col("spans"), array().cast("array<struct<s:long,e:long>>"))
+    val kept = filter(col("toks"), (_, i) =>
+      !exists(sp, p => i >= p("s") && i < p("e")))
+    base.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_before"),
+        size(kept).cast(LongType).as("n_after"),
+        array_join(kept, " ").as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowed-fingerprint near-dup pairs (the MOSS pair report): doc
     * pairs sharing winnow-selected 5-gram hashes, with the count of
     * shared fingerprints as the match mass. Complements the other

@@ -299,6 +299,97 @@ class DedupFuzzSpec extends SparkSpec {
     }
   }
 
+  /** Brute-force keep-first rewrite: per pair, diagonal islands ≥
+    * minRun give cut spans in the HIGHER doc; spans union-merge per
+    * doc; rewrite drops covered positions.
+    */
+  private def refExactRunsApply(corpus: Seq[(Long, String)], k: Int,
+      maxDf: Int, minRun: Int): Map[Long, (Long, Long, String)] = {
+    val toksByDoc = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val grams = corpus.map { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      id -> (0 to toks.length - k).map(i => i -> toks.slice(i, i + k).mkString(" "))
+    }
+    val df = grams.flatMap { case (id, gs) => gs.map(_._2).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, v) => g -> v.size }
+    val keep = df.collect { case (g, c) if c >= 2 && c <= maxDf => g }.toSet
+    val byDoc = grams.map { case (id, gs) => id -> gs.filter(p => keep(p._2)) }
+    val spans0 = (for {
+      (a, ga) <- byDoc
+      (b, gb) <- byDoc if a < b
+      pairs = for { (pa, s1) <- ga; (pb, s2) <- gb if s1 == s2 } yield (pa, pb)
+      (_, diag) <- pairs.groupBy { case (pa, pb) => pa - pb }
+      island <- {
+        val sorted = diag.sortBy(_._1)
+        sorted.foldLeft(List.empty[List[(Int, Int)]]) {
+          case (Nil, p) => List(List(p))
+          case (h :: t, p) if p._1 == h.head._1 + 1 => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }
+      } if island.size + k - 1 >= minRun
+    } yield {
+      val pbs = island.map(_._2)
+      (b, pbs.min, pbs.max + k)
+    }).distinct
+    val mergedByDoc = spans0.groupBy(_._1).map { case (id, sp) =>
+      val sorted = sp.map(p => (p._2, p._3)).sortBy(identity)
+      val merged = sorted.foldLeft(List.empty[(Int, Int)]) {
+        case (Nil, (s, e)) => List((s, e))
+        case ((ms, me) :: t, (s, e)) if s < me => (ms, math.max(me, e)) :: t
+        case (acc, (s, e)) => (s, e) :: acc
+      }.reverse
+      id -> merged
+    }
+    toksByDoc.map { case (id, toks) =>
+      val cuts = mergedByDoc.getOrElse(id, Nil)
+      val kept = toks.zipWithIndex.collect {
+        case (tk, i) if !cuts.exists(c => i >= c._1 && i < c._2) => tk
+      }
+      id -> (toks.length.toLong, kept.length.toLong, kept.mkString(" "))
+    }
+  }
+
+  test("dedup_exact_runs_apply: keep-first cuts exactly the planted run") {
+    val run = (1 to 20).map(i => s"r$i").mkString(" ")
+    val a = "x1 x2 x3 " + run + " y1 y2"
+    val b = "z1 " + run + " q1 q2 q3"
+    val got = Dedup.dedupExactRunsApplyDf(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text"), 8, 64, 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 (lower id) keeps its copy untouched; doc 2 loses exactly
+    // the 20 planted tokens
+    assert(got(1L) == (25L, 25L, a))
+    assert(got(2L) == (24L, 4L, "z1 q1 q2 q3"))
+  }
+
+  test("dedup_exact_runs_apply: identical docs collapse to one surviving copy") {
+    val text = (1 to 20).map(i => s"t$i").mkString(" ")
+    val three = (0 until 3).map(i => (i.toLong, text))
+    val got = Dedup.dedupExactRunsApplyDf(three.toDF("doc_id", "text"), 8, 64, 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(0L) == (20L, 20L, text))
+    assert(got(1L) == (20L, 0L, ""))
+    assert(got(2L) == (20L, 0L, ""))
+  }
+
+  test("dedup_exact_runs_apply fuzz: equals the brute-force keep-first rewrite") {
+    for (seed <- 1 to 4) {
+      val corpus = genCorpus(700 + seed, 24)
+      val got = Dedup.dedupExactRunsApplyDf(corpus.toDF("doc_id", "text"),
+          8, 64, 16)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      val want = refExactRunsApply(corpus, 8, 64, 16)
+      assert(got == want, s"seed=$seed")
+      assert(want.exists(kv => kv._2._2 < kv._2._1),
+        s"seed=$seed: degenerate plant — nothing was cut")
+    }
+  }
+
   test("apply invariant: the deduplicated corpus has no remaining pair") {
     val corpus = genCorpus(11, 60)
     val df = corpus.toDF("doc_id", "text").persist()
