@@ -102,6 +102,27 @@ object OracleSql {
       |  ELSE []::STRUCT(pos BIGINT, gh BIGINT)[] END AS gl FROM t),
       |g AS (SELECT doc_id, unnest(gl, recursive := true) FROM g0)""".stripMargin
 
+  /** Shared pair stage of the exact-runs family (Dedup.exactRunsStage):
+    * capped inverted gram index — ≥2 DISTINCT docs (a single-doc gram
+    * yields no cross-doc pair) AND ≤64 total OCCURRENCES (the position
+    * self-join emits up to occ² pairs per gram; a distinct-doc-only cap
+    * would let two repetitive docs explode it) — matched positions,
+    * diagonal islands. Ends at `runs(a, b, s, e, run_len)` with [s, e)
+    * the run's extent in the higher doc b.
+    */
+  private val exactRunsCtes =
+    """keep AS (SELECT gh FROM g GROUP BY gh
+      |  HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 64),
+      |g2 AS (SELECT g.doc_id, g.pos, g.gh FROM g JOIN keep USING (gh)),
+      |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+      |  FROM g2 x JOIN g2 y ON x.gh = y.gh AND x.doc_id < y.doc_id),
+      |r AS (SELECT a, b, pa - pb AS d, pa, pb,
+      |  pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp
+      |  FROM m),
+      |runs AS (SELECT a, b, min(pb) AS s, max(pb) + 8 AS e,
+      |  count(*) + 7 AS run_len
+      |  FROM r GROUP BY a, b, d, grp)""".stripMargin
+
   /** Boilerplate-span detection (TextAnalysis.boilerplateIslands):
     * positional 8-gram hashes → df >= 2 hot set → flagged starts →
     * gaps-and-islands merge. Ends at `isl(doc_id, island, s, e, nf)`.
@@ -822,17 +843,7 @@ object OracleSql {
     // identically). The oracle replays the identical diagonal-island
     // construction from the same gram CTE text.
     "dedup_exact_runs" ->
-      s"""WITH $toksCte, $gram8Ctes,
-         |keep AS (SELECT gh FROM g GROUP BY gh
-         |  HAVING count(DISTINCT doc_id) >= 2 AND count(DISTINCT doc_id) <= 64),
-         |g2 AS (SELECT g.doc_id, g.pos, g.gh FROM g JOIN keep USING (gh)),
-         |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
-         |  FROM g2 x JOIN g2 y ON x.gh = y.gh AND x.doc_id < y.doc_id),
-         |r AS (SELECT a, b, pa - pb AS d, pa,
-         |  pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp
-         |  FROM m),
-         |runs AS (SELECT a, b, count(*) + 7 AS run_len
-         |  FROM r GROUP BY a, b, d, grp)
+      s"""WITH $toksCte, $gram8Ctes, $exactRunsCtes
          |SELECT a AS doc_a, b AS doc_b,
          |  max(run_len)::BIGINT AS max_run_tokens,
          |  (count(*) FILTER (WHERE run_len >= 16))::BIGINT AS n_runs
@@ -846,18 +857,7 @@ object OracleSql {
     // have varying lengths, unlike the fixed-width boilerplate merge),
     // then the same kept-token rewrite as tx_boilerplate_apply
     "dedup_exact_runs_apply" ->
-      s"""WITH $toksCte, $gram8Ctes,
-         |keep AS (SELECT gh FROM g GROUP BY gh
-         |  HAVING count(DISTINCT doc_id) >= 2 AND count(DISTINCT doc_id) <= 64),
-         |g2 AS (SELECT g.doc_id, g.pos, g.gh FROM g JOIN keep USING (gh)),
-         |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
-         |  FROM g2 x JOIN g2 y ON x.gh = y.gh AND x.doc_id < y.doc_id),
-         |r AS (SELECT a, b, pa - pb AS d, pa, pb,
-         |  pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp
-         |  FROM m),
-         |runs AS (SELECT a, b, min(pb) AS s, max(pb) + 8 AS e,
-         |  count(*) + 7 AS run_len
-         |  FROM r GROUP BY a, b, d, grp),
+      s"""WITH $toksCte, $gram8Ctes, $exactRunsCtes,
          |spans0 AS (SELECT DISTINCT b AS doc_id, s, e FROM runs
          |  WHERE run_len >= 16),
          |v1 AS (SELECT doc_id, s, e,

@@ -810,16 +810,18 @@ object Dedup {
     * Construction (gram-anchored, no suffix array): a shared verbatim
     * run of R tokens is EXACTLY a chain of R−k+1 consecutive shared
     * k-gram positions on one (pa − pb) diagonal, so: positional gram
-    * hashes (native codegen'd pass, no gram strings) → df-capped
-    * inverted index (2 ≤ df ≤ maxDf — the stop-gram discipline; a gram
-    * in d docs yields d(d−1)/2 matched pairs, so ubiquitous corpus
-    * boilerplate is dropped and any run crossing it splits, in both
-    * engines identically) → matched positions joined on the hash →
-    * gaps-and-islands of consecutive `pa` within each (a, b, diagonal)
-    * group; run length = island size + k − 1.
+    * hashes (native codegen'd pass, no gram strings) → capped inverted
+    * index (≥2 distinct docs, ≤ maxDf total OCCURRENCES — the
+    * stop-gram discipline, see [[exactRunsStage]]; ubiquitous corpus
+    * boilerplate is dropped and any run crossing a capped gram splits,
+    * in both engines identically) → matched positions joined on the
+    * hash → gaps-and-islands of consecutive `pa` within each
+    * (a, b, diagonal) group; run length = island size + k − 1.
     *
-    * Scale shape: one shuffle of the df-capped gram index on the hash;
-    * candidates are gram-mates only, never the O(n²) pair space; the
+    * Scale shape: one shuffle of the capped gram index on the hash;
+    * candidates are gram-mates only, never the O(n²) pair space, and
+    * the OCCURRENCE cap (not just distinct docs — see
+    * [[exactRunsStage]]) bounds the per-gram position fan-out; the
     * island window is partitioned by (pair, diagonal) — bounded by the
     * shorter document's length. hash60 collisions would need 2^60
     * birthday mass to matter and the oracle runs the SAME hash, so the
@@ -829,70 +831,42 @@ object Dedup {
       maxDf: Int = 64, minRun: Int = 16): DataFrame =
     dedupExactRunsDf(Tables.documents(s, dir), k, maxDf, minRun)
 
-  def dedupExactRunsDf(documents: DataFrame, k: Int, maxDf: Int,
-      minRun: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = graft.Par.spread(documents.select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
-        posexplode(gramHashes(tokens(col("text")), k)).as(Seq("pos", "gh")))
-    val keep = grams.groupBy(col("gh"))
-      .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("gh"))
-    val g2 = grams.join(keep, Seq("gh"))
-    val m = g2.select(col("gh"), col("doc_id").as("a"), col("pos").as("pa"))
-      .join(g2.select(col("gh"), col("doc_id").as("b"), col("pos").as("pb")),
-        Seq("gh"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("pa"), (col("pa") - col("pb")).as("d"))
-    val w = Window.partitionBy(col("a"), col("b"), col("d")).orderBy(col("pa"))
-    val runs = m.withColumn("grp", col("pa") - row_number().over(w))
-      .groupBy(col("a"), col("b"), col("d"), col("grp"))
-      .agg((count(lit(1)) + lit(k - 1)).as("run_len"))
-    runs.groupBy(col("a"), col("b"))
-      .agg(max(col("run_len")).cast(LongType).as("max_run_tokens"),
-        sum(when(col("run_len") >= minRun, 1L).otherwise(0L)).as("n_runs"))
-      .filter(col("max_run_tokens") >= minRun)
-      .select(col("a").as("doc_a"), col("b").as("doc_b"),
-        col("max_run_tokens"), col("n_runs"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
-
-  /** The APPLY step of exact-substring dedup — what the Lee et al.
-    * pipeline actually does with the runs: DELETE them, keeping the
-    * FIRST occurrence (every doc cuts the token spans it shares
-    * verbatim with any LOWER doc_id — doc_a keeps its copy, doc_b
-    * loses it — so exactly one copy of every duplicated ≥minRun
-    * substring survives the corpus rewrite). Same diagonal-island
-    * construction as [[dedupExactRunsDf]], with each qualifying run's
-    * extent in the HIGHER doc ([min pb, max pb + k)) emitted as a cut
-    * span, spans union-merged per doc (varying lengths → running-max
-    * gaps-and-islands), and the rewrite reusing the boilerplate-apply
-    * HOF pattern (no second corpus explode; spans per doc are tiny).
+  /** Shared pair stage of the exact-runs family (the report and the
+    * apply aggregate the SAME runs relation — one implementation, so
+    * the engines cannot diverge on one query but not the other):
+    * persisted single-pass (doc_id, toks, gh) base (count() barrier —
+    * the gram explode feeds the cap aggregate and BOTH self-join
+    * sides, and the apply's rewrite reads toks from the same cache) →
+    * capped inverted index → matched positions → diagonal islands.
+    * Returns (base, runs) with runs = (a, b, s, e, run_len): [s, e)
+    * the run's token extent in the HIGHER doc b.
     *
-    * Scale shape: the pair stage is [[dedupExactRunsDf]]'s; the merge
-    * window is per-doc (bounded by a doc's span count); the rewrite is
-    * one narrow pass over the persisted (toks, gh) base — which is
-    * computed ONCE (count() barrier) and feeds the gram explode and
-    * the rewrite.
+    * Cap discipline — BOTH conditions matter, differently:
+    * `count(DISTINCT doc_id) >= 2` because a single-doc gram can
+    * produce no cross-doc pair, and `count(*) <= maxDf` on TOTAL
+    * occurrences because the position self-join emits up to occ²
+    * matched pairs per gram — a distinct-doc-only cap (the first
+    * shipped version) let two documents sharing a long REPEATED-token
+    * region (padding, separators, ASCII art: df = 2, occ = thousands)
+    * explode the join quadratically. The occurrence cap is the same
+    * rule `dedupWinnow` applies to its fingerprint index. Consequence,
+    * identical in both engines: a run crossing a capped gram splits,
+    * and content repeated beyond the cap is EXEMPT from this detector
+    * (the pair report's 70-identical-docs spec pins that).
     */
-  def dedupExactRunsApply(s: SparkSession, dir: String, k: Int = 8,
-      maxDf: Int = 64, minRun: Int = 16): DataFrame =
-    dedupExactRunsApplyDf(Tables.documents(s, dir), k, maxDf, minRun)
-
-  def dedupExactRunsApplyDf(documents: DataFrame, k: Int, maxDf: Int,
-      minRun: Int): DataFrame = {
+  private def exactRunsStage(documents: DataFrame, k: Int,
+      maxDf: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val base = graft.Par.spread(documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), gramHashes(col("toks"), k).as("gh"))
       .persist()
-    base.count() // materialize once before the gram explode + rewrite
+    base.count() // materialize once before the multi-consumer explode
     val grams = base.select(col("doc_id"),
       posexplode(col("gh")).as(Seq("pos", "g")))
     val keep = grams.groupBy(col("g"))
-      .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .agg(count_distinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
+      .filter(col("df") >= 2 && col("occ") <= maxDf)
       .select(col("g"))
     val g2 = grams.join(keep, Seq("g"))
     val m = g2.select(col("g"), col("doc_id").as("a"), col("pos").as("pa"))
@@ -907,6 +881,49 @@ object Dedup {
       .agg(min(col("pb")).cast(LongType).as("s"),
         (max(col("pb")) + lit(k)).cast(LongType).as("e"),
         (count(lit(1)) + lit(k - 1)).as("run_len"))
+    (base, runs)
+  }
+
+  def dedupExactRunsDf(documents: DataFrame, k: Int, maxDf: Int,
+      minRun: Int): DataFrame = {
+    val (_, runs) = exactRunsStage(documents, k, maxDf)
+    runs.groupBy(col("a"), col("b"))
+      .agg(max(col("run_len")).cast(LongType).as("max_run_tokens"),
+        sum(when(col("run_len") >= minRun, 1L).otherwise(0L)).as("n_runs"))
+      .filter(col("max_run_tokens") >= minRun)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("max_run_tokens"), col("n_runs"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The APPLY step of exact-substring dedup — what the Lee et al.
+    * pipeline actually does with the runs: DELETE them, keeping the
+    * FIRST occurrence (every doc cuts the token spans it shares
+    * verbatim with any LOWER doc_id — doc_a keeps its copy, doc_b
+    * loses it — so of every duplicated ≥minRun substring THE INDEX CAN
+    * SEE, one copy survives the corpus rewrite; content repeated
+    * beyond the occurrence cap is exempt by the [[exactRunsStage]]
+    * discipline, so a >maxDf-way duplicated block keeps all its
+    * copies — the cap trades that tail for a bounded join, in both
+    * engines identically). Each qualifying run's extent in the HIGHER
+    * doc ([min pb, max pb + k)) becomes a cut span, spans union-merge
+    * per doc (varying lengths → running-max gaps-and-islands), and the
+    * rewrite reuses the boilerplate-apply HOF pattern (no second
+    * corpus explode; spans per doc are tiny).
+    *
+    * Scale shape: the pair stage is [[exactRunsStage]]'s (shared with
+    * the report); the merge window is per-doc (bounded by a doc's span
+    * count); the rewrite is one narrow pass over the stage's persisted
+    * (toks, gh) base.
+    */
+  def dedupExactRunsApply(s: SparkSession, dir: String, k: Int = 8,
+      maxDf: Int = 64, minRun: Int = 16): DataFrame =
+    dedupExactRunsApplyDf(Tables.documents(s, dir), k, maxDf, minRun)
+
+  def dedupExactRunsApplyDf(documents: DataFrame, k: Int, maxDf: Int,
+      minRun: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (base, runs) = exactRunsStage(documents, k, maxDf)
     val spans0 = runs.filter(col("run_len") >= minRun)
       .select(col("b").as("doc_id"), col("s"), col("e"))
       .distinct()

@@ -229,9 +229,11 @@ class DedupFuzzSpec extends SparkSpec {
       val toks = t.split("\\s+").filter(_.nonEmpty)
       id -> (0 to toks.length - k).map(i => i -> toks.slice(i, i + k).mkString(" "))
     }
-    val df = grams.flatMap { case (id, gs) => gs.map(_._2).distinct.map(_ -> id) }
+    val ddocs = grams.flatMap { case (id, gs) => gs.map(_._2).distinct.map(_ -> id) }
       .groupBy(_._1).map { case (g, v) => g -> v.size }
-    val keep = df.collect { case (g, c) if c >= 2 && c <= maxDf => g }.toSet
+    val occ = grams.flatMap(_._2.map(_._2))
+      .groupBy(identity).map { case (g, v) => g -> v.size }
+    val keep = occ.keys.filter(g => ddocs(g) >= 2 && occ(g) <= maxDf).toSet
     val byDoc = grams.map { case (id, gs) => id -> gs.filter(p => keep(p._2)) }
     val rows = for {
       (a, ga) <- byDoc
@@ -287,6 +289,30 @@ class DedupFuzzSpec extends SparkSpec {
       (1L, 2L) -> (20L, 1L)))
   }
 
+  test("dedup_exact_runs: occurrence cap bounds repetitive-doc fan-out") {
+    // two docs sharing a MODERATE repeated-token run: "p"×30 per doc →
+    // the single 8-gram occurs 23×2 = 46 ≤ 64 times and stays indexed.
+    // A repeated-token region matches at EVERY alignment: diagonal d
+    // carries a run of 30−|d| tokens, so max = 30 (d = 0) and 29
+    // diagonals clear minRun=16 (|d| ≤ 14) — n_runs counts alignments,
+    // not distinct regions, for self-similar content
+    def rep(n: Int) = Seq.fill(n)("p").mkString(" ")
+    val small = Seq((1L, rep(30)), (2L, rep(30))).toDF("doc_id", "text")
+    val got = Dedup.dedupExactRunsDf(small, 8, 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map((1L, 2L) -> (30L, 29L)))
+    // "p"×100 per doc: occ = 93×2 = 186 > 64 → the gram is CAPPED and
+    // the pair vanishes — the bounded-join tradeoff, pinned (a
+    // distinct-doc-only cap would admit df=2 and emit 93² matched
+    // positions for one gram)
+    val big = Seq((1L, rep(100)), (2L, rep(100))).toDF("doc_id", "text")
+    assert(Dedup.dedupExactRunsDf(big, 8, 64, 16).count() == 0)
+    assert(Dedup.dedupExactRunsApplyDf(big, 8, 64, 16)
+      .agg(org.apache.spark.sql.functions.sum($"n_before" - $"n_after"))
+      .head().getLong(0) == 0L)
+  }
+
   test("dedup_exact_runs fuzz: equals the brute-force diagonal-island report") {
     for (seed <- 1 to 4) {
       val corpus = genCorpus(500 + seed, 24)
@@ -312,9 +338,11 @@ class DedupFuzzSpec extends SparkSpec {
       val toks = t.split("\\s+").filter(_.nonEmpty)
       id -> (0 to toks.length - k).map(i => i -> toks.slice(i, i + k).mkString(" "))
     }
-    val df = grams.flatMap { case (id, gs) => gs.map(_._2).distinct.map(_ -> id) }
+    val ddocs = grams.flatMap { case (id, gs) => gs.map(_._2).distinct.map(_ -> id) }
       .groupBy(_._1).map { case (g, v) => g -> v.size }
-    val keep = df.collect { case (g, c) if c >= 2 && c <= maxDf => g }.toSet
+    val occ = grams.flatMap(_._2.map(_._2))
+      .groupBy(identity).map { case (g, v) => g -> v.size }
+    val keep = occ.keys.filter(g => ddocs(g) >= 2 && occ(g) <= maxDf).toSet
     val byDoc = grams.map { case (id, gs) => id -> gs.filter(p => keep(p._2)) }
     val spans0 = (for {
       (a, ga) <- byDoc
