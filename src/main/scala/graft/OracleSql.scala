@@ -2507,16 +2507,16 @@ object OracleSql {
     // servedHourly (store/Backfill.servedHourlyCertified) — the oracle
     // is the continuous aggregate's DEFINITION over the full raw table
     // (the reference's fully-refreshed state, init.sql:324-345), i.e.
-    // a2_hourly_agg with avg divided by count(*) — the served side
-    // derives avg from the rollup's stored (decimal sum, n) pair, so
-    // the mirror divides by the same n, not count(value) (equal on the
-    // fixture, which has no null values; the mirror must not depend on
-    // that). The hash match certifies the whole materialize/refresh/
-    // serve lifecycle reproduces the direct aggregation.
+    // a2_hourly_agg — the served side derives avg from the rollup's
+    // stored (decimal sum, count(value)) pair, so the mirror divides by
+    // count(value): the reference AVG's null-skipping semantics, not
+    // count(*) (advice r14). The hash match certifies the whole
+    // materialize/refresh/serve lifecycle reproduces the direct
+    // aggregation.
     "served_hourly" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
          |  count(*) AS n,
-         |  (sum(value::DECIMAL(18,2))::DOUBLE / count(*)) AS avg_value,
+         |  (sum(value::DECIMAL(18,2))::DOUBLE / count(value)) AS avg_value,
          |  min(value) AS min_value, max(value) AS max_value
          |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
 

@@ -76,10 +76,11 @@ object Backfill {
     *     from raw.
     *
     * The result is projected to `a2_hourly_agg`'s shape with
-    * avg = exact decimal sum ÷ n (n = count(*), the rollup's stored
-    * row count — the oracle mirrors this division verbatim; it equals
-    * `Cols.davg`'s ÷count(value) whenever value is non-null, which the
-    * fixture guarantees), so the oracle hash certifies that
+    * avg = exact decimal sum ÷ n_value (the rollup's stored
+    * count(value) — the oracle divides by count(value) too, so both
+    * sides carry the reference AVG's null-skipping semantics instead
+    * of relying on a null-free fixture), so the oracle hash certifies
+    * that
     * materialize → refresh → serve equals
     * the reference's fully-refreshed continuous aggregate
     * (init.sql:324-345 semantics, SURVEY §7.4#4) — which only holds if
@@ -100,15 +101,29 @@ object Backfill {
     val servedUntil = new java.sql.Timestamp(
       math.max(maxT.getTime / 3600000L * 3600000L - 2 * 3600000L,
         minT.getTime / 3600000L * 3600000L + 3600000L))
-    // deterministic per-corpus root, cleared before each rebuild: the
-    // lifecycle is re-exercised every invocation but at most ONE rollup
-    // tree per corpus ever lives in tmp (a fresh createTempDirectory
-    // per call accumulated unboundedly across gate loops — review r13).
-    // The tree must outlive this method: the served plan lazily reads
-    // the closed buckets from it at action time.
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_rollup",
-      java.lang.Integer.toHexString(dir.hashCode)).toString
+    // deterministic per-process-per-corpus root, cleared before each
+    // rebuild: the lifecycle is re-exercised every invocation but at
+    // most ONE rollup tree per corpus per JVM ever lives in tmp (a
+    // fresh createTempDirectory per call accumulated unboundedly across
+    // gate loops — review r13). Scoped by pid + an md5 of the corpus
+    // path (advice r14: a shared hashCode-keyed path let two concurrent
+    // sessions — or two corpora colliding on 32-bit hashCode — delete
+    // each other's tree mid-query; the served plan reads the closed
+    // buckets LAZILY at action time, so the tree must stay private to
+    // this JVM for the DataFrame's lifetime). Trees left by dead JVMs
+    // are swept on entry so the per-pid scoping stays bounded.
+    val rollupBase = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_rollup")
+    Option(rollupBase.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val alive = scala.util.Try(f.getName.toLong).toOption.exists(p =>
+        ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive).orElse(false))
+      if (!alive) org.apache.commons.io.FileUtils.deleteQuietly(f)
+    }
+    val corpusKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = rollupBase
+      .resolve(ProcessHandle.current().pid().toString)
+      .resolve(corpusKey).toString
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val stale = ev.filter(
       col("ts") < graft.Cols.tsLit(midD.toString) ||
@@ -118,8 +133,8 @@ object Backfill {
     servedHourly(spark, ev, root, servedUntil)
       .select(col("bucket").cast("timestamp_ntz").as("bucket"),
         col("event_type"), col("n"),
-        (col("sum_value").cast(DoubleType) / col("n")).cast(DoubleType)
-          .as("avg_value"),
+        (col("sum_value").cast(DoubleType) / col("n_value"))
+          .cast(DoubleType).as("avg_value"),
         col("min_value"), col("max_value"))
       .orderBy(col("bucket"), col("event_type"))
   }

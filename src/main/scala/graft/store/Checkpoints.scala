@@ -31,18 +31,22 @@ object Checkpoints {
     * the context (blocking, so block-manager memory is measurably freed
     * before the next query starts). Returns the number of RDDs freed.
     *
-    * The plan cache is cleared FIRST: `catalog.clearCache()` removes
-    * the CacheManager's logical-plan → InMemoryRelation entries along
-    * with their blocks. Dropping only the RDD blocks (the pre-r13
-    * behavior) left those entries dangling — the next run of the same
-    * query would `persist()` the same analyzed plan, hit the stale
-    * entry ("already cached"), and re-plan against an InMemoryRelation
-    * whose blocks were gone, which is both re-computation and a
-    * different physical plan (fresh codegen) for an unchanged query.
+    * The RDD snapshot is taken BEFORE the plan cache is cleared:
+    * `catalog.clearCache()` unpersists the CacheManager's
+    * InMemoryRelation RDDs NON-blocking and deregisters them from
+    * `getPersistentRDDs`, so a snapshot taken after it would never see
+    * them and their blocks could still be draining when the next query
+    * starts. Snapshotting first, then clearing the cache (drops the
+    * logical-plan → InMemoryRelation entries, without which a re-run
+    * of the same query would "already cached"-hit a block-less entry:
+    * re-computation + fresh codegen for an unchanged query — the r13
+    * bug), then blocking-unpersisting the snapshot (idempotent for the
+    * ones clearCache already started removing) makes the free
+    * deterministic for plan-cache and checkpoint blocks alike.
     */
   def free(spark: SparkSession): Int = {
-    spark.catalog.clearCache()
     val rdds = spark.sparkContext.getPersistentRDDs
+    spark.catalog.clearCache()
     rdds.values.foreach(_.unpersist(blocking = true))
     rdds.size
   }

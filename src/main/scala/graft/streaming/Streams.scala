@@ -44,11 +44,18 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
+        // count(value) stored alongside count(*): the served avg
+        // divides by THIS, matching the reference continuous
+        // aggregate's AVG(value) null-skipping semantics (init.sql
+        // AVG) instead of silently relying on a null-free fixture
+        // (advice r14)
+        count(col("value")).as("n_value"),
         sum(graft.Cols.dec2(col("value"))).as("sum_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
       .select(col("window.start").as("bucket"), col("event_type"),
-        col("n"), col("sum_value"), col("min_value"), col("max_value"))
+        col("n"), col("n_value"), col("sum_value"),
+        col("min_value"), col("max_value"))
 
   /** W4's streaming twin: per-user SESSION windows closed by an
     * inactivity gap (session_window + watermark). State per open

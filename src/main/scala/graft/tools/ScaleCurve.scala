@@ -34,10 +34,16 @@ object ScaleCurve {
 
     val base = Tables.embeddings(spark, dir)
     // copy-id offset for the embedding-section factors — same collision
-    // guard as docOffset below (review r13: the fix had missed these)
-    val embOffset = math.max(1000000L,
-      base.agg(org.apache.spark.sql.functions.max(
-        org.apache.spark.sql.functions.col("vec_id"))).first().getLong(0) + 1)
+    // guard as docOffset below (review r13: the fix had missed these).
+    // lazy + null-guarded (advice r14): the max() is an eager action
+    // and only the embedding/semantic sections need it, and max of an
+    // EMPTY table is a null row (getLong would NPE) — and getAs[Number]
+    // tolerates an INTEGER vec_id column too.
+    lazy val embOffset = math.max(1000000L, 1L + {
+      val m = base.agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("vec_id"))).first()
+      if (m.isNullAt(0)) 0L else m.getAs[Number](0).longValue()
+    })
     // warm-up: codegen, parquet footers
     if (section("embedding")) noop(Similarity.dedupEmbeddingDf(base, 0.9))
 
@@ -50,8 +56,10 @@ object ScaleCurve {
     // copy-id offset derived from the corpus itself: a fixed 1e6 would
     // silently merge copies with base docs on any corpus whose ids
     // reach 1e6 (review r12)
-    val docOffset = math.max(1000000L,
-      baseDocs.agg(max(col("doc_id"))).first().getLong(0) + 1)
+    lazy val docOffset = math.max(1000000L, 1L + {
+      val m = baseDocs.agg(max(col("doc_id"))).first()
+      if (m.isNullAt(0)) 0L else m.getAs[Number](0).longValue()
+    })
     for (k <- Seq(1, 4) if section("minhash")) {
       val docs = (0 until k).map(j =>
         baseDocs.select((col("doc_id") + lit(j * docOffset)).as("doc_id"),
@@ -171,8 +179,10 @@ object ScaleCurve {
     // the panel (ids < 10) stays fixed.
     if (section("hybrid")) {
       val baseEmb = graft.Tables.embeddings(spark, dir)
-      val vecOffset = math.max(1000000L,
-        baseEmb.agg(max(col("vec_id"))).first().getLong(0) + 1)
+      val vecOffset = math.max(1000000L, 1L + {
+        val m = baseEmb.agg(max(col("vec_id"))).first()
+        if (m.isNullAt(0)) 0L else m.getAs[Number](0).longValue()
+      })
       def corpus(k: Int) = (
         (0 until k).map(j =>
           baseDocs.select((col("doc_id") + lit(j * docOffset)).as("doc_id"),

@@ -63,8 +63,9 @@ class BackfillSpec extends SparkSpec {
     Backfill.refreshRange(spark, events, dir, victim, victim.plusDays(1))
 
     val got = spark.read.parquet(dir)
-      .select(col("bucket"), col("event_type"), col("n"), col("sum_value"),
-        col("min_value"), col("max_value"), col("bucket_date"))
+      .select(col("bucket"), col("event_type"), col("n"), col("n_value"),
+        col("sum_value"), col("min_value"), col("max_value"),
+        col("bucket_date"))
       .collect().map(_.toString).sorted
     assert(got.sameElements(expect))
     assert(files(bystander) == bystanderBefore) // untouched partitions keep their files
