@@ -89,9 +89,18 @@ object Bench {
     *    freshly loaded generated classes — rides cpu, not wall).
     *  - `oldGenMB`: old-gen occupancy after the run (heap creep across
     *    a long bench changes GC behavior for later queries).
+    *  - `spin`/`mem`/`tasks` (r14): the dilution calibrations sampled
+    *    PER RUN (not once per query) plus the number of Spark tasks
+    *    the run completed — the three columns the inline drift
+    *    classifier reads. Task count is the recompute discriminator:
+    *    an unchanged query re-running a persisted stage (the r13
+    *    dedup_chunks driver outlier hypothesis) completes ~k× the
+    *    tasks of its clean runs, which neither cpu nor codegen can
+    *    prove on their own.
     */
   private case class Run(wall: Double, cpu: Double, gc: Double,
-      codegen: Long, jit: Double, oldGenMB: Double, nativeCpu: Double)
+      codegen: Long, jit: Double, oldGenMB: Double, nativeCpu: Double,
+      spin: Double, mem: Double, tasks: Long)
 
   /** SPIN CALIBRATION — the work-unit normalizer for cpu-INFLATING
     * contention (the r8 driver-bench shape: cpu/wall ≈ cores yet every
@@ -156,7 +165,8 @@ object Bench {
     */
   private case class Stall(query: String, run: Int, startEpochSec: Double,
       endEpochSec: Double, wall: Double, cpu: Double, gc: Double,
-      codegen: Long, jit: Double, oldGenMB: Double, nativeCpu: Double)
+      codegen: Long, jit: Double, oldGenMB: Double, nativeCpu: Double,
+      spin: Double, mem: Double, tasks: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -202,6 +212,19 @@ object Bench {
       .config("spark.ui.retainedDeadExecutors", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-run completed-task counter (r14): the recompute
+    // discriminator. The listener bus is async, so the per-run delta
+    // is read AFTER the post-run calibration samples (~0.2 s of
+    // driver-side work), by which point the bus has drained for a run
+    // whose last stage just finished.
+    val tasksEnded = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          tasksEnded.incrementAndGet(); ()
+        }
+      })
     // noop sink: materializes every row of the final plan (sorts,
     // projections, limits included) without writing — unlike count(),
     // which lets Catalyst prune all columns and drop top-level sorts.
@@ -338,6 +361,7 @@ object Bench {
         val (cpu0, gc0) = (cpuSeconds(), gcSeconds())
         val (cg0, jit0) = (codegenCount(), jitSeconds())
         val jcpu0 = javaCpuSeconds()
+        val tasks0 = tasksEnded.get()
         val wallStart = System.currentTimeMillis() / 1e3
         val t0 = System.nanoTime()
         val r =
@@ -353,6 +377,14 @@ object Bench {
         val (cgD, jitD, og) =
           (codegenCount() - cg0, jitSeconds() - jit0, oldGenMB())
         val nativeD = math.max(0.0, cpuD - (javaCpuSeconds() - jcpu0))
+        // per-run dilution samples (r14 — one spin + one mem per RUN,
+        // replacing the single per-query sample: an outlier RUN now
+        // carries its own contention reading), then the task delta —
+        // sampled last so the listener bus has had the calibrations'
+        // ~0.2 s to drain
+        val spinS = spinCalib()
+        val memS = memCalib()
+        val tasksD = tasksEnded.get() - tasks0
         // one line per RUN (not just the min): a bench artifact that
         // only carries min-of-3 can't distinguish "one cold run" from
         // "every run slow" after the fact — exactly the ambiguity that
@@ -360,13 +392,14 @@ object Bench {
         System.err.println(
           f"[bench] $name run $i ${r.map(t => f"$t%.2fs").getOrElse("ERR")}%-8s " +
             f"cpu=$cpuD%.1fs gc=$gcD%.2fs codegen=$cgD jit=$jitD%.2fs " +
-            f"native=$nativeD%.1fs oldGenMB=$og%.0f ${footprint()}")
+            f"native=$nativeD%.1fs tasks=$tasksD oldGenMB=$og%.0f ${footprint()}")
         if (freeBetween) graft.store.Checkpoints.free(spark)
         r.map { wall =>
           if (isStall(wall, cpuD))
             Left(Stall(name, i, wallStart, wallStart + wall, wall, cpuD, gcD,
-              cgD, jitD, og, nativeD))
-          else Right(Run(wall, cpuD, gcD, cgD, jitD, og, nativeD))
+              cgD, jitD, og, nativeD, spinS, memS, tasksD))
+          else Right(Run(wall, cpuD, gcD, cgD, jitD, og, nativeD,
+            spinS, memS, tasksD))
         }
       }
       var accepted = Vector.empty[Run]
@@ -397,7 +430,8 @@ object Bench {
               f"[bench] $name run ${stall.run} stall-shaped but retry budget " +
                 f"exhausted — KEPT (wall=${stall.wall}%.1fs cpu=${stall.cpu}%.1fs)")
             accepted :+= Run(stall.wall, stall.cpu, stall.gc,
-              stall.codegen, stall.jit, stall.oldGenMB, stall.nativeCpu)
+              stall.codegen, stall.jit, stall.oldGenMB, stall.nativeCpu,
+              stall.spin, stall.mem, stall.tasks)
             attemptsCounted += 1
           case None =>
             attemptsCounted += 1 // failed run: error recorded, no timing row
@@ -414,28 +448,28 @@ object Bench {
           None
         case Some(fn) =>
           val r = benchOne(name, fn)
-          // one dilution sample per query, taken right after its runs:
-          // ≈ baseline on a healthy box, inflated exactly when the
-          // environment was diluting this query's cpu-seconds
-          val sp = spinCalib()
-          spins(name) = sp
-          if (sp > 2 * spinBaseline)
-            System.err.println(f"[bench] $name spin-calib $sp%.3fs vs baseline " +
-              f"$spinBaseline%.3fs — cpu-seconds around this query were diluted " +
-              f"~${sp / spinBaseline}%.1fx by the environment")
-          // …and one bandwidth sample (see memCalib's scaladoc): the
-          // discriminator for memory-system contention that the
-          // register-only spin cannot see
-          // min-of-2: the first sample can catch the query's own tail
-          // work (finishing task threads, a concurrent cycle it
-          // triggered) — which is signal for the judge's trend read,
-          // but min-of-2 keeps the WARNING for sustained dilution only
-          val mc = math.min(memCalib(), memCalib())
-          mems(name) = mc
-          if (mc > 4 * memBaseline)
-            System.err.println(f"[bench] $name mem-calib $mc%.3fs vs baseline " +
-              f"$memBaseline%.3fs — memory bandwidth around this query was " +
-              f"~${mc / memBaseline}%.1fx diluted")
+          // per-query dilution scalars kept for the artifact/tooling
+          // contract (make_gate / adjudicate_bench read `spinCalib`/
+          // `memCalib` per query): since r14 each RUN carries its own
+          // sample (runsSpin/runsMem), and the per-query scalar is the
+          // MIN over them — sustained dilution shows in every run; a
+          // single query-tail artifact (finishing task threads, a
+          // concurrent cycle the query triggered) doesn't trip the
+          // warning
+          r.foreach { case (_, rs) =>
+            val sp = rs.map(_.spin).min
+            spins(name) = sp
+            if (sp > 2 * spinBaseline)
+              System.err.println(f"[bench] $name spin-calib $sp%.3fs vs baseline " +
+                f"$spinBaseline%.3fs — cpu-seconds around this query were diluted " +
+                f"~${sp / spinBaseline}%.1fx by the environment")
+            val mc = rs.map(_.mem).min
+            mems(name) = mc
+            if (mc > 4 * memBaseline)
+              System.err.println(f"[bench] $name mem-calib $mc%.3fs vs baseline " +
+                f"$memBaseline%.3fs — memory bandwidth around this query was " +
+                f"~${mc / memBaseline}%.1fx diluted")
+          }
           // explicit collection between queries (outside every timed
           // window): processes the ContextCleaner's weak refs, and the
           // post-GC old-gen sample is the session's true LIVE set —
@@ -473,6 +507,67 @@ object Bench {
     val nativeJson = results.map { case (k, rs) =>
       "\"" + k + "\":" + arr(rs.map(_.nativeCpu))
     }.mkString(",\"runsNativeCpu\":{", ",", "}")
+    val spinRunsJson = results.map { case (k, rs) =>
+      "\"" + k + "\":" + arr(rs.map(_.spin))
+    }.mkString(",\"runsSpin\":{", ",", "}")
+    val memRunsJson = results.map { case (k, rs) =>
+      "\"" + k + "\":" + arr(rs.map(_.mem))
+    }.mkString(",\"runsMem\":{", ",", "}")
+    val tasksJson = results.map { case (k, rs) =>
+      "\"" + k + "\":" + rs.map(_.tasks).mkString("[", ",", "]")
+    }.mkString(",\"runsTasks\":{", ",", "}")
+    // INLINE DRIFT CLASSIFIER (r14, verdict ask #7): three rounds of
+    // driver-vs-gate adjudication each ended at "ambient" only after a
+    // judge re-derived it from raw artifact columns; the artifact now
+    // carries the verdict itself. A run is an OUTLIER when its cpu
+    // exceeds 1.5× the query's min-cpu or its wall exceeds 2× the
+    // min-wall; each outlier is classified by the FIRST discriminator
+    // that fires (ordered most- to least-specific):
+    //   recompute    — ≥1.2× the tasks of the cleanest run: a
+    //                  persisted/cached stage was re-executed (the r13
+    //                  dedup_chunks driver-outlier hypothesis — now a
+    //                  measurement, not an inference)
+    //   recompile    — ≥10 Janino compilations (codegen-cache thrash)
+    //   jit-warmup   — ≥50% of the cpu excess is HotSpot compiler-
+    //                  thread time (run 1 of a cold plan; benign)
+    //   mem-dilution — this run's mem-calibration ≥2× the session
+    //                  baseline AND ≥25 ms absolute (memory-bandwidth
+    //                  contention; the floor keeps a 10 ms baseline's
+    //                  noise from counting as contention)
+    //   cpu-dilution — this run's spin-calibration ≥1.5× baseline
+    //                  (work-rate dilution: steal / SMT / throttle)
+    //   native-burn  — ≥50% of the cpu excess is native-thread time
+    //                  (concurrent-GC treadmill)
+    //   plan-work    — none of the above: the run genuinely did more
+    //                  Spark work (the only class that indicts a plan)
+    // Sub-second excesses are not classified (left "ok"): a <1 s cpu
+    // and <1 s wall excess is scheduler jitter, not a drift event.
+    val verdicts: Seq[(String, Seq[String])] = results.map { case (k, rs) =>
+      val minCpu = rs.map(_.cpu).min
+      val minWall = rs.map(_.wall).min
+      val minTasks = rs.map(_.tasks).min
+      val minNative = rs.map(_.nativeCpu).min
+      val minJit = rs.map(_.jit).min
+      k -> rs.map { r =>
+        val cpuOut = r.cpu > 1.5 * minCpu && r.cpu - minCpu >= 1.0
+        val wallOut = r.wall > 2 * minWall && r.wall - minWall >= 1.0
+        if (!cpuOut && !wallOut) "ok"
+        else if (minTasks > 0 && r.tasks >= 1.2 * minTasks) "recompute"
+        else if (r.codegen >= 10) "recompile"
+        else if (r.jit - minJit >= 0.5 * (r.cpu - minCpu)) "jit-warmup"
+        else if (r.mem >= 2 * memBaseline && r.mem >= 0.025) "mem-dilution"
+        else if (r.spin >= 1.5 * spinBaseline) "cpu-dilution"
+        else if (r.nativeCpu - minNative >= 0.5 * (r.cpu - minCpu)) "native-burn"
+        else "plan-work"
+      }
+    }
+    val verdictJson = {
+      val flagged = verdicts.filter(_._2.exists(_ != "ok"))
+      if (flagged.isEmpty) ""
+      else flagged.map { case (k, vs) =>
+        "\"" + k + "\":" + vs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      }.mkString(",\"driftVerdicts\":{", ",", "}")
+    }
     val memJson = mems.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString(f""","memBaseline":$memBaseline%.3f,"memCalib":{""", ",", "}")
     val ogGcJson =
@@ -511,7 +606,7 @@ object Bench {
     //    whatever size it grows to.
     val spinJson = spins.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString(f""","spinBaseline":$spinBaseline%.3f,"spinCalib":{""", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$cpuJson$gcJson$cgJson$jitJson$ogJson$nativeJson$retriesJson$stallsJson$spinJson$memJson$ogGcJson$warmupJson,"codegenCacheMaxEntries":$codegenCache,"heapMaxMB":${f"$heapMaxMB%.0f"}$errJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$cpuJson$gcJson$cgJson$jitJson$ogJson$nativeJson$spinRunsJson$memRunsJson$tasksJson$verdictJson$retriesJson$stallsJson$spinJson$memJson$ogGcJson$warmupJson,"codegenCacheMaxEntries":$codegenCache,"heapMaxMB":${f"$heapMaxMB%.0f"}$errJson,"sf":"$sfDir"}"""
     val artifactPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_ARTIFACT", "bench_artifact.json"))
     try {
@@ -539,7 +634,9 @@ object Bench {
     // Full-fidelity everything stays in the artifact file above.
     val minCpus = results.map { case (k, rs) => k -> rs.map(_.cpu).min }
     val cpuTotal = minCpus.map(_._2).sum
-    val cpuTop = minCpus.sortBy(-_._2).take(10)
+    // take(8), was 10 (r14): two slots' worth of budget ceded to the
+    // exact-runs headline rows + the drift summary below
+    val cpuTop = minCpus.sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
       .mkString("{", ",", "}")
     val qsCompact = results
@@ -557,7 +654,15 @@ object Bench {
     val spinWorst = if (spins.isEmpty) spinBaseline else spins.values.max
     val memWorst = if (mems.isEmpty) memBaseline else mems.values.max
     val ogGcMax = if (oldGenPostGC.isEmpty) 0.0 else oldGenPostGC.values.max
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"cpuTotal":$cpuTotal%.1f,"cpuTop":$cpuTop,"stalls":${stalls.size},"retries":$retriesTotal,"spinBaseline":$spinBaseline%.3f,"spinWorst":$spinWorst%.3f,"memBaseline":$memBaseline%.3f,"memWorst":$memWorst%.3f,"heapMaxMB":${f"$heapMaxMB%.0f"},"oldGenPostGCMaxMB":${f"$ogGcMax%.0f"}$errNames,"artifact":"${artifactPath}","sf":"$sfDir"}"""
+    // drift summary for the archive window: total outlier runs + the
+    // dominant cause ("driftTop":"mem-dilution:3"); the per-query
+    // per-run verdicts live in the artifact's driftVerdicts
+    val driftCounts = verdicts.flatMap(_._2).filter(_ != "ok")
+      .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(-_._2)
+    val driftCompact =
+      if (driftCounts.isEmpty) ""
+      else s""","driftRuns":${driftCounts.map(_._2).sum},"driftTop":"${driftCounts.head._1}:${driftCounts.head._2}""""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"cpuTotal":$cpuTotal%.1f,"cpuTop":$cpuTop,"stalls":${stalls.size},"retries":$retriesTotal$driftCompact,"spinBaseline":$spinBaseline%.3f,"spinWorst":$spinWorst%.3f,"memBaseline":$memBaseline%.3f,"memWorst":$memWorst%.3f,"heapMaxMB":${f"$heapMaxMB%.0f"},"oldGenPostGCMaxMB":${f"$ogGcMax%.0f"}$errNames,"artifact":"${artifactPath}","sf":"$sfDir"}"""
     if (compact.length > 1900)
       System.err.println(s"[bench] compact line ${compact.length} chars — " +
         "past the ~1.9 KB archive-window budget; trim it or the driver's " +
