@@ -1118,6 +1118,63 @@ object TextAnalysis {
       .withColumn("bucket", floor(col("quality") * lit(1000)).cast(IntegerType))
   }
 
+  /** Deterministic order-aligned shard tag for the selection guards —
+    * the r14 cluster-safe replacement for `repartitionByRange` +
+    * `spark_partition_id` + eager `localCheckpoint` (verdict #3): a
+    * local checkpoint is not fault-tolerant, so on a real cluster an
+    * executor loss killed the job instead of recomputing. Instead the
+    * shard is a PURE EXPRESSION of the ordering key against cut points
+    * frozen as literals: a deterministic hash-sample of the boundary
+    * rows (xxhash64(doc_id) % m == 0, m sized from a count so the
+    * sample carries ~16 rows per shard) is collected ONCE at plan-build
+    * time (control-plane: ~16·nShards rows by construction), sorted by
+    * the selection order, and every ⌈s/k⌉-th sample becomes a cut. Each
+    * consumer subplan (the offsets aggregate AND the rank/cumsum
+    * window) evaluates the same literal when-chain, so the assignment
+    * is consistent across plan instantiations BY CONSTRUCTION — no
+    * materialization to evict, nothing to recompute on executor loss —
+    * and order-aligned: every row in shard i precedes every row in
+    * shard i+1 in (source?, quality DESC, doc_id) order, so
+    * offset(shard) + local rank IS the global rank. Sampled cuts bound
+    * shard size at ~n/k w.h.p. (≈1.6× with 16 samples/shard — the
+    * degenerate-corpus specs pin ≤3×), same guarantee class as the
+    * RangePartitioner sample it replaces.
+    */
+  private[graft] def shardByOrder(bRows: DataFrame, nShards: Int,
+      bySource: Boolean): DataFrame = {
+    val nB = bRows.count() // control-plane: one scalar per build
+    val m = math.max(1L, nB / math.max(1L, 16L * nShards))
+    val keyCols =
+      (if (bySource) Seq(col("source")) else Nil) ++
+        Seq(col("quality"), col("doc_id"))
+    val sample = bRows
+      .filter(pmod(xxhash64(lit("shard"), col("doc_id")), lit(m)) === 0)
+      .select(keyCols: _*).collect()
+    val ord: Ordering[org.apache.spark.sql.Row] =
+      if (bySource)
+        Ordering.by(r => (r.getString(0), -r.getDouble(1), r.getLong(2)))
+      else Ordering.by(r => (-r.getDouble(0), r.getLong(1)))
+    val sorted = sample.sorted(ord)
+    val k = math.min(nShards - 1, sorted.length)
+    val cuts = (1 to k).map(i => sorted((i * sorted.length) / (k + 1))).distinct
+    // shard = number of cuts at-or-before this row in selection order
+    val shard = cuts.map { c =>
+      val ge =
+        if (bySource) {
+          val (cs, cq, ci) = (c.getString(0), c.getDouble(1), c.getLong(2))
+          col("source") > cs || (col("source") === cs &&
+            (col("quality") < cq ||
+              (col("quality") === cq && col("doc_id") >= ci)))
+        } else {
+          val (cq, ci) = (c.getDouble(0), c.getLong(1))
+          col("quality") < cq ||
+            (col("quality") === cq && col("doc_id") >= ci)
+        }
+      when(ge, 1).otherwise(0)
+    }.reduceOption(_ + _).getOrElse(lit(0))
+    bRows.withColumn("shard", shard)
+  }
+
   def txBudgetSelectDf(docs: DataFrame, frac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = qualityBucketed(docs)
@@ -1152,20 +1209,16 @@ object TextAnalysis {
     // rows selected, no partition ever holds more than ~|boundary|/
     // nShards rows regardless of the quality distribution.
     val nShards = docs.sparkSession.sparkContext.defaultParallelism
-    // the shard tag is MATERIALIZED once (eager local checkpoint):
-    // spark_partition_id over a range exchange is nondeterministic
-    // across plan instantiations (each consumer would sample its OWN
-    // RangePartitioner boundaries), and the offsets aggregate and the
-    // window below must see the SAME assignment or the prefix math is
-    // inconsistent — this is a correctness materialization, not a
-    // perf one. The checkpointed set is the boundary bucket only
-    // (narrow columns), freed at the harness query boundary.
-    val bRows = joined
-      .filter(col("cum_before") <= col("budget") &&
-        col("cum_before") + col("bucket_tokens") > col("budget"))
-      .repartitionByRange(nShards, col("quality").desc, col("doc_id"))
-      .withColumn("shard", spark_partition_id())
-      .localCheckpoint(true)
+    // the shard tag is a deterministic expression over frozen sampled
+    // cuts (shardByOrder): the offsets aggregate and the window below
+    // evaluate the SAME literal when-chain, so the prefix math is
+    // consistent without materializing anything — cluster-safe where
+    // the r13 eager localCheckpoint was not (executor loss killed the
+    // job; a local checkpoint cannot recompute)
+    val bRows = shardByOrder(
+      joined.filter(col("cum_before") <= col("budget") &&
+        col("cum_before") + col("bucket_tokens") > col("budget")),
+      nShards, bySource = false)
     val wShard = Window.orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bRows.groupBy(col("shard"))
@@ -1237,16 +1290,14 @@ object TextAnalysis {
     // offset + local rank IS the source-global rank.
     val nShards = docs.sparkSession.sparkContext.defaultParallelism
     val wSh = org.apache.spark.sql.expressions.Window
-    // materialized once for the same reason as [[txBudgetSelectDf]]'s
-    // guard: the offsets aggregate and the rank window must agree on
-    // the sampled range boundaries behind spark_partition_id
-    val bRows = joined
-      .filter(col("cum_before") * 100 <= col("n_src") * pct &&
-        (col("cum_before") + col("bucket_docs")) * 100 > col("n_src") * pct)
-      .repartitionByRange(nShards,
-        col("source"), col("quality").desc, col("doc_id"))
-      .withColumn("shard", spark_partition_id())
-      .localCheckpoint(true)
+    // same deterministic frozen-cuts shard as [[txBudgetSelectDf]]'s
+    // guard (see [[shardByOrder]]): the offsets aggregate and the rank
+    // window agree on the assignment because both evaluate the same
+    // literal expression — no materialization, cluster-safe
+    val bRows = shardByOrder(
+      joined.filter(col("cum_before") * 100 <= col("n_src") * pct &&
+        (col("cum_before") + col("bucket_docs")) * 100 > col("n_src") * pct),
+      nShards, bySource = true)
     val wShard = wSh.partitionBy(col("source")).orderBy(col("shard"))
       .rowsBetween(wSh.unboundedPreceding, -1)
     val offsets = bRows.groupBy(col("source"), col("shard"))

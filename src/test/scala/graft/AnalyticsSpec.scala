@@ -200,9 +200,9 @@ class AnalyticsSpec extends SparkSpec {
     // boundary window's OWN spec (shard partition key then quality
     // ordering): a weaker hashpartitioning-anywhere assert would stay
     // green after the window degraded to a global sort.
-    // (the range exchange behind the shard tag runs inside the guard's
-    // eager checkpoint — it is not visible in this plan; its exactness
-    // is covered by the value fuzz tests, degenerate corpus included)
+    // (the shard tag is a deterministic frozen-cuts expression since
+    // r14 — no checkpoint, no range exchange; its exactness is covered
+    // by the value fuzz tests, degenerate corpus included)
     val plan = got.queryExecution.executedPlan.toString
     assert("windowspecdefinition\\(shard#\\d+, quality#\\d+ DESC".r
       .findFirstIn(plan).isDefined,
@@ -301,16 +301,17 @@ class AnalyticsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq.sorted
     assert(got == want)
     assert(want.length > 1000, "degenerate case must be non-trivial")
-    // replicate the guard's shard assignment and bound the largest
-    // window partition — the claim 'no partition exceeds ~n/nShards'
+    // run the guard's OWN shard assignment (shardByOrder — frozen
+    // sampled cuts since r14) and bound the largest window partition —
+    // the claim 'no partition exceeds ~n/nShards'
     val nShards = spark.sparkContext.defaultParallelism
     val toksC = tokens(col("text"))
-    val shardSizes = docs
-      .select($"doc_id", size(toksC).cast("long").as("n_tokens"),
-        (size(array_distinct(toksC)).cast("double") / size(toksC)).as("quality"))
-      .filter($"n_tokens" > 0)
-      .repartitionByRange(nShards, $"quality".desc, $"doc_id")
-      .groupBy(spark_partition_id().as("shard")).count()
+    val shardSizes = graft.analytics.TextAnalysis.shardByOrder(
+      docs.select($"doc_id", size(toksC).cast("long").as("n_tokens"),
+          (size(array_distinct(toksC)).cast("double") / size(toksC)).as("quality"))
+        .filter($"n_tokens" > 0),
+      nShards, bySource = false)
+      .groupBy($"shard").count()
       .as[(Int, Long)].collect()
     assert(shardSizes.length > 1, "degenerate corpus landed in one shard")
     val mx = shardSizes.map(_._2).max
@@ -346,12 +347,12 @@ class AnalyticsSpec extends SparkSpec {
     assert(want.length > 1000, "degenerate case must be non-trivial")
     val nShards = spark.sparkContext.defaultParallelism
     val toksC = tokens(col("text"))
-    val shardSizes = docs
-      .select($"doc_id", $"source", size(toksC).cast("long").as("n_tokens"),
-        (size(array_distinct(toksC)).cast("double") / size(toksC)).as("quality"))
-      .filter($"n_tokens" > 0)
-      .repartitionByRange(nShards, $"source", $"quality".desc, $"doc_id")
-      .groupBy($"source", spark_partition_id().as("shard")).count()
+    val shardSizes = graft.analytics.TextAnalysis.shardByOrder(
+      docs.select($"doc_id", $"source", size(toksC).cast("long").as("n_tokens"),
+          (size(array_distinct(toksC)).cast("double") / size(toksC)).as("quality"))
+        .filter($"n_tokens" > 0),
+      nShards, bySource = true)
+      .groupBy($"source", $"shard").count()
       .as[(String, Int, Long)].collect()
     assert(shardSizes.count(_._1 == "big") > 1,
       "dominant source landed in one shard")
