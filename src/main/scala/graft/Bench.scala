@@ -527,7 +527,10 @@ object Bench {
     //                  persisted/cached stage was re-executed (the r13
     //                  dedup_chunks driver-outlier hypothesis — now a
     //                  measurement, not an inference)
-    //   recompile    — ≥10 Janino compilations (codegen-cache thrash)
+    //   cold-codegen — run 1 compiling its plan for the first time
+    //                  (expected; not cache thrash)
+    //   recompile    — ≥10 Janino compilations on a LATER run of the
+    //                  same query (codegen-cache thrash)
     //   jit-warmup   — ≥50% of the cpu excess is HotSpot compiler-
     //                  thread time (run 1 of a cold plan; benign)
     //   mem-dilution — this run's mem-calibration ≥2× the session
@@ -548,12 +551,12 @@ object Bench {
       val minTasks = rs.map(_.tasks).min
       val minNative = rs.map(_.nativeCpu).min
       val minJit = rs.map(_.jit).min
-      k -> rs.map { r =>
+      k -> rs.zipWithIndex.map { case (r, i) =>
         val cpuOut = r.cpu > 1.5 * minCpu && r.cpu - minCpu >= 1.0
         val wallOut = r.wall > 2 * minWall && r.wall - minWall >= 1.0
         if (!cpuOut && !wallOut) "ok"
         else if (minTasks > 0 && r.tasks >= 1.2 * minTasks) "recompute"
-        else if (r.codegen >= 10) "recompile"
+        else if (r.codegen >= 10) { if (i == 0) "cold-codegen" else "recompile" }
         else if (r.jit - minJit >= 0.5 * (r.cpu - minCpu)) "jit-warmup"
         else if (r.mem >= 2 * memBaseline && r.mem >= 0.025) "mem-dilution"
         else if (r.spin >= 1.5 * spinBaseline) "cpu-dilution"

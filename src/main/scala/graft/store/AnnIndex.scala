@@ -55,9 +55,12 @@ object AnnIndex {
   /** Root resolution + publish via the shared `StoreRoot` protocol,
     * keyed on the embeddings table's state.
     */
+  // n is BY-NAME through the memo: a warm serve resolves the root
+  // from (path, mtime, len, kind) without running the count job
   private def indexRoot(spark: SparkSession, dir: String, kind: String,
-      n: Long): Path =
-    StoreRoot.rootFor(spark, s"$dir/embeddings.parquet", kind, n, FormatVersion)
+      n: => Long): Path =
+    StoreRoot.rootForCached(spark, s"$dir/embeddings.parquet", kind,
+      FormatVersion)(n)
 
   private def ensureBuilt(spark: SparkSession, root: Path)(
       build: String => Unit): Unit =
@@ -331,13 +334,19 @@ object AnnIndex {
         round(Similarity.cosine(col("q_emb"), col("centroid")), 6).as("cos_c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cell"))
-    val probed = Similarity.materializeSmall(
+    // ONE collect feeds the literal route relation AND the pruning
+    // literals (r14: the separate distinct().collect() was a second
+    // driver job per warm serve — pure stage-count latency)
+    val probedPlan =
       qc.withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
-        .select(col("query_id"), col("q_emb"), col("cell")))
+        .select(col("query_id"), col("q_emb"), col("cell"))
+    val probedRows = probedPlan.collect()
+    val probed = spark.createDataFrame(
+      java.util.Arrays.asList(probedRows: _*), probedPlan.schema)
     // sorted: these become partition-pruning IN literals — stable
     // order keeps the generated plan source codegen-cache-friendly
-    val routedCells = probed.select(col("cell")).distinct()
-      .collect().map(_.getAs[Number](0).longValue).toSeq.sorted
+    val routedCells = probedRows
+      .map(_.getAs[Number]("cell").longValue).toSeq.distinct.sorted
     val lists = minusDeletes(spark, root,
       routedScan(spark, root, "lists", routedCells), "vec_id")
     val cand = lists
@@ -414,13 +423,18 @@ object AnnIndex {
         round(Similarity.cosine(col("q_emb"), col("centroid")), 6).as("cos_c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cell"))
-    val probed = Similarity.materializeSmall(
+    // ONE collect for route relation + pruning literals (see
+    // serveIvfTopk — same fused shape)
+    val probedPlan =
       qc.withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
-        .select(col("query_id"), col("cell")))
+        .select(col("query_id"), col("cell"))
+    val probedRows = probedPlan.collect()
+    val probed = spark.createDataFrame(
+      java.util.Arrays.asList(probedRows: _*), probedPlan.schema)
     // sorted: these become partition-pruning IN literals — stable
     // order keeps the generated plan source codegen-cache-friendly
-    val routedCells = probed.select(col("cell")).distinct()
-      .collect().map(_.getAs[Number](0).longValue).toSeq.sorted
+    val routedCells = probedRows
+      .map(_.getAs[Number]("cell").longValue).toSeq.distinct.sorted
     val codes = routedScan(spark, root, "cellcodes", routedCells)
     val lut = queries
       .select(col("query_id"), explode(sequence(lit(0), lit(7))).as("s"),
@@ -774,10 +788,28 @@ object AnnIndex {
     * embeddings-table scan, which is the property this query family
     * exists to prove.
     */
-  private def queryLiterals(s: SparkSession, dir: String): DataFrame =
-    Similarity.materializeSmall(
-      Tables.embeddings(s, dir).filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+  // The collected panel rows are memoized per corpus-file state (same
+  // key discipline as StoreRoot.rootForCached): the panel is a pure
+  // function of the immutable embeddings file, and re-collecting it
+  // was one fixed driver job on every warm serve (r13 verdict #2 —
+  // the serve rows are latency-bound, cpu/wall ≈ 2 at ~1.5 s wall).
+  // Rows are cached, the local relation is rebuilt per call (cheap,
+  // session-correct).
+  private val panelMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[org.apache.spark.sql.Row]]()
+
+  private def queryLiterals(s: SparkSession, dir: String): DataFrame = {
+    val srcFile = s"$dir/embeddings.parquet"
+    val p = new Path(srcFile)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val plan = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val rows = panelMemo.computeIfAbsent(
+      s"$srcFile|${st.getModificationTime}|${st.getLen}",
+      _ => plan.collect())
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), plan.schema)
+  }
 
   /** The PQ index root for a corpus dir, built if absent — the handle
     * introspection (store.Manifest) shares with the serves.

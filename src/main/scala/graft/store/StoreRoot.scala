@@ -24,6 +24,29 @@ object StoreRoot {
     new Path(s"$defaultBase/$kind-$digest")
   }
 
+  /** Process-level memo for [[rootFor]] keyed by everything in the
+    * digest EXCEPT the row count: for an immutable source file,
+    * (path, mtime, len, kind, version) determines n, so repeat serves
+    * skip the count() job entirely — the one Spark job a warm
+    * build-once/query-many serve still paid per call (r13 verdict #2:
+    * the serve rows are latency-bound, and the per-call corpus count
+    * was a fixed stage-count tax on every one of them). A corpus
+    * rewrite changes mtime/len and misses the memo, exactly like it
+    * changes [[rootFor]]'s digest.
+    */
+  private val rootMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  def rootForCached(spark: SparkSession, srcFile: String, kind: String,
+      version: String)(n: => Long): Path = {
+    val src = new Path(srcFile)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val key = s"$srcFile|${st.getModificationTime}|${st.getLen}|$kind|$version"
+    rootMemo.computeIfAbsent(key,
+      _ => rootFor(spark, srcFile, kind, n, version))
+  }
+
   /** Build-once discipline: if `root` exists it is a COMPLETE build
     * (publication is an atomic directory rename); otherwise run
     * `build` into a staging dir and promote it. A lost rename race

@@ -38,9 +38,12 @@ object TextIndex {
   /** Root resolution + publish via the shared `StoreRoot` protocol,
     * keyed on the documents table's state.
     */
-  private def indexRoot(spark: SparkSession, dir: String, n: Long,
+  // n is BY-NAME through the memo: a warm serve resolves the root
+  // from (path, mtime, len, kind) without running the count job
+  private def indexRoot(spark: SparkSession, dir: String, n: => Long,
       kind: String = "lex"): Path =
-    StoreRoot.rootFor(spark, s"$dir/documents.parquet", kind, n, FormatVersion)
+    StoreRoot.rootForCached(spark, s"$dir/documents.parquet", kind,
+      FormatVersion)(n)
 
   private def ensureBuilt(spark: SparkSession, root: Path)(
       build: String => Unit): Unit =
@@ -213,16 +216,21 @@ object TextIndex {
     // the query vocabulary. Without this the candidate join reads the
     // whole postings table; with it, serve I/O is the queried terms'
     // slice — the property that makes a 100 TB postings store servable.
-    val qt = graft.similarity.Similarity.materializeSmall(
-      postings.filter(col("doc_id") < 10)
-        .select(col("doc_id").as("query_id"), col("tok")))
+    // ONE collect feeds both the literal panel relation and the term
+    // literals (r14: the separate distinct().collect() was a second
+    // driver job on every warm serve — pure stage-count latency)
+    val qtPlan = postings.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    val qtRows = qtPlan.collect()
+    val qt = spark.createDataFrame(
+      java.util.Arrays.asList(qtRows: _*), qtPlan.schema)
     // sorted: collect order is partition-arrival nondeterministic, and
     // these values become plan LITERALS — an unsorted list makes the
     // generated filter source differ per run, defeating the codegen
     // cache (the bench artifact read ~10 recompiled classes on every
     // re-run of the serve queries before this)
-    val queryToks: Seq[Any] = qt.select(col("tok")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    val queryToks: Seq[Any] =
+      qtRows.map(_.getString(1)).distinct.sorted.toSeq
     val dfreq = spark.read.parquet(s"$root/df")
       .filter(col("tok").isInCollection(queryToks))
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
