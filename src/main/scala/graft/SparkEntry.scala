@@ -352,5 +352,8 @@ object SparkEntry {
     "mm_gif", "lex_bm25_serve", "lex_bm25_append_serve",
     // r12: winnowed fingerprints (native deque selection + df shuffle)
     // and their pair report (inverted-index self-join)
-    "tx_winnow", "dedup_winnow")
+    "tx_winnow", "dedup_winnow",
+    // r14: the exact-substring (Lee et al.) family — the r13 additions
+    // the bench list had missed (verdict #5)
+    "dedup_exact_runs", "dedup_exact_runs_apply")
 }

@@ -16,7 +16,8 @@ object ScaleCurve {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // optional section filter: "minhash" | "chunks" | "embedding" |
-    // "repetition" | "semantic"; no filter runs all sections
+    // "repetition" | "semantic" | "winnow" | "selection" | "hybrid" |
+    // "exactruns"; no filter runs all sections
     val only = args.lift(1)
     def section(name: String): Boolean = only.forall(_ == name)
     val spark = SparkSession.builder().master("local[32]")
@@ -87,6 +88,33 @@ object ScaleCurve {
       val td = Seq.fill(2)(timed(noop(
         graft.dedup.Dedup.dedupWinnowDf(docs, 5, 4, 64)))).min
       println(f"winnow   n=$n%-8d tx=$tw%8.2f s  dedup=$td%8.2f s")
+    }
+
+    // Exact-substring runs (r14 verdict #5): report + keep-first apply
+    // at three corpus sizes — 2 id-shifted copies per doc (every copy
+    // pair shares its whole base text as one long run: real pair-stage
+    // work) PLUS a 24-token padding block appended to EVERY doc,
+    // probing the occurrence cap: each padding gram occurs once per
+    // document (occ = n >> 64), so the cap must exempt it — without
+    // the cap this corpus IS the occ-squared quadratic the exact-runs
+    // review pass removed before shipping. Both queries should scale
+    // ~n; a superlinear jump here means the cap regressed.
+    if (section("exactruns")) {
+      val pad = (0 until 24).map(i => s"padtok$i").mkString(" ")
+      for (f <- Seq(25, 50, 100)) {
+        val sub = baseDocs.filter(pmod(col("doc_id"), lit(100)) < lit(f))
+        val docs = (0 until 2).map(j =>
+          sub.select((col("doc_id") + lit(j * docOffset)).as("doc_id"),
+            concat(col("text"), lit(s" exmarker$j "), lit(pad)).as("text")))
+          .reduce(_ unionByName _)
+        val n = docs.count()
+        val tr = Seq.fill(2)(timed(noop(
+          graft.dedup.Dedup.dedupExactRunsDf(docs, 8, 64, 16)))).min
+        val ta = Seq.fill(2)(timed(noop(
+          graft.dedup.Dedup.dedupExactRunsApplyDf(docs, 8, 64, 16)))).min
+        println(f"exactruns n=$n%-8d report=$tr%8.2f s  apply=$ta%8.2f s")
+        graft.store.Checkpoints.free(spark)
+      }
     }
 
     // Selection family (r12 verdict #5): the histogram threshold
