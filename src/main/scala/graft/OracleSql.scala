@@ -850,6 +850,67 @@ object OracleSql {
          |FROM runs GROUP BY a, b HAVING max(run_len) >= 16
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // the incremental (two-delivery) exact-runs pipeline: delivery 1 =
+    // even doc_ids under the evens-only occurrence cap; delivery 2 =
+    // pairs with >=1 odd endpoint under the FULL-corpus cap (index ∪
+    // batch — the cap is evaluated over every doc seen so far, so a
+    // gram usable at delivery 1 may be over-cap at delivery 2, in
+    // which case delivery 2 stops matching through it while delivery
+    // 1's report stands: the natural streaming semantics, mirrored
+    // here verbatim). The Spark side runs the DURABLE sink (file-fed
+    // micro-batches, per-batch gram/report segments); the hash match
+    // certifies segment read → capped match → island construction →
+    // segment write equals this declarative two-step chain.
+    "dedup_exact_runs_incremental" -> {
+      // splice guards: the r1/runs1 (and r2/runs2) text below
+      // replicates exactRunsCtes' island formulation over per-step
+      // gram subsets — if the base chain's formulation drifts, fail
+      // loudly instead of certifying two different constructions
+      require(exactRunsCtes.contains(
+        "pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp"),
+        "exact-runs-incremental: island formulation drifted from exactRunsCtes")
+      require(exactRunsCtes.contains("min(pb) AS s, max(pb) + 8 AS e"),
+        "exact-runs-incremental: run-extent formulation drifted from exactRunsCtes")
+      require(exactRunsCtes.contains(
+        "count(DISTINCT doc_id) >= 2 AND count(*) <= 64"),
+        "exact-runs-incremental: cap discipline drifted from exactRunsCtes")
+      s"""WITH $toksCte, $gram8Ctes,
+         |keep1 AS (SELECT gh FROM g WHERE doc_id % 2 = 0 GROUP BY gh
+         |  HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 64),
+         |g21 AS (SELECT g.doc_id, g.pos, g.gh FROM g JOIN keep1 USING (gh)
+         |  WHERE g.doc_id % 2 = 0),
+         |m1 AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+         |  FROM g21 x JOIN g21 y ON x.gh = y.gh AND x.doc_id < y.doc_id),
+         |r1 AS (SELECT a, b, pa - pb AS d, pa, pb,
+         |  pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp
+         |  FROM m1),
+         |runs1 AS (SELECT a, b, min(pb) AS s, max(pb) + 8 AS e,
+         |  count(*) + 7 AS run_len FROM r1 GROUP BY a, b, d, grp),
+         |keep2 AS (SELECT gh FROM g GROUP BY gh
+         |  HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 64),
+         |g22 AS (SELECT g.doc_id, g.pos, g.gh FROM g JOIN keep2 USING (gh)),
+         |m2 AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+         |  FROM g22 x JOIN g22 y ON x.gh = y.gh AND x.doc_id < y.doc_id
+         |  WHERE x.doc_id % 2 = 1 OR y.doc_id % 2 = 1),
+         |r2 AS (SELECT a, b, pa - pb AS d, pa, pb,
+         |  pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp
+         |  FROM m2),
+         |runs2 AS (SELECT a, b, min(pb) AS s, max(pb) + 8 AS e,
+         |  count(*) + 7 AS run_len FROM r2 GROUP BY a, b, d, grp),
+         |rep1 AS (SELECT a AS doc_a, b AS doc_b,
+         |  max(run_len)::BIGINT AS max_run_tokens,
+         |  (count(*) FILTER (WHERE run_len >= 16))::BIGINT AS n_runs,
+         |  1::BIGINT AS delivery
+         |  FROM runs1 GROUP BY a, b HAVING max(run_len) >= 16),
+         |rep2 AS (SELECT a AS doc_a, b AS doc_b,
+         |  max(run_len)::BIGINT AS max_run_tokens,
+         |  (count(*) FILTER (WHERE run_len >= 16))::BIGINT AS n_runs,
+         |  2::BIGINT AS delivery
+         |  FROM runs2 GROUP BY a, b HAVING max(run_len) >= 16)
+         |SELECT * FROM rep1 UNION ALL SELECT * FROM rep2
+         |ORDER BY delivery, doc_a, doc_b""".stripMargin
+    },
+
     // the APPLY step of exact-substring dedup: keep-FIRST-occurrence —
     // every doc cuts the spans it shares verbatim (>= 16 tokens) with
     // any LOWER doc_id; spans are the runs' extents in the higher doc,

@@ -174,6 +174,12 @@ object SparkEntry {
     // longest verbatim cross-doc token runs via diagonal islands
     "dedup_exact_runs"    -> (Dedup.dedupExactRuns(_, _)),
     "dedup_exact_runs_apply" -> (Dedup.dedupExactRunsApply(_, _)),
+    // the exact-runs detector delivered incrementally through the
+    // DURABLE streaming sink (append-only gram-segment index, capped
+    // over index ∪ batch) — two parity deliveries, report read back
+    // from segments, hash-checked against a relational two-step oracle
+    "dedup_exact_runs_incremental" ->
+      (Dedup.dedupExactRunsIncremental(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
     "dedup_apply"         -> (Dedup.dedupApply(_, _)),
     // apply over the UNIONED pair graphs of all three near-dup

@@ -875,25 +875,39 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), col("pa"), col("pb"),
         (col("pa") - col("pb")).as("d"))
+    (base, diagonalRuns(m, k))
+  }
+
+  /** Diagonal-island construction shared by the one-shot stage and the
+    * incremental step: matched positions (a, b, pa, pb, d = pa − pb) →
+    * islands of consecutive pa within each (a, b, d) group →
+    * runs(a, b, s, e, run_len), [s, e) the extent in the higher doc b.
+    */
+  private def diagonalRuns(m: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wRun = Window.partitionBy(col("a"), col("b"), col("d")).orderBy(col("pa"))
-    val runs = m.withColumn("grp", col("pa") - row_number().over(wRun))
+    m.withColumn("grp", col("pa") - row_number().over(wRun))
       .groupBy(col("a"), col("b"), col("d"), col("grp"))
       .agg(min(col("pb")).cast(LongType).as("s"),
         (max(col("pb")) + lit(k)).cast(LongType).as("e"),
         (count(lit(1)) + lit(k - 1)).as("run_len"))
-    (base, runs)
   }
 
-  def dedupExactRunsDf(documents: DataFrame, k: Int, maxDf: Int,
-      minRun: Int): DataFrame = {
-    val (_, runs) = exactRunsStage(documents, k, maxDf)
+  /** The pair report shared by the one-shot and incremental queries:
+    * per (a, b) the longest run and the count of qualifying runs.
+    */
+  private def runsReport(runs: DataFrame, minRun: Int): DataFrame =
     runs.groupBy(col("a"), col("b"))
       .agg(max(col("run_len")).cast(LongType).as("max_run_tokens"),
         sum(when(col("run_len") >= minRun, 1L).otherwise(0L)).as("n_runs"))
       .filter(col("max_run_tokens") >= minRun)
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         col("max_run_tokens"), col("n_runs"))
-      .orderBy(col("doc_a"), col("doc_b"))
+
+  def dedupExactRunsDf(documents: DataFrame, k: Int, maxDf: Int,
+      minRun: Int): DataFrame = {
+    val (_, runs) = exactRunsStage(documents, k, maxDf)
+    runsReport(runs, minRun).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** The APPLY step of exact-substring dedup — what the Lee et al.
@@ -950,6 +964,165 @@ object Dedup {
         size(kept).cast(LongType).as("n_after"),
         array_join(kept, " ").as("cleaned_text"))
       .orderBy(col("doc_id"))
+  }
+
+  /** One incremental delivery of the exact-substring detector — the
+    * gram inverted index is append-friendly (each doc's positional
+    * grams are written once and never change), so the runs report can
+    * be maintained delivery by delivery the way `incrementalCommit`
+    * maintains MinHash signatures:
+    *
+    *  - the batch's positional grams are computed once (persist +
+    *    count barrier — the cap aggregate and both join sides consume
+    *    them);
+    *  - the occurrence cap (≥2 distinct docs, ≤maxDf TOTAL occurrences
+    *    — same discipline as [[exactRunsStage]]) is evaluated over
+    *    index ∪ batch, i.e. over every document seen SO FAR: a gram
+    *    that is usable at delivery d may be over-cap at d+1, in which
+    *    case later deliveries simply stop matching through it while
+    *    earlier reports stand — the natural streaming semantics, and
+    *    exactly what the two-step oracle mirrors;
+    *  - matched positions pair the BATCH side against index ∪ batch
+    *    (never index × index — those pairs were reported when their
+    *    newer doc arrived), normalized to (a, b) = (min, max) id and
+    *    deduped, then the same diagonal-island construction and report
+    *    as the one-shot query.
+    *
+    * Returns (reportDelta, batchGrams, accumulatedGrams) — batch and
+    * accumulated handles exposed so the caller can reuse the cached
+    * batch grams (the sink writes them as its index delta) and
+    * unpersist both once its actions complete. Scale note: THIS step
+    * joins the batch against the full accumulated gram relation; at
+    * 100 TB the index side is a gram-bucketed store so the join prunes
+    * to the batch's gram buckets — the sink below keeps per-batch gram
+    * segments exactly so a bucketed rewrite stays a storage-layout
+    * change, not a semantics change.
+    */
+  def exactRunsIncrementalStep(batch: DataFrame, idxGrams: DataFrame,
+      k: Int = 8, maxDf: Int = 64, minRun: Int = 16)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val batchGrams = graft.Par.spread(batch.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        posexplode(gramHashes(tokens(col("text")), k)).as(Seq("pos", "g")))
+      .persist()
+    batchGrams.count() // materialize before the multi-consumer joins
+    val all = idxGrams.unionByName(batchGrams).persist()
+    all.count()
+    val keep = all.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
+      .filter(col("df") >= 2 && col("occ") <= maxDf)
+      .select(col("g"))
+    val allK = all.join(keep, Seq("g"))
+    val batchK = batchGrams.join(keep, Seq("g"))
+    val m = allK.select(col("g"), col("doc_id").as("xd"), col("pos").as("xp"))
+      .join(batchK.select(col("g"), col("doc_id").as("yd"), col("pos").as("yp")),
+        Seq("g"))
+      .filter(col("xd") =!= col("yd"))
+      .select(least(col("xd"), col("yd")).as("a"),
+        greatest(col("xd"), col("yd")).as("b"),
+        when(col("xd") < col("yd"), col("xp")).otherwise(col("yp")).as("pa"),
+        when(col("xd") < col("yd"), col("yp")).otherwise(col("xp")).as("pb"))
+      .distinct() // batch-batch pairs arrive in both orders
+      .withColumn("d", col("pa") - col("pb"))
+    (runsReport(diagonalRuns(m, k), minRun), batchGrams, all)
+  }
+
+  private def gramIndexSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", LongType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("g", LongType)))
+
+  private[graft] def emptyGramIndex(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      gramIndexSchema)
+
+  /** Segment directories with batch id < `before` (replay exclusion:
+    * a replayed batch must not see its own crashed attempt's grams).
+    */
+  private def gramSegmentsBefore(s: SparkSession, indexDir: String,
+      before: Long): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val segs =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_"))
+        .filter(_.getPath.getName.stripPrefix("seg_").toLong < before)
+        .map(_.getPath.toString)
+    if (segs.isEmpty) emptyGramIndex(s) else s.read.parquet(segs: _*)
+  }
+
+  /** One durable exact-runs delivery: report delta + gram delta land
+    * as per-batch segment directories (outDir/seg_<id>,
+    * indexDir/seg_<id>), both mode("overwrite") into a
+    * batchId-determined path. Idempotent under replay by SEGMENT-ID
+    * EXCLUSION: the step reads only gram segments with id < batchId,
+    * so a replay sees exactly the state the crashed attempt saw,
+    * recomputes the identical delta, and overwrites its own segments —
+    * the same crash analysis as `incrementalCommit`, with the
+    * self-match window closed structurally instead of by the
+    * same-doc_id filter.
+    */
+  def exactRunsCommit(batch: DataFrame, outDir: String, indexDir: String,
+      batchId: Long, k: Int = 8, maxDf: Int = 64, minRun: Int = 16): Unit = {
+    val s = batch.sparkSession
+    val (rep, batchGrams, acc) =
+      exactRunsIncrementalStep(batch, gramSegmentsBefore(s, indexDir, batchId),
+        k, maxDf, minRun)
+    try {
+      rep.withColumn("delivery", lit(batchId + 1))
+        .write.mode("overwrite").parquet(s"$outDir/seg_$batchId")
+      // the gram DELTA only, straight from the step's cache — the
+      // accumulated relation is the union of segments, never rewritten
+      // (append-only index)
+      batchGrams.write.mode("overwrite").parquet(s"$indexDir/seg_$batchId")
+    } finally { batchGrams.unpersist(); acc.unpersist() }
+  }
+
+  /** The exact-runs pipeline as a STREAMING sink (verdict r13 #6):
+    * each micro-batch of (doc_id, text) runs one `exactRunsCommit`.
+    * Read the accumulated report back with `readSegments(s, outDir)`.
+    */
+  def startExactRunsSink(docs: DataFrame, outDir: String, indexDir: String,
+      checkpointDir: String, k: Int = 8, maxDf: Int = 64, minRun: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        exactRunsCommit(batch, outDir, indexDir, batchId, k, maxDf, minRun)
+      }
+      .start()
+
+  /** Registered two-delivery exercise of the DURABLE incremental
+    * exact-runs pipeline (the 144th oracle row): the corpus split by
+    * doc_id parity arrives as two micro-batches through a real file
+    * source and `startExactRunsSink`; the accumulated report segments
+    * are read back and hash-checked against a relational two-step
+    * oracle (delivery 1: runs among the evens under the evens-only
+    * cap; delivery 2: pairs with ≥1 odd endpoint under the full-corpus
+    * cap). Planted near-dup pairs straddle the parity split, so the
+    * cross-delivery match path does real work; a hash match certifies
+    * the durable path (segment read → capped index ∪ batch → diagonal
+    * islands → segment write) computes exactly the declarative
+    * two-step semantics.
+    */
+  def dedupExactRunsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("exact_runs_incr")
+    val (outDir, idxDir, ckpt) = (s"$root/out", s"$root/idx", s"$root/ckpt")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val feed = s"$root/feed"
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(feed)
+    val q = startExactRunsSink(
+      s.readStream.schema(docs.schema).parquet(feed), outDir, idxDir, ckpt)
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(feed)
+      q.processAllAvailable()
+    } finally q.stop()
+    readSegments(s, outDir)
+      .orderBy(col("delivery"), col("doc_a"), col("doc_b"))
   }
 
   /** Winnowed-fingerprint near-dup pairs (the MOSS pair report): doc
