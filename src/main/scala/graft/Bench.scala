@@ -523,10 +523,12 @@ object Bench {
     // exceeds 1.5× the query's min-cpu or its wall exceeds 2× the
     // min-wall; each outlier is classified by the FIRST discriminator
     // that fires (ordered most- to least-specific):
-    //   recompute    — ≥1.2× the tasks of the cleanest run: a
-    //                  persisted/cached stage was re-executed (the r13
-    //                  dedup_chunks driver-outlier hypothesis — now a
-    //                  measurement, not an inference)
+    //   recompute    — ≥1.2× AND ≥20 more tasks than the cleanest run
+    //                  (a persisted/cached stage was re-executed — the
+    //                  r13 dedup_chunks driver-outlier hypothesis, now
+    //                  a measurement; the absolute floor keeps ±1-2
+    //                  straggler task-end events from the async
+    //                  listener bus out of the most alarming class)
     //   cold-codegen — run 1 compiling its plan for the first time
     //                  (expected; not cache thrash)
     //   recompile    — ≥10 Janino compilations on a LATER run of the
@@ -541,8 +543,15 @@ object Bench {
     //                  (work-rate dilution: steal / SMT / throttle)
     //   native-burn  — ≥50% of the cpu excess is native-thread time
     //                  (concurrent-GC treadmill)
-    //   plan-work    — none of the above: the run genuinely did more
-    //                  Spark work (the only class that indicts a plan)
+    //   plan-work    — a cpu outlier none of the above explains: the
+    //                  run genuinely did more Spark work (the only
+    //                  class that indicts a plan)
+    //   stall        — a WALL-only outlier (cpu flat) nothing above
+    //                  explains: the JVM spent the excess not running
+    //                  (the jit/native tests are cpu-excess ratios, so
+    //                  they are only consulted for cpu outliers — on a
+    //                  flat-cpu run their denominators are ~0 and they
+    //                  would fire vacuously)
     // Sub-second excesses are not classified (left "ok"): a <1 s cpu
     // and <1 s wall excess is scheduler jitter, not a drift event.
     val verdicts: Seq[(String, Seq[String])] = results.map { case (k, rs) =>
@@ -555,13 +564,17 @@ object Bench {
         val cpuOut = r.cpu > 1.5 * minCpu && r.cpu - minCpu >= 1.0
         val wallOut = r.wall > 2 * minWall && r.wall - minWall >= 1.0
         if (!cpuOut && !wallOut) "ok"
-        else if (minTasks > 0 && r.tasks >= 1.2 * minTasks) "recompute"
+        else if (minTasks > 0 && r.tasks >= 1.2 * minTasks &&
+          r.tasks - minTasks >= 20) "recompute"
         else if (r.codegen >= 10) { if (i == 0) "cold-codegen" else "recompile" }
-        else if (r.jit - minJit >= 0.5 * (r.cpu - minCpu)) "jit-warmup"
+        else if (cpuOut && r.jit - minJit >= 0.5 * (r.cpu - minCpu))
+          "jit-warmup"
         else if (r.mem >= 2 * memBaseline && r.mem >= 0.025) "mem-dilution"
         else if (r.spin >= 1.5 * spinBaseline) "cpu-dilution"
-        else if (r.nativeCpu - minNative >= 0.5 * (r.cpu - minCpu)) "native-burn"
-        else "plan-work"
+        else if (cpuOut && r.nativeCpu - minNative >= 0.5 * (r.cpu - minCpu))
+          "native-burn"
+        else if (cpuOut) "plan-work"
+        else "stall"
       }
     }
     val verdictJson = {

@@ -1140,8 +1140,17 @@ object TextAnalysis {
     * degenerate-corpus specs pin ≤3×), same guarantee class as the
     * RangePartitioner sample it replaces.
     */
-  private[graft] def shardByOrder(bRows: DataFrame, nShards: Int,
+  private[graft] def shardByOrder(bRows0: DataFrame, nShards: Int,
       bySource: Boolean): DataFrame = {
+    // plain persist (NOT localCheckpoint): the boundary rows feed the
+    // count, the cut sample, and the caller's offsets aggregate and
+    // rank window — without a cache each consumer re-evaluates the
+    // full scoring pipeline (review r14: ~5 corpus scans per
+    // selection). persist is fault-tolerant — an executor loss
+    // recomputes from lineage — which is the exact property the r13
+    // localCheckpoint lacked; the count() is the materialization
+    // barrier (r13 discipline) AND the sample-rate input.
+    val bRows = bRows0.persist()
     val nB = bRows.count() // control-plane: one scalar per build
     val m = math.max(1L, nB / math.max(1L, 16L * nShards))
     val keyCols =

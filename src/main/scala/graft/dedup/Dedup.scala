@@ -522,7 +522,9 @@ object Dedup {
     * use; production swaps the feed dir for Kafka/object-store paths.
     */
   def dedupIncrementalSink(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("dedup_incr_sink")
+    // per-process scratch root, swept + reused across invocations (a
+    // temp dir per call accumulated a corpus copy per gate iteration)
+    val root = graft.store.StoreRoot.scratchRoot("dedup_incr_sink")
     val (outDir, idxDir, ckpt) = (s"$root/out", s"$root/idx", s"$root/ckpt")
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val feed = s"$root/feed"
@@ -1005,8 +1007,11 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(gramHashes(tokens(col("text")), k)).as(Seq("pos", "g")))
       .persist()
-    batchGrams.count() // materialize before the multi-consumer joins
     val all = idxGrams.unionByName(batchGrams).persist()
+    // one barrier materializes BOTH caches: computing the union reads
+    // batchGrams through its fresh InMemoryRelation, populating it —
+    // a separate batchGrams.count() would just tokenize the batch a
+    // second time (review r14)
     all.count()
     val keep = all.groupBy(col("g"))
       .agg(count_distinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
@@ -1109,7 +1114,9 @@ object Dedup {
     * two-step semantics.
     */
   def dedupExactRunsIncremental(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("exact_runs_incr")
+    // per-process scratch root, swept + reused across invocations (a
+    // temp dir per call accumulated a corpus copy per gate iteration)
+    val root = graft.store.StoreRoot.scratchRoot("exact_runs_incr")
     val (outDir, idxDir, ckpt) = (s"$root/out", s"$root/idx", s"$root/ckpt")
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val feed = s"$root/feed"

@@ -457,11 +457,22 @@ object Similarity {
     * collect round-trips exactly, so plans built on the literal are
     * bit-identical to plans built on the lineage.
     */
-  private[graft] def materializeSmall(df: DataFrame): DataFrame = {
+  /** One collect feeding BOTH the literal local relation and any
+    * driver-side literal extraction (pruning IN-lists, sorted term
+    * lists) — the fused shape the store serve paths use so route
+    * resolution is a single driver job (review r14: keeping the
+    * construction here means a fix to the local-relation build reaches
+    * every serve path).
+    */
+  private[graft] def materializeRows(df: DataFrame)
+      : (Array[org.apache.spark.sql.Row], DataFrame) = {
     val rows = df.collect()
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), df.schema)
+    (rows, df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema))
   }
+
+  private[graft] def materializeSmall(df: DataFrame): DataFrame =
+    materializeRows(df)._2
 
   /** Per-dimension mean centroids of a (cell, embedding) relation,
     * rounded to 6 dp so cell geometry is engine-independent.

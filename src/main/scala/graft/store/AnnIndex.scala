@@ -337,12 +337,9 @@ object AnnIndex {
     // ONE collect feeds the literal route relation AND the pruning
     // literals (r14: the separate distinct().collect() was a second
     // driver job per warm serve — pure stage-count latency)
-    val probedPlan =
+    val (probedRows, probed) = Similarity.materializeRows(
       qc.withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
-        .select(col("query_id"), col("q_emb"), col("cell"))
-    val probedRows = probedPlan.collect()
-    val probed = spark.createDataFrame(
-      java.util.Arrays.asList(probedRows: _*), probedPlan.schema)
+        .select(col("query_id"), col("q_emb"), col("cell")))
     // sorted: these become partition-pruning IN literals — stable
     // order keeps the generated plan source codegen-cache-friendly
     val routedCells = probedRows
@@ -425,12 +422,9 @@ object AnnIndex {
       .partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cell"))
     // ONE collect for route relation + pruning literals (see
     // serveIvfTopk — same fused shape)
-    val probedPlan =
+    val (probedRows, probed) = Similarity.materializeRows(
       qc.withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
-        .select(col("query_id"), col("cell"))
-    val probedRows = probedPlan.collect()
-    val probed = spark.createDataFrame(
-      java.util.Arrays.asList(probedRows: _*), probedPlan.schema)
+        .select(col("query_id"), col("cell")))
     // sorted: these become partition-pruning IN literals — stable
     // order keeps the generated plan source codegen-cache-friendly
     val routedCells = probedRows

@@ -33,18 +33,55 @@ object StoreRoot {
     * was a fixed stage-count tax on every one of them). A corpus
     * rewrite changes mtime/len and misses the memo, exactly like it
     * changes [[rootFor]]'s digest.
+    *
+    * Honest staleness delta vs the per-call count (review r14): the
+    * memo's key drops n, so a rewrite that preserves BOTH mtime and
+    * length (an mtime-preserving copy of an equal-length regenerated
+    * file) is served stale where the old path would re-count — but
+    * only when the regenerated corpus ALSO changed its row count;
+    * an equal-rowcount regeneration was served stale by the digest
+    * itself before the memo existed. The window this memo adds is
+    * "mtime-preserved ∧ equal-length ∧ different-rowcount", which no
+    * normal write produces (rewrites bump mtime). Set
+    * SPARK_GRAFT_NO_ROOT_MEMO=1 to force per-call counting back on.
     */
   private val rootMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Path]()
 
   def rootForCached(spark: SparkSession, srcFile: String, kind: String,
       version: String)(n: => Long): Path = {
+    if (sys.env.get("SPARK_GRAFT_NO_ROOT_MEMO").contains("1"))
+      return rootFor(spark, srcFile, kind, n, version)
     val src = new Path(srcFile)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(src)
     val key = s"$srcFile|${st.getModificationTime}|${st.getLen}|$kind|$version"
     rootMemo.computeIfAbsent(key,
       _ => rootFor(spark, srcFile, kind, n, version))
+  }
+
+  /** Deterministic per-process scratch root for registered queries
+    * that exercise durable pipelines against throwaway trees (the
+    * incremental sinks): at most ONE tree per (name, JVM) ever lives
+    * in tmp — the tree is cleared on entry (the query rebuilds it from
+    * scratch) and trees left by dead JVMs are swept — the same
+    * bounded-accumulation discipline as Backfill's rollup root (a
+    * fresh createTempDirectory per invocation accumulated a corpus
+    * copy per gate-loop iteration; review r14).
+    */
+  def scratchRoot(name: String): String = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_scratch")
+    Option(base.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val alive = scala.util.Try(f.getName.toLong).toOption.exists(p =>
+        ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive).orElse(false))
+      if (!alive) org.apache.commons.io.FileUtils.deleteQuietly(f)
+    }
+    val root = base.resolve(ProcessHandle.current().pid().toString)
+      .resolve(name)
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    java.nio.file.Files.createDirectories(root)
+    root.toString
   }
 
   /** Build-once discipline: if `root` exists it is a COMPLETE build

@@ -219,11 +219,9 @@ object TextIndex {
     // ONE collect feeds both the literal panel relation and the term
     // literals (r14: the separate distinct().collect() was a second
     // driver job on every warm serve — pure stage-count latency)
-    val qtPlan = postings.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("query_id"), col("tok"))
-    val qtRows = qtPlan.collect()
-    val qt = spark.createDataFrame(
-      java.util.Arrays.asList(qtRows: _*), qtPlan.schema)
+    val (qtRows, qt) = graft.similarity.Similarity.materializeRows(
+      postings.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("tok")))
     // sorted: collect order is partition-arrival nondeterministic, and
     // these values become plan LITERALS — an unsorted list makes the
     // generated filter source differ per run, defeating the codegen

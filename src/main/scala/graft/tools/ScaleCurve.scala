@@ -34,17 +34,20 @@ object ScaleCurve {
     }
 
     val base = Tables.embeddings(spark, dir)
-    // copy-id offset for the embedding-section factors — same collision
-    // guard as docOffset below (review r13: the fix had missed these).
-    // lazy + null-guarded (advice r14): the max() is an eager action
-    // and only the embedding/semantic sections need it, and max of an
-    // EMPTY table is a null row (getLong would NPE) — and getAs[Number]
-    // tolerates an INTEGER vec_id column too.
-    lazy val embOffset = math.max(1000000L, 1L + {
-      val m = base.agg(org.apache.spark.sql.functions.max(
-        org.apache.spark.sql.functions.col("vec_id"))).first()
+    // copy-id offsets for the copy-planting sections — collision guard
+    // (review r12/r13: a fixed 1e6 silently merged copies with base
+    // rows once ids reached 1e6). One shared helper (review r14):
+    // lazy, so a section that doesn't plant copies never pays the
+    // eager max() action, and null-guarded for an EMPTY table (max of
+    // zero rows is a null; getLong would NPE) with getAs[Number]
+    // tolerating an INTEGER id column.
+    def maxIdOffset(df: org.apache.spark.sql.DataFrame,
+        idCol: String): Long = math.max(1000000L, 1L + {
+      val m = df.agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col(idCol))).first()
       if (m.isNullAt(0)) 0L else m.getAs[Number](0).longValue()
     })
+    lazy val embOffset = maxIdOffset(base, "vec_id")
     // warm-up: codegen, parquet footers
     if (section("embedding")) noop(Similarity.dedupEmbeddingDf(base, 0.9))
 
@@ -57,10 +60,7 @@ object ScaleCurve {
     // copy-id offset derived from the corpus itself: a fixed 1e6 would
     // silently merge copies with base docs on any corpus whose ids
     // reach 1e6 (review r12)
-    lazy val docOffset = math.max(1000000L, 1L + {
-      val m = baseDocs.agg(max(col("doc_id"))).first()
-      if (m.isNullAt(0)) 0L else m.getAs[Number](0).longValue()
-    })
+    lazy val docOffset = maxIdOffset(baseDocs, "doc_id")
     for (k <- Seq(1, 4) if section("minhash")) {
       val docs = (0 until k).map(j =>
         baseDocs.select((col("doc_id") + lit(j * docOffset)).as("doc_id"),
@@ -207,10 +207,9 @@ object ScaleCurve {
     // the panel (ids < 10) stays fixed.
     if (section("hybrid")) {
       val baseEmb = graft.Tables.embeddings(spark, dir)
-      val vecOffset = math.max(1000000L, 1L + {
-        val m = baseEmb.agg(max(col("vec_id"))).first()
-        if (m.isNullAt(0)) 0L else m.getAs[Number](0).longValue()
-      })
+      // same table as `base` — reuse its offset instead of re-running
+      // the max() action (review r14)
+      val vecOffset = embOffset
       def corpus(k: Int) = (
         (0 until k).map(j =>
           baseDocs.select((col("doc_id") + lit(j * docOffset)).as("doc_id"),
