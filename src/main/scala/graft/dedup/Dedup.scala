@@ -448,7 +448,8 @@ object Dedup {
     * Either at 0 disables that trigger. Returns whether it compacted.
     */
   def maybeCompact(spark: SparkSession, indexDir: String, batchId: Long,
-      compactEvery: Int = 0, maxSegments: Int = 0): Boolean = {
+      compactEvery: Int = 0, maxSegments: Int = 0,
+      dedupKeys: Seq[String] = Seq("doc_id", "band")): Boolean = {
     val byCadence = compactEvery > 0 && batchId % compactEvery == compactEvery - 1
     def segDirs: Int = {
       val root = new org.apache.hadoop.fs.Path(indexDir)
@@ -458,7 +459,7 @@ object Dedup {
         s.isDirectory && s.getPath.getName != "_spark_metadata")
     }
     val bySize = maxSegments > 0 && segDirs > maxSegments
-    if (byCadence || bySize) { compactSegments(spark, indexDir); true }
+    if (byCadence || bySize) { compactSegments(spark, indexDir, dedupKeys); true }
     else false
   }
 
@@ -1013,8 +1014,18 @@ object Dedup {
     // a separate batchGrams.count() would just tokenize the batch a
     // second time (review r14)
     all.count()
+    // occ counts DISTINCT (doc, pos) — not rows — so the whole step is
+    // duplicate-row-inert: after a crash between gram-segment
+    // compaction and the checkpoint commit, a replayed batch can see
+    // its own grams BOTH in the folded segment and live; distinct
+    // occurrence counting (plus the matched-position distinct below)
+    // makes the replayed report identical anyway. Equal to count(*)
+    // whenever the index carries no duplicates. One-shot
+    // exactRunsStage keeps count(*): its grams are unique (doc, pos)
+    // by construction.
     val keep = all.groupBy(col("g"))
-      .agg(count_distinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
+      .agg(count_distinct(col("doc_id")).as("df"),
+        count_distinct(struct(col("doc_id"), col("pos"))).as("occ"))
       .filter(col("df") >= 2 && col("occ") <= maxDf)
       .select(col("g"))
     val allK = all.join(keep, Seq("g"))
@@ -1044,7 +1055,13 @@ object Dedup {
       gramIndexSchema)
 
   /** Segment directories with batch id < `before` (replay exclusion:
-    * a replayed batch must not see its own crashed attempt's grams).
+    * a replayed batch must not see its own crashed attempt's grams),
+    * plus every `seg_compact_*` fold — folds only ever contain
+    * already-committed batches' grams, and the one crash window where
+    * a fold can hold the CURRENT batch's grams (crash between
+    * compaction and checkpoint commit) is made harmless by the
+    * distinct-occurrence cap and matched-position distinct (see
+    * [[exactRunsIncrementalStep]]).
     */
   private def gramSegmentsBefore(s: SparkSession, indexDir: String,
       before: Long): DataFrame = {
@@ -1054,7 +1071,11 @@ object Dedup {
       if (!fs.exists(root)) Seq.empty
       else fs.listStatus(root).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_"))
-        .filter(_.getPath.getName.stripPrefix("seg_").toLong < before)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("seg_compact_") ||
+            n.stripPrefix("seg_").toLong < before
+        }
         .map(_.getPath.toString)
     if (segs.isEmpty) emptyGramIndex(s) else s.read.parquet(segs: _*)
   }
@@ -1089,14 +1110,26 @@ object Dedup {
   /** The exact-runs pipeline as a STREAMING sink (verdict r13 #6):
     * each micro-batch of (doc_id, text) runs one `exactRunsCommit`.
     * Read the accumulated report back with `readSegments(s, outDir)`.
+    *
+    * Compaction parity with `startIncrementalSink`: `compactEvery` /
+    * `maxSegments` fold the GRAM segments (dedup on (doc_id, pos, g)
+    * — a gram row is identified by its position) so a long-lived sink
+    * bounds its segment-directory population; folds compose with the
+    * replay exclusion because `gramSegmentsBefore` always includes
+    * them and the step is duplicate-row-inert (see there for the
+    * crash-window argument).
     */
   def startExactRunsSink(docs: DataFrame, outDir: String, indexDir: String,
-      checkpointDir: String, k: Int = 8, maxDf: Int = 64, minRun: Int = 16)
+      checkpointDir: String, k: Int = 8, maxDf: Int = 64, minRun: Int = 16,
+      compactEvery: Int = 0, maxSegments: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         exactRunsCommit(batch, outDir, indexDir, batchId, k, maxDf, minRun)
+        maybeCompact(batch.sparkSession, indexDir, batchId, compactEvery,
+          maxSegments, dedupKeys = Seq("doc_id", "pos", "g"))
+        ()
       }
       .start()
 

@@ -67,6 +67,72 @@ class ExactRunsIncrementalSpec extends SparkSpec {
     graft.store.Checkpoints.free(spark)
   }
 
+  test("compaction: folds keep the report identical and bound the segment count") {
+    val root = Files.createTempDirectory("exr_compact").toString
+    val (outDir, idxDir, ckpt, feed) =
+      (s"$root/out", s"$root/idx", s"$root/ckpt", s"$root/feed")
+    val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+    val nDeliveries = 6
+    docs.filter(col("doc_id") % nDeliveries === 0).write.parquet(feed)
+    val q = Dedup.startExactRunsSink(
+      spark.readStream.schema(docs.schema).parquet(feed), outDir, idxDir,
+      ckpt, compactEvery = 2)
+    try {
+      q.processAllAvailable()
+      for (d <- 1 until nDeliveries) {
+        docs.filter(col("doc_id") % nDeliveries === d)
+          .write.mode("append").parquet(feed)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = reportRows(Dedup.readSegments(spark, outDir))
+
+    // reference: the same deliveries through the in-memory step loop
+    var idx = Dedup.emptyGramIndex(spark)
+    val want = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (d <- 0 until nDeliveries) {
+      val (rep, _, acc) = Dedup.exactRunsIncrementalStep(
+        docs.filter(col("doc_id") % nDeliveries === d), idx)
+      want ++= rep.withColumn("delivery", lit(d + 1L))
+        .select(col("doc_a"), col("doc_b"), col("max_run_tokens"),
+          col("n_runs"), col("delivery"))
+        .collect().map(_.toString)
+      idx = acc
+    }
+    assert(got == want.sorted.toSeq)
+    // the fold really bounded the gram-segment population: with
+    // compactEvery=2 over 6 deliveries the tree holds at most the
+    // last uncompacted deliveries plus one fold, never all 6
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(idxDir))
+      .filter(_.isDirectory).map(_.getPath.getName).toSeq
+    assert(segs.length < nDeliveries, s"no fold happened: $segs")
+    assert(segs.exists(_.startsWith("seg_compact_")), s"no fold dir: $segs")
+    graft.store.Checkpoints.free(spark)
+  }
+
+  test("replay after compaction is idempotent (the crash window)") {
+    val root = Files.createTempDirectory("exr_replay_compact").toString
+    val (outDir, idxDir) = (s"$root/out", s"$root/idx")
+    val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    Dedup.exactRunsCommit(even, outDir, idxDir, 0L)
+    Dedup.exactRunsCommit(odd, outDir, idxDir, 1L)
+    // the crash window: batch 1's grams are folded into a compact
+    // segment BEFORE its checkpoint commit, so the replay sees its own
+    // grams in the index — the distinct-occurrence cap and the
+    // matched-position distinct must make the recomputed report
+    // identical anyway
+    Dedup.compactSegments(spark, idxDir, Seq("doc_id", "pos", "g"))
+    val before = reportRows(Dedup.readSegments(spark, outDir))
+    Dedup.exactRunsCommit(odd, outDir, idxDir, 1L)
+    val after = reportRows(Dedup.readSegments(spark, outDir))
+    assert(after == before)
+    graft.store.Checkpoints.free(spark)
+  }
+
   test("replay idempotence: re-committing a finished batch changes nothing") {
     val root = Files.createTempDirectory("exr_replay").toString
     val (outDir, idxDir) = (s"$root/out", s"$root/idx")
