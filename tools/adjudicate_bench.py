@@ -148,14 +148,30 @@ def main():
             causes.append("jit-warmup")
         if not causes:
             causes.append("plan-work")
-        rows.append((q, cpu, min_wall.get(q), ratio, causes))
+        # r14: the artifact carries its OWN per-run classification
+        # (driftVerdicts) and per-run task counts — surface both so
+        # this tool's cross-session adjudication and the bench's
+        # within-session one are read together. A task-count jump is
+        # the decisive recompute signal (a persisted stage was
+        # re-executed); steady-state task counts are run-to-run
+        # identical for every query, so any spread is signal.
+        extra = ""
+        iv = art.get("driftVerdicts", {}).get(q)
+        if iv:
+            extra += f"  inline={','.join(iv)}"
+        tv = art.get("runsTasks", {}).get(q)
+        if tv and len(set(tv)) > 1:
+            shaped = (max(tv) >= 1.2 * min(tv) and
+                      max(tv) - min(tv) >= 20)
+            extra += f"  tasks={tv}" + (" RECOMPUTE-SHAPED" if shaped else "")
+        rows.append((q, cpu, min_wall.get(q), ratio, causes, extra))
 
     hdr = "drifting" if base else "all >= floor"
     print(f"# {args[0]} — {hdr} queries (floor {floor}s cpu)")
-    for q, cpu, wall, ratio, causes in rows:
+    for q, cpu, wall, ratio, causes, extra in rows:
         r = f" x{ratio:.2f}" if ratio else ""
         print(f"{q:32s} cpu {cpu:7.2f} wall {wall:6.2f}{r}  "
-              f"{', '.join(causes)}")
+              f"{', '.join(causes)}{extra}")
     if not rows:
         print("(none drifting — every baseline-matched query >= floor "
               "reproduces within 1.3x)" if base else
