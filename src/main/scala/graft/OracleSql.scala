@@ -147,6 +147,39 @@ object OracleSql {
     """t AS (SELECT doc_id, text, lang,
       |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
       |FROM documents)""".stripMargin
+  /** Hashed-gram instances for the DSIR / NB bucket-model family:
+    * positional unigram + bigram hash60s mod 1024 (duplicates kept) —
+    * the mirror of TextAnalysis.hashedGrams. Expects `t` (toksCte) or a
+    * same-shaped CTE named in `src` to be in scope.
+    */
+  private def gramBucketCtes(src: String): String =
+    s"""g AS (SELECT doc_id, lang, list_concat(
+       |    list_transform(toks, tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT),
+       |    CASE WHEN len(toks) >= 2 THEN list_transform(
+       |      generate_series(1, len(toks) - 1),
+       |      i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 15))::BIGINT)
+       |    ELSE []::BIGINT[] END) AS gh
+       |  FROM $src),
+       |gi AS (SELECT doc_id, lang, unnest(gh) % 1024 AS bucket FROM g)""".stripMargin
+
+  /** DSIR per-doc raw score CTE chain (model + totals + per-bucket
+    * log-ratio + per-doc sum); ends with
+    * sc(doc_id, lang, n_grams, s). Same expression tree as dsirScored.
+    */
+  private def dsirScCtes(targetLang: String): String =
+    s"""${gramBucketCtes("t")},
+       |m AS (SELECT bucket, count(*) AS c_all,
+       |    count(*) FILTER (WHERE lang = '$targetLang') AS c_t
+       |  FROM gi GROUP BY bucket),
+       |tot AS (SELECT sum(c_all)::BIGINT AS n_all, sum(c_t)::BIGINT AS n_t FROM m),
+       |lr AS (SELECT bucket,
+       |    ((log2((c_t + 1)::DOUBLE) - log2((n_t + 1024)::DOUBLE)) -
+       |     (log2((c_all + 1)::DOUBLE) - log2((n_all + 1024)::DOUBLE))) AS lr
+       |  FROM m, tot),
+       |sc AS (SELECT gi.doc_id, gi.lang, count(*)::BIGINT AS n_grams,
+       |    sum(lr.lr) AS s
+       |  FROM gi JOIN lr USING (bucket) GROUP BY gi.doc_id, gi.lang)""".stripMargin
+
   private val shinglesCte =
     """sh AS (SELECT doc_id, unnest(
       |  CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
@@ -1012,6 +1045,79 @@ object OracleSql {
          |    / count(*), 6) AS bits_per_token
          |FROM tc JOIN v USING (tok)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DSIR importance weights: hashed unigram+bigram buckets (mod 1024),
+    // target = 'en' docs vs the whole corpus, add-one smoothing; each
+    // log2 is its own term so the float expression tree matches Spark's
+    "tx_dsir_weights" ->
+      s"""WITH $toksCte,
+         |${dsirScCtes("en")}
+         |SELECT doc_id, lang, n_grams, round(s, 6) AS log2_weight,
+         |  round(s / n_grams, 6) AS bits_per_gram
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // DSIR Gumbel-top-k resample: noise from hash60('dsir-g|'||doc_id)
+    // (u = (h+0.5)/2^60), key = ln w + gumbel rounded at 6 dp, keep
+    // rank ≤ ⌈n/5⌉ with doc_id tiebreak
+    "tx_dsir_select" ->
+      s"""WITH $toksCte,
+         |${dsirScCtes("en")},
+         |sel AS (SELECT doc_id, lang, n_grams, s,
+         |    round(s * 0.6931471805599453 +
+         |      -ln(-ln(((('0x' || substr(md5('dsir-g|' || doc_id), 1, 15))::BIGINT)::DOUBLE + 0.5)
+         |        / 1152921504606846976.0)), 6) AS sel_key
+         |  FROM sc),
+         |n AS (SELECT count(*) AS cnt FROM sel),
+         |r AS (SELECT *, row_number() OVER (ORDER BY sel_key DESC, doc_id) AS rn
+         |  FROM sel)
+         |SELECT doc_id, lang, n_grams, round(s, 6) AS log2_weight, sel_key
+         |FROM r, n WHERE rn * 5 - 4 <= cnt ORDER BY doc_id""".stripMargin,
+
+    // hashed multinomial NB lang-ID: train on hash-split buckets <90,
+    // score split ≥95; score = prior + Σ log2(c+1) − n·log2(N_l+1024),
+    // argmax at 6 dp with lang-asc tiebreak, output = confusion matrix
+    "tx_nb_langid" ->
+      s"""WITH $toksCte,
+         |sb AS (SELECT doc_id,
+         |    ('0x' || substr(md5('epoch0|' || doc_id), 1, 15))::BIGINT % 100 AS sb
+         |  FROM t),
+         |tr AS (SELECT t.* FROM t JOIN sb USING (doc_id) WHERE sb.sb < 90),
+         |ev AS (SELECT t.* FROM t JOIN sb USING (doc_id) WHERE sb.sb >= 95),
+         |${gramBucketCtes("tr")},
+         |m AS (SELECT lang AS cand, bucket, count(*) AS c
+         |  FROM gi GROUP BY 1, 2),
+         |nl AS (SELECT cand, sum(c)::BIGINT AS n_l FROM m GROUP BY cand),
+         |dl AS (SELECT lang AS cand, count(*) AS d_l FROM tr GROUP BY lang),
+         |da AS (SELECT count(*) AS d_all FROM tr),
+         |ls AS (SELECT cand,
+         |    (log2(d_l::DOUBLE) - log2(d_all::DOUBLE)) AS prior,
+         |    log2((n_l + 1024)::DOUBLE) AS log2_denom
+         |  FROM nl JOIN dl USING (cand), da),
+         |eg AS (SELECT doc_id, lang, list_concat(
+         |    list_transform(toks, tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT),
+         |    CASE WHEN len(toks) >= 2 THEN list_transform(
+         |      generate_series(1, len(toks) - 1),
+         |      i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 15))::BIGINT)
+         |    ELSE []::BIGINT[] END) AS gh
+         |  FROM ev),
+         |egi AS (SELECT doc_id, unnest(gh) % 1024 AS bucket FROM eg),
+         |hits AS (SELECT egi.doc_id, m.cand,
+         |    sum(log2((m.c + 1)::DOUBLE)) AS sh
+         |  FROM egi JOIN m USING (bucket) GROUP BY 1, 2),
+         |ed AS (SELECT doc_id, lang AS true_lang,
+         |    (len(toks) + CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END)::BIGINT
+         |      AS n_grams
+         |  FROM ev),
+         |scores AS (SELECT ed.doc_id, ed.true_lang, ls.cand,
+         |    round(ls.prior + coalesce(h.sh, 0.0) -
+         |      ed.n_grams::DOUBLE * ls.log2_denom, 6) AS score
+         |  FROM ed CROSS JOIN ls
+         |  LEFT JOIN hits h ON h.doc_id = ed.doc_id AND h.cand = ls.cand),
+         |pred AS (SELECT doc_id, true_lang, cand,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+         |  FROM scores)
+         |SELECT true_lang, cand AS pred_lang, count(*)::BIGINT AS n_docs
+         |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // heavy hitters: the MG candidate pass is a guaranteed superset of
     // every token above N/512, and the Spark side filters on EXACT

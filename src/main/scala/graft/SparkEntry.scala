@@ -97,6 +97,14 @@ object SparkEntry {
     // per-source top-40% quality calibration: the same histogram
     // threshold generalized per-group (no per-source global sort)
     "tx_select_by_source" -> (TX.txSelectBySource(_, _)),
+    // DSIR (importance resampling): hashed-gram bucket model (≤1024
+    // rows however big the corpus) + broadcast scoring; the resample is
+    // hash-derived Gumbel-top-k — deterministic without an RNG
+    "tx_dsir_weights" -> (TX.txDsirWeights(_, _)),
+    "tx_dsir_select"  -> (TX.txDsirSelect(_, _)),
+    // hashed multinomial NB lang-ID trained on the 90% hash split,
+    // scored on the 5% test split — certified as a confusion matrix
+    "tx_nb_langid"    -> (TX.txNbLangid(_, _)),
     // winnowing fingerprints (MOSS): rightmost-min-per-window selection
     // over positional 5-gram hashes + cross-doc shared-print counts
     "tx_winnow" -> (TX.txWinnow(_, _)),

@@ -1388,4 +1388,181 @@ object TextAnalysis {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .orderBy(col("doc_id"))
   }
+
+  // ── hashed-bucket model family (DSIR selection + Naive-Bayes lang-ID) ──
+
+  /** Per-doc hashed-gram instances: positional unigram + bigram hash60s
+    * folded into `buckets` feature buckets (the DSIR / hashed-NB feature
+    * map — Xie et al. 2023 reduce the n-gram space exactly this way).
+    * Duplicates kept: the feature vector is a count vector. Narrow scan
+    * + explode; bucket cardinality is bounded by `buckets`, so every
+    * aggregate downstream of this is a bounded-key partial agg no matter
+    * the corpus size.
+    */
+  private def hashedGrams(docs: DataFrame, buckets: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    graft.Par.spread(docs.select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(gramHashes(toks, 1), gramHashes(toks, 2))).as("gh"))
+      .select(col("doc_id"), col("lang"),
+        pmod(col("gh"), lit(buckets.toLong)).as("bucket"))
+  }
+
+  /** Per-doc raw (unrounded) DSIR log2 importance weight: target
+    * distribution = `targetLang` docs, raw distribution = the whole
+    * corpus, both estimated over the hashed-gram buckets with add-one
+    * smoothing. log w(d) = Σ_g [ (log2(c_t(b)+1) − log2(N_t+B)) −
+    * (log2(c_all(b)+1) − log2(N_all+B)) ] — each log kept as its own
+    * term so both engines run the identical floating expression tree.
+    * Columns: (doc_id, lang, n_grams, s).
+    */
+  private def dsirScored(docs: DataFrame, buckets: Int,
+      targetLang: String): DataFrame = {
+    val b = lit(buckets.toLong)
+    val grams = hashedGrams(docs, buckets)
+    // the trained artifact: ≤`buckets` rows of two counters, pinned as
+    // literals (materializeSmall — the adjudicated build-once/query-many
+    // control-plane collect) so the totals/log-ratio derivations below
+    // don't re-run the gram-explode scan a second and third time
+    val model = graft.similarity.Similarity.materializeSmall(
+      grams.groupBy(col("bucket")).agg(
+        count(lit(1)).as("c_all"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t")))
+    val totals = model.agg(sum(col("c_all")).as("n_all"),
+      sum(col("c_t")).as("n_t"))
+    val lr = model.crossJoin(broadcast(totals)).select(col("bucket"),
+      ((log(2.0, (col("c_t") + lit(1L)).cast(DoubleType)) -
+        log(2.0, (col("n_t") + b).cast(DoubleType))) -
+       (log(2.0, (col("c_all") + lit(1L)).cast(DoubleType)) -
+        log(2.0, (col("n_all") + b).cast(DoubleType)))).as("lr"))
+    grams.join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("s"))
+  }
+
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023, reduced to its exactly-computable core): score
+    * every document by how much more likely its hashed n-gram profile is
+    * under the TARGET distribution (here the `targetLang` slice — the
+    * "quality corpus" stand-in) than under the raw corpus. High weight =
+    * target-like, the doc importance resampling upsamples.
+    *
+    * Scale shape — the reason DSIR beats vocabulary-keyed scoring at
+    * 100 TB: the model is ≤`buckets` rows regardless of corpus size
+    * (one bounded-key partial agg builds it, Zipf skew collapses into
+    * the bounded bucket space), and scoring is a BROADCAST join of gram
+    * instances against that tiny model + one per-doc partial agg. No
+    * vocabulary-sized shuffle anywhere; both passes are scans.
+    */
+  def txDsirWeights(s: SparkSession, dir: String): DataFrame =
+    txDsirWeightsDf(Tables.documents(s, dir))
+
+  def txDsirWeightsDf(docs: DataFrame, buckets: Int = 1024,
+      targetLang: String = "en"): DataFrame =
+    dsirScored(docs, buckets, targetLang)
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        round(col("s"), 6).as("log2_weight"),
+        round(col("s") / col("n_grams"), 6).as("bits_per_gram"))
+      .orderBy(col("doc_id"))
+
+  /** DSIR resampling: keep ⌈n/5⌉ docs by Gumbel-top-k over the
+    * importance weights — the without-replacement sample in which doc d
+    * survives with probability ∝ w(d), made exactly reproducible by
+    * deriving the Gumbel noise from hash60("dsir-g|" + doc_id) instead
+    * of an RNG (any engine, any partitioning, any run selects the SAME
+    * sample — the repo-wide content-addressed-randomness discipline,
+    * same as the sampling family). Selection key = ln w(d) + Gumbel,
+    * rounded at 6 dp with doc_id tiebreak so the ranking is
+    * engine-order-free; the top-k itself is TakeOrderedAndProject —
+    * per-partition heaps, no global sort.
+    */
+  def txDsirSelect(s: SparkSession, dir: String): DataFrame =
+    txDsirSelectDf(Tables.documents(s, dir))
+
+  def txDsirSelectDf(docs: DataFrame, buckets: Int = 1024,
+      targetLang: String = "en"): DataFrame = {
+    val u = (hash60(concat(lit("dsir-g|"), col("doc_id").cast(StringType)))
+      .cast(DoubleType) + lit(0.5)) / lit(1.152921504606846976e18)
+    val sel = dsirScored(docs, buckets, targetLang)
+      .withColumn("sel_key",
+        round(col("s") * lit(0.6931471805599453) + -log(-log(u)), 6))
+    // k = ⌈scored/5⌉; docs with ≥1 token are exactly the scored docs.
+    // One lightweight count scan (control-plane scalar, the sorted-
+    // pushdown-literal pattern) buys the distributed top-k `limit`.
+    val n = docs.filter(size(tokens(col("text"))) >= 1).count()
+    val k = ((n + 4L) / 5L).toInt
+    sel.orderBy(col("sel_key").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        round(col("s"), 6).as("log2_weight"), col("sel_key"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Hashed multinomial Naive-Bayes language classifier, trained on the
+    * deterministic 90% train split and scored on the 5% test split (the
+    * txSplit hash-buckets, salt "epoch0") — the model-based counterpart
+    * of the tx_langid heuristic, certified end-to-end as a confusion
+    * matrix. Score(d, l) = log2 P(l) + Σ_g log2(c_{l,b(g)}+1) −
+    * n_grams(d)·log2(N_l+B): the add-one-smoothed class-conditional,
+    * with the zero-count grams contributing log2(1)=0 so the hit join
+    * can stay an inner join and missing (bucket, lang) cells cost
+    * nothing. Argmax at 6 dp with lang-asc tiebreak.
+    *
+    * Scale shape: the model is ≤ langs×buckets rows built by one
+    * bounded-key partial agg; scoring broadcasts it against the test
+    * split's gram instances; the per-doc argmax is a per-doc window
+    * (partitioned by doc_id — no global sort). On the synthetic fixture
+    * the five langs share one vocabulary, so the matrix measures priors
+    * + bucket noise — the certified artifact is the mechanics, which is
+    * exactly what transfers to a real corpus.
+    */
+  def txNbLangid(s: SparkSession, dir: String): DataFrame =
+    txNbLangidDf(Tables.documents(s, dir))
+
+  def txNbLangidDf(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val b = lit(buckets.toLong)
+    val sb = pmod(hash60(concat(lit("epoch0|"),
+      col("doc_id").cast(StringType))), lit(100L))
+    val tagged = docs.withColumn("sb", sb)
+    val train = tagged.filter(col("sb") < 90)
+    val evalDs = tagged.filter(col("sb") >= 95)
+    // trained artifacts as literals (≤ langs×buckets counter rows + the
+    // ≤langs prior rows): every derivation below is then local instead
+    // of re-running the train-side gram explode / doc scan per use
+    val model = graft.similarity.Similarity.materializeSmall(
+      hashedGrams(train, buckets)
+        .groupBy(col("lang").as("cand"), col("bucket"))
+        .agg(count(lit(1)).as("c")))
+    val langGram = model.groupBy(col("cand")).agg(sum(col("c")).as("n_l"))
+    val priors = graft.similarity.Similarity.materializeSmall(
+      train.groupBy(col("lang").as("cand")).agg(count(lit(1)).as("d_l")))
+    val dTot = priors.agg(sum(col("d_l")).as("d_all"))
+    val langStats = langGram.join(priors, Seq("cand"))
+      .crossJoin(broadcast(dTot))
+      .select(col("cand"),
+        (log(2.0, col("d_l").cast(DoubleType)) -
+          log(2.0, col("d_all").cast(DoubleType))).as("prior"),
+        log(2.0, (col("n_l") + b).cast(DoubleType)).as("log2_denom"))
+    val hits = hashedGrams(evalDs, buckets)
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"), col("cand"))
+      .agg(sum(log(2.0, (col("c") + lit(1L)).cast(DoubleType))).as("sh"))
+    val toks = tokens(col("text"))
+    val evalDocs = evalDs.select(col("doc_id"),
+      col("lang").as("true_lang"),
+      size(concat(gramHashes(toks, 1), gramHashes(toks, 2)))
+        .cast(LongType).as("n_grams"))
+    val scores = evalDocs.crossJoin(broadcast(langStats))
+      .join(hits, Seq("doc_id", "cand"), "left")
+      .select(col("doc_id"), col("true_lang"), col("cand"),
+        round(col("prior") + coalesce(col("sh"), lit(0.0)) -
+          col("n_grams").cast(DoubleType) * col("log2_denom"), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand"))
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("true_lang"), col("cand"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("true_lang"), col("cand").as("pred_lang"), col("n_docs"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
 }
