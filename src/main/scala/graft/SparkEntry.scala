@@ -369,5 +369,7 @@ object SparkEntry {
     "tx_winnow", "dedup_winnow",
     // r14: the exact-substring (Lee et al.) family — the r13 additions
     // the bench list had missed (verdict #5)
-    "dedup_exact_runs", "dedup_exact_runs_apply")
+    "dedup_exact_runs", "dedup_exact_runs_apply",
+    // r14: DSIR resample + hashed-NB lang-ID (the bucket-model family)
+    "tx_dsir_select", "tx_nb_langid")
 }

@@ -17,7 +17,7 @@ object ScaleCurve {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // optional section filter: "minhash" | "chunks" | "embedding" |
     // "repetition" | "semantic" | "winnow" | "selection" | "hybrid" |
-    // "exactruns"; no filter runs all sections
+    // "exactruns" | "dsir"; no filter runs all sections
     val only = args.lift(1)
     def section(name: String): Boolean = only.forall(_ == name)
     val spark = SparkSession.builder().master("local[32]")
@@ -191,6 +191,33 @@ object ScaleCurve {
           TA.txSelectBySourceDf(skewed(degen.withColumn("source", lit("s0"))),
             40)))).min
         println(f"selection_degen n=$n%-8d budget=$tD%7.2f  bysource_skew=$tDs%7.2f")
+        graft.store.Checkpoints.free(spark)
+      }
+    }
+
+    // DSIR + hashed-NB bucket-model family (r14): weights, resample and
+    // the NB confusion matrix at 1×/4×/16×. Every stage is either a
+    // narrow gram scan, a bounded-key (≤1024 / ≤langs·1024) partial agg
+    // or a broadcast join, so all three must scale ~n — a superlinear
+    // jump means the model stopped being the tiny side of the join.
+    if (section("dsir")) {
+      val TA = graft.analytics.TextAnalysis
+      def copies(k: Int) = (0 until k).map(j =>
+        baseDocs.select((col("doc_id") + lit(j * docOffset)).as("doc_id"),
+          col("lang"),
+          concat(col("text"), lit(s" dsmarker$j")).as("text")))
+        .reduce(_ unionByName _)
+      noop(TA.txDsirWeightsDf(copies(1)))
+      noop(TA.txNbLangidDf(copies(1)))
+      graft.store.Checkpoints.free(spark)
+      for (k <- Seq(1, 4, 16)) {
+        val docs = copies(k)
+        val n = docs.count()
+        def t2(f: => Unit): Double = Seq.fill(2)(timed(f)).min
+        val tW = t2(noop(TA.txDsirWeightsDf(docs)))
+        val tS = t2(noop(TA.txDsirSelectDf(docs)))
+        val tN = t2(noop(TA.txNbLangidDf(docs)))
+        println(f"dsir     n=$n%-8d weights=$tW%7.2f  select=$tS%7.2f  nb=$tN%7.2f")
         graft.store.Checkpoints.free(spark)
       }
     }
