@@ -1073,6 +1073,39 @@ object OracleSql {
          |SELECT doc_id, lang, n_grams, round(s, 6) AS log2_weight, sel_key
          |FROM r, n WHERE rn * 5 - 4 <= cnt ORDER BY doc_id""".stripMargin,
 
+    // incremental DSIR: delivery 1 = evens scored under the evens-only
+    // model, delivery 2 = odds scored under the full-corpus model —
+    // the fold of exact integer counter segments makes the streamed
+    // model equal the relational one bit-for-bit
+    "tx_dsir_incremental" -> {
+      def step(sfx: String, modelPred: String, scorePred: String): String =
+        s"""m$sfx AS (SELECT bucket, count(*) AS c_all,
+           |    count(*) FILTER (WHERE lang = 'en') AS c_t
+           |  FROM gi WHERE $modelPred GROUP BY bucket),
+           |tot$sfx AS (SELECT sum(c_all)::BIGINT AS n_all,
+           |    sum(c_t)::BIGINT AS n_t FROM m$sfx),
+           |lr$sfx AS (SELECT bucket,
+           |    ((log2((c_t + 1)::DOUBLE) - log2((n_t + 1024)::DOUBLE)) -
+           |     (log2((c_all + 1)::DOUBLE) - log2((n_all + 1024)::DOUBLE))) AS lr
+           |  FROM m$sfx, tot$sfx),
+           |sc$sfx AS (SELECT gi.doc_id, gi.lang, count(*)::BIGINT AS n_grams,
+           |    sum(lr$sfx.lr) AS s
+           |  FROM gi JOIN lr$sfx USING (bucket) WHERE $scorePred
+           |  GROUP BY gi.doc_id, gi.lang)""".stripMargin
+      s"""WITH $toksCte,
+         |${gramBucketCtes("t")},
+         |${step("1", "doc_id % 2 = 0", "doc_id % 2 = 0")},
+         |${step("2", "true", "doc_id % 2 = 1")}
+         |SELECT 1::BIGINT AS delivery, doc_id, lang, n_grams,
+         |  round(s, 6) AS log2_weight, round(s / n_grams, 6) AS bits_per_gram
+         |FROM sc1
+         |UNION ALL
+         |SELECT 2::BIGINT AS delivery, doc_id, lang, n_grams,
+         |  round(s, 6) AS log2_weight, round(s / n_grams, 6) AS bits_per_gram
+         |FROM sc2
+         |ORDER BY delivery, doc_id""".stripMargin
+    },
+
     // hashed multinomial NB lang-ID: train on hash-split buckets <90,
     // score split ≥95; score = prior + Σ log2(c+1) − n·log2(N_l+1024),
     // argmax at 6 dp with lang-asc tiebreak, output = confusion matrix

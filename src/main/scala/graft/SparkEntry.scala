@@ -102,6 +102,10 @@ object SparkEntry {
     // hash-derived Gumbel-top-k — deterministic without an RNG
     "tx_dsir_weights" -> (TX.txDsirWeights(_, _)),
     "tx_dsir_select"  -> (TX.txDsirSelect(_, _)),
+    // the DSIR model through the DURABLE streaming sink: per-batch
+    // counter segments, fold, score-at-arrival — two parity deliveries
+    // hash-checked against a relational two-step oracle
+    "tx_dsir_incremental" -> (TX.txDsirIncremental(_, _)),
     // hashed multinomial NB lang-ID trained on the 90% hash split,
     // scored on the 5% test split — certified as a confusion matrix
     "tx_nb_langid"    -> (TX.txNbLangid(_, _)),

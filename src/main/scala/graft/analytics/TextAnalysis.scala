@@ -1565,4 +1565,121 @@ object TextAnalysis {
       .select(col("true_lang"), col("cand").as("pred_lang"), col("n_docs"))
       .orderBy(col("true_lang"), col("pred_lang"))
   }
+
+  // ── incremental DSIR (the bucket model through the durable sink) ──
+
+  /** Bucket-count segments written before `before` (plus compact folds)
+    * — the model-so-far side of a DSIR delivery. Mirrors the exact-runs
+    * sink's segment discipline: per-batch directories keyed by batch id
+    * so replays overwrite their own segment and never double-count.
+    */
+  private def bucketSegmentsBefore(s: SparkSession, indexDir: String,
+      before: Long): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val segs =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_"))
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("seg_compact_") ||
+            n.stripPrefix("seg_").toLong < before
+        }
+        .map(_.getPath.toString)
+    if (segs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("bucket", LongType, nullable = false),
+          StructField("c_all", LongType), StructField("c_t", LongType))))
+    else s.read.parquet(segs: _*)
+  }
+
+  /** One durable DSIR delivery: the batch's bucket-count DELTA lands as
+    * `indexDir/seg_<id>` (≤`buckets` rows — the index grows by one tiny
+    * counter segment per batch, and a periodic fold is one sum-groupBy
+    * since counts merge by addition), then the batch docs are scored
+    * against the MODEL SO FAR (fold of all segments ≤ this one) and the
+    * scores land as `outDir/seg_<id>`. Scoring-at-arrival is the
+    * streaming-DSIR semantics: a doc's weight reflects the corpus known
+    * when it arrived, so early deliveries are never re-scored (their
+    * text is never re-read — same contract as dedupIncremental).
+    * Idempotent under replay by segment-id overwrite.
+    */
+  def dsirCommit(batch: DataFrame, outDir: String, indexDir: String,
+      batchId: Long, buckets: Int = 1024, targetLang: String = "en"): Unit = {
+    val s = batch.sparkSession
+    val b = lit(buckets.toLong)
+    val grams = hashedGrams(batch, buckets).persist()
+    try {
+      grams.groupBy(col("bucket")).agg(
+          count(lit(1)).as("c_all"),
+          sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t"))
+        .write.mode("overwrite").parquet(s"$indexDir/seg_$batchId")
+      // fold INCLUDING the delta just written: exact integer counts, so
+      // the merged model is independent of delivery slicing
+      val model = graft.similarity.Similarity.materializeSmall(
+        bucketSegmentsBefore(s, indexDir, batchId + 1)
+          .groupBy(col("bucket"))
+          .agg(sum(col("c_all")).as("c_all"), sum(col("c_t")).as("c_t")))
+      val totals = model.agg(sum(col("c_all")).as("n_all"),
+        sum(col("c_t")).as("n_t"))
+      val lr = model.crossJoin(broadcast(totals)).select(col("bucket"),
+        ((log(2.0, (col("c_t") + lit(1L)).cast(DoubleType)) -
+          log(2.0, (col("n_t") + b).cast(DoubleType))) -
+         (log(2.0, (col("c_all") + lit(1L)).cast(DoubleType)) -
+          log(2.0, (col("n_all") + b).cast(DoubleType)))).as("lr"))
+      grams.join(broadcast(lr), Seq("bucket"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("s"))
+        .select(lit(batchId + 1).as("delivery"), col("doc_id"), col("lang"),
+          col("n_grams"), round(col("s"), 6).as("log2_weight"),
+          round(col("s") / col("n_grams"), 6).as("bits_per_gram"))
+        .write.mode("overwrite").parquet(s"$outDir/seg_$batchId")
+    } finally grams.unpersist()
+  }
+
+  /** The DSIR scorer as a STREAMING sink: each micro-batch of
+    * (doc_id, lang, text) runs one `dsirCommit`. Read the accumulated
+    * scores back with a recursive parquet read of `outDir`.
+    */
+  def startDsirSink(docs: DataFrame, outDir: String, indexDir: String,
+      checkpointDir: String, buckets: Int = 1024, targetLang: String = "en")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dsirCommit(batch, outDir, indexDir, batchId, buckets, targetLang)
+        ()
+      }
+      .start()
+
+  /** Registered two-delivery exercise of the durable incremental DSIR
+    * pipeline: the corpus split by doc_id parity arrives as two
+    * micro-batches through a real file source and `startDsirSink`; the
+    * accumulated score segments are read back and hash-checked against
+    * a relational two-step oracle (delivery 1: evens scored under the
+    * evens-only model; delivery 2: odds scored under the full-corpus
+    * model). A hash match certifies the durable path — per-batch
+    * counter segments, fold, score-at-arrival — computes exactly the
+    * declarative two-step semantics; DsirSpec additionally pins each
+    * delivery against the BATCH operator on the corresponding
+    * sub-corpus (the fold is exact, so they must agree bit-for-bit).
+    */
+  def txDsirIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.store.StoreRoot.scratchRoot("dsir_incr")
+    val (outDir, idxDir, ckpt) = (s"$root/out", s"$root/idx", s"$root/ckpt")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val feed = s"$root/feed"
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(feed)
+    val q = startDsirSink(
+      s.readStream.schema(docs.schema).parquet(feed), outDir, idxDir, ckpt)
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(feed)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .orderBy(col("delivery"), col("doc_id"))
+  }
 }

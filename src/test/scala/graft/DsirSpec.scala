@@ -72,6 +72,29 @@ class DsirSpec extends SparkSpec {
       TextAnalysis.txDsirSelect(spark, Sf0001).collect().toSeq)
   }
 
+  test("tx_dsir_incremental: each delivery equals the batch operator on " +
+      "its model-so-far sub-corpus, bit-for-bit") {
+    import spark.implicits._
+    val inc = TextAnalysis.txDsirIncremental(spark, Sf0001)
+    val docs = Tables.documents(spark, Sf0001)
+    // delivery 1: evens scored under the evens-only model == the batch
+    // weights of the even sub-corpus; delivery 2: odds under the full
+    // model == the full-corpus batch weights restricted to odds. The
+    // counter fold is exact integers, so equality is exact, not ~1e-6.
+    val d1 = inc.filter($"delivery" === 1)
+      .select($"doc_id", $"lang", $"n_grams", $"log2_weight", $"bits_per_gram")
+      .orderBy($"doc_id")
+    val w1 = TextAnalysis.txDsirWeightsDf(docs.filter($"doc_id" % 2 === 0))
+    assert(d1.collect().toSeq == w1.collect().toSeq)
+    val d2 = inc.filter($"delivery" === 2)
+      .select($"doc_id", $"lang", $"n_grams", $"log2_weight", $"bits_per_gram")
+      .orderBy($"doc_id")
+    val w2 = TextAnalysis.txDsirWeightsDf(docs)
+      .filter($"doc_id" % 2 === 1).orderBy($"doc_id")
+    assert(d2.collect().toSeq == w2.collect().toSeq)
+    assert(d1.count() > 0 && d2.count() > 0)
+  }
+
   test("tx_nb_langid: matrix counts the whole test split; separable " +
       "corpus classifies perfectly") {
     import spark.implicits._
