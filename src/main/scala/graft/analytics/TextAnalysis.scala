@@ -1589,21 +1589,29 @@ object TextAnalysis {
         .map(_.getPath.toString)
     if (segs.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("bucket", LongType, nullable = false),
+        StructType(Seq(StructField("src", StringType, nullable = false),
+          StructField("bucket", LongType, nullable = false),
           StructField("c_all", LongType), StructField("c_t", LongType))))
     else s.read.parquet(segs: _*)
   }
 
   /** One durable DSIR delivery: the batch's bucket-count DELTA lands as
     * `indexDir/seg_<id>` (≤`buckets` rows — the index grows by one tiny
-    * counter segment per batch, and a periodic fold is one sum-groupBy
-    * since counts merge by addition), then the batch docs are scored
-    * against the MODEL SO FAR (fold of all segments ≤ this one) and the
-    * scores land as `outDir/seg_<id>`. Scoring-at-arrival is the
+    * counter segment per batch), then the batch docs are scored against
+    * the MODEL SO FAR (fold of all segments ≤ this one) and the scores
+    * land as `outDir/seg_<id>`. Scoring-at-arrival is the
     * streaming-DSIR semantics: a doc's weight reflects the corpus known
     * when it arrived, so early deliveries are never re-scored (their
     * text is never re-read — same contract as dedupIncremental).
-    * Idempotent under replay by segment-id overwrite.
+    *
+    * Crash idempotence: counter rows carry their source segment name
+    * (`src`) and every fold dedups on (src, bucket) BEFORE summing, so
+    * counts stay sum-mergeable yet duplicate-row-INERT — a replayed
+    * batch whose earlier attempt was already folded into a compact
+    * segment contributes its (identical, deterministic) rows once, the
+    * same argument that protects the exact-runs gram index. That is
+    * what lets this index reuse the generic `Dedup.compactSegments`
+    * (keys src+bucket) instead of needing a crash-unsafe sum-rewrite.
     */
   def dsirCommit(batch: DataFrame, outDir: String, indexDir: String,
       batchId: Long, buckets: Int = 1024, targetLang: String = "en"): Unit = {
@@ -1614,11 +1622,15 @@ object TextAnalysis {
       grams.groupBy(col("bucket")).agg(
           count(lit(1)).as("c_all"),
           sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t"))
+        .select(lit(s"seg_$batchId").as("src"), col("bucket"),
+          col("c_all"), col("c_t"))
         .write.mode("overwrite").parquet(s"$indexDir/seg_$batchId")
-      // fold INCLUDING the delta just written: exact integer counts, so
-      // the merged model is independent of delivery slicing
+      // fold INCLUDING the delta just written: dedup on (src, bucket)
+      // first (replay/compaction inertness), then sum — exact integer
+      // counts, so the merged model is independent of delivery slicing
       val model = graft.similarity.Similarity.materializeSmall(
         bucketSegmentsBefore(s, indexDir, batchId + 1)
+          .dropDuplicates("src", "bucket")
           .groupBy(col("bucket"))
           .agg(sum(col("c_all")).as("c_all"), sum(col("c_t")).as("c_t")))
       val totals = model.agg(sum(col("c_all")).as("n_all"),
@@ -1641,14 +1653,24 @@ object TextAnalysis {
   /** The DSIR scorer as a STREAMING sink: each micro-batch of
     * (doc_id, lang, text) runs one `dsirCommit`. Read the accumulated
     * scores back with a recursive parquet read of `outDir`.
+    *
+    * Compaction parity with the other durable sinks: `compactEvery` /
+    * `maxSegments` fold the counter segments via the generic
+    * `Dedup.compactSegments` with keys (src, bucket) — safe because the
+    * fold-before-sum dedups on the same keys (see `dsirCommit`), so a
+    * compact segment coexisting with a not-yet-deleted input never
+    * double-counts.
     */
   def startDsirSink(docs: DataFrame, outDir: String, indexDir: String,
-      checkpointDir: String, buckets: Int = 1024, targetLang: String = "en")
+      checkpointDir: String, buckets: Int = 1024, targetLang: String = "en",
+      compactEvery: Int = 0, maxSegments: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dsirCommit(batch, outDir, indexDir, batchId, buckets, targetLang)
+        graft.dedup.Dedup.maybeCompact(batch.sparkSession, indexDir, batchId,
+          compactEvery, maxSegments, dedupKeys = Seq("src", "bucket"))
         ()
       }
       .start()

@@ -95,6 +95,45 @@ class DsirSpec extends SparkSpec {
     assert(d1.count() > 0 && d2.count() > 0)
   }
 
+  test("startDsirSink: 6 deliveries with compaction — one folded " +
+      "segment left, score-at-arrival parity through the compact") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"lang", $"text")
+    val root = java.nio.file.Files.createTempDirectory("dsir_longrun").toString
+    val (feed, out, idx, ckpt) = (s"$root/feed", s"$root/out", s"$root/idx",
+      s"$root/ckpt")
+    docs.filter($"doc_id" % 6 === 0).write.parquet(feed)
+    val q = graft.analytics.TextAnalysis.startDsirSink(
+      spark.readStream.schema(docs.schema).parquet(feed), out, idx, ckpt,
+      compactEvery = 3)
+    try {
+      q.processAllAvailable()
+      (1 to 5).foreach { j =>
+        docs.filter($"doc_id" % 6 === j).write.mode("append").parquet(feed)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // compaction at batch ids 2 and 5 folds everything: exactly one
+    // seg_compact_* directory remains (bounded listing for a long-lived
+    // sink), and the model fold through it still reproduces the batch
+    // operator: delivery d scores slice d-1 under slices 0..d-1
+    val dirs = new java.io.File(idx).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("seg_"))
+    assert(dirs.length == 1 && dirs.head.startsWith("seg_compact_"), dirs.toSeq)
+    val inc = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    for (d <- Seq(3, 6)) {
+      val got = inc.filter($"delivery" === d)
+        .select($"doc_id", $"lang", $"n_grams", $"log2_weight",
+          $"bits_per_gram")
+        .orderBy($"doc_id")
+      val want = graft.analytics.TextAnalysis
+        .txDsirWeightsDf(docs.filter($"doc_id" % 6 <= d - 1))
+        .filter($"doc_id" % 6 === d - 1).orderBy($"doc_id")
+      assert(got.collect().toSeq == want.collect().toSeq, s"delivery $d")
+    }
+  }
+
   test("tx_nb_langid: matrix counts the whole test split; separable " +
       "corpus classifies perfectly") {
     import spark.implicits._
