@@ -44,7 +44,12 @@ class PlanAuditSpec extends SparkSpec {
     "tx_budget_select",
     // 1-row isqrt-weight denominator broadcast against the ≤#langs
     // mass table (the admission scan itself joins on equi keys)
-    "corpus_mix_temperature")
+    "corpus_mix_temperature",
+    // 1-row totals × ≤1024-row literal model (DSIR log-ratio derive);
+    // the NB scorer also fans eval docs × the ≤#langs stats row set —
+    // both deliberate tiny-side crosses; scoring joins are equi-key
+    // broadcasts on bucket
+    "tx_dsir_weights", "tx_dsir_select", "tx_nb_langid")
 
   test("no registered query plans a CartesianProduct; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
