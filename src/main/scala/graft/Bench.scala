@@ -643,9 +643,9 @@ object Bench {
     // 2000 chars of stdout (every BENCH_rN.json to date: parsed=null,
     // tail_len=2000 — the 3 KB compact line lost its head, including
     // "value" and most per-query walls, in every round's archive). The
-    // line below is sized to survive that window WHOLE (~1.85 KB at 56
+    // line below is sized to survive that window WHOLE (~1.87 KB at 62
     // queries, + ~80 chars of sbt epilogue after it): per-query walls
-    // at 2 decimals, cpu only as a total plus the 10 heaviest rows
+    // at 2 decimals, cpu only as a total plus the 5 heaviest rows
     // (the ones a parallelism audit reads), error NAMES not messages.
     // Full-fidelity everything stays in the artifact file above.
     val minCpus = results.map { case (k, rs) => k -> rs.map(_.cpu).min }

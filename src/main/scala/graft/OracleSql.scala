@@ -162,23 +162,35 @@ object OracleSql {
        |  FROM $src),
        |gi AS (SELECT doc_id, lang, unnest(gh) % 1024 AS bucket FROM g)""".stripMargin
 
-  /** DSIR per-doc raw score CTE chain (model + totals + per-bucket
-    * log-ratio + per-doc sum); ends with
+  /** One DSIR model+score step (model over `modelPred` rows, scores
+    * over `scorePred` rows), CTE names suffixed with `sfx`; ends with
+    * sc<sfx>(doc_id, lang, n_grams, s). THE mirror of
+    * TextAnalysis.scoreAgainstModel — the batch oracles and the
+    * incremental two-step oracle all splice this one builder, so the
+    * float expression tree exists once on the SQL side too.
+    */
+  private def dsirStepCtes(sfx: String, targetLang: String,
+      modelPred: String, scorePred: String): String =
+    s"""m$sfx AS (SELECT bucket, count(*) AS c_all,
+       |    count(*) FILTER (WHERE lang = '$targetLang') AS c_t
+       |  FROM gi WHERE $modelPred GROUP BY bucket),
+       |tot$sfx AS (SELECT sum(c_all)::BIGINT AS n_all,
+       |    sum(c_t)::BIGINT AS n_t FROM m$sfx),
+       |lr$sfx AS (SELECT bucket,
+       |    ((log2((c_t + 1)::DOUBLE) - log2((n_t + 1024)::DOUBLE)) -
+       |     (log2((c_all + 1)::DOUBLE) - log2((n_all + 1024)::DOUBLE))) AS lr
+       |  FROM m$sfx, tot$sfx),
+       |sc$sfx AS (SELECT gi.doc_id, gi.lang, count(*)::BIGINT AS n_grams,
+       |    sum(lr$sfx.lr) AS s
+       |  FROM gi JOIN lr$sfx USING (bucket) WHERE $scorePred
+       |  GROUP BY gi.doc_id, gi.lang)""".stripMargin
+
+  /** DSIR per-doc raw score CTE chain over the whole corpus; ends with
     * sc(doc_id, lang, n_grams, s). Same expression tree as dsirScored.
     */
   private def dsirScCtes(targetLang: String): String =
     s"""${gramBucketCtes("t")},
-       |m AS (SELECT bucket, count(*) AS c_all,
-       |    count(*) FILTER (WHERE lang = '$targetLang') AS c_t
-       |  FROM gi GROUP BY bucket),
-       |tot AS (SELECT sum(c_all)::BIGINT AS n_all, sum(c_t)::BIGINT AS n_t FROM m),
-       |lr AS (SELECT bucket,
-       |    ((log2((c_t + 1)::DOUBLE) - log2((n_t + 1024)::DOUBLE)) -
-       |     (log2((c_all + 1)::DOUBLE) - log2((n_all + 1024)::DOUBLE))) AS lr
-       |  FROM m, tot),
-       |sc AS (SELECT gi.doc_id, gi.lang, count(*)::BIGINT AS n_grams,
-       |    sum(lr.lr) AS s
-       |  FROM gi JOIN lr USING (bucket) GROUP BY gi.doc_id, gi.lang)""".stripMargin
+       |${dsirStepCtes("", targetLang, "true", "true")}""".stripMargin
 
   private val shinglesCte =
     """sh AS (SELECT doc_id, unnest(
@@ -1057,15 +1069,18 @@ object OracleSql {
          |FROM sc ORDER BY doc_id""".stripMargin,
 
     // DSIR Gumbel-top-k resample: noise from hash60('dsir-g|'||doc_id)
-    // (u = (h+0.5)/2^60), key = ln w + gumbel rounded at 6 dp, keep
-    // rank ≤ ⌈n/5⌉ with doc_id tiebreak
+    // masked to 52 bits (u = (h%2^52+0.5)/2^52 is EXACT and strictly
+    // inside (0,1) on both engines — unmasked, an h within 64 of 2^60
+    // rounds u to 1.0 where Spark log NULLs but DuckDB ln gives ±inf);
+    // key = ln w + gumbel rounded at 6 dp, keep rank ≤ ⌈n/5⌉ with
+    // doc_id tiebreak
     "tx_dsir_select" ->
       s"""WITH $toksCte,
          |${dsirScCtes("en")},
          |sel AS (SELECT doc_id, lang, n_grams, s,
          |    round(s * 0.6931471805599453 +
-         |      -ln(-ln(((('0x' || substr(md5('dsir-g|' || doc_id), 1, 15))::BIGINT)::DOUBLE + 0.5)
-         |        / 1152921504606846976.0)), 6) AS sel_key
+         |      -ln(-ln(((('0x' || substr(md5('dsir-g|' || doc_id), 1, 15))::BIGINT % 4503599627370496)::DOUBLE + 0.5)
+         |        / 4503599627370496.0)), 6) AS sel_key
          |  FROM sc),
          |n AS (SELECT count(*) AS cnt FROM sel),
          |r AS (SELECT *, row_number() OVER (ORDER BY sel_key DESC, doc_id) AS rn
@@ -1078,24 +1093,10 @@ object OracleSql {
     // the fold of exact integer counter segments makes the streamed
     // model equal the relational one bit-for-bit
     "tx_dsir_incremental" -> {
-      def step(sfx: String, modelPred: String, scorePred: String): String =
-        s"""m$sfx AS (SELECT bucket, count(*) AS c_all,
-           |    count(*) FILTER (WHERE lang = 'en') AS c_t
-           |  FROM gi WHERE $modelPred GROUP BY bucket),
-           |tot$sfx AS (SELECT sum(c_all)::BIGINT AS n_all,
-           |    sum(c_t)::BIGINT AS n_t FROM m$sfx),
-           |lr$sfx AS (SELECT bucket,
-           |    ((log2((c_t + 1)::DOUBLE) - log2((n_t + 1024)::DOUBLE)) -
-           |     (log2((c_all + 1)::DOUBLE) - log2((n_all + 1024)::DOUBLE))) AS lr
-           |  FROM m$sfx, tot$sfx),
-           |sc$sfx AS (SELECT gi.doc_id, gi.lang, count(*)::BIGINT AS n_grams,
-           |    sum(lr$sfx.lr) AS s
-           |  FROM gi JOIN lr$sfx USING (bucket) WHERE $scorePred
-           |  GROUP BY gi.doc_id, gi.lang)""".stripMargin
       s"""WITH $toksCte,
          |${gramBucketCtes("t")},
-         |${step("1", "doc_id % 2 = 0", "doc_id % 2 = 0")},
-         |${step("2", "true", "doc_id % 2 = 1")}
+         |${dsirStepCtes("1", "en", "doc_id % 2 = 0", "doc_id % 2 = 0")},
+         |${dsirStepCtes("2", "en", "true", "doc_id % 2 = 1")}
          |SELECT 1::BIGINT AS delivery, doc_id, lang, n_grams,
          |  round(s, 6) AS log2_weight, round(s / n_grams, 6) AS bits_per_gram
          |FROM sc1

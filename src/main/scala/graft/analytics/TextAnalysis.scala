@@ -53,11 +53,18 @@ object TextAnalysis {
     * by recomputing one expression. Shuffle-free narrow scan; hash
     * uniformity makes the fractions hold within any stratum.
     */
+  /** The split-bucket expression shared by txSplit and every consumer
+    * that trains/scores on its membership (txNbLangid): ONE definition
+    * so a salt or threshold change can never desynchronize a
+    * model's train/test split from the documented one (review r14).
+    */
+  private[graft] def splitBucket(salt: String): Column =
+    pmod(hash60(concat(lit(salt), lit("|"), col("doc_id").cast(StringType))),
+      lit(100L))
+
   def txSplit(s: SparkSession, dir: String, salt: String = "epoch0"): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"),
-        pmod(hash60(concat(lit(salt), lit("|"), col("doc_id").cast(StringType))),
-          lit(100L)).as("bucket"))
+      .select(col("doc_id"), splitBucket(salt).as("bucket"))
       .select(col("doc_id"), col("bucket"),
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "val")
@@ -1408,26 +1415,27 @@ object TextAnalysis {
         pmod(col("gh"), lit(buckets.toLong)).as("bucket"))
   }
 
-  /** Per-doc raw (unrounded) DSIR log2 importance weight: target
-    * distribution = `targetLang` docs, raw distribution = the whole
-    * corpus, both estimated over the hashed-gram buckets with add-one
-    * smoothing. log w(d) = Σ_g [ (log2(c_t(b)+1) − log2(N_t+B)) −
-    * (log2(c_all(b)+1) − log2(N_all+B)) ] — each log kept as its own
-    * term so both engines run the identical floating expression tree.
-    * Columns: (doc_id, lang, n_grams, s).
+  /** Per-batch/corpus bucket-counter aggregation — the DSIR model's
+    * only data-scale reduction: bounded-key (≤`buckets`) partial agg.
     */
-  private def dsirScored(docs: DataFrame, buckets: Int,
-      targetLang: String): DataFrame = {
+  private def bucketCounts(grams: DataFrame, targetLang: String): DataFrame =
+    grams.groupBy(col("bucket")).agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t"))
+
+  /** Score gram instances against a (bucket, c_all, c_t) counter model:
+    * totals, add-one log-ratio per bucket, per-doc sum.
+    * log w(d) = Σ_g [ (log2(c_t(b)+1) − log2(N_t+B)) −
+    * (log2(c_all(b)+1) − log2(N_all+B)) ] — each log its own term so
+    * both engines run the identical floating expression tree. THE
+    * parity-critical expression of the DSIR family: the batch
+    * operators, the streaming sink and the DuckDB mirrors all compute
+    * exactly this shape, so it exists ONCE. Returns
+    * (doc_id, lang, n_grams, s) with s unrounded.
+    */
+  private def scoreAgainstModel(grams: DataFrame, model: DataFrame,
+      buckets: Int): DataFrame = {
     val b = lit(buckets.toLong)
-    val grams = hashedGrams(docs, buckets)
-    // the trained artifact: ≤`buckets` rows of two counters, pinned as
-    // literals (materializeSmall — the adjudicated build-once/query-many
-    // control-plane collect) so the totals/log-ratio derivations below
-    // don't re-run the gram-explode scan a second and third time
-    val model = graft.similarity.Similarity.materializeSmall(
-      grams.groupBy(col("bucket")).agg(
-        count(lit(1)).as("c_all"),
-        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t")))
     val totals = model.agg(sum(col("c_all")).as("n_all"),
       sum(col("c_t")).as("n_t"))
     val lr = model.crossJoin(broadcast(totals)).select(col("bucket"),
@@ -1438,6 +1446,22 @@ object TextAnalysis {
     grams.join(broadcast(lr), Seq("bucket"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("s"))
+  }
+
+  /** Per-doc raw (unrounded) DSIR log2 importance weight: target
+    * distribution = `targetLang` docs, raw distribution = the whole
+    * corpus. Columns: (doc_id, lang, n_grams, s).
+    */
+  private def dsirScored(docs: DataFrame, buckets: Int,
+      targetLang: String): DataFrame = {
+    val grams = hashedGrams(docs, buckets)
+    // the trained artifact: ≤`buckets` rows of two counters, pinned as
+    // literals (materializeSmall — the adjudicated build-once/query-many
+    // control-plane collect) so the totals/log-ratio derivations don't
+    // re-run the gram-explode scan a second and third time
+    val model = graft.similarity.Similarity.materializeSmall(
+      bucketCounts(grams, targetLang))
+    scoreAgainstModel(grams, model, buckets)
   }
 
   /** DSIR importance weights (Data Selection via Importance Resampling,
@@ -1481,8 +1505,14 @@ object TextAnalysis {
 
   def txDsirSelectDf(docs: DataFrame, buckets: Int = 1024,
       targetLang: String = "en"): DataFrame = {
-    val u = (hash60(concat(lit("dsir-g|"), col("doc_id").cast(StringType)))
-      .cast(DoubleType) + lit(0.5)) / lit(1.152921504606846976e18)
+    // u ∈ (0, 1) EXACTLY on both engines: h mod 2^52 keeps x and x+0.5
+    // exactly representable and u strictly below 1 (an unmasked 60-bit
+    // h within 64 of 2^60 rounds u to exactly 1.0, where Spark's log
+    // yields NULL but DuckDB's ln yields ±inf — a cross-engine sample
+    // divergence; review r14)
+    val u = (pmod(hash60(concat(lit("dsir-g|"), col("doc_id").cast(StringType))),
+      lit(4503599627370496L)).cast(DoubleType) + lit(0.5)) /
+      lit(4.503599627370496e15)
     val sel = dsirScored(docs, buckets, targetLang)
       .withColumn("sel_key",
         round(col("s") * lit(0.6931471805599453) + -log(-log(u)), 6))
@@ -1520,9 +1550,7 @@ object TextAnalysis {
 
   def txNbLangidDf(docs: DataFrame, buckets: Int = 1024): DataFrame = {
     val b = lit(buckets.toLong)
-    val sb = pmod(hash60(concat(lit("epoch0|"),
-      col("doc_id").cast(StringType))), lit(100L))
-    val tagged = docs.withColumn("sb", sb)
+    val tagged = docs.withColumn("sb", splitBucket("epoch0"))
     val train = tagged.filter(col("sb") < 90)
     val evalDs = tagged.filter(col("sb") >= 95)
     // trained artifacts as literals (≤ langs×buckets counter rows + the
@@ -1546,10 +1574,14 @@ object TextAnalysis {
       .join(broadcast(model), Seq("bucket"))
       .groupBy(col("doc_id"), col("cand"))
       .agg(sum(log(2.0, (col("c") + lit(1L)).cast(DoubleType))).as("sh"))
+    // n_grams = T + max(T−1, 0) is pure arithmetic on the token count —
+    // never re-run the MD5 gram kernel just to measure its length
+    // (review r14: that was a full redundant hash pass over the eval
+    // split); same expression as the oracle's CASE
     val toks = tokens(col("text"))
     val evalDocs = evalDs.select(col("doc_id"),
       col("lang").as("true_lang"),
-      size(concat(gramHashes(toks, 1), gramHashes(toks, 2)))
+      (size(toks) + greatest(size(toks) - lit(1), lit(0)))
         .cast(LongType).as("n_grams"))
     val scores = evalDocs.crossJoin(broadcast(langStats))
       .join(hits, Seq("doc_id", "cand"), "left")
@@ -1616,12 +1648,9 @@ object TextAnalysis {
   def dsirCommit(batch: DataFrame, outDir: String, indexDir: String,
       batchId: Long, buckets: Int = 1024, targetLang: String = "en"): Unit = {
     val s = batch.sparkSession
-    val b = lit(buckets.toLong)
     val grams = hashedGrams(batch, buckets).persist()
     try {
-      grams.groupBy(col("bucket")).agg(
-          count(lit(1)).as("c_all"),
-          sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t"))
+      bucketCounts(grams, targetLang)
         .select(lit(s"seg_$batchId").as("src"), col("bucket"),
           col("c_all"), col("c_t"))
         .write.mode("overwrite").parquet(s"$indexDir/seg_$batchId")
@@ -1633,16 +1662,9 @@ object TextAnalysis {
           .dropDuplicates("src", "bucket")
           .groupBy(col("bucket"))
           .agg(sum(col("c_all")).as("c_all"), sum(col("c_t")).as("c_t")))
-      val totals = model.agg(sum(col("c_all")).as("n_all"),
-        sum(col("c_t")).as("n_t"))
-      val lr = model.crossJoin(broadcast(totals)).select(col("bucket"),
-        ((log(2.0, (col("c_t") + lit(1L)).cast(DoubleType)) -
-          log(2.0, (col("n_t") + b).cast(DoubleType))) -
-         (log(2.0, (col("c_all") + lit(1L)).cast(DoubleType)) -
-          log(2.0, (col("n_all") + b).cast(DoubleType)))).as("lr"))
-      grams.join(broadcast(lr), Seq("bucket"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("s"))
+      // the shared scorer: streamed scores equal the batch operator's
+      // bit-for-bit BECAUSE this is the same expression object
+      scoreAgainstModel(grams, model, buckets)
         .select(lit(batchId + 1).as("delivery"), col("doc_id"), col("lang"),
           col("n_grams"), round(col("s"), 6).as("log2_weight"),
           round(col("s") / col("n_grams"), 6).as("bits_per_gram"))
