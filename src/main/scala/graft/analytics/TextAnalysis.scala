@@ -1715,12 +1715,19 @@ object TextAnalysis {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"))
     val feed = s"$root/feed"
-    docs.filter(col("doc_id") % 2 === 0).write.parquet(feed)
+    // ONE part file per delivery: a multi-file append is not atomically
+    // visible (the commit renames files one by one) and the RUNNING
+    // query's next poll can list a partial set, splitting the delivery
+    // into two micro-batches and shifting every batchId-derived
+    // delivery stamp (caught by a DsirFuzzSpec flake); a single file's
+    // rename is all-or-nothing, so the batch boundary is exact.
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(feed)
     val q = startDsirSink(
       s.readStream.schema(docs.schema).parquet(feed), outDir, idxDir, ckpt)
     try {
       q.processAllAvailable()
-      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(feed)
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(feed)
       q.processAllAvailable()
     } finally q.stop()
     s.read.option("recursiveFileLookup", "true").parquet(outDir)

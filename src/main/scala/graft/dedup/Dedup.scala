@@ -529,14 +529,20 @@ object Dedup {
     val (outDir, idxDir, ckpt) = (s"$root/out", s"$root/idx", s"$root/ckpt")
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val feed = s"$root/feed"
-    // delivery 1 on disk before the stream starts -> micro-batch 0
-    docs.filter(col("doc_id") % 2 === 0).write.parquet(feed)
+    // delivery 1 on disk before the stream starts -> micro-batch 0;
+    // single-file appends so each delivery is atomically visible (the
+    // output here is split-tolerant — delivery derives from parity, and
+    // the dedup decision against the index-so-far is the same under any
+    // batch slicing — but exact boundaries keep the long-run commit
+    // profile comparable run to run)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(feed)
     val q = startIncrementalSink(
       s.readStream.schema(docs.schema).parquet(feed), outDir, idxDir, ckpt)
     try {
       q.processAllAvailable()
       // delivery 2 appends to the feed -> micro-batch 1
-      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(feed)
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(feed)
       q.processAllAvailable()
     } finally q.stop()
     readSegments(s, outDir)
@@ -1153,12 +1159,17 @@ object Dedup {
     val (outDir, idxDir, ckpt) = (s"$root/out", s"$root/idx", s"$root/ckpt")
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val feed = s"$root/feed"
-    docs.filter(col("doc_id") % 2 === 0).write.parquet(feed)
+    // ONE part file per delivery — a multi-file append is not
+    // atomically visible to the running query's poll, which can split
+    // the delivery across micro-batches and shift the batchId-derived
+    // delivery stamps the oracle asserts (see txDsirIncremental)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(feed)
     val q = startExactRunsSink(
       s.readStream.schema(docs.schema).parquet(feed), outDir, idxDir, ckpt)
     try {
       q.processAllAvailable()
-      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(feed)
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(feed)
       q.processAllAvailable()
     } finally q.stop()
     readSegments(s, outDir)

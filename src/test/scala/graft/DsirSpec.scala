@@ -103,14 +103,15 @@ class DsirSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("dsir_longrun").toString
     val (feed, out, idx, ckpt) = (s"$root/feed", s"$root/out", s"$root/idx",
       s"$root/ckpt")
-    docs.filter($"doc_id" % 6 === 0).write.parquet(feed)
+    docs.filter($"doc_id" % 6 === 0).coalesce(1).write.parquet(feed)
     val q = graft.analytics.TextAnalysis.startDsirSink(
       spark.readStream.schema(docs.schema).parquet(feed), out, idx, ckpt,
       compactEvery = 3)
     try {
       q.processAllAvailable()
       (1 to 5).foreach { j =>
-        docs.filter($"doc_id" % 6 === j).write.mode("append").parquet(feed)
+        docs.filter($"doc_id" % 6 === j).coalesce(1)
+          .write.mode("append").parquet(feed)
         q.processAllAvailable()
       }
     } finally q.stop()

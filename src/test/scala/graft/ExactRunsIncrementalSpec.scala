@@ -28,13 +28,14 @@ class ExactRunsIncrementalSpec extends SparkSpec {
 
     // the durable path: one micro-batch per doc_id mod class, drained
     // fully before the next lands (deterministic batch ids 0..7)
-    docs.filter(col("doc_id") % nDeliveries === 0).write.parquet(feed)
+    docs.filter(col("doc_id") % nDeliveries === 0).coalesce(1)
+      .write.parquet(feed)
     val q = Dedup.startExactRunsSink(
       spark.readStream.schema(docs.schema).parquet(feed), outDir, idxDir, ckpt)
     try {
       q.processAllAvailable()
       for (d <- 1 until nDeliveries) {
-        docs.filter(col("doc_id") % nDeliveries === d)
+        docs.filter(col("doc_id") % nDeliveries === d).coalesce(1)
           .write.mode("append").parquet(feed)
         q.processAllAvailable()
       }
@@ -73,14 +74,15 @@ class ExactRunsIncrementalSpec extends SparkSpec {
       (s"$root/out", s"$root/idx", s"$root/ckpt", s"$root/feed")
     val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
     val nDeliveries = 6
-    docs.filter(col("doc_id") % nDeliveries === 0).write.parquet(feed)
+    docs.filter(col("doc_id") % nDeliveries === 0).coalesce(1)
+      .write.parquet(feed)
     val q = Dedup.startExactRunsSink(
       spark.readStream.schema(docs.schema).parquet(feed), outDir, idxDir,
       ckpt, compactEvery = 2)
     try {
       q.processAllAvailable()
       for (d <- 1 until nDeliveries) {
-        docs.filter(col("doc_id") % nDeliveries === d)
+        docs.filter(col("doc_id") % nDeliveries === d).coalesce(1)
           .write.mode("append").parquet(feed)
         q.processAllAvailable()
       }
