@@ -220,6 +220,17 @@ object ScaleCurve {
         println(f"dsir     n=$n%-8d weights=$tW%7.2f  select=$tS%7.2f  nb=$tN%7.2f")
         graft.store.Checkpoints.free(spark)
       }
+      // bucket-count rung: the production knob (the paper's B is 10^4-10^6
+      // for hashed n-grams). Scoring must stay flat in B — the model is
+      // still one bounded-key agg + a broadcast join at B=2^18 (≤6 MB);
+      // a jump here means the model stopped being the tiny side.
+      for (b <- Seq(1024, 16384, 262144)) {
+        val docs = copies(4)
+        val n = docs.count()
+        val tW = Seq.fill(2)(timed(noop(TA.txDsirWeightsDf(docs, buckets = b)))).min
+        println(f"dsir-B   n=$n%-8d B=$b%-7d weights=$tW%7.2f")
+        graft.store.Checkpoints.free(spark)
+      }
     }
 
     // Chunk-level dedup + boilerplate spans at growing corpus FRACTIONS
