@@ -447,18 +447,24 @@ object Dedup {
     *    delivery (independent of corpus row count).
     * Either at 0 disables that trigger. Returns whether it compacted.
     */
+  /** Segment-directory population of a sink index — the quantity the
+    * size-triggered compaction policy reads. ONE definition, shared by
+    * the trigger below and the long-run tools that certify the bound
+    * (a drifted copy would count directories the compactor ignores).
+    */
+  def segmentDirCount(spark: SparkSession, dir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).count(s =>
+      s.isDirectory && s.getPath.getName != "_spark_metadata")
+  }
+
   def maybeCompact(spark: SparkSession, indexDir: String, batchId: Long,
       compactEvery: Int = 0, maxSegments: Int = 0,
       dedupKeys: Seq[String] = Seq("doc_id", "band")): Boolean = {
     val byCadence = compactEvery > 0 && batchId % compactEvery == compactEvery - 1
-    def segDirs: Int = {
-      val root = new org.apache.hadoop.fs.Path(indexDir)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(root)) 0
-      else fs.listStatus(root).count(s =>
-        s.isDirectory && s.getPath.getName != "_spark_metadata")
-    }
-    val bySize = maxSegments > 0 && segDirs > maxSegments
+    val bySize = maxSegments > 0 && segmentDirCount(spark, indexDir) > maxSegments
     if (byCadence || bySize) { compactSegments(spark, indexDir, dedupKeys); true }
     else false
   }

@@ -47,15 +47,12 @@ object LongRunDsir {
     val indexDir = Files.createTempDirectory("lrd_idx").toString + "/index"
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text")).persist()
-    val perBatch = base.count()
+    // scored rows per delivery = docs with >=1 token (zero-gram docs
+    // produce no score row by design — don't misread them as loss)
+    val perBatch = base.filter(
+      size(graft.functions.TextFunctions.tokens(col("text"))) >= 1).count()
 
-    def segDirs: Int = {
-      val root = new org.apache.hadoop.fs.Path(indexDir)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(root)) 0
-      else fs.listStatus(root).count(s =>
-        s.isDirectory && s.getPath.getName != "_spark_metadata")
-    }
+    def segDirs: Int = graft.dedup.Dedup.segmentDirCount(spark, indexDir)
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -70,14 +67,18 @@ object LongRunDsir {
         (col("doc_id") + lit(b.toLong * 1000000L)).as("doc_id"),
         col("lang"),
         regexp_replace(col("text"), "(\\S+)", s"d${b}_$$1").as("text"))
+      var preCompact = 0
       val t = timed {
         TextAnalysis.dsirCommit(delivery, outDir, indexDir, b)
+        // sample BETWEEN commit and fold: the bound must observe the
+        // pre-compaction transient, not only the collapsed state
+        preCompact = segDirs
         if (graft.dedup.Dedup.maybeCompact(spark, indexDir, b,
             maxSegments = maxSegments, dedupKeys = Seq("src", "bucket")))
           compactions += 1
       }
       window += t
-      maxSegsSeen = math.max(maxSegsSeen, segDirs)
+      maxSegsSeen = math.max(maxSegsSeen, preCompact)
       if ((b + 1) % 25 == 0) {
         val w = window.toSeq
         println(f"  batches ${b - 24}%4d-$b%4d: mean ${w.sum / w.size}%6.2f s  " +

@@ -50,13 +50,7 @@ object LongRunSink {
       .select(col("doc_id"), col("text")).persist()
     val perBatch = base.count()
 
-    def segDirs: Int = {
-      val root = new org.apache.hadoop.fs.Path(indexDir)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(root)) 0
-      else fs.listStatus(root).count(s =>
-        s.isDirectory && s.getPath.getName != "_spark_metadata")
-    }
+    def segDirs: Int = Dedup.segmentDirCount(spark, indexDir)
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

@@ -224,11 +224,11 @@ object ScaleCurve {
       // for hashed n-grams). Scoring must stay flat in B — the model is
       // still one bounded-key agg + a broadcast join at B=2^18 (≤6 MB);
       // a jump here means the model stopped being the tiny side.
+      val bDocs = copies(4)
+      val bN = bDocs.count()
       for (b <- Seq(1024, 16384, 262144)) {
-        val docs = copies(4)
-        val n = docs.count()
-        val tW = Seq.fill(2)(timed(noop(TA.txDsirWeightsDf(docs, buckets = b)))).min
-        println(f"dsir-B   n=$n%-8d B=$b%-7d weights=$tW%7.2f")
+        val tW = Seq.fill(2)(timed(noop(TA.txDsirWeightsDf(bDocs, buckets = b)))).min
+        println(f"dsir-B   n=$bN%-8d B=$b%-7d weights=$tW%7.2f")
         graft.store.Checkpoints.free(spark)
       }
     }

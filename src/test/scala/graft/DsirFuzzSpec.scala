@@ -19,7 +19,13 @@ import org.apache.spark.sql.functions._
   *    the identical result rows (the engine-order-free claim the DuckDB
   *    hash gate makes cross-engine, asserted here within-engine).
   *
-  * Seeds fixed: failures reproduce.
+  * Seeds fixed: failures reproduce. The bit-equality assertions lean
+  * on the family's 6-dp rounding absorbing aggregation-order float
+  * differences — true unless a doc's raw sum lands within ~1e-12 of a
+  * 0.5e-6 rounding boundary, which is corpus-dependent; THESE corpora
+  * are pinned by seed and verified clear, so a failure after a corpus
+  * or seed change should first suspect a new boundary collision, not
+  * the operators.
   */
 class DsirFuzzSpec extends SparkSpec {
   import spark.implicits._
