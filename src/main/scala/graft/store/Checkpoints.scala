@@ -31,24 +31,55 @@ object Checkpoints {
     * the context (blocking, so block-manager memory is measurably freed
     * before the next query starts). Returns the number of RDDs freed.
     *
-    * The RDD snapshot is taken BEFORE the plan cache is cleared:
-    * `catalog.clearCache()` unpersists the CacheManager's
-    * InMemoryRelation RDDs NON-blocking and deregisters them from
-    * `getPersistentRDDs`, so a snapshot taken after it would never see
-    * them and their blocks could still be draining when the next query
-    * starts. Snapshotting first, then clearing the cache (drops the
-    * logical-plan → InMemoryRelation entries, without which a re-run
-    * of the same query would "already cached"-hit a block-less entry:
-    * re-computation + fresh codegen for an unchanged query — the r13
-    * bug), then blocking-unpersisting the snapshot (idempotent for the
-    * ones clearCache already started removing) makes the free
-    * deterministic for plan-cache and checkpoint blocks alike.
+    * Ordering: the snapshot is blocking-unpersisted FIRST, and only
+    * then is the plan cache cleared. The r14 ordering (snapshot →
+    * `clearCache()` → blocking unpersist) raced: clearCache kicks off
+    * NON-blocking removal of the CacheManager's InMemoryRelation RDD
+    * blocks, and a concurrent blocking `unpersist` of the same RDD can
+    * then hit `BlockManager.removeBlock` after the async path already
+    * deleted the block — blocking mode RETHROWS the resulting
+    * "Block rdd_N_P does not exist" SparkException (this killed the
+    * r14 driver bench). Unpersisting the snapshot first means nothing
+    * else is removing those blocks yet; `clearCache()` afterwards
+    * drops the logical-plan → InMemoryRelation entries (without which
+    * a re-run of the same query "already cached"-hits a block-less
+    * entry: re-computation + fresh codegen — the r13 bug) and its own
+    * non-blocking unpersist of already-block-less RDDs is a no-op.
+    *
+    * Belt-and-braces: each per-RDD unpersist still tolerates the
+    * benign block-does-not-exist failure (any OTHER concurrent
+    * remover — a ContextCleaner weak-ref drain, an application thread
+    * — can race us the same way), because a free must never be able
+    * to kill its caller over a block that is already gone.
     */
   def free(spark: SparkSession): Int = {
     val rdds = spark.sparkContext.getPersistentRDDs
+    rdds.values.foreach { rdd =>
+      try rdd.unpersist(blocking = true)
+      catch {
+        case e: org.apache.spark.SparkException if isBlockGone(e) =>
+          // already removed by a concurrent (non-blocking) remover —
+          // the end state we wanted; swallow
+      }
+    }
     spark.catalog.clearCache()
-    rdds.values.foreach(_.unpersist(blocking = true))
     rdds.size
+  }
+
+  /** True when the failure (anywhere in its cause chain — blocking
+    * master RPCs wrap the executor-side error in "Exception thrown in
+    * awaitResult") is the benign "block already gone" case.
+    */
+  private def isBlockGone(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 8) {
+      val m = String.valueOf(t.getMessage)
+      if (m.contains("does not exist")) return true
+      t = t.getCause
+      depth += 1
+    }
+    false
   }
 
   /** (cached RDD count, cached bytes in memory, cached bytes on disk) —
