@@ -98,7 +98,12 @@ object Bench {
     *    tasks of its clean runs, which neither cpu nor codegen can
     *    prove on their own.
     */
-  private case class Run(wall: Double, cpu: Double, gc: Double,
+  // `run` is the ORIGINAL attempt number (1-based), not the index in
+  // the accepted vector: when run 1 is stall-dropped and retried, the
+  // first ACCEPTED run may still be the one that compiled the plan
+  // cold, and the drift classifier's cold-codegen test must see that
+  // (classifying it "recompile" — cache thrash — was the r14 bug).
+  private case class Run(run: Int, wall: Double, cpu: Double, gc: Double,
       codegen: Long, jit: Double, oldGenMB: Double, nativeCpu: Double,
       spin: Double, mem: Double, tasks: Long)
 
@@ -412,7 +417,7 @@ object Bench {
           if (isStall(wall, cpuD))
             Left(Stall(name, i, wallStart, wallStart + wall, wall, cpuD, gcD,
               cgD, jitD, og, nativeD, spinS, memS, tasksD))
-          else Right(Run(wall, cpuD, gcD, cgD, jitD, og, nativeD,
+          else Right(Run(i, wall, cpuD, gcD, cgD, jitD, og, nativeD,
             spinS, memS, tasksD))
         }
       }
@@ -443,7 +448,7 @@ object Bench {
             System.err.println(
               f"[bench] $name run ${stall.run} stall-shaped but retry budget " +
                 f"exhausted — KEPT (wall=${stall.wall}%.1fs cpu=${stall.cpu}%.1fs)")
-            accepted :+= Run(stall.wall, stall.cpu, stall.gc,
+            accepted :+= Run(stall.run, stall.wall, stall.cpu, stall.gc,
               stall.codegen, stall.jit, stall.oldGenMB, stall.nativeCpu,
               stall.spin, stall.mem, stall.tasks)
             attemptsCounted += 1
@@ -574,13 +579,26 @@ object Bench {
       val minTasks = rs.map(_.tasks).min
       val minNative = rs.map(_.nativeCpu).min
       val minJit = rs.map(_.jit).min
-      k -> rs.zipWithIndex.map { case (r, i) =>
+      // cold-codegen is benign only for the FIRST attempt that actually
+      // executed this query's plan. The test is on the ORIGINAL attempt
+      // number, not the accepted-vector index (r14 ADVICE): a
+      // stall-dropped or errored attempt before an accepted run shifts
+      // the index but — when the earlier attempt never completed a run
+      // (errored pre-compile) — the compile on the first accepted run
+      // is still the session's first for this plan. Any attempt that
+      // COMPLETED (accepted earlier, or stall-recorded) already paid the
+      // compile, so a later ≥10-class burst is genuine cache thrash.
+      def firstExecution(r: Run): Boolean =
+        !rs.exists(_.run < r.run) &&
+          !stalls.exists(s => s.query == k && s.run < r.run)
+      k -> rs.map { r =>
         val cpuOut = r.cpu > 1.5 * minCpu && r.cpu - minCpu >= 1.0
         val wallOut = r.wall > 2 * minWall && r.wall - minWall >= 1.0
         if (!cpuOut && !wallOut) "ok"
         else if (minTasks > 0 && r.tasks >= 1.2 * minTasks &&
           r.tasks - minTasks >= 20) "recompute"
-        else if (r.codegen >= 10) { if (i == 0) "cold-codegen" else "recompile" }
+        else if (r.codegen >= 10) {
+          if (firstExecution(r)) "cold-codegen" else "recompile" }
         else if (cpuOut && r.jit - minJit >= 0.5 * (r.cpu - minCpu))
           "jit-warmup"
         else if (r.mem >= 2 * memBaseline && r.mem >= 0.025) "mem-dilution"
