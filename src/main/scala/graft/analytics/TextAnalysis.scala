@@ -1516,10 +1516,13 @@ object TextAnalysis {
     val sel = dsirScored(docs, buckets, targetLang)
       .withColumn("sel_key",
         round(col("s") * lit(0.6931471805599453) + -log(-log(u)), 6))
-    // k = ⌈scored/5⌉; docs with ≥1 token are exactly the scored docs.
-    // One lightweight count scan (control-plane scalar, the sorted-
-    // pushdown-literal pattern) buys the distributed top-k `limit`.
-    val n = docs.filter(size(tokens(col("text"))) >= 1).count()
+      .persist()
+    // k = ⌈scored/5⌉. The scored relation IS the ≥1-token doc set (every
+    // non-empty doc has ≥1 unigram, empty docs produce no grams), so the
+    // count that sizes k comes off the persisted scores — the count()
+    // doubles as the multi-consumer materialization barrier (r13 rule) —
+    // instead of a second full-corpus tokenize scan (r14 verdict #5).
+    val n = sel.count()
     val k = ((n + 4L) / 5L).toInt
     sel.orderBy(col("sel_key").desc, col("doc_id")).limit(k)
       .select(col("doc_id"), col("lang"), col("n_grams"),

@@ -107,4 +107,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(aSchemas.nonEmpty && !aSchemas.exists(_.contains("props")),
       s"a1_device_summary reads the props column it never uses:\n$aSchemas")
   }
+
+  test("tx_dsir_select serves its top-k from the persisted scores, not a second corpus scan") {
+    // k is sized by counting the persisted scored relation (scored docs
+    // ≡ docs with ≥1 token), so the top-k the query RETURNS must read
+    // the in-memory scores — a LIVE text-reading FileScan in this plan
+    // means the k-sizing pass regressed to a second full tokenize of
+    // the corpus (the r14 verdict #5 shape: two corpus scans per
+    // select). Walk the plan TREE, not its string render: the render
+    // displays the cached relation's STORED child plan (including its
+    // original FileScans) for documentation, but those nodes are not
+    // re-executed — InMemoryTableScanExec is a leaf, so collect() sees
+    // exactly the scans that would run.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val root = SparkEntry.queries("tx_dsir_select")(spark, Sf0001)
+      .queryExecution.executedPlan
+    val inner = root match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(inner.collect { case i: InMemoryTableScanExec => i }.nonEmpty,
+      s"tx_dsir_select does not serve from the persisted scores:\n$inner")
+    val liveTextScans = inner.collect {
+      case f: FileSourceScanExec if f.schema.fieldNames.contains("text") => f
+    }
+    assert(liveTextScans.isEmpty,
+      s"tx_dsir_select re-scans document text after scoring:\n$liveTextScans")
+    graft.store.Checkpoints.free(spark)
+  }
 }
