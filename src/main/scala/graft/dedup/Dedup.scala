@@ -970,9 +970,16 @@ object Dedup {
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
     val spans = merged.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
-    val sp = coalesce(col("spans"), array().cast("array<struct<s:long,e:long>>"))
-    val kept = filter(col("toks"), (_, i) =>
-      !exists(sp, p => i >= p("s") && i < p("e")))
+    // Native span-cut kernel: the HOF formulation (filter × nested
+    // exists) is interpreted per TOKEN and drops the whole rewrite
+    // projection out of whole-stage codegen (HOFs don't codegen) —
+    // the corpus-wide cpu tax behind this query's r14 min-cpu spread.
+    // SpanCutExpr keeps the pass codegen'd end to end; the isNull arm
+    // skips even the kernel call for span-less docs (the vast
+    // majority at any scale).
+    val kept = when(col("spans").isNull, col("toks"))
+      .otherwise(graft.functions.TextFunctions.spanCut(
+        col("toks"), col("spans")))
     base.join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("toks")).cast(LongType).as("n_before"),

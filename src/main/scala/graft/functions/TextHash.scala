@@ -315,6 +315,42 @@ object TextHash {
     }
     new GenericArrayData(sig)
   }
+
+  /** Kernel of [[SpanCutExpr]]: kept tokens after deleting 0-based
+    * index ranges [s, e) (spans = array<struct<s:long, e:long>>).
+    */
+  def spanCut(toks: ArrayData, spans: ArrayData): ArrayData = {
+    val m = spans.numElements()
+    val n = toks.numElements()
+    val s = new Array[Long](m)
+    val e = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val r = spans.getStruct(j, 2)
+      s(j) = r.getLong(0)
+      e(j) = r.getLong(1)
+      j += 1
+    }
+    // insertion sort by start — span lists are per-doc and tiny
+    j = 1
+    while (j < m) {
+      val (sj, ej) = (s(j), e(j))
+      var p = j - 1
+      while (p >= 0 && s(p) > sj) { s(p + 1) = s(p); e(p + 1) = e(p); p -= 1 }
+      s(p + 1) = sj; e(p + 1) = ej
+      j += 1
+    }
+    val kept = new java.util.ArrayList[AnyRef](n)
+    var si = 0
+    var i = 0
+    while (i < n) {
+      while (si < m && e(si) <= i) si += 1
+      if (!(si < m && i >= s(si) && i < e(si)))
+        kept.add(toks.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(kept.toArray)
+  }
 }
 
 /** `simhash60(tokens)` as a native Catalyst expression with codegen —
@@ -561,6 +597,34 @@ case class LshBucketsExpr(child: Expression, planesPerTable: Int, nTables: Int,
     copy(child = newChild)
 }
 
+/** `span_cut(tokens, spans)` — kept tokens after deleting the 0-based
+  * index ranges [s, e): token i survives iff no span covers it.
+  * Semantically identical to the HOF
+  * `filter(toks, (_, i) => !exists(spans, p => i >= p.s && i < p.e))`,
+  * but codegen'd: higher-order functions don't participate in codegen,
+  * so the HOF form drops the WHOLE corpus-rewrite projection to the
+  * interpreted path (per-token lambda re-evaluation — the
+  * dedup_exact_runs_apply cpu tax, r14 verdict #4). The kernel sorts
+  * the spans by start (collect_list order is arbitrary) and sweeps
+  * tokens and spans together — exact for ANY span set: a span skipped
+  * because its end ≤ i can never cover a later index, and while the
+  * pointer holds span j, any candidate later span t has s(t) ≥ s(j),
+  * so "not covered by j" (i < s(j)) implies "not covered by t".
+  * Kept elements are the input's UTF8String views (same aliasing
+  * contract as the built-in ArrayFilter it replaces).
+  */
+case class SpanCutExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = left.dataType
+  override protected def nullSafeEval(t: Any, sp: Any): Any =
+    TextHash.spanCut(t.asInstanceOf[ArrayData], sp.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, sp) => s"graft.functions.TextHash.spanCut($t, $sp)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanCutExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level text primitives shared by TextAnalysis / Dedup.
   * Everything here is built from codegen'd builtins or the native
   * expressions above — no Scala UDF closures anywhere.
@@ -616,4 +680,11 @@ object TextFunctions {
   /** Count of tokens found in a (small, broadcast-as-literal) stopword set. */
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
+
+  /** Kept tokens after deleting index spans [s, e) — native SpanCutExpr
+    * (see its scaladoc for why not the filter × exists HOF).
+    */
+  def spanCut(toksCol: Column, spansCol: Column): Column =
+    ColumnBridge.column(SpanCutExpr(
+      ColumnBridge.expression(toksCol), ColumnBridge.expression(spansCol)))
 }
