@@ -270,13 +270,24 @@ object Multimodal {
     sum
   }
 
-  /** Real PNG encode of the fixture raster (ImageIO's writer). Output
-    * bytes are writer-dependent — the certified quantities are the
-    * DECODED raster's, never the container's.
+  /** Real PNG encode of the fixture raster, through a format-PINNED
+    * direct writer — not the `ImageIO.write` convenience static, for
+    * the same reason the decoders are pinned (see decodePngDirect's
+    * scaladoc): the write static funnels every format through one
+    * shared provider-iterator + `writer.write` chain, so a session
+    * writing several formats (mm_png and mm_gif in one bench) drives
+    * those sites megamorphic exactly like the read static did — the
+    * residual mm_png/mm_gif run-to-run cpu noise of the r14 gate.
+    * Same writer, same default params, so the bytes are identical to
+    * the convenience path's; the certified quantities are the DECODED
+    * raster's in any case, never the container's.
     */
   def encodePng(mediaId: Long, contentLen: Long): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(fixtureRaster(mediaId, contentLen), "png", bos)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try { w.setOutput(ios); w.write(fixtureRaster(mediaId, contentLen)) }
+    finally { w.dispose(); ios.close() }
     bos.toByteArray
   }
 
@@ -351,44 +362,48 @@ object Multimodal {
     finally { r.dispose(); iis.close() }
   }
 
-  /** Bench warm-up for the pinned readers (Bench.scala calls this once
-    * per session, outside every timed window): decode a fixture payload
-    * per requested family through the family's DIRECT reader until C2
-    * has seen the path, so run 1 of the mm_* queries no longer pays the
-    * interpreter→compiled transition inside its timed window. Warm-up
-    * payloads are produced by per-family direct writers — NEVER the
-    * shared `ImageIO.write`/`ImageIO.read` statics, whose call-site
-    * chains the r12 experiment matrix measured settling ~2× slower
-    * once driven megamorphic (the reason the r12 bench warmed no codec
-    * at all; the pinned readers make per-family warm-up safe).
+  /** Bench warm-up for the pinned codec paths (Bench.scala calls this
+    * once per session, outside every timed window): run each requested
+    * family's FULL production per-row path — fixture raster → the
+    * family's pinned ENCODER → the family's pinned DECODER → the
+    * family's own pixel loop — until C2 has seen all of it, so run 1
+    * of the mm_* queries no longer pays interpreter→compiled
+    * transitions inside its timed window. Warming only the decoder
+    * (the r13/r14 version, one encode per family) left the encode
+    * half — PNG filter+deflate, GIF palette+LZW, raster fill — cold,
+    * and its C2 transitions landed in mm_png's run 1 on every gate
+    * pair (the universal-residue signature, r14 verdict #3). Per-
+    * family pinned writers/readers keep every warmed call site
+    * monomorphic — NEVER the shared `ImageIO.read`/`ImageIO.write`
+    * statics, whose funnel the r12 experiment matrix measured
+    * settling ~2× slower once driven megamorphic.
     */
+  // 20k iterations, not a few hundred: HotSpot's tier-4 (C2) thresholds
+  // sit at ~5k-15k invocations, and a 256-iteration warm-up leaves the
+  // codec paths at C1 — mm_png's run 1 then burns ~16 s of compiler
+  // time inside its timed window when the query's 60k rows push
+  // everything to C2 at once (measured r15; run 2/3 jit ≈ 2.8 s).
+  // At Side=16 a warmed iteration is tens of µs, so the full warm-up
+  // stays ~1-2 s per family, paid once outside every timed window.
   def warmDirectReaders(png: Boolean, jpeg: Boolean, gif: Boolean,
-      iters: Int = 256): Unit = {
-    def directEncode(fmt: String): Array[Byte] = {
-      val w = javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
-      val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      try { w.setOutput(ios); w.write(fixtureRaster(7L, 1234L)) }
-      finally { w.dispose(); ios.close() }
-      bos.toByteArray
-    }
+      iters: Int = 20000): Unit = {
     var sink = 0L
     if (png) {
-      val b = directEncode("png")
-      var i = 0
-      while (i < iters) { sink += rasterSum(decodePngDirect(b)); i += 1 }
-    }
-    if (jpeg) {
-      val b = encodeJpeg(7L, 1234L)
       var i = 0
       while (i < iters) {
-        val im = decodeJpegDirect(b)
+        sink += rasterSum(decodePngDirect(encodePng(7L, 1234L + i)))
+        i += 1
+      }
+    }
+    if (jpeg) {
+      var i = 0
+      while (i < iters) {
+        val im = decodeJpegDirect(encodeJpeg(7L, 1234L + i))
         if (im != null) sink += rasterSum(im)
         i += 1
       }
     }
     if (gif) {
-      val b = directEncode("gif")
       var i = 0
       while (i < iters) {
         // getRGB loop, NOT the shared rasterSum: production feeds
@@ -398,7 +413,7 @@ object Multimodal {
         // measured as a bimodal 10 s vs 22 s mm_jpeg cpu depending on
         // whether C2 compiled rasterSum before or after this loop.
         // This mirrors mmGif's own per-pixel path exactly.
-        val img = decodeGifDirect(b)
+        val img = decodeGifDirect(encodeGif(7L, 1234L + i))
         var y = 0
         while (y < img.getHeight) {
           var x = 0
@@ -444,8 +459,12 @@ object Multimodal {
     * unlike TYPE_BYTE_GRAY's gamma path).
     */
   def encodeGif(mediaId: Long, contentLen: Long): Array[Byte] = {
+    // format-pinned direct writer — see encodePng's scaladoc
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(fixtureRaster(mediaId, contentLen), "gif", bos)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try { w.setOutput(ios); w.write(fixtureRaster(mediaId, contentLen)) }
+    finally { w.dispose(); ios.close() }
     bos.toByteArray
   }
 
