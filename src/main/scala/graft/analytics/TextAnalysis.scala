@@ -1717,20 +1717,21 @@ object TextAnalysis {
     val (outDir, idxDir, ckpt) = (s"$root/out", s"$root/idx", s"$root/ckpt")
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"))
-    val feed = s"$root/feed"
-    // ONE part file per delivery: a multi-file append is not atomically
-    // visible (the commit renames files one by one) and the RUNNING
-    // query's next poll can list a partial set, splitting the delivery
-    // into two micro-batches and shifting every batchId-derived
-    // delivery stamp (caught by a DsirFuzzSpec flake); a single file's
-    // rename is all-or-nothing, so the batch boundary is exact.
-    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(feed)
-    val q = startDsirSink(
-      s.readStream.schema(docs.schema).parquet(feed), outDir, idxDir, ckpt)
+    // manifest-gated deliveries (graft.streaming.ManifestFeed): each
+    // delivery is TWO part files made atomically visible by its
+    // single-file manifest — the mechanism that replaced the r14
+    // coalesce(1)-per-delivery convention (a multi-file parquet append
+    // is not atomically visible to the running query's poll, which
+    // could split a delivery across micro-batches and shift every
+    // batchId-derived delivery stamp).
+    import graft.streaming.ManifestFeed
+    ManifestFeed.deliver(docs.filter(col("doc_id") % 2 === 0), root, 0L, 2)
+    val q = ManifestFeed.start(s, root, docs.schema, ckpt) { (batch, id) =>
+      dsirCommit(batch, outDir, idxDir, id)
+    }
     try {
       q.processAllAvailable()
-      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
-        .write.mode("append").parquet(feed)
+      ManifestFeed.deliver(docs.filter(col("doc_id") % 2 === 1), root, 1L, 2)
       q.processAllAvailable()
     } finally q.stop()
     s.read.option("recursiveFileLookup", "true").parquet(outDir)

@@ -1171,18 +1171,17 @@ object Dedup {
     val root = graft.store.StoreRoot.scratchRoot("exact_runs_incr")
     val (outDir, idxDir, ckpt) = (s"$root/out", s"$root/idx", s"$root/ckpt")
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val feed = s"$root/feed"
-    // ONE part file per delivery — a multi-file append is not
-    // atomically visible to the running query's poll, which can split
-    // the delivery across micro-batches and shift the batchId-derived
-    // delivery stamps the oracle asserts (see txDsirIncremental)
-    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(feed)
-    val q = startExactRunsSink(
-      s.readStream.schema(docs.schema).parquet(feed), outDir, idxDir, ckpt)
+    // manifest-gated multi-file deliveries — see txDsirIncremental and
+    // graft.streaming.ManifestFeed for the atomicity mechanism that
+    // replaced the coalesce(1)-per-delivery convention
+    import graft.streaming.ManifestFeed
+    ManifestFeed.deliver(docs.filter(col("doc_id") % 2 === 0), root, 0L, 2)
+    val q = ManifestFeed.start(s, root, docs.schema, ckpt) { (batch, id) =>
+      exactRunsCommit(batch, outDir, idxDir, id)
+    }
     try {
       q.processAllAvailable()
-      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
-        .write.mode("append").parquet(feed)
+      ManifestFeed.deliver(docs.filter(col("doc_id") % 2 === 1), root, 1L, 2)
       q.processAllAvailable()
     } finally q.stop()
     readSegments(s, outDir)
