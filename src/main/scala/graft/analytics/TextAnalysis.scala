@@ -1166,9 +1166,27 @@ object TextAnalysis {
     val sample = bRows
       .filter(pmod(xxhash64(lit("shard"), col("doc_id")), lit(m)) === 0)
       .select(keyCols: _*).collect()
+    // source compares by UTF-8 BYTE order, not Java's UTF-16 code-unit
+    // order: the frozen-cut predicate below runs col("source") > cs
+    // under Spark's UTF8String binary comparison, and for strings with
+    // supplementary code points the two orders disagree — a sample
+    // sorted under the wrong order picks cuts out of engine order and
+    // degrades the ~n/k shard-balance guarantee (ADVICE r14).
     val ord: Ordering[org.apache.spark.sql.Row] =
-      if (bySource)
-        Ordering.by(r => (r.getString(0), -r.getDouble(1), r.getLong(2)))
+      if (bySource) new Ordering[org.apache.spark.sql.Row] {
+        def compare(a: org.apache.spark.sql.Row,
+            b: org.apache.spark.sql.Row): Int = {
+          val c0 = java.util.Arrays.compareUnsigned(
+            a.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (c0 != 0) c0
+          else {
+            val c1 = java.lang.Double.compare(b.getDouble(1), a.getDouble(1))
+            if (c1 != 0) c1
+            else java.lang.Long.compare(a.getLong(2), b.getLong(2))
+          }
+        }
+      }
       else Ordering.by(r => (-r.getDouble(0), r.getLong(1)))
     val sorted = sample.sorted(ord)
     val k = math.min(nShards - 1, sorted.length)

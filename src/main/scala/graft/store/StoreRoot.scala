@@ -62,22 +62,53 @@ object StoreRoot {
 
   /** Deterministic per-process scratch root for registered queries
     * that exercise durable pipelines against throwaway trees (the
-    * incremental sinks): at most ONE tree per (name, JVM) ever lives
-    * in tmp — the tree is cleared on entry (the query rebuilds it from
-    * scratch) and trees left by dead JVMs are swept — the same
+    * incremental sinks): at most ONE tree per (name, JVM, thread) ever
+    * lives in tmp — the tree is cleared on entry (the query rebuilds
+    * it from scratch) and trees left by dead JVMs are swept — the same
     * bounded-accumulation discipline as Backfill's rollup root (a
     * fresh createTempDirectory per invocation accumulated a corpus
     * copy per gate-loop iteration; review r14).
+    *
+    * Concurrency (ADVICE r14): the tree is keyed by THREAD as well —
+    * a thread cannot run two invocations at once, so clearing on entry
+    * can only ever clear a tree whose previous same-thread use has
+    * returned, while two SparkSessions driving the same registered
+    * query concurrently (necessarily from different threads) get
+    * disjoint trees instead of deleting each other's live
+    * feed/checkpoint mid-stream. The sequential gate/bench loop runs
+    * each query from one thread, so it still reuses one tree per
+    * (name, JVM) — the accumulation bound that motivated this root.
+    * PID recycling: the per-JVM dir encodes the JVM's START INSTANT
+    * next to its pid, and the sweep treats a dir as live only when a
+    * process with that pid exists AND its start instant matches — a
+    * recycled pid no longer shields a dead JVM's tree forever.
     */
   def scratchRoot(name: String): String = {
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_scratch")
     Option(base.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
-      val alive = scala.util.Try(f.getName.toLong).toOption.exists(p =>
-        ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive).orElse(false))
+      val alive = f.getName.split("_", 2) match {
+        case Array(pidS, startS) =>
+          scala.util.Try(pidS.toLong).toOption.exists { p =>
+            val h = ProcessHandle.of(p)
+            h.map[java.lang.Boolean](ph =>
+              ph.isAlive && ph.info().startInstant()
+                .map[java.lang.Boolean](_.toEpochMilli.toString == startS)
+                // no start info exposed: keep (err on the safe side)
+                .orElse(true)).orElse(false)
+          }
+        // legacy bare-pid dirs from older builds: pid-alive check only
+        case _ => scala.util.Try(f.getName.toLong).toOption.exists(p =>
+          ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive).orElse(false))
+      }
       if (!alive) org.apache.commons.io.FileUtils.deleteQuietly(f)
     }
-    val root = base.resolve(ProcessHandle.current().pid().toString)
+    val self = ProcessHandle.current()
+    val jvmDir = self.info().startInstant()
+      .map[String](i => s"${self.pid()}_${i.toEpochMilli}")
+      .orElse(self.pid().toString)
+    val root = base.resolve(jvmDir)
+      .resolve(s"t${Thread.currentThread().getId}")
       .resolve(name)
     org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
     java.nio.file.Files.createDirectories(root)
