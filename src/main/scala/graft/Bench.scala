@@ -199,6 +199,17 @@ object Bench {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Never take the bypass-merge shuffle write path: with P reduce
+      // partitions it opens P files PER MAP TASK (open+concat+delete),
+      // and thread dumps of the r15 shuffle-heavy rows showed ~40% of
+      // RUNNABLE executor samples inside FileOutputStream.open0 under
+      // DiskBlockObjectWriter.initialize — the map stages were
+      // syscall-bound on concurrent file creates, not compute-bound
+      // (dedup_exact_runs cpu ~3× its r14 gate cost on the same code).
+      // The sort writer's one-spill-file-per-map-task shape is also the
+      // only shape that survives real reducer counts — at 100 TB a
+      // 10k-reducer bypass would open 10k files per task.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
       .config("spark.ui.enabled", "false")
       // Bound the status-store live set. Even with the UI off, the
       // app-status and SQL listeners retain per-execution state —

@@ -17,6 +17,9 @@ object Verify {
       // hash mixing (LSH) relies on wrap-around int64 arithmetic
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // one spill file per map task, never P-files-per-task bypass
+      // (see Bench.scala's builder for the measured rationale)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

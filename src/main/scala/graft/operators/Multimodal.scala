@@ -29,6 +29,19 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's stream factories default to a DISK-backed cache: every
+  // createImageInputStream/createImageOutputStream call creates a temp
+  // file and deletes it on close — two filesystem-metadata syscalls per
+  // ROW on the codec hot path. Thread dumps of a 32-thread mm_* bench
+  // (r15) showed 149/160 sampled executor frames inside
+  // UnixFileSystem.delete0 / UnixNativeDispatcher.open0: the decode
+  // work was syscall-bound, not pixel-bound (mm_png ~140 s cpu vs the
+  // ~12 s the pixels cost). Memory-cached streams are strictly right
+  // here — payloads are small in-heap byte arrays already — and at
+  // scale a per-row temp file per executor thread is an anti-pattern
+  // no matter how fast the local filesystem is.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: opaque payload + typed metadata (the Spark-side model
     * of an image/audio/video column).
     */

@@ -18,6 +18,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
+    // match the mains: sort shuffle writer, never per-reducer bypass
+    // files (see Bench.scala's builder for the measured rationale)
+    .config("spark.shuffle.sort.bypassMergeThreshold", "2")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
