@@ -1107,6 +1107,41 @@ object OracleSql {
          |ORDER BY delivery, doc_id""".stripMargin
     },
 
+    // CCNet perplexity bucketing: cross-entropy under the 'en'-slice
+    // hashed-bucket LM (target half of the DSIR model, same float
+    // tree), tertile split via the ≤1001-bin quantized histogram —
+    // c1/c2 are the first bins whose cumulative mass reaches 1/3 and
+    // 2/3, exactly as the Spark side freezes them
+    "tx_ccnet_ppl" ->
+      s"""WITH $toksCte,
+         |${gramBucketCtes("t")},
+         |m AS (SELECT bucket,
+         |    count(*) FILTER (WHERE lang = 'en') AS c_t
+         |  FROM gi GROUP BY bucket),
+         |tot AS (SELECT sum(c_t)::BIGINT AS n_t FROM m),
+         |lp AS (SELECT bucket,
+         |    (log2((c_t + 1)::DOUBLE) - log2((n_t + 1024)::DOUBLE)) AS lp
+         |  FROM m, tot),
+         |sc AS (SELECT gi.doc_id, gi.lang, count(*)::BIGINT AS n_grams,
+         |    sum(-(lp.lp)) AS h
+         |  FROM gi JOIN lp USING (bucket) GROUP BY 1, 2),
+         |sb AS (SELECT doc_id, lang, n_grams,
+         |    round(h / n_grams, 6) AS bits_per_gram FROM sc),
+         |sbb AS (SELECT *, least(greatest(floor(bits_per_gram * 50.0), 0.0),
+         |    1000.0)::BIGINT AS bin FROM sb),
+         |hist AS (SELECT bin, count(*) AS cnt FROM sbb GROUP BY bin),
+         |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+         |n AS (SELECT count(*) AS n_docs FROM sbb),
+         |cuts AS (SELECT
+         |    min(CASE WHEN cum * 3 >= n_docs THEN bin END) AS c1,
+         |    min(CASE WHEN cum * 3 >= 2 * n_docs THEN bin END) AS c2
+         |  FROM cum, n)
+         |SELECT doc_id, lang, n_grams, bits_per_gram,
+         |  CASE WHEN bin <= c1 THEN 'head'
+         |       WHEN bin <= c2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM sbb, cuts ORDER BY doc_id""".stripMargin,
+
     // hashed multinomial NB lang-ID: train on hash-split buckets <90,
     // score split ≥95; score = prior + Σ log2(c+1) − n·log2(N_l+1024),
     // argmax at 6 dp with lang-asc tiebreak, output = confusion matrix

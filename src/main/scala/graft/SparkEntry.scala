@@ -109,6 +109,10 @@ object SparkEntry {
     // hashed multinomial NB lang-ID trained on the 90% hash split,
     // scored on the 5% test split — certified as a confusion matrix
     "tx_nb_langid"    -> (TX.txNbLangid(_, _)),
+    // CCNet perplexity bucketing: cross-entropy under the target-slice
+    // hashed-bucket LM, head/middle/tail via quantized-histogram cuts
+    // (no global sort, no data-plane window)
+    "tx_ccnet_ppl"    -> (TX.txCcnetPpl(_, _)),
     // winnowing fingerprints (MOSS): rightmost-min-per-window selection
     // over positional 5-gram hashes + cross-doc shared-print counts
     "tx_winnow" -> (TX.txWinnow(_, _)),

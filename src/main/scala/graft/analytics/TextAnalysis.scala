@@ -1548,6 +1548,68 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity quality bucketing (Wenzek et al. 2020):
+    * score every document by its cross-entropy under a language model
+    * trained on the quality-reference corpus (here the `targetLang`
+    * slice, the stand-in CCNet's Wikipedia LM plays), then split the
+    * corpus into the head / middle / tail thirds CCNet feeds to
+    * downstream selection — head = most reference-like. The LM is the
+    * DSIR family's hashed unigram+bigram bucket model (≤`buckets`
+    * add-one-smoothed counters), so H(d) = −(1/n)·Σ_g [log2(c_t(b)+1)
+    * − log2(N_t+B)] — each log2 its own term, the same float-tree
+    * discipline as the DSIR rows, so DuckDB replays it exactly.
+    *
+    * The tertile split is CUT-BASED, not rank-based: per-doc scores
+    * are quantized into ≤1001 bins (bits×50, clamped), the bin
+    * histogram — control-plane by construction — is cumulated, and the
+    * first bins reaching 1/3 and 2/3 of the corpus mass become literal
+    * thresholds every row compares against. No global sort, no
+    * data-plane window: at 100 TB the split costs one bounded-key agg
+    * + one broadcast of two scalars, the same shape CCNet's own fixed
+    * perplexity thresholds have in production.
+    */
+  def txCcnetPpl(s: SparkSession, dir: String): DataFrame =
+    txCcnetPplDf(Tables.documents(s, dir))
+
+  def txCcnetPplDf(docs: DataFrame, buckets: Int = 1024,
+      targetLang: String = "en"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = lit(buckets.toLong)
+    val grams = hashedGrams(docs, buckets)
+    val model = graft.similarity.Similarity.materializeSmall(
+      bucketCounts(grams, targetLang))
+    val nT = model.agg(sum(col("c_t")).as("n_t"))
+    // per-bucket −log2 p_target, derived over the ≤`buckets`-row model
+    val lp = model.crossJoin(broadcast(nT)).select(col("bucket"),
+      (log(2.0, (col("c_t") + lit(1L)).cast(DoubleType)) -
+        log(2.0, (col("n_t") + b).cast(DoubleType))).as("lp"))
+    // plain persist + count barrier (the shardByOrder discipline): the
+    // scored relation feeds the histogram AND the final projection
+    val scored = grams.join(broadcast(lp), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"), sum(-col("lp")).as("h"))
+      .withColumn("bits_per_gram", round(col("h") / col("n_grams"), 6))
+      .withColumn("bin",
+        least(greatest(floor(col("bits_per_gram") * lit(50.0)), lit(0.0)),
+          lit(1000.0)).cast(LongType))
+      .persist()
+    val nDocs = scored.count() // control-plane: one scalar
+    // single-partition window is FINE here: hist is ≤1001 rows
+    val wCum = Window.orderBy(col("bin"))
+    val cum = scored.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+    val cuts = cum.agg(
+      min(when(col("cum") * 3 >= lit(nDocs), col("bin"))).as("c1"),
+      min(when(col("cum") * 3 >= lit(2L * nDocs), col("bin"))).as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        col("bits_per_gram"),
+        when(col("bin") <= col("c1"), "head")
+          .when(col("bin") <= col("c2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hashed multinomial Naive-Bayes language classifier, trained on the
     * deterministic 90% train split and scored on the 5% test split (the
     * txSplit hash-buckets, salt "epoch0") — the model-based counterpart

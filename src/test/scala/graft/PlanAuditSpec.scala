@@ -49,7 +49,10 @@ class PlanAuditSpec extends SparkSpec {
     // the NB scorer also fans eval docs × the ≤#langs stats row set —
     // both deliberate tiny-side crosses; scoring joins are equi-key
     // broadcasts on bucket
-    "tx_dsir_weights", "tx_dsir_select", "tx_nb_langid")
+    "tx_dsir_weights", "tx_dsir_select", "tx_nb_langid",
+    // 1-row N_t total × ≤1024-row model (−log2 p derive) + the 1-row
+    // (c1, c2) tertile-cut broadcast against the scored scan
+    "tx_ccnet_ppl")
 
   test("no registered query plans a CartesianProduct; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
