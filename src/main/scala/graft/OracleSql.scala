@@ -441,6 +441,30 @@ object OracleSql {
     derived
   }
 
+  /** `emb_ivf_serve_filtered` (store.AnnIndex.embIvfServeFiltered):
+    * the SAME training/routing chain with the label carried through
+    * the full-corpus assignment, nprobe widened 2 → 4, and the
+    * candidate scan restricted to label = 3 — the oracle's filter
+    * sits exactly where the engine's pushed parquet predicate does,
+    * AFTER routing and BEFORE ranking. Derived from `ivfTopkSql` by
+    * retargeting the four sites (the `require`s guard text drift).
+    */
+  private val ivfFilteredServeSql: String = {
+    val sites = Seq(
+      "af AS (SELECT vec_id, emb, cell FROM (",
+      "SELECT e.vec_id, e.emb, c.cell, row_number() OVER (PARTITION BY e.vec_id",
+      "cells AS (SELECT query_id, cell FROM pr WHERE r <= 2)",
+      "WHERE m.vec_id <> c.query_id)")
+    sites.foreach(s => require(ivfTopkSql.contains(s),
+      s"filtered-serve oracle derivation site missing: $s"))
+    ivfTopkSql
+      .replace(sites(0), "af AS (SELECT vec_id, label, emb, cell FROM (")
+      .replace(sites(1),
+        "SELECT e.vec_id, e.label, e.emb, c.cell, row_number() OVER (PARTITION BY e.vec_id")
+      .replace(sites(2), "cells AS (SELECT query_id, cell FROM pr WHERE r <= 4)")
+      .replace(sites(3), "WHERE m.vec_id <> c.query_id AND m.label = 3)")
+  }
+
   /** Shared recall-census tail (`emb_pq_recall` / `emb_ivfpq_recall`):
     * top-5 of the preceding chain's `approx` relation (ADC cosine,
     * ties to lowest id), the exact top-5 from e×q, and a left-join
@@ -2538,6 +2562,8 @@ object OracleSql {
     "emb_ivf_topk" -> ivfTopkSql,
 
     "emb_ivf_serve" -> ivfTopkSql,
+
+    "emb_ivf_serve_filtered" -> ivfFilteredServeSql,
 
     "emb_ivf_append_serve" -> ivfAppendServeSql,
 

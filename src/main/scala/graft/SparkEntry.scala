@@ -267,6 +267,10 @@ object SparkEntry {
     // before serve — shares the tombstone oracle (fold ≡ identity)
     "emb_pq_serve_compacted" -> (graft.store.AnnIndex.embPqServeCompacted(_, _)),
     "emb_ivf_serve"       -> (graft.store.AnnIndex.embIvfServe(_, _)),
+    // filtered ANN: top-k within a metadata slice (label = 3) — the
+    // labeled index evaluates the predicate as a pushed parquet filter
+    // on the routed scan, with nprobe 2 → 4 for the thinner pool
+    "emb_ivf_serve_filtered" -> (graft.store.AnnIndex.embIvfServeFiltered(_, _)),
     // incremental maintenance: build on the base half, APPEND the
     // delta against the frozen quantizers, serve — the oracle trains
     // on the base half only, so the hash certifies the append contract

@@ -273,6 +273,27 @@ object AnnIndex {
     cent.write.parquet(s"$path/centroids")
   }
 
+  /** IVF build that stores row METADATA (here `label`) inside the
+    * inverted lists, for filtered serve: the filter evaluates as a
+    * pushed parquet predicate on the routed scan, never as a post-join
+    * against the corpus table. Same quantizer chain as `buildIvf`
+    * (identical cells/centroids/routing) — only the list payload
+    * widens. Kept as its own index kind ("ivfl") so existing unlabeled
+    * roots stay valid.
+    */
+  def buildIvfLabeled(emb: DataFrame, path: String,
+      lloydIters: Int = 2): Unit = {
+    val n = emb.count()
+    val (modulus, threshold) = Similarity.trainSampleRung(n)
+    val (cells, cent) = Similarity.kmeansCellsAt(emb, lloydIters, modulus, threshold)
+    cells.join(emb.select(col("vec_id"), col("label"), col("embedding")),
+        Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("label"), col("embedding"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$path/lists")
+    cent.write.parquet(s"$path/centroids")
+  }
+
   /** Root ancestor of a physical partition id under the composite
     * split scheme `(cell+1)*1024 + sub` (`Compaction.splitHotCells`) —
     * the top-level cell the probe routes by. Identity below 1024.
@@ -327,7 +348,7 @@ object AnnIndex {
     * serve I/O is nprobe/cells of the index, never the corpus.
     */
   def serveIvfTopk(spark: SparkSession, root: String, queries: DataFrame,
-      k: Int = 5, nprobe: Int = 2): DataFrame = {
+      k: Int = 5, nprobe: Int = 2, labelEq: Option[Int] = None): DataFrame = {
     val cent = spark.read.parquet(s"$root/centroids")
     val qc = queries.crossJoin(broadcast(cent))
       .select(col("query_id"), col("q_emb"), col("cell"),
@@ -344,8 +365,15 @@ object AnnIndex {
     // order keeps the generated plan source codegen-cache-friendly
     val routedCells = probedRows
       .map(_.getAs[Number]("cell").longValue).toSeq.distinct.sorted
-    val lists = minusDeletes(spark, root,
+    val lists0 = minusDeletes(spark, root,
       routedScan(spark, root, "lists", routedCells), "vec_id")
+    // filtered serve: the metadata predicate evaluates INSIDE the
+    // routed, partition-pruned scan (PushedFilters on label), so the
+    // filter costs a column read, not a corpus join — the production
+    // filtered-ANN shape. Callers compensate the thinner candidate
+    // pool with a higher nprobe (the standard filtered-recall tradeoff).
+    val lists = labelEq.map(l => lists0.filter(col("label") === lit(l)))
+      .getOrElse(lists0)
     val cand = lists
       .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -1148,6 +1176,27 @@ object AnnIndex {
     val root = indexRoot(s, dir, "ivf", emb.count())
     ensureBuilt(s, root)(staging => buildIvf(emb, staging))
     serveIvfTopk(s, root.toString, queryLiterals(s, dir), k, nprobe)
+  }
+
+  /** FILTERED ANN serve — top-k among vectors matching a metadata
+    * predicate (here `label = 3`, the tenant/modality/lang slice every
+    * production vector store has to support): the labeled IVF index
+    * stores the metadata inside the inverted lists, the probe routes
+    * exactly as the unfiltered serve, and the predicate evaluates as a
+    * pushed parquet filter on the routed scan. nprobe doubles (2 → 4)
+    * to compensate the ~10× thinner candidate pool per cell — the
+    * standard filtered-recall tradeoff (post-filtering a k-deep
+    * unfiltered result would return < k rows whenever the slice is
+    * sparse; pre-filter + wider probe keeps k full at the same
+    * embeddings-free serve I/O shape).
+    */
+  def embIvfServeFiltered(s: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 4, label: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val root = indexRoot(s, dir, "ivfl", emb.count())
+    ensureBuilt(s, root)(staging => buildIvfLabeled(emb, staging))
+    serveIvfTopk(s, root.toString, queryLiterals(s, dir), k, nprobe,
+      labelEq = Some(label))
   }
 
   /** The append path as a registered, oracle-gated query: BUILD the

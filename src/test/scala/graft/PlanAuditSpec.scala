@@ -140,4 +140,21 @@ class PlanAuditSpec extends SparkSpec {
       s"tx_dsir_select re-scans document text after scoring:\n$liveTextScans")
     graft.store.Checkpoints.free(spark)
   }
+
+  test("filtered ANN serve: label predicate pushed into the routed, partition-pruned scan") {
+    // the two properties that make filtered serve a fraction-of-index
+    // read at 100 TB: the metadata predicate must land in the parquet
+    // scan (PushedFilters, not a post-join filter), and the scan must
+    // still be pruned to the routed cells (PartitionFilters on the
+    // partition column) — losing either silently turns serve into a
+    // corpus read
+    val p = planOf("emb_ivf_serve_filtered")
+    assert(p.contains("EqualTo(label,3)"),
+      s"filtered serve does not push its label predicate:\n$p")
+    val partLines = p.linesIterator
+      .filter(_.contains("PartitionFilters:")).toSeq
+    assert(partLines.exists(_.contains("cell")),
+      s"filtered serve scan is not partition-pruned to the routed cells:\n$p")
+    graft.store.Checkpoints.free(spark)
+  }
 }
