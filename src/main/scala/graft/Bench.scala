@@ -298,10 +298,14 @@ object Bench {
     // the remaining failure surface (an unforeseen block-manager error)
     // cost at most a logged line — the NEXT query's own persist calls
     // re-establish whatever state matters.
+    // NonFatal, not Throwable: swallowing InterruptedException would
+    // lose the bench's own cancellation (and the interrupt flag), and
+    // swallowing a VM error would keep timing queries inside a
+    // corrupted JVM and stamp the artifact clean (review r15)
     def freeSafely(where: String): Unit =
       try { graft.store.Checkpoints.free(spark); () }
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[bench] Checkpoints.free at $where failed (non-fatal): " +
               s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")

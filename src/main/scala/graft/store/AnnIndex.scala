@@ -259,40 +259,35 @@ object AnnIndex {
 
   // --------------------------------------------------------------- IVF
 
-  def buildIvf(emb: DataFrame, path: String, lloydIters: Int = 2): Unit = {
+  /** `extraCols`: row METADATA stored inside the inverted lists (the
+    * filtered-serve shape — the predicate then evaluates as a pushed
+    * parquet filter on the routed scan, never as a post-join against
+    * the corpus table). The quantizer chain is identical either way;
+    * only the list payload widens.
+    */
+  def buildIvf(emb: DataFrame, path: String, lloydIters: Int = 2,
+      extraCols: Seq[String] = Nil): Unit = {
     val n = emb.count()
     val (modulus, threshold) = Similarity.trainSampleRung(n)
     val (cells, cent) = Similarity.kmeansCellsAt(emb, lloydIters, modulus, threshold)
+    val payload = Seq("vec_id") ++ extraCols ++ Seq("embedding")
     // the inverted lists CONTAIN the vectors (that is what makes serve
     // embeddings-free); partitioned by cell so a probe is partition-
     // pruned to nprobe directories
-    cells.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .select(col("cell"), col("vec_id"), col("embedding"))
+    cells.join(emb.select(payload.map(col): _*), Seq("vec_id"))
+      .select((Seq("cell") ++ payload).map(col): _*)
       .repartition(col("cell"))
       .write.partitionBy("cell").parquet(s"$path/lists")
     cent.write.parquet(s"$path/centroids")
   }
 
-  /** IVF build that stores row METADATA (here `label`) inside the
-    * inverted lists, for filtered serve: the filter evaluates as a
-    * pushed parquet predicate on the routed scan, never as a post-join
-    * against the corpus table. Same quantizer chain as `buildIvf`
-    * (identical cells/centroids/routing) — only the list payload
-    * widens. Kept as its own index kind ("ivfl") so existing unlabeled
-    * roots stay valid.
+  /** Labeled-list build for filtered serve — `buildIvf` with `label`
+    * in the list payload. Kept as its own index kind ("ivfl") so
+    * existing unlabeled roots stay valid.
     */
   def buildIvfLabeled(emb: DataFrame, path: String,
-      lloydIters: Int = 2): Unit = {
-    val n = emb.count()
-    val (modulus, threshold) = Similarity.trainSampleRung(n)
-    val (cells, cent) = Similarity.kmeansCellsAt(emb, lloydIters, modulus, threshold)
-    cells.join(emb.select(col("vec_id"), col("label"), col("embedding")),
-        Seq("vec_id"))
-      .select(col("cell"), col("vec_id"), col("label"), col("embedding"))
-      .repartition(col("cell"))
-      .write.partitionBy("cell").parquet(s"$path/lists")
-    cent.write.parquet(s"$path/centroids")
-  }
+      lloydIters: Int = 2): Unit =
+    buildIvf(emb, path, lloydIters, extraCols = Seq("label"))
 
   /** Root ancestor of a physical partition id under the composite
     * split scheme `(cell+1)*1024 + sub` (`Compaction.splitHotCells`) —

@@ -75,7 +75,14 @@ object Checkpoints {
     var depth = 0
     while (t != null && depth < 8) {
       val m = String.valueOf(t.getMessage)
-      if (m.contains("does not exist")) return true
+      // the SPECIFIC block-manager shape ("Block rdd_N_P does not
+      // exist", from BlockManager.removeBlock), not any "does not
+      // exist": a broken disk store surfaces file-level messages
+      // ("File /tmp/blockmgr-.../rdd_3_0 does not exist") that contain
+      // the same suffix, and swallowing those would report a clean
+      // free() over a genuinely faulted session (review r15)
+      if (m.contains("does not exist") && m.contains("Block rdd_"))
+        return true
       t = t.getCause
       depth += 1
     }

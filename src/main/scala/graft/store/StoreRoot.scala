@@ -107,7 +107,22 @@ object StoreRoot {
     val jvmDir = self.info().startInstant()
       .map[String](i => s"${self.pid()}_${i.toEpochMilli}")
       .orElse(self.pid().toString)
-    val root = base.resolve(jvmDir)
+    // intra-JVM reclamation (review r15): a thread-pool caller whose
+    // threads retire would otherwise accumulate one tree per retired
+    // thread for the JVM's whole life — the very accumulation this
+    // root bounds. Sweep sibling t<id> dirs whose thread is no longer
+    // live (same lifetime contract as the clear-on-entry reuse: a
+    // tree is only guaranteed until its owner's next acquisition — or
+    // its owner's death).
+    val live = java.lang.management.ManagementFactory.getThreadMXBean
+      .getAllThreadIds.toSet
+    val jvmRoot = base.resolve(jvmDir)
+    Option(jvmRoot.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val dead = f.getName.startsWith("t") &&
+        scala.util.Try(f.getName.drop(1).toLong).toOption.exists(!live.contains(_))
+      if (dead) org.apache.commons.io.FileUtils.deleteQuietly(f)
+    }
+    val root = jvmRoot
       .resolve(s"t${Thread.currentThread().getId}")
       .resolve(name)
     org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)

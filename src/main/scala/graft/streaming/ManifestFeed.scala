@@ -52,8 +52,20 @@ object ManifestFeed {
       nFiles: Int): String = {
     val s = df.sparkSession
     val dataDir = s"$root/data/d$deliveryId"
-    df.repartition(nFiles).write.mode("overwrite").parquet(dataDir)
     val f = fs(s, root)
+    val dst0 = new Path(s"$root/feed/m$deliveryId.txt")
+    // Fail fast on a duplicate deliveryId BEFORE touching the data
+    // directory: a published delivery's data dir is immutable by
+    // contract (a running or replaying query may be reading it), and
+    // the mode("overwrite") below would delete-and-rewrite it mid-read
+    // before the manifest rename ever got the chance to fail (review
+    // r15). A retry of a genuinely-failed deliver (manifest absent) is
+    // still safe: only the unpublished data dir gets rewritten.
+    if (f.exists(dst0))
+      throw new java.io.IOException(
+        s"delivery $deliveryId already published ($dst0 exists); " +
+          "published data directories are immutable")
+    df.repartition(nFiles).write.mode("overwrite").parquet(dataDir)
     f.mkdirs(new Path(s"$root/feed"))
     val tmp = new Path(s"$root/.mtmp/m$deliveryId")
     val dst = new Path(s"$root/feed/m$deliveryId.txt")

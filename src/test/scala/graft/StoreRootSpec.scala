@@ -33,6 +33,14 @@ class StoreRootSpec extends AnyFunSuite {
     assert(other != null && other != a)
     assert(java.nio.file.Files.readString(marker) == "live",
       "cross-thread acquisition must not touch this thread's tree")
+
+    // intra-JVM reclamation: once the other thread is dead, the next
+    // acquisition from any thread sweeps its tree (a thread-pool
+    // caller must not accumulate one tree per retired thread)
+    val a3 = StoreRoot.scratchRoot("spec_scratch")
+    assert(a3 == a)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(other)),
+      "dead thread's tree must be swept on the next acquisition")
   }
 
   test("sweep removes dead-pid and recycled-pid trees, keeps the live JVM's") {
