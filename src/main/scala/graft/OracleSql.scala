@@ -465,6 +465,31 @@ object OracleSql {
       .replace(sites(3), "WHERE m.vec_id <> c.query_id AND m.label = 3)")
   }
 
+  /** `emb_ivf_filtered_recall` (store.AnnIndex.embIvfFilteredRecall):
+    * the filtered serve (as a nested-WITH CTE — its own Lloyd chain,
+    * names shadowed locally) censused against the exact top-5 over
+    * the SAME label slice; one row per panel query, hits + recall.
+    */
+  private val ivfFilteredRecallSql: String =
+    s"""WITH srv AS (
+       |$ivfFilteredServeSql
+       |),
+       |e2 AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q2 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+       |  FROM embeddings WHERE vec_id < 10),
+       |ex AS (SELECT query_id, vec_id FROM (
+       |  SELECT q2.query_id, x.vec_id, row_number() OVER (PARTITION BY q2.query_id
+       |      ORDER BY round(list_dot_product(q2.qe, x.emb) /
+       |        (sqrt(list_dot_product(q2.qe, q2.qe)) *
+       |         sqrt(list_dot_product(x.emb, x.emb))), 6) DESC, x.vec_id) AS r
+       |  FROM e2 x CROSS JOIN q2
+       |  WHERE x.vec_id <> q2.query_id AND x.label = 3) WHERE r <= 5)
+       |SELECT ex.query_id, count(s.neighbor_id)::BIGINT AS hits,
+       |  round(count(s.neighbor_id) / 5.0, 6) AS recall
+       |FROM ex LEFT JOIN srv s
+       |  ON s.query_id = ex.query_id AND s.neighbor_id = ex.vec_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
   /** Shared recall-census tail (`emb_pq_recall` / `emb_ivfpq_recall`):
     * top-5 of the preceding chain's `approx` relation (ADC cosine,
     * ties to lowest id), the exact top-5 from e×q, and a left-join
@@ -2564,6 +2589,8 @@ object OracleSql {
     "emb_ivf_serve" -> ivfTopkSql,
 
     "emb_ivf_serve_filtered" -> ivfFilteredServeSql,
+
+    "emb_ivf_filtered_recall" -> ivfFilteredRecallSql,
 
     "emb_ivf_append_serve" -> ivfAppendServeSql,
 

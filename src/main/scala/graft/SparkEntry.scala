@@ -271,6 +271,9 @@ object SparkEntry {
     // labeled index evaluates the predicate as a pushed parquet filter
     // on the routed scan, with nprobe 2 → 4 for the thinner pool
     "emb_ivf_serve_filtered" -> (graft.store.AnnIndex.embIvfServeFiltered(_, _)),
+    // the filtered-serve recall audit: exact filtered top-5 vs the
+    // nprobe=4 filtered serve — prices the filtered-search dial
+    "emb_ivf_filtered_recall" -> (graft.store.AnnIndex.embIvfFilteredRecall(_, _)),
     // incremental maintenance: build on the base half, APPEND the
     // delta against the frozen quantizers, serve — the oracle trains
     // on the base half only, so the hash certifies the append contract

@@ -96,7 +96,12 @@ object Similarity {
   def embTopk(s: SparkSession, dir: String, k: Int = 5): DataFrame =
     embTopkDf(Tables.embeddings(s, dir), k)
 
-  def embTopkDf(emb: DataFrame, k: Int): DataFrame = {
+  /** `candPred`: restrict the CANDIDATE side (queries still come from
+    * the full panel) — the exact denominator of the filtered-serve
+    * recall audit.
+    */
+  def embTopkDf(emb: DataFrame, k: Int,
+      candPred: Option[Column] = None): DataFrame = {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // stream-side round-robin repartition, same discipline as
@@ -105,7 +110,8 @@ object Similarity {
     // whole n×q scan on one task (r10 bench: cpu/wall ≈ 1 at 32 cores)
     val shufflePartitions =
       emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val pairs = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val pairs = candPred.map(emb.filter).getOrElse(emb)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
       .repartition(shufflePartitions)
       .crossJoin(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -935,6 +935,23 @@ object AnnIndex {
   def embIvfPqRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame =
     recallCensus(Similarity.embTopk(s, dir, k), embIvfPqServe(s, dir, k), k)
 
+  /** The FILTERED-serve audit: recall@k of `embIvfServeFiltered`
+    * against the exact top-k over the SAME metadata slice — the
+    * measurement that prices the filtered-search dial (nprobe 2 → 4
+    * compensating the ~10× thinner per-cell pool; routing loss is the
+    * only miss mode, there is no compression here). The exact side is
+    * the filtered-candidate brute force over the fixed query panel —
+    * q×(n/|slice|) work, the same sampled-audit cost shape as the
+    * unfiltered recall rows.
+    */
+  def embIvfFilteredRecall(s: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 4, label: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val exact = Similarity.embTopkDf(emb, k,
+      candPred = Some(col("label") === lit(label)))
+    recallCensus(exact, embIvfServeFiltered(s, dir, k, nprobe, label), k)
+  }
+
   /** The same composed-index audit on ANN's OPERATING geometry. The
     * driver's synthetic embeddings are near-uniform on the sphere —
     * PQ's worst case (neighbor cosines crowd one narrow band, so the
