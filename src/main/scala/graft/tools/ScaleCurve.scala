@@ -393,6 +393,25 @@ object ScaleCurve {
       }
       graft.store.Checkpoints.free(spark)
     }
+
+    // filtered-ANN dial curve: mean recall@5 and wall of the filtered
+    // serve (label = 3) across the nprobe sweep — the measurement that
+    // prices the filtered-search knob (routing loss is the only miss
+    // mode; the exact filtered top-5 denominator recomputes per rung,
+    // a fixed q×slice cost). Expect recall monotone in nprobe and the
+    // wall roughly flat until nprobe approaches the cell count.
+    if (section("filteredann")) {
+      val AI = graft.store.AnnIndex
+      noop(AI.embIvfFilteredRecall(spark, dir, 5, 2, 3)) // build + warm
+      graft.store.Checkpoints.free(spark)
+      for (np <- Seq(1, 2, 4, 8)) {
+        def run() = AI.embIvfFilteredRecall(spark, dir, 5, np, 3)
+        val t = Seq.fill(2)(timed(noop(run()))).min
+        val mean = run().agg(avg(col("recall"))).head().getDouble(0)
+        println(f"filteredann nprobe=$np%-3d mean_recall=$mean%.3f  $t%7.2f s")
+        graft.store.Checkpoints.free(spark)
+      }
+    }
     spark.stop()
   }
 }
