@@ -1191,6 +1191,40 @@ object OracleSql {
          |       ELSE 'tail' END AS ppl_bucket
          |FROM sbb, cuts ORDER BY doc_id""".stripMargin,
 
+    // CCNet per-language bucketing: identical scored chain; histogram
+    // keys on (lang, bin), cuts derive per lang with in-plan totals,
+    // bucket compares against the lang's own (c1, c2)
+    "tx_ccnet_ppl_by_lang" ->
+      s"""WITH $toksCte,
+         |${gramBucketCtes("t")},
+         |m AS (SELECT bucket,
+         |    count(*) FILTER (WHERE lang = 'en') AS c_t
+         |  FROM gi GROUP BY bucket),
+         |tot AS (SELECT sum(c_t)::BIGINT AS n_t FROM m),
+         |lp AS (SELECT bucket,
+         |    (log2((c_t + 1)::DOUBLE) - log2((n_t + 1024)::DOUBLE)) AS lp
+         |  FROM m, tot),
+         |sc AS (SELECT gi.doc_id, gi.lang, count(*)::BIGINT AS n_grams,
+         |    sum(-(lp.lp)) AS h
+         |  FROM gi JOIN lp USING (bucket) GROUP BY 1, 2),
+         |sb AS (SELECT doc_id, lang, n_grams,
+         |    round(h / n_grams, 6) AS bits_per_gram FROM sc),
+         |sbb AS (SELECT *, least(greatest(floor(bits_per_gram * 50.0), 0.0),
+         |    1000.0)::BIGINT AS bin FROM sb),
+         |hist AS (SELECT lang, bin, count(*) AS cnt FROM sbb GROUP BY 1, 2),
+         |cum AS (SELECT lang, bin, cnt,
+         |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum FROM hist),
+         |totl AS (SELECT lang, sum(cnt) AS n_docs FROM hist GROUP BY lang),
+         |cuts AS (SELECT lang,
+         |    min(CASE WHEN cum * 3 >= n_docs THEN bin END) AS c1,
+         |    min(CASE WHEN cum * 3 >= 2 * n_docs THEN bin END) AS c2
+         |  FROM cum JOIN totl USING (lang) GROUP BY lang)
+         |SELECT s.doc_id, s.lang, s.n_grams, s.bits_per_gram,
+         |  CASE WHEN s.bin <= c.c1 THEN 'head'
+         |       WHEN s.bin <= c.c2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM sbb s JOIN cuts c USING (lang) ORDER BY s.doc_id""".stripMargin,
+
     // hashed multinomial NB lang-ID: train on hash-split buckets <90,
     // score split ≥95; score = prior + Σ log2(c+1) − n·log2(N_l+1024),
     // argmax at 6 dp with lang-asc tiebreak, output = confusion matrix

@@ -113,6 +113,9 @@ object SparkEntry {
     // hashed-bucket LM, head/middle/tail via quantized-histogram cuts
     // (no global sort, no data-plane window)
     "tx_ccnet_ppl"    -> (TX.txCcnetPpl(_, _)),
+    // CCNet's actual geometry: per-LANGUAGE tertiles (each language
+    // bucketed against its own LM percentiles)
+    "tx_ccnet_ppl_by_lang" -> (TX.txCcnetPplByLang(_, _)),
     // winnowing fingerprints (MOSS): rightmost-min-per-window selection
     // over positional 5-gram hashes + cross-doc shared-print counts
     "tx_winnow" -> (TX.txWinnow(_, _)),

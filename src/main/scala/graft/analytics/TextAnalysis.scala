@@ -1571,9 +1571,14 @@ object TextAnalysis {
   def txCcnetPpl(s: SparkSession, dir: String): DataFrame =
     txCcnetPplDf(Tables.documents(s, dir))
 
-  def txCcnetPplDf(docs: DataFrame, buckets: Int = 1024,
-      targetLang: String = "en"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The shared CCNet scored relation: per-doc cross-entropy under the
+    * targetLang hashed-bucket LM, rounded bits/gram, quantized bin.
+    * Returned PERSISTED with the count() barrier already taken (plain
+    * persist + count, the shardByOrder discipline) — both bucketing
+    * variants consume it twice (histogram + final projection).
+    */
+  private def ccnetScored(docs: DataFrame, buckets: Int,
+      targetLang: String): (DataFrame, Long) = {
     val b = lit(buckets.toLong)
     val grams = hashedGrams(docs, buckets)
     val model = graft.similarity.Similarity.materializeSmall(
@@ -1583,8 +1588,6 @@ object TextAnalysis {
     val lp = model.crossJoin(broadcast(nT)).select(col("bucket"),
       (log(2.0, (col("c_t") + lit(1L)).cast(DoubleType)) -
         log(2.0, (col("n_t") + b).cast(DoubleType))).as("lp"))
-    // plain persist + count barrier (the shardByOrder discipline): the
-    // scored relation feeds the histogram AND the final projection
     val scored = grams.join(broadcast(lp), Seq("bucket"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_grams"), sum(-col("lp")).as("h"))
@@ -1593,7 +1596,24 @@ object TextAnalysis {
         least(greatest(floor(col("bits_per_gram") * lit(50.0)), lit(0.0)),
           lit(1000.0)).cast(LongType))
       .persist()
-    val nDocs = scored.count() // control-plane: one scalar
+    (scored, scored.count()) // control-plane: one scalar
+  }
+
+  private def ccnetBucketed(scored: DataFrame, cuts: DataFrame,
+      joinKeys: Seq[String]): DataFrame =
+    (if (joinKeys.isEmpty) scored.crossJoin(broadcast(cuts))
+     else scored.join(broadcast(cuts), joinKeys))
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        col("bits_per_gram"),
+        when(col("bin") <= col("c1"), "head")
+          .when(col("bin") <= col("c2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+
+  def txCcnetPplDf(docs: DataFrame, buckets: Int = 1024,
+      targetLang: String = "en"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (scored, nDocs) = ccnetScored(docs, buckets, targetLang)
     // single-partition window is FINE here: hist is ≤1001 rows
     val wCum = Window.orderBy(col("bin"))
     val cum = scored.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
@@ -1601,13 +1621,36 @@ object TextAnalysis {
     val cuts = cum.agg(
       min(when(col("cum") * 3 >= lit(nDocs), col("bin"))).as("c1"),
       min(when(col("cum") * 3 >= lit(2L * nDocs), col("bin"))).as("c2"))
-    scored.crossJoin(broadcast(cuts))
-      .select(col("doc_id"), col("lang"), col("n_grams"),
-        col("bits_per_gram"),
-        when(col("bin") <= col("c1"), "head")
-          .when(col("bin") <= col("c2"), "middle")
-          .otherwise("tail").as("ppl_bucket"))
-      .orderBy(col("doc_id"))
+    ccnetBucketed(scored, cuts, Nil)
+  }
+
+  /** CCNet's ACTUAL bucketing geometry: head/middle/tail computed PER
+    * LANGUAGE (Wenzek et al. bucket each language against its own LM
+    * percentiles — a global cut would put every hard language wholly
+    * in the tail). Same scored relation, same quantized-histogram cut
+    * mechanism, but the histogram keys on (lang, bin) — still
+    * control-plane (≤ langs×1001 rows; the window partitions by lang)
+    * — and the per-lang (c1, c2) cut table broadcasts as an equi-join
+    * on lang. Per-language totals derive in-plan: no driver-side
+    * count at all in this variant.
+    */
+  def txCcnetPplByLang(s: SparkSession, dir: String): DataFrame =
+    txCcnetPplByLangDf(Tables.documents(s, dir))
+
+  def txCcnetPplByLangDf(docs: DataFrame, buckets: Int = 1024,
+      targetLang: String = "en"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (scored, _) = ccnetScored(docs, buckets, targetLang)
+    val hist = scored.groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    // lang-partitioned window over the ≤langs×1001-row histogram
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("bin"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+    val tot = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n_docs"))
+    val cuts = cum.join(tot, Seq("lang")).groupBy(col("lang")).agg(
+      min(when(col("cum") * 3 >= col("n_docs"), col("bin"))).as("c1"),
+      min(when(col("cum") * 3 >= col("n_docs") * 2, col("bin"))).as("c2"))
+    ccnetBucketed(scored, cuts, Seq("lang"))
   }
 
   /** Hashed multinomial Naive-Bayes language classifier, trained on the

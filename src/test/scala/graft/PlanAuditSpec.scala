@@ -52,7 +52,7 @@ class PlanAuditSpec extends SparkSpec {
     "tx_dsir_weights", "tx_dsir_select", "tx_nb_langid",
     // 1-row N_t total × ≤1024-row model (−log2 p derive) + the 1-row
     // (c1, c2) tertile-cut broadcast against the scored scan
-    "tx_ccnet_ppl",
+    "tx_ccnet_ppl", "tx_ccnet_ppl_by_lang",
     // the recall audit's exact denominator is the broadcast-panel ×
     // filtered-candidate scan (same by-design shape as emb_*_recall)
     "emb_ivf_filtered_recall")
