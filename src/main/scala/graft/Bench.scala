@@ -191,26 +191,11 @@ object Bench {
     // not as an invalid number interpolated into the artifact JSON
     val codegenCache: Int =
       sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // scale-critical confs (bypassMergeThreshold, NTZ, ANSI, AQE,
+    // shuffle-partition policy) come from the shared factory — r15
+    // verdict #3; the bench adds only its measurement-session knobs
+    val spark = GraftSession.local(cpus)
       .config("spark.sql.codegen.cache.maxEntries", codegenCache)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      // Never take the bypass-merge shuffle write path: with P reduce
-      // partitions it opens P files PER MAP TASK (open+concat+delete),
-      // and thread dumps of the r15 shuffle-heavy rows showed ~40% of
-      // RUNNABLE executor samples inside FileOutputStream.open0 under
-      // DiskBlockObjectWriter.initialize — the map stages were
-      // syscall-bound on concurrent file creates, not compute-bound
-      // (dedup_exact_runs cpu ~3× its r14 gate cost on the same code).
-      // The sort writer's one-spill-file-per-map-task shape is also the
-      // only shape that survives real reducer counts — at 100 TB a
-      // 10k-reducer bypass would open 10k files per task.
-      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
-      .config("spark.ui.enabled", "false")
       // Bound the status-store live set. Even with the UI off, the
       // app-status and SQL listeners retain per-execution state —
       // including the full physical-plan description string of every
@@ -282,7 +267,9 @@ object Bench {
     // family's pinned reader path is monomorphic by construction, so
     // pre-compiling it moves run 1's C2 transition outside the timed
     // window without touching what the other families see.
-    val wantPng = warmWanted(names.contains("mm_png"))
+    // dedup_phash drives the same pinned PNG encode/decode chain
+    val wantPng = warmWanted(names.contains("mm_png") ||
+      names.contains("dedup_phash"))
     val wantJpeg = warmWanted(names.contains("mm_jpeg"))
     val wantGif = warmWanted(names.contains("mm_gif"))
     if (wantPng || wantJpeg || wantGif)

@@ -198,6 +198,38 @@ object OracleSql {
       |    generate_series(1, len(toks) - 2),
       |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
       |  ELSE []::VARCHAR[] END) AS s FROM t)""".stripMargin
+  /** The phash fixture + detector chain (operators.Multimodal
+    * `phashBlockLevel`/`dhash60` + dedup.Dedup.dedupPhashPairsDf),
+    * re-derived from the generating arithmetic — the Spark side
+    * computes the SAME fingerprints from really PNG-encoded-and-
+    * decoded rasters, so a hash match certifies codec round-trip and
+    * fingerprint math together. Ends with `ppair` (media_a, media_b,
+    * hamming ≤ 4) and keeps `pm` (the media corpus) in scope for the
+    * apply oracle.
+    */
+  private val phashCtes =
+    """pm AS (
+      |  SELECT doc_id AS media_id, doc_id AS src_id, 0 AS planted FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id, 1 FROM documents WHERE doc_id % 20 = 7),
+      |plv AS (SELECT media_id, k,
+      |    ((('0x' || substr(md5('phash|' || src_id || '|' || k), 1, 15))::BIGINT % 256
+      |      + CASE WHEN planted = 1 AND k IN (9, 41) THEN 40 ELSE 0 END) % 256) AS lvl
+      |  FROM pm CROSS JOIN generate_series(0, 60) g(k)),
+      |pfp AS (SELECT a.media_id,
+      |    sum(CASE WHEN a.lvl > b.lvl THEN (1::BIGINT << a.k) ELSE 0 END)::BIGINT AS fp
+      |  FROM plv a JOIN plv b ON a.media_id = b.media_id AND b.k = a.k + 1
+      |  WHERE a.k < 60 GROUP BY a.media_id),
+      |pbands AS (SELECT media_id, fp, b, (fp >> (b * 15)) & 32767 AS band_key
+      |  FROM pfp CROSS JOIN generate_series(0, 3) g(b)),
+      |pcand AS (SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+      |    x.fp AS fp_a, y.fp AS fp_b
+      |  FROM pbands x JOIN pbands y
+      |  ON x.b = y.b AND x.band_key = y.band_key AND x.media_id < y.media_id),
+      |ppair AS (SELECT media_a, media_b,
+      |    bit_count(xor(fp_a, fp_b))::BIGINT AS hamming
+      |  FROM pcand WHERE bit_count(xor(fp_a, fp_b)) <= 4)""".stripMargin
+
   private val simhashCtes =
     """tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
       |th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
@@ -2006,6 +2038,24 @@ object OracleSql {
          |SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b))::BIGINT AS hamming
          |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 4
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // perceptual-hash image near-dup: the banded-pipeline replay (like
+    // dedup_simhash's oracle — candidates from bands, then the Hamming
+    // threshold), fingerprints from the generating arithmetic where the
+    // Spark side round-trips a real PNG codec
+    "dedup_phash" ->
+      s"""WITH $phashCtes
+         |SELECT media_a, media_b, hamming FROM ppair
+         |ORDER BY media_a, media_b""".stripMargin,
+
+    // apply: arrival-ordered keep policy — drop a media iff it
+    // near-matches a LOWER media_id (the pair report's media_b side)
+    "dedup_phash_apply" ->
+      s"""WITH $phashCtes
+         |SELECT pm.media_id, pm.src_id AS src_doc_id,
+         |  (pm.planted = 1) AS planted,
+         |  pm.media_id NOT IN (SELECT media_b FROM ppair) AS is_kept
+         |FROM pm ORDER BY pm.media_id""".stripMargin,
 
     "dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -113,8 +113,9 @@ object SparkEntry {
     // hashed-bucket LM, head/middle/tail via quantized-histogram cuts
     // (no global sort, no data-plane window)
     "tx_ccnet_ppl"    -> (TX.txCcnetPpl(_, _)),
-    // CCNet's actual geometry: per-LANGUAGE tertiles (each language
-    // bucketed against its own LM percentiles)
+    // CCNet's cut geometry: per-LANGUAGE tertiles — every language is
+    // scored under the single targetLang LM (CCNet proper trains one
+    // LM per language), but the head/middle/tail cuts are per-language
     "tx_ccnet_ppl_by_lang" -> (TX.txCcnetPplByLang(_, _)),
     // winnowing fingerprints (MOSS): rightmost-min-per-window selection
     // over positional 5-gram hashes + cross-doc shared-print counts
@@ -186,6 +187,11 @@ object SparkEntry {
     // MinHash-LSH family, chunk-dup pairs rolled up to doc pairs
     "dedup_chunks"        -> (Dedup.dedupChunks(_, _)),
     "dedup_simhash"       -> (Dedup.dedupSimhash(_, _)),
+    // perceptual-hash IMAGE near-dup (multimodal × dedup): dHash over
+    // real PNG-decoded rasters, simhash-style banded Hamming join —
+    // never all-pairs; planted 2-block retouches are guaranteed hits
+    "dedup_phash"         -> (Dedup.dedupPhash(_, _)),
+    "dedup_phash_apply"   -> (Dedup.dedupPhashApply(_, _)),
     // winnowed-fingerprint pairs (MOSS): guaranteed detection of shared
     // ≥8-token runs from the ~0.4× winnow index, inverted-index join
     "dedup_winnow"        -> (Dedup.dedupWinnow(_, _)),
@@ -370,8 +376,14 @@ object SparkEntry {
     "tx_fingerprint", "tx_boilerplate",
     "asof_join_purchase", "range_join_burst", "decontaminate",
     "emb_quantized_topk",
+    // dedup_embedding_090 (the exact O(n²) twin at the showcase
+    // threshold) is REGISTERED but not benched (r15 verdict #3): it was
+    // 60% of the artifact's cpuTotal re-proving a parity the oracle
+    // gate already hash-certifies at three scales; its LSH twin stays.
+    // The 0.45-threshold exact/LSH head-to-head below keeps one
+    // exact-vs-bucketed price comparison on the bench.
     "avro_roundtrip", "dedup_embedding_045", "dedup_embedding_lsh",
-    "dedup_embedding_090", "dedup_embedding_lsh_090",
+    "dedup_embedding_lsh_090",
     "tx_repetition", "dedup_semantic", "tx_heavy_hitters",
     "emb_mmr_serve", "emb_ivfpq_recall", "tx_freq_cm", "hybrid_topk",
     "hybrid_serve",
@@ -389,5 +401,7 @@ object SparkEntry {
     // the bench list had missed (verdict #5)
     "dedup_exact_runs", "dedup_exact_runs_apply",
     // r14: DSIR resample + hashed-NB lang-ID (the bucket-model family)
-    "tx_dsir_select", "tx_nb_langid")
+    "tx_dsir_select", "tx_nb_langid",
+    // r16: perceptual-hash image near-dup (codec pass + banded join)
+    "dedup_phash")
 }

@@ -7,21 +7,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // read naive parquet timestamps as TIMESTAMP_NTZ end-to-end so the
-      // dumped results are byte-compatible with the DuckDB oracle
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-      // hash mixing (LSH) relies on wrap-around int64 arithmetic
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      // one spill file per map task, never P-files-per-task bypass
-      // (see Bench.scala's builder for the measured rationale)
-      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // all scale-critical confs come from the shared factory (r15
+    // verdict #3 — one place, asserted in GraftSessionSpec)
+    val spark = GraftSession.local(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=name1,name2 restricts the dump (local iteration;

@@ -1624,10 +1624,13 @@ object TextAnalysis {
     ccnetBucketed(scored, cuts, Nil)
   }
 
-  /** CCNet's ACTUAL bucketing geometry: head/middle/tail computed PER
-    * LANGUAGE (Wenzek et al. bucket each language against its own LM
-    * percentiles — a global cut would put every hard language wholly
-    * in the tail). Same scored relation, same quantized-histogram cut
+  /** CCNet's CUT geometry: head/middle/tail computed PER LANGUAGE — a
+    * global cut would put every hard language wholly in the tail.
+    * Honest delta vs Wenzek et al. (ADVICE r15): CCNet proper trains
+    * one LM per language and scores each language under its own;
+    * here every language is scored under the single `targetLang`
+    * hashed-bucket LM and only the tertile CUTS are per-language.
+    * Same scored relation, same quantized-histogram cut
     * mechanism, but the histogram keys on (lang, bin) — still
     * control-plane (≤ langs×1001 rows; the window partitions by lang)
     * — and the per-lang (c1, c2) cut table broadcasts as an equi-join

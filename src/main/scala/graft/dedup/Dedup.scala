@@ -811,6 +811,73 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** PERCEPTUAL-HASH image near-dup pairs — the multimodal × dedup
+    * composition (r15 verdict #4): dHash fingerprints of the DECODED
+    * image rasters (`Multimodal.mmPhashFingerprints` — real PNG
+    * encode→decode on the codec boundary), then exactly the SimHash
+    * detector's scale shape: 4×15-bit bands for candidate generation
+    * (shuffle on (band, key) — bucket-mates only, never all-pairs),
+    * Hamming-verified ≤ 4. Retouched copies (a few changed blocks)
+    * land within 2 flipped bits per changed block, so the planted
+    * 2-block retouches are GUARANTEED band candidates (they leave two
+    * of the four bands untouched) and sit inside the threshold.
+    *
+    * Scale shape: fingerprints are one narrow codec pass persisted
+    * once (the band self-join reads it twice); candidates shuffle on
+    * band keys; the verify is a bit_count over the already-joined
+    * fingerprints. At 100 TB the image corpus never meets itself
+    * outside shared 15-bit bands.
+    */
+  def dedupPhash(s: SparkSession, dir: String): DataFrame = {
+    val fps = graft.operators.Multimodal.mmPhashFingerprints(s, dir).persist()
+    fps.count() // materialize the codec pass once, before the self-join
+    val result = dedupPhashPairsDf(fps).localCheckpoint(true)
+    fps.unpersist()
+    result
+  }
+
+  def dedupPhashPairsDf(fps: DataFrame): DataFrame = {
+    val bands = fps.select(col("media_id"), col("phash60").as("fp"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_key",
+        expr("shiftright(fp, band * 15)").bitwiseAND(lit(32767L)))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+      .distinct()
+    cand.select(col("media_a"), col("media_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType)
+          .as("hamming"))
+      .filter(col("hamming") <= 4)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** The phash APPLY: the deduplicated image corpus. Keep policy is
+    * the incremental-ingest one — a media row is dropped iff it
+    * near-matches a LOWER media_id (the pair report's `media_b` side),
+    * i.e. the earliest-ingested copy of every match survives. On pure
+    * pair structure (each retouch matches only its base) this equals
+    * keep-canonical-per-cluster; on chains it keeps every chain's
+    * head, the policy an arrival-ordered image feed actually applies.
+    */
+  def dedupPhashApply(s: SparkSession, dir: String): DataFrame = {
+    val fps = graft.operators.Multimodal.mmPhashFingerprints(s, dir).persist()
+    fps.count()
+    val drop = dedupPhashPairsDf(fps).select(col("media_b").as("media_id"))
+      .distinct()
+    val result = fps
+      .join(drop.withColumn("dropped", lit(true)), Seq("media_id"), "left")
+      .select(col("media_id"), col("src_doc_id"), col("planted"),
+        coalesce(!col("dropped"), lit(true)).as("is_kept"))
+      .orderBy(col("media_id"))
+      .localCheckpoint(true)
+    fps.unpersist()
+    result
+  }
+
   /** EXACT-SUBSTRING dedup pairs — the Lee et al. 2022 ("Deduplicating
     * Training Data Makes Language Models Better", §4) signal, the one
     * dedup family the detectors above deliberately approximate: for

@@ -295,11 +295,18 @@ object Multimodal {
     * the convenience path's; the certified quantities are the DECODED
     * raster's in any case, never the container's.
     */
-  def encodePng(mediaId: Long, contentLen: Long): Array[Byte] = {
+  def encodePng(mediaId: Long, contentLen: Long): Array[Byte] =
+    pngBytes(fixtureRaster(mediaId, contentLen))
+
+  /** The pinned PNG writer applied to an arbitrary raster (shared by
+    * the fixture family above and the phash fixture below — one
+    * monomorphic write chain either way).
+    */
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    try { w.setOutput(ios); w.write(fixtureRaster(mediaId, contentLen)) }
+    try { w.setOutput(ios); w.write(img) }
     finally { w.dispose(); ios.close() }
     bos.toByteArray
   }
@@ -537,6 +544,120 @@ object Multimodal {
       })
       .toDF()
       .orderBy(col("media_id"))
+  }
+
+  // ---- perceptual-hash image fingerprints (the multimodal × dedup
+  // composition a 100 TB training pipeline runs BEFORE caption dedup:
+  // near-identical images with different bytes — recompressed, mildly
+  // retouched — collapse to nearby dHashes, and the banded Hamming
+  // join finds them without an all-pairs scan).
+
+  /** Offset/plant parameters of the phash fixture corpus: every doc
+    * renders one block image; docs with `doc_id % 20 == 7` ALSO plant a
+    * retouched copy at `doc_id + PhashPlantOffset` whose blocks 9 and
+    * 41 are brightened by 40 gray levels. Two changed blocks flip at
+    * most 4 dHash bits (each block participates in exactly two
+    * adjacent-block comparisons), so every planted pair sits at
+    * Hamming ≤ 4 — inside the detector's operating threshold — and
+    * touches at most bands 0 and 2 of the 4×15 banding, so band
+    * candidacy is GUARANTEED, not probabilistic.
+    */
+  val PhashPlantOffset = 1000000L
+  val PhashPlantMod = 20L
+  val PhashPlantRes = 7L
+  val PhashPlantBlocks: Seq[Int] = Seq(9, 41)
+  val PhashPlantBump = 40
+
+  /** Block level k of doc `srcId`'s phash fixture image: the md5-backed
+    * hash60 (the corpus-wide hash convention, mirrored in DuckDB as
+    * `('0x' || substr(md5(…), 1, 15))::BIGINT`) mod 256. Content-hashed
+    * blocks — unlike the sawtooth fixture above — make unrelated docs'
+    * dHashes ~30 bits apart (each bit is an independent coin), so the
+    * detector's matches are the planted retouches, not fixture
+    * artifacts.
+    */
+  def phashBlockLevel(srcId: Long, k: Int, planted: Boolean): Int = {
+    val base = (graft.functions.TextHash.hash60(s"phash|$srcId|$k") % 256L).toInt
+    if (planted && PhashPlantBlocks.contains(k)) (base + PhashPlantBump) % 256
+    else base
+  }
+
+  /** The phash fixture raster: 16×16 gray, an 8×8 grid of uniform
+    * 2×2-pixel blocks at [[phashBlockLevel]] levels.
+    */
+  def phashRaster(srcId: Long, planted: Boolean): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(Side, Side,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var k = 0
+    while (k < 64) {
+      val lvl = phashBlockLevel(srcId, k, planted)
+      val bx = (k % 8) * 2
+      val by = (k / 8) * 2
+      r.setSample(bx, by, 0, lvl); r.setSample(bx + 1, by, 0, lvl)
+      r.setSample(bx, by + 1, 0, lvl); r.setSample(bx + 1, by + 1, 0, lvl)
+      k += 1
+    }
+    img
+  }
+
+  /** 60-bit dHash of a DECODED raster: bit k is set iff block k's mean
+    * gray exceeds block k+1's (row-major 8×8 block grid, blocks 0-60 —
+    * 60 bits rather than the classic 64 so the fingerprint matches the
+    * engine's 60-bit hash convention and every banded/summed form stays
+    * inside positive signed-64 range in BOTH engines; DuckDB's BIGINT
+    * sum of `1 << 63` would overflow). Block means are exact integer
+    * division of a 4-sample sum, so lossless codecs round-trip the
+    * fingerprint bit-for-bit.
+    */
+  def dhash60(img: java.awt.image.BufferedImage): Long = {
+    val r = img.getRaster
+    val lv = new Array[Int](61)
+    var k = 0
+    while (k < 61) {
+      val bx = (k % 8) * 2
+      val by = (k / 8) * 2
+      lv(k) = (r.getSample(bx, by, 0) + r.getSample(bx + 1, by, 0) +
+        r.getSample(bx, by + 1, 0) + r.getSample(bx + 1, by + 1, 0)) / 4
+      k += 1
+    }
+    var fp = 0L
+    k = 0
+    while (k < 60) {
+      if (lv(k) > lv(k + 1)) fp |= (1L << k)
+      k += 1
+    }
+    fp
+  }
+
+  case class PhashRow(media_id: Long, src_doc_id: Long, planted: Boolean,
+      phash60: Long)
+
+  /** The phash fingerprint pass: corpus images (base + planted
+    * retouches) → REAL PNG encode (pinned writer) → REAL decode
+    * (pinned reader) → dHash from the DECODED raster. PNG is lossless,
+    * so the oracle recomputes the same fingerprint from the generating
+    * arithmetic — a hash match certifies codec round-trip AND
+    * fingerprint math together. Same narrow mapPartitions codec
+    * boundary as every mm_* family: no shuffle, parallel by split.
+    */
+  def mmPhashFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val media = docs
+      .select(col("doc_id").as("media_id"), col("doc_id").as("src_id"),
+        lit(false).as("planted"))
+      .unionByName(docs
+        .filter(col("doc_id") % PhashPlantMod === PhashPlantRes)
+        .select((col("doc_id") + PhashPlantOffset).as("media_id"),
+          col("doc_id").as("src_id"), lit(true).as("planted")))
+    graft.Par.spread(media).as[(Long, Long, Boolean)]
+      .mapPartitions(_.map { case (mid, sid, pl) =>
+        val img = decodePngDirect(pngBytes(phashRaster(sid, pl)))
+        require(img != null, s"phash PNG of media $mid failed to decode")
+        PhashRow(mid, sid, pl, dhash60(img))
+      })
+      .toDF()
   }
 
   /** Fixture audio: 1024 samples of 8-bit unsigned mono PCM at 8 kHz,

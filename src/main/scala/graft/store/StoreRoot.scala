@@ -83,6 +83,26 @@ object StoreRoot {
     * process with that pid exists AND its start instant matches — a
     * recycled pid no longer shields a dead JVM's tree forever.
     */
+  /** Never-recycled identity for scratch-tree ownership: Thread.getId
+    * may be reused by the JVM after a thread dies, so trees are keyed
+    * by a per-thread tag drawn once from a monotonic counter. The
+    * loader nonce keeps tags disjoint across classloaders sharing one
+    * JVM (each loader's counter restarts at 0 — without the nonce two
+    * loaders' first threads would share a tree path).
+    */
+  private val loaderNonce: String =
+    java.lang.Long.toHexString(System.nanoTime() & 0xFFFFFFFFL)
+  private val threadTagSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val threadTag: ThreadLocal[String] = ThreadLocal.withInitial(() =>
+    s"$loaderNonce-${threadTagSeq.incrementAndGet()}")
+
+  /** Registry of issued scratch trees: tag → owning Thread. The sweep
+    * in [[scratchRoot]] reclaims exactly the registered trees whose
+    * owner Thread has died — see the inline rationale there.
+    */
+  private val issuedTrees =
+    new java.util.concurrent.ConcurrentHashMap[String, Thread]()
+
   def scratchRoot(name: String): String = {
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_scratch")
@@ -110,20 +130,33 @@ object StoreRoot {
     // intra-JVM reclamation (review r15): a thread-pool caller whose
     // threads retire would otherwise accumulate one tree per retired
     // thread for the JVM's whole life — the very accumulation this
-    // root bounds. Sweep sibling t<id> dirs whose thread is no longer
-    // live (same lifetime contract as the clear-on-entry reuse: a
-    // tree is only guaranteed until its owner's next acquisition — or
-    // its owner's death).
-    val live = java.lang.management.ManagementFactory.getThreadMXBean
-      .getAllThreadIds.toSet
+    // root bounds. Sweep is REGISTRY-driven, not snapshot-driven
+    // (ADVICE r15, both items): the registry maps each issued tree's
+    // tag to its owner Thread OBJECT, and a tree is reclaimed only
+    // when that exact Thread reports !isAlive — there is no
+    // list-vs-snapshot ordering to race (a thread that starts mid-
+    // sweep either has no registry entry yet, and therefore no tree
+    // this registry issued, or is registered with a live Thread and
+    // kept), and tags come from a monotonic counter, so a recycled
+    // Thread.getId can neither inherit a retired thread's tree nor
+    // shield a dead one. Trees under this jvmRoot that are NOT in the
+    // registry (another classloader of the same JVM — sbt's layered
+    // test loaders) are left alone: bounded by loader count, reclaimed
+    // by the dead-JVM sweep above when the JVM exits.
     val jvmRoot = base.resolve(jvmDir)
-    Option(jvmRoot.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
-      val dead = f.getName.startsWith("t") &&
-        scala.util.Try(f.getName.drop(1).toLong).toOption.exists(!live.contains(_))
-      if (dead) org.apache.commons.io.FileUtils.deleteQuietly(f)
+    val it = issuedTrees.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getValue.isAlive) {
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          jvmRoot.resolve(s"t${e.getKey}").toFile)
+        it.remove()
+      }
     }
+    val tag = threadTag.get()
+    issuedTrees.put(tag, Thread.currentThread())
     val root = jvmRoot
-      .resolve(s"t${Thread.currentThread().getId}")
+      .resolve(s"t$tag")
       .resolve(name)
     org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
     java.nio.file.Files.createDirectories(root)

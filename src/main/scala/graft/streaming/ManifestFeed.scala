@@ -43,40 +43,73 @@ object ManifestFeed {
   private def fs(s: SparkSession, p: String) =
     new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Publish one delivery: write `df` as `nFiles` part files under
-    * `$root/data/d<deliveryId>`, then atomically publish the manifest
-    * `$root/feed/m<deliveryId>.txt` whose single line is that data
-    * directory. Returns the data directory.
+  /** Publish one delivery: write `df` as `nFiles` part files under a
+    * PER-ATTEMPT data directory `$root/data/d<deliveryId>-a<nonce>`,
+    * then atomically publish the manifest `$root/feed/m<deliveryId>
+    * .txt` whose single line is that data directory. Returns the data
+    * directory.
+    *
+    * Duplicate-delivery safety (review r15 + ADVICE r15): the earlier
+    * shape — a shared `d<deliveryId>` data dir guarded by a manifest
+    * exists() check — was check-then-act: two concurrent deliver()
+    * calls with the same deliveryId could both pass the check and the
+    * second overwrite() would rewrite a data dir the first had already
+    * (or was about to) publish, mid-read. Now NO attempt ever writes a
+    * path another attempt can reference: each attempt stages into its
+    * own nonce'd dir, and the manifest names the winner's dir. The
+    * exists() check stays as the fail-fast for the common sequential
+    * duplicate, and the post-rename READ-BACK closes the concurrent
+    * window: an attempt only returns success after observing its OWN
+    * data dir in the published manifest — a racer that lost the rename
+    * (or was clobbered by a local-fs rename-over-existing) sees the
+    * winner's line, removes its never-referenced staging dir, and
+    * throws. Published data directories remain immutable forever; a
+    * retry of a genuinely-failed deliver (manifest absent) just stages
+    * a fresh nonce'd dir. Callers must hold deliveryId → content
+    * stable (the sink replay contract); which attempt's identical
+    * bytes win is then immaterial. Orphaned loser dirs are bounded by
+    * concurrent-duplicate count and live under `data/` for the feed's
+    * (scratch-rooted, swept) lifetime.
     */
   def deliver(df: DataFrame, root: String, deliveryId: Long,
       nFiles: Int): String = {
     val s = df.sparkSession
-    val dataDir = s"$root/data/d$deliveryId"
     val f = fs(s, root)
-    val dst0 = new Path(s"$root/feed/m$deliveryId.txt")
-    // Fail fast on a duplicate deliveryId BEFORE touching the data
-    // directory: a published delivery's data dir is immutable by
-    // contract (a running or replaying query may be reading it), and
-    // the mode("overwrite") below would delete-and-rewrite it mid-read
-    // before the manifest rename ever got the chance to fail (review
-    // r15). A retry of a genuinely-failed deliver (manifest absent) is
-    // still safe: only the unpublished data dir gets rewritten.
-    if (f.exists(dst0))
+    val dst = new Path(s"$root/feed/m$deliveryId.txt")
+    if (f.exists(dst))
       throw new java.io.IOException(
-        s"delivery $deliveryId already published ($dst0 exists); " +
+        s"delivery $deliveryId already published ($dst exists); " +
           "published data directories are immutable")
+    val dataDir =
+      s"$root/data/d$deliveryId-a${java.util.UUID.randomUUID.toString.take(8)}"
     df.repartition(nFiles).write.mode("overwrite").parquet(dataDir)
     f.mkdirs(new Path(s"$root/feed"))
-    val tmp = new Path(s"$root/.mtmp/m$deliveryId")
-    val dst = new Path(s"$root/feed/m$deliveryId.txt")
+    val tmp = new Path(s"$root/.mtmp/m$deliveryId-${dataDir.takeRight(8)}")
     f.mkdirs(tmp.getParent)
     val out = f.create(tmp, true)
     try out.write((dataDir + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, dst))
-      throw new java.io.IOException(s"manifest publish failed: $tmp -> $dst")
+    val renamed = f.rename(tmp, dst)
+    val published = readManifestLine(f, dst)
+    if (!renamed || !published.contains(dataDir)) {
+      // lost the publish race (or the rename itself failed): drop the
+      // staging dir nothing references; the winner's delivery stands
+      f.delete(new Path(dataDir), true)
+      f.delete(tmp, false)
+      throw new java.io.IOException(
+        s"delivery $deliveryId lost publish race (manifest carries " +
+          s"${published.getOrElse("<unreadable>")}); staging dir dropped")
+    }
     dataDir
   }
+
+  private def readManifestLine(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[String] =
+    try {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   /** Resolve a micro-batch of manifest rows to the document rows they
     * gate. The collect is control-plane by construction: one line per

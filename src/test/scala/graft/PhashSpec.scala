@@ -1,0 +1,67 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.operators.Multimodal
+
+/** Perceptual-hash image near-dup (r15 verdict #4): the dHash of a
+  * really-PNG-round-tripped raster must equal the generating
+  * arithmetic, planted retouches must sit inside the detector's
+  * Hamming threshold, and the banded detector must find exactly the
+  * pairs the arithmetic replay predicts.
+  */
+class PhashSpec extends SparkSpec {
+
+  private def arithmeticFp(srcId: Long, planted: Boolean): Long = {
+    val lv = (0 to 60).map(Multimodal.phashBlockLevel(srcId, _, planted))
+    (0 until 60).foldLeft(0L)((fp, k) =>
+      if (lv(k) > lv(k + 1)) fp | (1L << k) else fp)
+  }
+
+  test("dHash of the PNG round-tripped raster equals the generating arithmetic") {
+    for (sid <- Seq(0L, 7L, 123L, 499L); pl <- Seq(false, true)) {
+      val raster = Multimodal.phashRaster(sid, pl)
+      assert(Multimodal.dhash60(raster) == arithmeticFp(sid, pl),
+        s"raster dHash diverges from arithmetic for ($sid, $pl)")
+    }
+  }
+
+  test("a planted 2-block retouch flips at most 4 bits and shares two full bands") {
+    for (sid <- Seq(7L, 27L, 247L)) {
+      val base = arithmeticFp(sid, planted = false)
+      val re = arithmeticFp(sid, planted = true)
+      val ham = java.lang.Long.bitCount(base ^ re)
+      assert(ham <= 4, s"doc $sid retouch at hamming $ham > 4")
+      // blocks 9 and 41 touch bits {8,9} and {40,41} only — bands 1
+      // (bits 15-29) and 3 (bits 45-59) must be bit-identical, so band
+      // candidacy is guaranteed
+      assert((base >> 15 & 32767) == (re >> 15 & 32767))
+      assert((base >> 45 & 32767) == (re >> 45 & 32767))
+    }
+  }
+
+  test("detector finds every planted pair; apply drops exactly the dropped side") {
+    import spark.implicits._
+    val pairs = Dedup.dedupPhash(spark, Sf0001)
+      .as[(Long, Long, Long)].collect()
+    val plantedDocs = Tables.documents(spark, Sf0001)
+      .selectExpr("doc_id").as[Long].collect()
+      .filter(_ % Multimodal.PhashPlantMod == Multimodal.PhashPlantRes)
+    assert(plantedDocs.nonEmpty)
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    plantedDocs.foreach { d =>
+      assert(found.contains((d, d + Multimodal.PhashPlantOffset)),
+        s"planted pair for doc $d not detected")
+    }
+    assert(pairs.forall(_._3 <= 4))
+
+    val applied = Dedup.dedupPhashApply(spark, Sf0001)
+      .as[(Long, Long, Boolean, Boolean)].collect()
+    val droppedExpected = pairs.map(_._2).toSet
+    assert(applied.count(!_._4) == droppedExpected.size)
+    applied.foreach { case (mid, _, _, kept) =>
+      assert(kept == !droppedExpected.contains(mid),
+        s"media $mid keep flag diverges from the pair report")
+    }
+    graft.store.Checkpoints.free(spark)
+  }
+}

@@ -144,6 +144,21 @@ class PlanAuditSpec extends SparkSpec {
     graft.store.Checkpoints.free(spark)
   }
 
+  test("dedup_phash pairs: banded equi-join, never an all-pairs product") {
+    // the registered query localCheckpoints its result (codec pass is
+    // persisted once), so pin the DETECTOR plan itself: candidates
+    // must come from a hash/sort-merge EQUI-join on the band keys —
+    // a CartesianProduct or BNLJ here means the banding lost its key
+    // and the detector degenerated to O(n²) pairs
+    val p = graft.dedup.Dedup.dedupPhashPairsDf(
+        graft.operators.Multimodal.mmPhashFingerprints(spark, Sf0001))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"phash banded join degenerated to a pair product:\n$p")
+    assert(p.contains("band_key"),
+      s"phash candidate join does not key on the bands:\n$p")
+  }
+
   test("filtered ANN serve: label predicate pushed into the routed, partition-pruned scan") {
     // the two properties that make filtered serve a fraction-of-index
     // read at 100 TB: the metadata predicate must land in the parquet
