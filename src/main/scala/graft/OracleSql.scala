@@ -522,6 +522,33 @@ object OracleSql {
        |  ON s.query_id = ex.query_id AND s.neighbor_id = ex.vec_id
        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
+  /** `emb_ivf_filtered_recall_clustered` (store.AnnIndex
+    * .embIvfFilteredRecallClustered): the SAME certified filtered-
+    * recall chain with its corpus swapped for the planted-cluster
+    * showcase shape — `aug` wearing derived labels pmod(vec_id, 16)
+    * (plant offsets are multiples of 16, so copies co-label and
+    * co-seed with their bases), exactly the `emb_ivfpq_recall_
+    * clustered` derivation. The filtered-recall chain reads the raw
+    * table FIVE times — the serve chain's `e`/`pc`/`q` and the census
+    * wrapper's `e2`/`q2`; counting occurrences guards the swap's
+    * totality against future reformatting (a silent partial swap
+    * would mirror a chimera corpus).
+    */
+  private val ivfFilteredRecallClusteredSql: String = {
+    require(ivfFilteredRecallSql.startsWith("WITH srv AS"),
+      "filtered-recall-clustered: chain head anchor missing")
+    val orig = ivfFilteredRecallSql.stripPrefix("WITH ")
+    val occurrences = orig.sliding("FROM embeddings".length)
+      .count(_ == "FROM embeddings")
+    require(occurrences == 5,
+      s"filtered-recall-clustered: expected exactly 5 corpus reads to " +
+        s"swap (e, pc, q, e2, q2), found $occurrences — chain drifted")
+    val body = orig.replace("FROM embeddings", "FROM aug2")
+    "WITH " + augEmbCte + ",\n" +
+      "aug2 AS (SELECT vec_id, (vec_id % 16)::INT AS label, embedding " +
+      "FROM aug),\n" + body
+  }
+
   /** Shared recall-census tail (`emb_pq_recall` / `emb_ivfpq_recall`):
     * top-5 of the preceding chain's `approx` relation (ADC cosine,
     * ties to lowest id), the exact top-5 from e×q, and a left-join
@@ -2675,6 +2702,7 @@ object OracleSql {
     "emb_ivf_serve_filtered" -> ivfFilteredServeSql,
 
     "emb_ivf_filtered_recall" -> ivfFilteredRecallSql,
+    "emb_ivf_filtered_recall_clustered" -> ivfFilteredRecallClusteredSql,
 
     "emb_ivf_append_serve" -> ivfAppendServeSql,
 

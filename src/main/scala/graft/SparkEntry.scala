@@ -283,6 +283,11 @@ object SparkEntry {
     // the filtered-serve recall audit: exact filtered top-5 vs the
     // nprobe=4 filtered serve — prices the filtered-search dial
     "emb_ivf_filtered_recall" -> (graft.store.AnnIndex.embIvfFilteredRecall(_, _)),
+    // the same audit on ANN's operating geometry (planted clusters,
+    // labels pmod 16): the uniform row above is the adversarial floor,
+    // this is where the filtered nprobe default is justified
+    "emb_ivf_filtered_recall_clustered" ->
+      (graft.store.AnnIndex.embIvfFilteredRecallClustered(_, _)),
     // incremental maintenance: build on the base half, APPEND the
     // delta against the frozen quantizers, serve — the oracle trains
     // on the base half only, so the hash certifies the append contract

@@ -952,6 +952,34 @@ object AnnIndex {
     recallCensus(exact, embIvfServeFiltered(s, dir, k, nprobe, label), k)
   }
 
+  /** The filtered-serve audit on ANN's OPERATING geometry (r15 verdict
+    * #5): `emb_ivf_filtered_recall` prices the filtered dial on the
+    * near-uniform sphere — the adversarial floor (mean 0.62 at
+    * nprobe=4), not the shape filtered vector search is deployed
+    * against. This twin rebuilds the LABELED IVF index over the
+    * planted-cluster corpus (`Similarity.augmentedEmbeddings`, the
+    * same showcase geometry as `emb_ivfpq_recall_clustered`) with
+    * labels pmod(vec_id, 16) — plant offsets are multiples of 16, so
+    * every planted copy co-labels AND co-seeds with its base — and
+    * censuses the nprobe=4 filtered serve against the exact filtered
+    * top-k over the same slice. Together the two rows bracket the
+    * filtered-search dial: uniform floor and clustered operating
+    * point.
+    */
+  def embIvfFilteredRecallClustered(s: SparkSession, dir: String,
+      k: Int = 5, nprobe: Int = 4, label: Int = 3): DataFrame = {
+    val emb = Similarity.augmentedEmbeddings(Tables.embeddings(s, dir))
+      .withColumn("label", pmod(col("vec_id"), lit(16L)).cast(IntegerType))
+    val root = indexRoot(s, dir, "ivflc", emb.count())
+    ensureBuilt(s, root)(staging => buildIvfLabeled(emb, staging))
+    val q = Similarity.materializeSmall(emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val exact = Similarity.embTopkDf(emb, k,
+      candPred = Some(col("label") === lit(label)))
+    recallCensus(exact,
+      serveIvfTopk(s, root.toString, q, k, nprobe, labelEq = Some(label)), k)
+  }
+
   /** The same composed-index audit on ANN's OPERATING geometry. The
     * driver's synthetic embeddings are near-uniform on the sphere —
     * PQ's worst case (neighbor cosines crowd one narrow band, so the

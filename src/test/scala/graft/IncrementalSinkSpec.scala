@@ -228,6 +228,63 @@ class IncrementalSinkSpec extends SparkSpec {
     assert(keptIds(out) == Seq(1L, 11L, 21L, 99L))
   }
 
+  test("keyed sink: a multi-file delivery split across micro-batches stays exactly-once") {
+    // r15 verdict #7. ManifestFeed gates the dedup/DSIR incremental
+    // feeds because their per-batch DELIVERY STAMPS derive from
+    // batchId — a file-source poll landing mid-append splits one
+    // delivery across two micro-batches and shifts every stamp. The
+    // keyed BatchCommit sink (Streams.commitBatch) derives NOTHING
+    // from batch composition: in-batch dropDuplicates + the committed
+    // key-sidecar anti-join make every keep/drop decision
+    // composition-independent, so it tolerates the split WITHOUT a
+    // manifest. This test forces the worst case — one logical
+    // delivery's part files surfacing in two polls, with a natural-key
+    // duplicate STRADDLING the split — and asserts the table is
+    // byte-equal to the unsplit outcome.
+    import spark.implicits._
+    import graft.streaming.Streams
+    val root = Files.createTempDirectory("keyed_split")
+    val (feed, out, ckpt) = (s"$root/feed", s"$root/out", s"$root/ckpt")
+    Files.createDirectories(java.nio.file.Paths.get(feed))
+    def row(id: Long, t: String, u: Long) =
+      Streams.EventRow(id, java.sql.Timestamp.valueOf(t), u, "view", 1.0)
+    val half1 = Seq(row(1, "2024-01-01 10:00:00", 1), row(2, "2024-01-01 11:00:00", 2))
+    // row 102 duplicates row 2's NATURAL KEY (user_id, ts) from the
+    // other half of the same delivery — the straddling dup
+    val half2 = Seq(row(102, "2024-01-01 11:00:00", 2),
+      row(3, "2024-01-02 10:00:00", 3), row(4, "2024-01-02 11:00:00", 4))
+    val schema = half1.toDF().schema
+    val q = Streams.startDedupSink(
+      spark.readStream.schema(schema).parquet(feed), out, ckpt)
+    try {
+      // file 1 of the delivery lands and is polled ALONE — the
+      // mid-append window
+      half1.toDF().coalesce(1).write.mode("append").parquet(feed)
+      q.processAllAvailable()
+      // the delivery's remaining file lands in the NEXT poll
+      half2.toDF().coalesce(1).write.mode("append").parquet(feed)
+      q.processAllAvailable()
+      // the split genuinely happened: the delivery's rows were
+      // promoted under TWO distinct batch prefixes (empty polls also
+      // leave markers, so count the batches that carried data)
+      val dataBatches = Files.walk(java.nio.file.Paths.get(out)).iterator()
+      val prefixes = Iterator.continually(dataBatches).takeWhile(_.hasNext)
+        .map(_.next()).filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith(".") && // no .crc sidecars
+          p.getParent.getFileName.toString.startsWith("event_date="))
+        .map(_.getFileName.toString.replaceAll("(batch\\d+)-.*", "$1"))
+        .toSet
+      assert(prefixes.size == 2,
+        s"expected the delivery split across 2 data batches, got $prefixes")
+      // exactly-once content, the straddling dup dropped — identical
+      // to what an unsplit delivery produces
+      val written = spark.read.parquet(out)
+      assert(written.count() == 4)
+      assert(written.select("user_id", "ts").distinct().count() == 4)
+      assert(written.filter(col("user_id") === 2).count() == 1)
+    } finally q.stop()
+  }
+
   test("readIndex: missing dir reads empty; a corrupt segment propagates, not empties") {
     val root = Files.createTempDirectory("incr_read")
     val idx = s"$root/idx"

@@ -55,7 +55,7 @@ class PlanAuditSpec extends SparkSpec {
     "tx_ccnet_ppl", "tx_ccnet_ppl_by_lang",
     // the recall audit's exact denominator is the broadcast-panel ×
     // filtered-candidate scan (same by-design shape as emb_*_recall)
-    "emb_ivf_filtered_recall")
+    "emb_ivf_filtered_recall", "emb_ivf_filtered_recall_clustered")
 
   test("no registered query plans a CartesianProduct; BNLJ only by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
