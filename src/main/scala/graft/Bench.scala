@@ -58,7 +58,12 @@ import scala.jdk.CollectionConverters._
   * inflates cpu+wall on memory-heavy queries while spin stays flat),
   * `oldGenPostGCMB` (post-collection live set: retained state vs
   * uncollected garbage), `heapMaxMB` (the session's -Xmx — IHOP
-  * geometry differs per heap, see COVERAGE's r12 adjudication note).
+  * geometry differs per heap, see COVERAGE's r12 adjudication note),
+  * and since r16 a `sessionQuality` banner — the session's spin/mem
+  * baselines over PINNED quiet-session references plus a file
+  * create+delete syscall micro-probe — so a degraded ambient window
+  * is self-evident from the artifact without cross-referencing other
+  * rounds' baselines.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (data), SPARK_GRAFT_CPUS (local[N]),
   * SPARK_GRAFT_BENCH_FREE (default 1), SPARK_GRAFT_BENCH_GC
@@ -354,13 +359,20 @@ object Bench {
     // SESSION-QUALITY BANNER (r15 verdict #2): this session's measured
     // baselines over the pinned quiet-session references — ≈1.0 on a
     // healthy sandbox; a hot ambient window stamps its own discount
-    // into every artifact it contaminates
+    // into every artifact it contaminates. The compact line carries
+    // the SHORT form (sq.spin/mem/sys ratios — the archive window is
+    // a ~1.9 KB budget); the artifact carries the verbose form with
+    // the raw syscall µs figure.
     val sqBanner = {
       f""""sessionQuality":{"spinVsRef":${spinBaseline / SpinRefSec}%.2f,""" +
         f""""memVsRef":${memBaseline / MemRefSec}%.2f,""" +
         f""""syscallUs":$syscallBaseline%.1f,""" +
         f""""syscallVsRef":${syscallBaseline / SyscallRefUs}%.2f}"""
     }
+    val sqCompact =
+      f""""sq":{"spin":${spinBaseline / SpinRefSec}%.2f,""" +
+        f""""mem":${memBaseline / MemRefSec}%.2f,""" +
+        f""""sys":${syscallBaseline / SyscallRefUs}%.2f}"""
     def footprint(): String = {
       val (n, mem, disk) = graft.store.Checkpoints.storageFootprint(spark)
       f"cachedRdds=$n memMB=${mem / 1e6}%.1f diskMB=${disk / 1e6}%.1f"
@@ -767,12 +779,13 @@ object Bench {
     // Full-fidelity everything stays in the artifact file above.
     val minCpus = results.map { case (k, rs) => k -> rs.map(_.cpu).min }
     val cpuTotal = minCpus.map(_._2).sum
-    // take(5), was 7 (r14 cont.): two more slots ceded to the DSIR
-    // headline rows (62 queries now; the r14 measurement was 1902
-    // chars at take(8)/60 — this stays ~1.87 KB). The full cpu column
-    // is always in the artifact; cpuTop exists only so the archive
-    // window keeps the heaviest rows' parallelism evidence.
-    val cpuTop = minCpus.sortBy(-_._2).take(5)
+    // take(4), was 5 (r16: one slot + the short-form sq banner paid
+    // for the banner's bytes — the 62-query line measured 1973 chars
+    // with the verbose banner at take(5), past the ~1.9 KB window).
+    // The full cpu column is always in the artifact; cpuTop exists
+    // only so the archive window keeps the heaviest rows' parallelism
+    // evidence.
+    val cpuTop = minCpus.sortBy(-_._2).take(4)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
       .mkString("{", ",", "}")
     val qsCompact = results
@@ -805,7 +818,7 @@ object Bench {
     val driftCompact =
       if (driftCounts.isEmpty) ""
       else s""","driftRuns":${driftCounts.map(_._2).sum},"driftTop":"${driftCounts.head._1}:${driftCounts.head._2}""""
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"cpuTotal":$cpuTotal%.1f,"cpuTop":$cpuTop,"stalls":${stalls.size},"retries":$retriesTotal$driftCompact,$sqBanner,"spinBaseline":$spinBaseline%.3f,"spinWorst":$spinWorst%.3f,"memBaseline":$memBaseline%.3f,"memWorst":$memWorst%.3f,"heapMaxMB":${f"$heapMaxMB%.0f"},"oldGenPostGCMaxMB":${f"$ogGcMax%.0f"}$errNames,"artifact":"${artifactPath}","sf":"$sfDir"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"cpuTotal":$cpuTotal%.1f,"cpuTop":$cpuTop,"stalls":${stalls.size},"retries":$retriesTotal$driftCompact,$sqCompact,"spinBaseline":$spinBaseline%.3f,"spinWorst":$spinWorst%.3f,"memBaseline":$memBaseline%.3f,"memWorst":$memWorst%.3f,"heapMaxMB":${f"$heapMaxMB%.0f"},"oldGenPostGCMaxMB":${f"$ogGcMax%.0f"}$errNames,"artifact":"${artifactPath}","sf":"$sfDir"}"""
     if (compact.length > 1900)
       System.err.println(s"[bench] compact line ${compact.length} chars — " +
         "past the ~1.9 KB archive-window budget; trim it or the driver's " +

@@ -412,6 +412,22 @@ object ScaleCurve {
         graft.store.Checkpoints.free(spark)
       }
     }
+
+    // the same dial on the planted-cluster OPERATING geometry (r15
+    // verdict #5): the uniform rung above is the adversarial floor;
+    // this prices the filtered nprobe knob where ANN is deployed
+    if (section("filteredannclustered")) {
+      val AI = graft.store.AnnIndex
+      noop(AI.embIvfFilteredRecallClustered(spark, dir, 5, 2, 3))
+      graft.store.Checkpoints.free(spark)
+      for (np <- Seq(1, 2, 4, 8)) {
+        def run() = AI.embIvfFilteredRecallClustered(spark, dir, 5, np, 3)
+        val t = Seq.fill(2)(timed(noop(run()))).min
+        val mean = run().agg(avg(col("recall"))).head().getDouble(0)
+        println(f"filteredann-clustered nprobe=$np%-3d mean_recall=$mean%.3f  $t%7.2f s")
+        graft.store.Checkpoints.free(spark)
+      }
+    }
     spark.stop()
   }
 }
