@@ -118,9 +118,14 @@ class DsirFuzzSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     // the deliveries really were multi-file (the convention this
-    // mechanism replaces could not have produced this layout)
+    // mechanism replaces could not have produced this layout). The
+    // data dir is resolved FROM THE MANIFEST — since the ADVICE-r15
+    // race fix it is per-attempt nonce'd, and the manifest line is
+    // the one contractual pointer to it.
     (0 to 2).foreach { d =>
-      val parts = new java.io.File(s"$root/data/d$d").listFiles
+      val dataDir = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(s"$root/feed/m$d.txt")).trim
+      val parts = new java.io.File(dataDir).listFiles
         .count(_.getName.startsWith("part-"))
       assert(parts == 4, s"delivery $d wrote $parts part files, wanted 4")
     }
