@@ -192,6 +192,10 @@ object SparkEntry {
     // never all-pairs; planted 2-block retouches are guaranteed hits
     "dedup_phash"         -> (Dedup.dedupPhash(_, _)),
     "dedup_phash_apply"   -> (Dedup.dedupPhashApply(_, _)),
+    // incremental image dedup: bases as delivery 1 build a fingerprint
+    // index; the retouched copies (delivery 2) die against the INDEX —
+    // the accumulated corpus's images are never re-decoded
+    "dedup_phash_incremental" -> (Dedup.dedupPhashIncremental(_, _)),
     // winnowed-fingerprint pairs (MOSS): guaranteed detection of shared
     // ≥8-token runs from the ~0.4× winnow index, inverted-index join
     "dedup_winnow"        -> (Dedup.dedupWinnow(_, _)),

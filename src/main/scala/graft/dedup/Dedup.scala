@@ -836,11 +836,20 @@ object Dedup {
     result
   }
 
-  def dedupPhashPairsDf(fps: DataFrame): DataFrame = {
-    val bands = fps.select(col("media_id"), col("phash60").as("fp"),
+  /** Banded rows of a phash fingerprint relation — shared by the pair
+    * detector and the incremental step (one banding definition, so the
+    * two paths cannot diverge): (media_id, fp, band, band_key), 4
+    * bands × 15 bits.
+    */
+  def phashBands(fps: DataFrame): DataFrame =
+    fps.select(col("media_id"), col("phash60").as("fp"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_key",
         expr("shiftright(fp, band * 15)").bitwiseAND(lit(32767L)))
+      .select(col("media_id"), col("fp"), col("band"), col("band_key"))
+
+  def dedupPhashPairsDf(fps: DataFrame): DataFrame = {
+    val bands = phashBands(fps)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
@@ -872,6 +881,88 @@ object Dedup {
       .join(drop.withColumn("dropped", lit(true)), Seq("media_id"), "left")
       .select(col("media_id"), col("src_doc_id"), col("planted"),
         coalesce(!col("dropped"), lit(true)).as("is_kept"))
+      .orderBy(col("media_id"))
+      .localCheckpoint(true)
+    fps.unpersist()
+    result
+  }
+
+  /** The phash fingerprint-index row schema — the image twin of
+    * [[indexSchema]]: an incremental image pipeline indexes each
+    * accepted media's (fp, band, band_key) rows and never re-decodes
+    * the accumulated corpus.
+    */
+  val phashIndexSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("fp", LongType),
+    StructField("band", IntegerType),
+    StructField("band_key", LongType)))
+
+  def phashEmptyIndex(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      phashIndexSchema)
+
+  /** One INCREMENTAL image-dedup step — the phash twin of
+    * [[incrementalStepDelta]]: a batch media is dropped iff (a) a
+    * smaller-id batch media is a Hamming-≤`maxHamming` band-mate
+    * (within-delivery), or (b) any INDEXED media is (cross-delivery).
+    * Returns (survivors, the survivors' own band rows — the O(batch)
+    * index delta). The accumulated corpus's IMAGES are never
+    * re-decoded: cross-delivery decisions read the fingerprint index
+    * alone, the only incremental shape that survives at 100 TB of
+    * image bytes. The cross join excludes same-media_id matches so a
+    * replayed batch whose own delta already landed does not dedup
+    * against itself (the [[incrementalCommit]] idempotence property,
+    * unchanged).
+    */
+  def phashStepDelta(batchFps: DataFrame, index: DataFrame,
+      maxHamming: Int = 4): (DataFrame, DataFrame) = {
+    val bands = phashBands(batchFps)
+    val within = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("y.media_id").as("media_id"),
+        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+      .distinct()
+      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
+      .select(col("media_id")).distinct()
+    val cross = bands.as("x").join(index.as("i"),
+        col("x.band") === col("i.band") &&
+          col("x.band_key") === col("i.band_key") &&
+          col("x.media_id") =!= col("i.media_id"))
+      .select(col("x.media_id"),
+        col("x.fp").as("fp_a"), col("i.fp").as("fp_b"))
+      .distinct()
+      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
+      .select(col("media_id")).distinct()
+    val survivors =
+      batchFps.join(within.union(cross), Seq("media_id"), "left_anti")
+    val delta =
+      bands.join(survivors.select(col("media_id")), Seq("media_id"), "left_semi")
+    (survivors, delta)
+  }
+
+  /** Registered two-delivery simulation of the INCREMENTAL image-dedup
+    * pipeline: the base images arrive as delivery 1 (building the
+    * fingerprint index from their survivors), the planted retouched
+    * copies as delivery 2 — so every planted near-dup pair straddles
+    * the deliveries and the cross-delivery index path does ALL the
+    * real work (each copy must die against the index, never against a
+    * decoded base image). Output: surviving media with their delivery
+    * stamp. The oracle replays both steps relationally from the
+    * banded-pair relation — a hash match certifies the incremental
+    * semantics equal the declarative detector's.
+    */
+  def dedupPhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val fps = graft.operators.Multimodal.mmPhashFingerprints(s, dir).persist()
+    fps.count() // one codec pass feeds both deliveries' fingerprints
+    val off = graft.operators.Multimodal.PhashPlantOffset
+    val (s1, delta1) = phashStepDelta(
+      fps.filter(col("media_id") < off), phashEmptyIndex(s))
+    val (s2, _) = phashStepDelta(fps.filter(col("media_id") >= off), delta1)
+    val result = s1.select(col("media_id"), lit(1L).as("delivery"))
+      .unionByName(s2.select(col("media_id"), lit(2L).as("delivery")))
       .orderBy(col("media_id"))
       .localCheckpoint(true)
     fps.unpersist()

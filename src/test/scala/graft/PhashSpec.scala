@@ -39,6 +39,36 @@ class PhashSpec extends SparkSpec {
     }
   }
 
+  test("incremental: every retouch dies against the fingerprint INDEX, never a re-decode") {
+    import spark.implicits._
+    val out = Dedup.dedupPhashIncremental(spark, Sf0001)
+      .as[(Long, Long)].collect()
+    val off = Multimodal.PhashPlantOffset
+    // delivery 2 (the planted copies) must be fully deduplicated by
+    // the cross-delivery index path: zero second-delivery survivors
+    assert(!out.exists(_._2 == 2L),
+      s"planted copies survived delivery 2: ${out.filter(_._2 == 2L).mkString(",")}")
+    assert(out.forall(r => r._1 < off && r._2 == 1L))
+    // delivery-1 survivors = bases minus within-delivery drops — and
+    // the step's decisions must agree with the batch detector's pairs
+    val fps = Multimodal.mmPhashFingerprints(spark, Sf0001)
+    val baseDropped = Dedup.dedupPhashPairsDf(
+        fps.filter($"media_id" < off))
+      .select($"media_b").as[Long].collect().toSet
+    val nBases = fps.filter($"media_id" < off).count()
+    assert(out.length == nBases - baseDropped.size)
+    assert(out.forall(r => !baseDropped.contains(r._1)))
+    // replay idempotence: a batch whose own delta already landed must
+    // not dedup against itself (the same-media_id exclusion)
+    val d2 = fps.filter($"media_id" >= off)
+    val (s2a, delta2) = Dedup.phashStepDelta(d2, Dedup.phashEmptyIndex(spark))
+    val (s2b, _) = Dedup.phashStepDelta(d2, delta2)
+    assert(s2a.select("media_id").as[Long].collect().sorted.toSeq ==
+      s2b.select("media_id").as[Long].collect().sorted.toSeq,
+      "replay against own delta changed decisions")
+    graft.store.Checkpoints.free(spark)
+  }
+
   test("detector finds every planted pair; apply drops exactly the dropped side") {
     import spark.implicits._
     val pairs = Dedup.dedupPhash(spark, Sf0001)
