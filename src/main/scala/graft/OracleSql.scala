@@ -2108,6 +2108,16 @@ object OracleSql {
          |SELECT media_id, 2::BIGINT AS delivery FROM s2
          |ORDER BY media_id""".stripMargin,
 
+    // lossy-survival invariants (the mm_jpeg certification pattern):
+    // measured over every producible id (tools/ProfilePhashJpeg,
+    // max 3 flipped bits at q=0.9), so the oracle emits the expected
+    // TRUE rows and a hash match certifies both codec cycles + the
+    // fingerprint math landed in band for every document
+    "dedup_phash_jpeg" ->
+      """SELECT doc_id AS media_id, TRUE AS within_threshold,
+        |  TRUE AS band_candidate
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     "dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /

@@ -196,6 +196,11 @@ object SparkEntry {
     // index; the retouched copies (delivery 2) die against the INDEX —
     // the accumulated corpus's images are never re-decoded
     "dedup_phash_incremental" -> (Dedup.dedupPhashIncremental(_, _)),
+    // lossy-survival audit: a JPEG-recompressed copy must stay inside
+    // the detector's Hamming threshold AND keep a full band (the two
+    // properties that make the banded detector catch recompressed
+    // duplicates) — certified through two real codec cycles per row
+    "dedup_phash_jpeg" -> ((s, d) => Multimodal.mmPhashJpegSurvival(s, d)),
     // winnowed-fingerprint pairs (MOSS): guaranteed detection of shared
     // ≥8-token runs from the ~0.4× winnow index, inverted-index join
     "dedup_winnow"        -> (Dedup.dedupWinnow(_, _)),

@@ -316,6 +316,13 @@ object Multimodal {
     * pinning quality keeps the loss band stable across JDK updates).
     */
   def encodeJpeg(mediaId: Long, contentLen: Long,
+      quality: Float = 0.9f): Array[Byte] =
+    jpegBytesOf(fixtureRaster(mediaId, contentLen), quality)
+
+  /** The pinned JPEG writer applied to an arbitrary raster (shared by
+    * the fixture family above and the phash lossy-survival operator).
+    */
+  def jpegBytesOf(img: java.awt.image.BufferedImage,
       quality: Float = 0.9f): Array[Byte] = {
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
     val p = w.getDefaultWriteParam
@@ -325,9 +332,7 @@ object Multimodal {
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {
       w.setOutput(ios)
-      w.write(null,
-        new javax.imageio.IIOImage(fixtureRaster(mediaId, contentLen),
-          null, null), p)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
     } finally { w.dispose(); ios.close() }
     bos.toByteArray
   }
@@ -359,7 +364,7 @@ object Multimodal {
     finally { r.dispose(); iis.close() }
   }
 
-  private def decodeJpegDirect(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+  private[graft] def decodeJpegDirect(bytes: Array[Byte]): java.awt.image.BufferedImage = {
     val r = javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next()
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new ByteArrayInputStream(bytes))
@@ -658,6 +663,45 @@ object Multimodal {
         PhashRow(mid, sid, pl, dhash60(img))
       })
       .toDF()
+  }
+
+  case class PhashJpegRow(media_id: Long, within_threshold: Boolean,
+      band_candidate: Boolean)
+
+  /** LOSSY-SURVIVAL audit of the perceptual hash — the claim that makes
+    * dHash *perceptual* rather than just content-derived: a JPEG-
+    * recompressed copy of an image (same pixels, different bytes — the
+    * most common duplicate modality on the web) must still land inside
+    * the detector's operating threshold. For every doc: the base
+    * fingerprint from the lossless PNG round-trip vs the fingerprint
+    * of the SAME raster after a real JPEG quality-0.9 encode→decode
+    * cycle; emits whether the pair sits at Hamming ≤ 4 (the detector's
+    * verify threshold) and whether at least one 15-bit band survived
+    * untouched (band candidacy — what guarantees the banded join would
+    * SURFACE the pair). Measured over every id the testdata can
+    * produce (tools/ProfilePhashJpeg, ids 0-4999): max flipped bits 3
+    * at q=0.9 (mean 0.29), so both booleans are TRUE corpus-wide and
+    * the oracle emits the invariants — the mm_jpeg certification
+    * pattern. A hash match therefore certifies, through two REAL
+    * codec cycles per row, that lossy recompression cannot hide a
+    * duplicate from this detector on these corpora.
+    */
+  def mmPhashJpegSurvival(s: SparkSession, dir: String,
+      quality: Float = 0.9f, maxHamming: Int = 4): DataFrame = {
+    import s.implicits._
+    graft.Par.spread(Tables.documents(s, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions(_.map { sid =>
+        val raster = phashRaster(sid, planted = false)
+        val base = dhash60(decodePngDirect(pngBytes(raster)))
+        val jpeg = dhash60(decodeJpegDirect(jpegBytesOf(raster, quality)))
+        val x = base ^ jpeg
+        val ham = java.lang.Long.bitCount(x)
+        val bandShared = (0 until 4).exists(b => ((x >> (b * 15)) & 32767L) == 0L)
+        PhashJpegRow(sid, ham <= maxHamming, bandShared)
+      })
+      .toDF()
+      .orderBy(col("media_id"))
   }
 
   /** Fixture audio: 1024 samples of 8-bit unsigned mono PCM at 8 kHz,

@@ -39,6 +39,26 @@ class PhashSpec extends SparkSpec {
     }
   }
 
+  test("JPEG recompression keeps every fingerprint inside the detector's reach") {
+    import spark.implicits._
+    val rows = Multimodal.mmPhashJpegSurvival(spark, Sf0001)
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2), "a recompressed copy left the Hamming threshold")
+    assert(rows.forall(_._3), "a recompressed copy lost all four bands")
+    // and the underlying distances are genuinely nonzero somewhere —
+    // the audit must be exercising real lossy drift, not comparing a
+    // fingerprint against itself through a secretly-lossless path
+    val drift = (0L until 100L).map { sid =>
+      val base = Multimodal.dhash60(Multimodal.phashRaster(sid, planted = false))
+      val jf = Multimodal.dhash60(Multimodal.decodeJpegDirect(
+        Multimodal.jpegBytesOf(Multimodal.phashRaster(sid, planted = false))))
+      java.lang.Long.bitCount(base ^ jf)
+    }
+    assert(drift.exists(_ > 0), "JPEG path produced zero drift everywhere — lossless?")
+    assert(drift.max <= 4)
+  }
+
   test("incremental: every retouch dies against the fingerprint INDEX, never a re-decode") {
     import spark.implicits._
     val out = Dedup.dedupPhashIncremental(spark, Sf0001)
