@@ -110,7 +110,7 @@ object Bench {
   // (classifying it "recompile" — cache thrash — was the r14 bug).
   private case class Run(run: Int, wall: Double, cpu: Double, gc: Double,
       codegen: Long, jit: Double, oldGenMB: Double, nativeCpu: Double,
-      spin: Double, mem: Double, tasks: Long)
+      spin: Double, mem: Double, sys: Double, tasks: Long)
 
   /** SPIN CALIBRATION — the work-unit normalizer for cpu-INFLATING
     * contention (the r8 driver-bench shape: cpu/wall ≈ cores yet every
@@ -215,7 +215,7 @@ object Bench {
   private case class Stall(query: String, run: Int, startEpochSec: Double,
       endEpochSec: Double, wall: Double, cpu: Double, gc: Double,
       codegen: Long, jit: Double, oldGenMB: Double, nativeCpu: Double,
-      spin: Double, mem: Double, tasks: Long)
+      spin: Double, mem: Double, sys: Double, tasks: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -352,6 +352,7 @@ object Bench {
     val syscallBaseline = Seq.fill(3)(syscallCalib()).min
     val spins = mutable.LinkedHashMap.empty[String, Double]
     val mems = mutable.LinkedHashMap.empty[String, Double]
+    val syss = mutable.LinkedHashMap.empty[String, Double]
     val oldGenPostGC = mutable.LinkedHashMap.empty[String, Double]
     System.err.println(f"[bench] spin-calibration baseline ${spinBaseline}%.3fs" +
       f", mem-calibration baseline ${memBaseline}%.3fs" +
@@ -468,6 +469,11 @@ object Bench {
         // ~0.2 s to drain
         val spinS = spinCalib()
         val memS = memCalib()
+        // per-RUN syscall sample (r16: run E's serve rows inflated
+        // wall-only under a mid-session metadata-latency window the
+        // START-of-session banner could not see — the rows that read
+        // many small store tables are exactly the sys-sensitive ones)
+        val sysS = syscallCalib()
         val tasksD = tasksEnded.get() - tasks0
         // one line per RUN (not just the min): a bench artifact that
         // only carries min-of-3 can't distinguish "one cold run" from
@@ -481,9 +487,9 @@ object Bench {
         r.map { wall =>
           if (isStall(wall, cpuD))
             Left(Stall(name, i, wallStart, wallStart + wall, wall, cpuD, gcD,
-              cgD, jitD, og, nativeD, spinS, memS, tasksD))
+              cgD, jitD, og, nativeD, spinS, memS, sysS, tasksD))
           else Right(Run(i, wall, cpuD, gcD, cgD, jitD, og, nativeD,
-            spinS, memS, tasksD))
+            spinS, memS, sysS, tasksD))
         }
       }
       var accepted = Vector.empty[Run]
@@ -515,7 +521,7 @@ object Bench {
                 f"exhausted — KEPT (wall=${stall.wall}%.1fs cpu=${stall.cpu}%.1fs)")
             accepted :+= Run(stall.run, stall.wall, stall.cpu, stall.gc,
               stall.codegen, stall.jit, stall.oldGenMB, stall.nativeCpu,
-              stall.spin, stall.mem, stall.tasks)
+              stall.spin, stall.mem, stall.sys, stall.tasks)
             attemptsCounted += 1
           case None =>
             attemptsCounted += 1 // failed run: error recorded, no timing row
@@ -553,6 +559,12 @@ object Bench {
               System.err.println(f"[bench] $name mem-calib $mc%.3fs vs baseline " +
                 f"$memBaseline%.3fs — memory bandwidth around this query was " +
                 f"~${mc / memBaseline}%.1fx diluted")
+            val sc = rs.map(_.sys).min
+            syss(name) = sc
+            if (sc > 3 * syscallBaseline && sc >= 10.0)
+              System.err.println(f"[bench] $name syscall-calib $sc%.1fµs vs " +
+                f"baseline $syscallBaseline%.1fµs — file-metadata ops around " +
+                f"this query were ~${sc / syscallBaseline}%.1fx slower")
           }
           // explicit collection between queries (outside every timed
           // window): processes the ContextCleaner's weak refs, and the
@@ -597,6 +609,9 @@ object Bench {
     val memRunsJson = results.map { case (k, rs) =>
       "\"" + k + "\":" + arr(rs.map(_.mem))
     }.mkString(",\"runsMem\":{", ",", "}")
+    val sysRunsJson = results.map { case (k, rs) =>
+      "\"" + k + "\":" + arr(rs.map(_.sys))
+    }.mkString(",\"runsSys\":{", ",", "}")
     val tasksJson = results.map { case (k, rs) =>
       "\"" + k + "\":" + rs.map(_.tasks).mkString("[", ",", "]")
     }.mkString(",\"runsTasks\":{", ",", "}")
@@ -699,6 +714,11 @@ object Bench {
         else if (cpuOut && tasksFlat && executionsBefore(r) <= 1 &&
           r.jit >= 0.3) "tier-warmup"
         else if (r.mem >= 2 * memBaseline && r.mem >= 0.025) "mem-dilution"
+        //   sys-dilution — this run's syscall probe ≥3× the session
+        //   baseline AND ≥10 µs absolute: file-metadata latency
+        //   (footer reads, file opens — what the many-small-reads
+        //   serve rows wait on; the r16 run-E wall-only shape)
+        else if (r.sys >= 3 * syscallBaseline && r.sys >= 10.0) "sys-dilution"
         else if (r.spin >= 1.5 * spinBaseline) "cpu-dilution"
         else if (cpuOut && r.nativeCpu - minNative >= 0.5 * (r.cpu - minCpu))
           "native-burn"
@@ -715,6 +735,8 @@ object Bench {
     }
     val memJson = mems.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString(f""","memBaseline":$memBaseline%.3f,"memCalib":{""", ",", "}")
+    val sysJson = syss.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+      .mkString(f""","syscallBaselineUs":$syscallBaseline%.1f,"sysCalib":{""", ",", "}")
     val ogGcJson =
       if (oldGenPostGC.isEmpty) ""
       else oldGenPostGC.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
@@ -751,7 +773,7 @@ object Bench {
     //    whatever size it grows to.
     val spinJson = spins.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString(f""","spinBaseline":$spinBaseline%.3f,"spinCalib":{""", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$cpuJson$gcJson$cgJson$jitJson$ogJson$nativeJson$spinRunsJson$memRunsJson$tasksJson$verdictJson$retriesJson$stallsJson$spinJson$memJson$ogGcJson$warmupJson,$sqBanner,"codegenCacheMaxEntries":$codegenCache,"heapMaxMB":${f"$heapMaxMB%.0f"}$errJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$cpuJson$gcJson$cgJson$jitJson$ogJson$nativeJson$spinRunsJson$memRunsJson$sysRunsJson$tasksJson$verdictJson$retriesJson$stallsJson$spinJson$memJson$sysJson$ogGcJson$warmupJson,$sqBanner,"codegenCacheMaxEntries":$codegenCache,"heapMaxMB":${f"$heapMaxMB%.0f"}$errJson,"sf":"$sfDir"}"""
     val artifactPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_ARTIFACT", "bench_artifact.json"))
     try {
@@ -802,6 +824,7 @@ object Bench {
     // (as r11's was)
     val spinWorst = if (spins.isEmpty) spinBaseline else spins.values.max
     val memWorst = if (mems.isEmpty) memBaseline else mems.values.max
+    val sysWorst = if (syss.isEmpty) syscallBaseline else syss.values.max
     val ogGcMax = if (oldGenPostGC.isEmpty) 0.0 else oldGenPostGC.values.max
     // drift summary for the archive window: total outlier runs + the
     // dominant cause ("driftTop":"mem-dilution:3"); the per-query
@@ -818,7 +841,11 @@ object Bench {
     val driftCompact =
       if (driftCounts.isEmpty) ""
       else s""","driftRuns":${driftCounts.map(_._2).sum},"driftTop":"${driftCounts.head._1}:${driftCounts.head._2}""""
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"cpuTotal":$cpuTotal%.1f,"cpuTop":$cpuTop,"stalls":${stalls.size},"retries":$retriesTotal$driftCompact,$sqCompact,"spinBaseline":$spinBaseline%.3f,"spinWorst":$spinWorst%.3f,"memBaseline":$memBaseline%.3f,"memWorst":$memWorst%.3f,"heapMaxMB":${f"$heapMaxMB%.0f"},"oldGenPostGCMaxMB":${f"$ogGcMax%.0f"}$errNames,"artifact":"${artifactPath}","sf":"$sfDir"}"""
+    // worst per-query WITHIN-SESSION dilution ratios (worst min-sample
+    // over the session baseline): the sq banner reads session START
+    // quality vs the pinned refs; these read mid-session ONSET — the
+    // r16 run-E shape was a quiet start degrading halfway through
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"cpuTotal":$cpuTotal%.1f,"cpuTop":$cpuTop,"stalls":${stalls.size},"retries":$retriesTotal$driftCompact,$sqCompact,"spinBaseline":$spinBaseline%.3f,"spinWorst":$spinWorst%.3f,"memWorstX":${f"${memWorst / memBaseline}%.1f"},"sysWorstX":${f"${sysWorst / syscallBaseline}%.1f"},"heapMaxMB":${f"$heapMaxMB%.0f"},"oldGenPostGCMaxMB":${f"$ogGcMax%.0f"}$errNames,"artifact":"${artifactPath}","sf":"$sfDir"}"""
     if (compact.length > 1900)
       System.err.println(s"[bench] compact line ${compact.length} chars — " +
         "past the ~1.9 KB archive-window budget; trim it or the driver's " +
