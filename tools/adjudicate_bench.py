@@ -28,6 +28,13 @@ Classification per drifting query (cpu ratio vs baseline > 1.3 at
                      diluted box, so per-query memCalib (measured
                      against the same diluted floor) cannot see it;
                      every drifting row is suspect
+  metadata-latency   sysCalib > 3 x session syscallBaselineUs (and
+                     >= 10 us absolute) — file-metadata ops ran slower
+                     beside this query; the wall-only shape of the
+                     many-small-reads serve rows (r16)
+  metadata-session   the ARTIFACT's own syscallBaselineUs is > 3 x the
+                     BASELINE artifact's — the whole session ran in a
+                     syscall-degraded window
   recompile          per-run codegen counts above baseline — cache churn
   jit-warmup         min JIT time > 0.5 x min cpu — compiler, not plan
   plan-work          all discriminators flat: the query really did more
@@ -65,6 +72,7 @@ def load_minima(path):
             "codegenTotal": cg,
             "memBaseline": min(mems) if mems else None,
             "spinBaseline": min(spins) if spins else None,
+            "syscallBaselineUs": None,  # gate pairs don't carry it
         }
     return {
         "minCpu": {q: min(v) for q, v in a.get("runsCpu", {}).items()},
@@ -72,6 +80,7 @@ def load_minima(path):
                          a.get("runsCodegen", {}).items()},
         "memBaseline": a.get("memBaseline") or None,
         "spinBaseline": a.get("spinBaseline") or None,
+        "syscallBaselineUs": a.get("syscallBaselineUs") or None,
     }
 
 
@@ -109,6 +118,8 @@ def main():
         print("NOTE: artifact memBaseline is 0 — bandwidth probe broken "
               "or absent; the bandwidth discriminator is DISABLED")
         mem_base = None
+    sys_calib = art.get("sysCalib", {})
+    sys_base = art.get("syscallBaselineUs") or None
 
     # session-level dilution: the artifact's own baseline vs the
     # baseline artifact's. Within a uniformly contaminated session
@@ -117,6 +128,9 @@ def main():
     session_dilution = None
     if base and mem_base and base.get("memBaseline"):
         session_dilution = mem_base / base["memBaseline"]
+    sys_session = None
+    if base and sys_base and base.get("syscallBaselineUs"):
+        sys_session = sys_base / base["syscallBaselineUs"]
 
     rows = []
     for q in sorted(min_cpu):
@@ -137,6 +151,11 @@ def main():
             causes.append(f"bandwidth({mc / mem_base:.1f}x)")
         if session_dilution and session_dilution > 2.5:
             causes.append(f"bandwidth-session({session_dilution:.1f}x)")
+        sc = sys_calib.get(q)
+        if sc is not None and sys_base and sc > 3 * sys_base and sc >= 10.0:
+            causes.append(f"metadata-latency({sc / sys_base:.1f}x)")
+        if sys_session and sys_session > 3:
+            causes.append(f"metadata-session({sys_session:.1f}x)")
         # recompile is only meaningful against a baseline's MEASURED
         # codegen count — without one (no baseline, or an older-schema
         # baseline with no codegen column for this query), first-compile
