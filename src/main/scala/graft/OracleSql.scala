@@ -230,6 +230,32 @@ object OracleSql {
       |    bit_count(xor(fp_a, fp_b))::BIGINT AS hamming
       |  FROM pcand WHERE bit_count(xor(fp_a, fp_b)) <= 4)""".stripMargin
 
+  /** Relational replay of the two-delivery incremental image dedup —
+    * shared verbatim by the in-memory row and its durable-sink twin.
+    * ppair is the full banded-pair relation; base media ids are all
+    * < 1e6 and plant ids all >= 1e6, so media_a's side identifies a
+    * pair's delivery composition (media_a < media_b always):
+    *  - within-delivery-1 drops: both sides base  ⇔ media_b < 1e6;
+    *  - delivery-1 survivors s1 = bases minus those drops;
+    *  - within-delivery-2 drops: both sides planted ⇔ media_a >= 1e6;
+    *  - cross drops: a planted media pairing with an s1 SURVIVOR (the
+    *    index holds survivors' fingerprints only — a copy matching a
+    *    dropped base must NOT die through it).
+    */
+  private lazy val phashIncrementalSql: String =
+    s"""WITH $phashCtes,
+       |s1 AS (SELECT media_id FROM pm WHERE media_id < 1000000
+       |  AND media_id NOT IN
+       |    (SELECT media_b FROM ppair WHERE media_b < 1000000)),
+       |s2 AS (SELECT media_id FROM pm WHERE media_id >= 1000000
+       |  AND media_id NOT IN (SELECT media_b FROM ppair WHERE media_a >= 1000000)
+       |  AND media_id NOT IN (SELECT p.media_b FROM ppair p
+       |     JOIN s1 ON p.media_a = s1.media_id WHERE p.media_b >= 1000000))
+       |SELECT media_id, 1::BIGINT AS delivery FROM s1
+       |UNION ALL
+       |SELECT media_id, 2::BIGINT AS delivery FROM s2
+       |ORDER BY media_id""".stripMargin
+
   private val simhashCtes =
     """tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
       |th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
@@ -2084,29 +2110,14 @@ object OracleSql {
          |  pm.media_id NOT IN (SELECT media_b FROM ppair) AS is_kept
          |FROM pm ORDER BY pm.media_id""".stripMargin,
 
-    // incremental image dedup: relational replay of the two steps.
-    // ppair is the full banded-pair relation; base media ids are all
-    // < 1e6 and plant ids all >= 1e6, so media_a's side identifies the
-    // pair's delivery composition (media_a < media_b always).
-    //  - within-delivery-1 drops: both sides base  ⇔ media_b < 1e6;
-    //  - delivery-1 survivors s1 = bases minus those drops;
-    //  - within-delivery-2 drops: both sides planted ⇔ media_a >= 1e6;
-    //  - cross drops: a planted media pairing with an s1 SURVIVOR
-    //    (the index holds survivors' fingerprints only — a copy
-    //    matching a dropped base must NOT die through it).
-    "dedup_phash_incremental" ->
-      s"""WITH $phashCtes,
-         |s1 AS (SELECT media_id FROM pm WHERE media_id < 1000000
-         |  AND media_id NOT IN
-         |    (SELECT media_b FROM ppair WHERE media_b < 1000000)),
-         |s2 AS (SELECT media_id FROM pm WHERE media_id >= 1000000
-         |  AND media_id NOT IN (SELECT media_b FROM ppair WHERE media_a >= 1000000)
-         |  AND media_id NOT IN (SELECT p.media_b FROM ppair p
-         |     JOIN s1 ON p.media_a = s1.media_id WHERE p.media_b >= 1000000))
-         |SELECT media_id, 1::BIGINT AS delivery FROM s1
-         |UNION ALL
-         |SELECT media_id, 2::BIGINT AS delivery FROM s2
-         |ORDER BY media_id""".stripMargin,
+    // incremental image dedup: relational replay of the two steps —
+    // see phashIncrementalSql's scaladoc for the delivery/index logic
+    "dedup_phash_incremental" -> phashIncrementalSql,
+
+    // the durable-sink twin shares the relational oracle VERBATIM: the
+    // sink path (ManifestFeed -> phashIncrementalCommit -> segments)
+    // must compute exactly the in-memory step's semantics
+    "dedup_phash_incremental_sink" -> phashIncrementalSql,
 
     // lossy-survival invariants (the mm_jpeg certification pattern):
     // measured over every producible id (tools/ProfilePhashJpeg,

@@ -196,6 +196,11 @@ object SparkEntry {
     // index; the retouched copies (delivery 2) die against the INDEX —
     // the accumulated corpus's images are never re-decoded
     "dedup_phash_incremental" -> (Dedup.dedupPhashIncremental(_, _)),
+    // the same two deliveries through the DURABLE streaming sink
+    // (ManifestFeed-gated multi-file deliveries, checkpointed query,
+    // per-batch survivor + fingerprint-delta segments) — same oracle
+    "dedup_phash_incremental_sink" ->
+      (Dedup.dedupPhashIncrementalSink(_, _)),
     // lossy-survival audit: a JPEG-recompressed copy must stay inside
     // the detector's Hamming threshold AND keep a full band (the two
     // properties that make the banded detector catch recompressed

@@ -943,6 +943,76 @@ object Dedup {
     (survivors, delta)
   }
 
+  /** Durable phash fingerprint index = union of append-only per-batch
+    * segments (the [[readIndex]] discipline with the phash schema:
+    * genuinely-absent dir reads empty; any other failure propagates —
+    * an empty substitute would re-admit every recompressed duplicate).
+    */
+  def readPhashIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) phashEmptyIndex(spark)
+    else spark.read.schema(phashIndexSchema)
+      .option("recursiveFileLookup", "true").parquet(indexDir)
+  }
+
+  /** One durable IMAGE-dedup delivery — [[incrementalCommit]] with the
+    * phash step: decode + fingerprint THIS batch's media only, dedup
+    * against the accumulated fingerprint index, land the surviving
+    * media rows and the survivors' band rows as per-batch segments.
+    * Same crash analysis as the text commit (both writes are
+    * mode("overwrite") into batchId-determined directories; the cross
+    * join's same-media_id exclusion keeps a replayed batch from
+    * deduping against its own already-landed delta).
+    */
+  def phashIncrementalCommit(batchMedia: DataFrame, outDir: String,
+      indexDir: String, batchId: Long): Unit = {
+    val spark = batchMedia.sparkSession
+    val fps = graft.operators.Multimodal.phashFingerprintsOf(batchMedia)
+    val (surv0, delta) = phashStepDelta(fps, readPhashIndex(spark, indexDir))
+    val surv = surv0.persist()
+    try {
+      surv.write.mode("overwrite").parquet(s"$outDir/seg_$batchId")
+      delta.write.mode("overwrite").parquet(s"$indexDir/seg_$batchId")
+    } finally surv.unpersist()
+  }
+
+  /** The incremental IMAGE pipeline through the DURABLE STREAMING SINK
+    * — the phash twin of [[dedupIncrementalSink]], transported by
+    * [[graft.streaming.ManifestFeed]] (each delivery is a multi-file
+    * parquet append published atomically by its single-file manifest,
+    * so a micro-batch always holds whole deliveries): a real
+    * StreamingQuery with a checkpoint, one `phashIncrementalCommit`
+    * per micro-batch, surviving media and fingerprint index landing as
+    * per-batch segments, survivors read back from the segment tree.
+    * Delivery 1 = the base images, delivery 2 = the planted retouched
+    * copies — every planted pair crosses the deliveries, so batch 2's
+    * media die against the PERSISTED index, never a re-decode.
+    * Hash-checked against the same relational oracle as
+    * [[dedupPhashIncremental]]: the durable path computes exactly the
+    * in-memory step's semantics.
+    */
+  def dedupPhashIncrementalSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ManifestFeed
+    val root = graft.store.StoreRoot.scratchRoot("dedup_phash_incr_sink")
+    val (outDir, idxDir, ckpt) = (s"$root/out", s"$root/idx", s"$root/ckpt")
+    val media = graft.operators.Multimodal.phashMediaCorpus(s, dir)
+    val off = graft.operators.Multimodal.PhashPlantOffset
+    ManifestFeed.deliver(media.filter(col("media_id") < off), root, 0L, 2)
+    val q = ManifestFeed.start(s, root, media.schema, ckpt) { (batch, id) =>
+      phashIncrementalCommit(batch, outDir, idxDir, id)
+    }
+    try {
+      q.processAllAvailable()
+      ManifestFeed.deliver(media.filter(col("media_id") >= off), root, 1L, 2)
+      q.processAllAvailable()
+    } finally q.stop()
+    readSegments(s, outDir)
+      .select(col("media_id"),
+        when(col("media_id") < off, 1L).otherwise(2L).as("delivery"))
+      .orderBy(col("media_id"))
+  }
+
   /** Registered two-delivery simulation of the INCREMENTAL image-dedup
     * pipeline: the base images arrive as delivery 1 (building the
     * fingerprint index from their survivors), the planted retouched

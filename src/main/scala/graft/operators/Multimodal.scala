@@ -646,17 +646,33 @@ object Multimodal {
     * fingerprint math together. Same narrow mapPartitions codec
     * boundary as every mm_* family: no shuffle, parallel by split.
     */
-  def mmPhashFingerprints(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def mmPhashFingerprints(s: SparkSession, dir: String): DataFrame =
+    phashFingerprintsOf(phashMediaCorpus(s, dir))
+
+  /** The phash media corpus: one base image row per document plus the
+    * planted retouched copies — (media_id, src_id, planted).
+    */
+  def phashMediaCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val media = docs
+    docs
       .select(col("doc_id").as("media_id"), col("doc_id").as("src_id"),
         lit(false).as("planted"))
       .unionByName(docs
         .filter(col("doc_id") % PhashPlantMod === PhashPlantRes)
         .select((col("doc_id") + PhashPlantOffset).as("media_id"),
           col("doc_id").as("src_id"), lit(true).as("planted")))
-    graft.Par.spread(media).as[(Long, Long, Boolean)]
+  }
+
+  /** The codec pass alone, over any (media_id, src_id, planted)
+    * relation — shared by the one-shot fingerprint table and the
+    * incremental sink (which fingerprints each DELIVERY's media only).
+    */
+  def phashFingerprintsOf(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    graft.Par.spread(media.select(col("media_id"), col("src_id"),
+        col("planted")))
+      .as[(Long, Long, Boolean)]
       .mapPartitions(_.map { case (mid, sid, pl) =>
         val img = decodePngDirect(pngBytes(phashRaster(sid, pl)))
         require(img != null, s"phash PNG of media $mid failed to decode")

@@ -89,6 +89,29 @@ class PhashSpec extends SparkSpec {
     graft.store.Checkpoints.free(spark)
   }
 
+  test("durable phash commit: replay overwrites its own segments, decisions unchanged") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("phash_commit")
+    val (out, idx) = (s"$root/out", s"$root/idx")
+    val media = Multimodal.phashMediaCorpus(spark, Sf0001)
+    val off = Multimodal.PhashPlantOffset
+    Dedup.phashIncrementalCommit(media.filter($"media_id" < off), out, idx, 0)
+    val kept0 = Dedup.readSegments(spark, out)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    val idx0 = Dedup.readPhashIndex(spark, idx).count()
+    // full replay of the SAME batchId (crash between index write and
+    // checkpoint commit): both segments overwritten, nothing doubled
+    Dedup.phashIncrementalCommit(media.filter($"media_id" < off), out, idx, 0)
+    assert(Dedup.readSegments(spark, out)
+      .select("media_id").as[Long].collect().sorted.toSeq == kept0)
+    assert(Dedup.readPhashIndex(spark, idx).count() == idx0)
+    // delivery 2 against the recovered index: every copy dies
+    Dedup.phashIncrementalCommit(media.filter($"media_id" >= off), out, idx, 1)
+    val all = Dedup.readSegments(spark, out)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(all == kept0, "a planted copy survived the durable cross-delivery path")
+  }
+
   test("detector finds every planted pair; apply drops exactly the dropped side") {
     import spark.implicits._
     val pairs = Dedup.dedupPhash(spark, Sf0001)
