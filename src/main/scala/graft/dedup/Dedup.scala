@@ -363,28 +363,53 @@ object Dedup {
     * `incrementalCommit` idempotent under replay.
     */
   def incrementalStepDelta(batch: DataFrame, index: DataFrame,
-      tau: Double = 0.5): (DataFrame, DataFrame) = {
-    val sg = signBand(batch)
-    val within = sg.as("x").join(sg.as("y"),
+      tau: Double = 0.5): (DataFrame, DataFrame) =
+    bandedStepDelta(batch, signBand(batch), index, "doc_id", "sig",
+      (a, b) => sigEst(a, b) >= tau)
+
+  /** The shared banded incremental-step skeleton — ONE implementation
+    * for both the text (MinHash signature) and image (phash
+    * fingerprint) detectors (review r16: the two were hand-copied
+    * structural twins, so every fix to the shared invariants — the
+    * same-id replay exclusion, the survivors-only delta, the
+    * distinct-before-verify placement — had to be mirrored by hand or
+    * the families silently diverged):
+    *  - WITHIN-batch: band self-join, greedy drop of the larger id
+    *    among verified matches;
+    *  - CROSS-batch: band join against the index, same-id matches
+    *    EXCLUDED so a replayed batch whose own delta already landed
+    *    never dedups against itself;
+    *  - survivors by anti-join on the drop set; delta = the
+    *    survivors' own band rows (the O(batch) index append).
+    * `bands` and `index` carry (idCol, valCol, band, band_key);
+    * `isMatch` is the family's verify predicate over two valCol sides.
+    * The distinct runs over (id, v_a, v_b) — id determines its value,
+    * so the verified drop set is identical to distinct-ing full pairs.
+    */
+  private def bandedStepDelta(batch: DataFrame, bands: DataFrame,
+      index: DataFrame, idCol: String, valCol: String,
+      isMatch: (Column, Column) => Column): (DataFrame, DataFrame) = {
+    val within = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"y.$idCol").as(idCol),
+        col(s"x.$valCol").as("v_a"), col(s"y.$valCol").as("v_b"))
       .distinct()
-      .filter(sigEst(col("sig_a"), col("sig_b")) >= tau)
-      .select(col("doc_b").as("doc_id")).distinct()
-    val cross = sg.as("x").join(index.as("i"),
+      .filter(isMatch(col("v_a"), col("v_b")))
+      .select(col(idCol)).distinct()
+    val cross = bands.as("x").join(index.as("i"),
         col("x.band") === col("i.band") &&
           col("x.band_key") === col("i.band_key") &&
-          col("x.doc_id") =!= col("i.doc_id"))
-      .select(col("x.doc_id"), col("x.sig").as("sig_a"),
-        col("i.doc_id").as("idx_id"), col("i.sig").as("sig_b"))
+          col(s"x.$idCol") =!= col(s"i.$idCol"))
+      .select(col(s"x.$idCol"),
+        col(s"x.$valCol").as("v_a"), col(s"i.$valCol").as("v_b"))
       .distinct()
-      .filter(sigEst(col("sig_a"), col("sig_b")) >= tau)
-      .select(col("doc_id")).distinct()
-    val survivors = batch.join(within.union(cross), Seq("doc_id"), "left_anti")
-    val delta = sg.join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .filter(isMatch(col("v_a"), col("v_b")))
+      .select(col(idCol)).distinct()
+    val survivors = batch.join(within.union(cross), Seq(idCol), "left_anti")
+    val delta =
+      bands.join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
     (survivors, delta)
   }
 
@@ -916,32 +941,9 @@ object Dedup {
     * unchanged).
     */
   def phashStepDelta(batchFps: DataFrame, index: DataFrame,
-      maxHamming: Int = 4): (DataFrame, DataFrame) = {
-    val bands = phashBands(batchFps)
-    val within = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.media_id") < col("y.media_id"))
-      .select(col("y.media_id").as("media_id"),
-        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
-      .distinct()
-      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
-      .select(col("media_id")).distinct()
-    val cross = bands.as("x").join(index.as("i"),
-        col("x.band") === col("i.band") &&
-          col("x.band_key") === col("i.band_key") &&
-          col("x.media_id") =!= col("i.media_id"))
-      .select(col("x.media_id"),
-        col("x.fp").as("fp_a"), col("i.fp").as("fp_b"))
-      .distinct()
-      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
-      .select(col("media_id")).distinct()
-    val survivors =
-      batchFps.join(within.union(cross), Seq("media_id"), "left_anti")
-    val delta =
-      bands.join(survivors.select(col("media_id")), Seq("media_id"), "left_semi")
-    (survivors, delta)
-  }
+      maxHamming: Int = 4): (DataFrame, DataFrame) =
+    bandedStepDelta(batchFps, phashBands(batchFps), index, "media_id", "fp",
+      (a, b) => bit_count(a.bitwiseXOR(b)) <= maxHamming)
 
   /** Durable phash fingerprint index = union of append-only per-batch
     * segments (the [[readIndex]] discipline with the phash schema:
@@ -968,13 +970,22 @@ object Dedup {
   def phashIncrementalCommit(batchMedia: DataFrame, outDir: String,
       indexDir: String, batchId: Long): Unit = {
     val spark = batchMedia.sparkSession
+    // persist the CODEC pass (review r16): the fingerprints feed the
+    // band self-join (two sides), the cross join, the survivor
+    // anti-join and the delta semi-join — unpersisted, the dominant
+    // per-delivery cost (real PNG encode+decode per image) would
+    // re-execute for every consumer
     val fps = graft.operators.Multimodal.phashFingerprintsOf(batchMedia)
-    val (surv0, delta) = phashStepDelta(fps, readPhashIndex(spark, indexDir))
-    val surv = surv0.persist()
+      .persist()
     try {
-      surv.write.mode("overwrite").parquet(s"$outDir/seg_$batchId")
-      delta.write.mode("overwrite").parquet(s"$indexDir/seg_$batchId")
-    } finally surv.unpersist()
+      fps.count() // materialize once, before the self-join's two sides
+      val (surv0, delta) = phashStepDelta(fps, readPhashIndex(spark, indexDir))
+      val surv = surv0.persist()
+      try {
+        surv.write.mode("overwrite").parquet(s"$outDir/seg_$batchId")
+        delta.write.mode("overwrite").parquet(s"$indexDir/seg_$batchId")
+      } finally surv.unpersist()
+    } finally fps.unpersist()
   }
 
   /** The incremental IMAGE pipeline through the DURABLE STREAMING SINK

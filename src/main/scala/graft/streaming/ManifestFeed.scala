@@ -58,12 +58,12 @@ object ManifestFeed {
     * path another attempt can reference: each attempt stages into its
     * own nonce'd dir, and the manifest names the winner's dir. The
     * exists() check stays as the fail-fast for the common sequential
-    * duplicate, and the post-rename READ-BACK closes the concurrent
-    * window: an attempt only returns success after observing its OWN
-    * data dir in the published manifest — a racer that lost the rename
-    * (or was clobbered by a local-fs rename-over-existing) sees the
-    * winner's line, removes its never-referenced staging dir, and
-    * throws. Published data directories remain immutable forever; a
+    * duplicate, and the publish itself is a NO-REPLACE rename
+    * (FileContext semantics — fails when dst exists, unlike
+    * FileSystem.rename's local rename(2) which silently replaces): a
+    * racer that loses removes its never-referenced staging dir and
+    * throws, and a published manifest can never be mutated under a
+    * reader. Published data directories remain immutable forever; a
     * retry of a genuinely-failed deliver (manifest absent) just stages
     * a fresh nonce'd dir. Callers must hold deliveryId → content
     * stable (the sink replay contract); which attempt's identical
@@ -89,27 +89,37 @@ object ManifestFeed {
     val out = f.create(tmp, true)
     try out.write((dataDir + "\n").getBytes("UTF-8"))
     finally out.close()
-    val renamed = f.rename(tmp, dst)
-    val published = readManifestLine(f, dst)
-    if (!renamed || !published.contains(dataDir)) {
-      // lost the publish race (or the rename itself failed): drop the
-      // staging dir nothing references; the winner's delivery stands
+    // NO-REPLACE publish through FileContext: unlike FileSystem.rename
+    // (whose local implementation is File.renameTo → rename(2), which
+    // silently REPLACES an existing destination file), FileContext's
+    // default rename fails with FileAlreadyExistsException when dst
+    // exists — so a concurrent duplicate deliver() cannot clobber a
+    // manifest a poll may already have latched (review r16: the
+    // detect-after-the-fact read-back could delete a data dir the
+    // mutated manifest no longer named, breaking replay). Only a
+    // racer that VERIFIABLY failed to publish deletes its staging dir
+    // — nothing else ever touches published state.
+    val renamed =
+      try {
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(dst.toUri, df.sparkSession.sparkContext.hadoopConfiguration)
+          .rename(tmp, dst)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    if (!renamed) {
+      // lost the publish race with certainty (our manifest never
+      // landed): our staging dir is unreferenced by construction
       f.delete(new Path(dataDir), true)
       f.delete(tmp, false)
       throw new java.io.IOException(
-        s"delivery $deliveryId lost publish race (manifest carries " +
-          s"${published.getOrElse("<unreadable>")}); staging dir dropped")
+        s"delivery $deliveryId lost publish race ($dst already " +
+          "published); staging dir dropped")
     }
     dataDir
   }
-
-  private def readManifestLine(f: org.apache.hadoop.fs.FileSystem,
-      p: Path): Option[String] =
-    try {
-      val in = f.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8").trim)
-      finally in.close()
-    } catch { case _: java.io.IOException => None }
 
   /** Resolve a micro-batch of manifest rows to the document rows they
     * gate. The collect is control-plane by construction: one line per

@@ -39,7 +39,12 @@ Classification per drifting query (cpu ratio vs baseline > 1.3 at
   jit-warmup         min JIT time > 0.5 x min cpu — compiler, not plan
   plan-work          all discriminators flat: the query really did more
                      work; read the plan, not the environment
-Session flags: heap geometry, post-GC live set, spin/mem baselines.
+  wall-only          admitted on min-WALL ratio > 1.5 at flat cpu (the
+                     r16 shape a cpu-ratio gate can never see); paired
+                     with whichever probe fired, or wall-stall(cpu
+                     flat) when none did — environment, not plan
+Session flags: heap geometry, post-GC live set, spin/mem/syscall
+baselines.
 """
 import json
 import signal
@@ -57,6 +62,8 @@ def load_minima(path):
             qs &= set(r["minCpu"])
         mems = [r.get("memBaseline") for r in runs if r.get("memBaseline")]
         spins = [r.get("spinBaseline") for r in runs if r.get("spinBaseline")]
+        syss = [r.get("syscallBaselineUs") for r in runs
+                if r.get("syscallBaselineUs")]
         # codegen: only queries the baseline actually measured — a gate
         # run from an older artifact schema has no codegenTotal, and
         # defaulting it to 0 would spuriously classify every >10-class
@@ -69,13 +76,17 @@ def load_minima(path):
                 cg[q] = min(vals)
         return {
             "minCpu": {q: min(r["minCpu"][q] for r in runs) for q in qs},
+            "minWall": {q: min(r["minWall"][q] for r in runs)
+                        for q in qs if all(q in r.get("minWall", {})
+                                           for r in runs)},
             "codegenTotal": cg,
             "memBaseline": min(mems) if mems else None,
             "spinBaseline": min(spins) if spins else None,
-            "syscallBaselineUs": None,  # gate pairs don't carry it
+            "syscallBaselineUs": min(syss) if syss else None,
         }
     return {
         "minCpu": {q: min(v) for q, v in a.get("runsCpu", {}).items()},
+        "minWall": {q: min(v) for q, v in a.get("runs", {}).items()},
         "codegenTotal": {q: sum(v) for q, v in
                          a.get("runsCodegen", {}).items()},
         "memBaseline": a.get("memBaseline") or None,
@@ -138,9 +149,19 @@ def main():
         if cpu < floor:
             continue
         ratio = None
+        wall_ratio = None
         if base and q in base["minCpu"]:
             ratio = cpu / max(base["minCpu"][q], 0.001)
-            if ratio <= 1.3:
+            # wall-only admission (r16): the metadata-latency shape
+            # inflates wall while cpu stays flat (threads blocked in
+            # syscalls burn no cpu), so a cpu-ratio gate alone can
+            # never surface it — admit rows whose min-wall drifts
+            # >1.5x even at flat cpu
+            bw = base.get("minWall", {}).get(q)
+            w = min_wall.get(q)
+            if bw and w and w >= 1.0:
+                wall_ratio = w / max(bw, 0.001)
+            if ratio <= 1.3 and (wall_ratio is None or wall_ratio <= 1.5):
                 continue
         causes = []
         native_share = min_native.get(q, 0.0) / max(cpu, 0.001)
@@ -165,6 +186,14 @@ def main():
             causes.append(f"recompile({codegen.get(q, 0)})")
         if min_jit.get(q, 0.0) > 0.5 * cpu:
             causes.append("jit-warmup")
+        wall_only = (ratio is None or ratio <= 1.3) and \
+            wall_ratio is not None and wall_ratio > 1.5
+        if wall_only:
+            causes.append(f"wall-only(x{wall_ratio:.2f})")
+            if len(causes) == 1:
+                # wall drifted, cpu flat, no probe fired: the JVM spent
+                # the excess not running — environment, not plan
+                causes.append("wall-stall(cpu flat)")
         if not causes:
             causes.append("plan-work")
         # r14: the artifact carries its OWN per-run classification
@@ -219,6 +248,19 @@ def main():
     if mem_base and worst_mem and worst_mem > 2.5 * mem_base:
         print("WARNING: memory-bandwidth probe degraded >2.5x during the "
               "session — ambient contention; treat cpu drift as suspect")
+    if sys_session and sys_session > 3:
+        print(f"WARNING: session syscall baseline {sys_base}us is "
+              f"{sys_session:.1f}x the baseline artifact's "
+              f"{base['syscallBaselineUs']}us — the WHOLE session ran in "
+              "a file-metadata-degraded window; walls of many-small-"
+              "reads queries are suspect")
+    worst_sys = max(sys_calib.values()) if sys_calib else None
+    if sys_base and worst_sys and worst_sys > 3 * sys_base and \
+            worst_sys >= 10.0:
+        print(f"WARNING: syscall probe degraded to {worst_sys}us "
+              f"(baseline {sys_base}us) during the session — "
+              "file-metadata latency onset mid-run; wall-only drift on "
+              "serve rows is ambient, not plan")
     if worst_live and art.get("heapMaxMB") and \
             worst_live > 0.40 * art["heapMaxMB"]:
         print("WARNING: post-GC live set exceeds 40% of heap — G1 "

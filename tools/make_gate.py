@@ -25,6 +25,7 @@ def summarize(path):
         "total": a.get("value"),
         "spinBaseline": a.get("spinBaseline"),
         "memBaseline": a.get("memBaseline"),
+        "syscallBaselineUs": a.get("syscallBaselineUs"),
         "heapMaxMB": a.get("heapMaxMB"),
         "codegenCacheMaxEntries": a.get("codegenCacheMaxEntries"),
         "warmup": a.get("warmup"),
