@@ -179,6 +179,40 @@ object Bench {
     * that, making "the sandbox was slow at syscalls" self-evident
     * from the artifact instead of a post-hoc thread-dump hunt.
     */
+  /** The benched tree's commit (r16 verdict #2: the round's final tree
+    * shipped unbenched because nothing tied an artifact to a commit —
+    * the gate's finalTreeQuietRun must prove artifact sha == HEAD).
+    * Resolved from .git directly (no shell-out): HEAD → ref file →
+    * packed-refs. "unknown" outside a repo; "<sha>+dirty" when tracked
+    * files have uncommitted edits is NOT attempted — `git status` is
+    * the caller's job; this field answers "which commit", not "clean?".
+    */
+  private def gitSha(): String = try {
+    import java.nio.file.{Files, Paths}
+    def read(p: java.nio.file.Path) =
+      new String(Files.readAllBytes(p), "UTF-8").trim
+    val head = Paths.get(".git/HEAD")
+    if (!Files.exists(head)) "unknown"
+    else {
+      val s = read(head)
+      if (!s.startsWith("ref: ")) s
+      else {
+        val refName = s.drop(5)
+        val ref = Paths.get(".git/" + refName)
+        if (Files.exists(ref)) read(ref)
+        else {
+          val packed = Paths.get(".git/packed-refs")
+          if (!Files.exists(packed)) "unknown"
+          else read(packed).linesIterator
+            .filterNot(l => l.startsWith("#") || l.startsWith("^"))
+            .map(_.split(" ", 2))
+            .collectFirst { case Array(sha, r) if r == refName => sha }
+            .getOrElse("unknown")
+        }
+      }
+    }
+  } catch { case _: Exception => "unknown" }
+
   private def syscallCalib(iters: Int = 512): Double = {
     val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_syscall_probe_${ProcessHandle.current().pid()}_${Thread.currentThread().getId}")
@@ -203,9 +237,24 @@ object Bench {
     * (driver 66.7 s vs gate 53.5 s, spinWorst 23% above baseline) no
     * longer needs a judge to re-derive it from raw columns.
     */
-  private val SpinRefSec = 0.076
-  private val MemRefSec = 0.010
-  private val SyscallRefUs = 5.3 // r16 quiet-session measurement
+  // Env-overridable (r16 ADVICE #2): the pinned values are ONE
+  // machine's idle floor; on any other host the banner would stamp
+  // spurious degradation ratios (or mask real ones) into every
+  // artifact. SPARK_GRAFT_SQ_REFS="<spinSec>,<memSec>,<syscallUs>"
+  // replaces all three, and the artifact records which set produced
+  // its ratios (sqRefs.source) so cross-host artifacts stay
+  // interpretable.
+  private val sqRefsEnv = sys.env.get("SPARK_GRAFT_SQ_REFS").map { s =>
+    val p = s.split(",").map(_.trim.toDouble)
+    require(p.length == 3,
+      "SPARK_GRAFT_SQ_REFS must be \"<spinSec>,<memSec>,<syscallUs>\"")
+    (p(0), p(1), p(2))
+  }
+  private val (spinRefSec, memRefSec, syscallRefUs) =
+    sqRefsEnv.getOrElse((0.076, 0.010, 5.3))
+  private val sqRefSource =
+    if (sqRefsEnv.isDefined) "env:SPARK_GRAFT_SQ_REFS"
+    else "pinned r13-r16 builder-sandbox idle floor"
 
   /** One discarded (stall-shaped) run, with its wall-clock window and
     * the measured drift discriminators (carried so a run KEPT after
@@ -365,15 +414,17 @@ object Bench {
     // a ~1.9 KB budget); the artifact carries the verbose form with
     // the raw syscall µs figure.
     val sqBanner = {
-      f""""sessionQuality":{"spinVsRef":${spinBaseline / SpinRefSec}%.2f,""" +
-        f""""memVsRef":${memBaseline / MemRefSec}%.2f,""" +
+      f""""sessionQuality":{"spinVsRef":${spinBaseline / spinRefSec}%.2f,""" +
+        f""""memVsRef":${memBaseline / memRefSec}%.2f,""" +
         f""""syscallUs":$syscallBaseline%.1f,""" +
-        f""""syscallVsRef":${syscallBaseline / SyscallRefUs}%.2f}"""
+        f""""syscallVsRef":${syscallBaseline / syscallRefUs}%.2f},""" +
+        f""""sqRefs":{"spinSec":$spinRefSec%.3f,"memSec":$memRefSec%.3f,""" +
+        f""""syscallUs":$syscallRefUs%.1f,"source":"$sqRefSource"}"""
     }
     val sqCompact =
-      f""""sq":{"spin":${spinBaseline / SpinRefSec}%.2f,""" +
-        f""""mem":${memBaseline / MemRefSec}%.2f,""" +
-        f""""sys":${syscallBaseline / SyscallRefUs}%.2f}"""
+      f""""sq":{"spin":${spinBaseline / spinRefSec}%.2f,""" +
+        f""""mem":${memBaseline / memRefSec}%.2f,""" +
+        f""""sys":${syscallBaseline / syscallRefUs}%.2f}"""
     def footprint(): String = {
       val (n, mem, disk) = graft.store.Checkpoints.storageFootprint(spark)
       f"cachedRdds=$n memMB=${mem / 1e6}%.1f diskMB=${disk / 1e6}%.1f"
@@ -615,116 +666,22 @@ object Bench {
     val tasksJson = results.map { case (k, rs) =>
       "\"" + k + "\":" + rs.map(_.tasks).mkString("[", ",", "]")
     }.mkString(",\"runsTasks\":{", ",", "}")
-    // INLINE DRIFT CLASSIFIER (r14, verdict ask #7): three rounds of
-    // driver-vs-gate adjudication each ended at "ambient" only after a
-    // judge re-derived it from raw artifact columns; the artifact now
-    // carries the verdict itself. A run is an OUTLIER when its cpu
-    // exceeds 1.5× the query's min-cpu or its wall exceeds 2× the
-    // min-wall; each outlier is classified by the FIRST discriminator
-    // that fires (ordered most- to least-specific):
-    //   recompute    — ≥1.2× AND ≥20 more tasks than the cleanest run
-    //                  (a persisted/cached stage was re-executed — the
-    //                  r13 dedup_chunks driver-outlier hypothesis, now
-    //                  a measurement; the absolute floor keeps ±1-2
-    //                  straggler task-end events from the async
-    //                  listener bus out of the most alarming class)
-    //   cold-codegen — run 1 compiling its plan for the first time
-    //                  (expected; not cache thrash)
-    //   recompile    — ≥10 Janino compilations on a LATER run of the
-    //                  same query (codegen-cache thrash)
-    //   jit-warmup   — ≥50% of the cpu excess is HotSpot compiler-
-    //                  thread time (run 1 of a cold plan; benign)
-    //   tier-warmup  — a cpu outlier on the 1st/2nd execution after
-    //                  the plan's cold compile, tasks FLAT (so not a
-    //                  recompute), with HotSpot compiler activity
-    //                  still nonzero during the run. This is the r15
-    //                  driver artifact's 12 "plan-work" run-2 shape,
-    //                  root-caused r16 by two probes (COVERAGE.md):
-    //                  (A) each query listed twice — cpu decays
-    //                  MONOTONICALLY to steady state over 6 runs with
-    //                  Checkpoints.free active between every run (no
-    //                  rebound → free() discards nothing a later run
-    //                  rebuilds), and (B) the identical run-2
-    //                  elevation reproduces with BENCH_FREE=0 in a
-    //                  fresh JVM. Tasks are flat in every case, so
-    //                  the excess is not Spark work: it is tiered
-    //                  execution settling — compiler-thread burn plus
-    //                  app threads running the freshly-loaded
-    //                  generated classes at interpreter/C1 speed
-    //                  until C2 lands (which run pays most depends on
-    //                  compile-queue timing, hence the run-1/run-2
-    //                  variance across sessions). The jit floor keeps
-    //                  a fully-settled JVM's genuine extra work out
-    //                  of this class.
-    //   mem-dilution — this run's mem-calibration ≥2× the session
-    //                  baseline AND ≥25 ms absolute (memory-bandwidth
-    //                  contention; the floor keeps a 10 ms baseline's
-    //                  noise from counting as contention)
-    //   cpu-dilution — this run's spin-calibration ≥1.5× baseline
-    //                  (work-rate dilution: steal / SMT / throttle)
-    //   native-burn  — ≥50% of the cpu excess is native-thread time
-    //                  (concurrent-GC treadmill)
-    //   plan-work    — a cpu outlier none of the above explains: the
-    //                  run genuinely did more Spark work (the only
-    //                  class that indicts a plan)
-    //   stall        — a WALL-only outlier (cpu flat) nothing above
-    //                  explains: the JVM spent the excess not running
-    //                  (the jit/native tests are cpu-excess ratios, so
-    //                  they are only consulted for cpu outliers — on a
-    //                  flat-cpu run their denominators are ~0 and they
-    //                  would fire vacuously)
-    // Sub-second excesses are not classified (left "ok"): a <1 s cpu
-    // and <1 s wall excess is scheduler jitter, not a drift event.
+    // DRIFT CLASSIFIER (r14 verdict #7; extracted to BenchDrift r17):
+    // three rounds of driver-vs-gate adjudication each ended at
+    // "ambient" only after a judge re-derived it from raw artifact
+    // columns; the artifact carries the verdict itself. The class
+    // definitions, ordering rationale, and the r16 precedence fix
+    // (dilution probes outrank the tier-warmup window; tier-warmup
+    // needs jit to explain a material fraction of the cpu excess)
+    // live on BenchDrift.classify, where BenchDriftSpec replays the
+    // RECORDED r16 driver + probe-A/B artifact columns through the
+    // production logic.
     val verdicts: Seq[(String, Seq[String])] = results.map { case (k, rs) =>
-      val minCpu = rs.map(_.cpu).min
-      val minWall = rs.map(_.wall).min
-      val minTasks = rs.map(_.tasks).min
-      val minNative = rs.map(_.nativeCpu).min
-      val minJit = rs.map(_.jit).min
-      // cold-codegen is benign only for the FIRST attempt that actually
-      // executed this query's plan. The test is on the ORIGINAL attempt
-      // number, not the accepted-vector index (r14 ADVICE): a
-      // stall-dropped or errored attempt before an accepted run shifts
-      // the index but — when the earlier attempt never completed a run
-      // (errored pre-compile) — the compile on the first accepted run
-      // is still the session's first for this plan. Any attempt that
-      // COMPLETED (accepted earlier, or stall-recorded) already paid the
-      // compile, so a later ≥10-class burst is genuine cache thrash.
-      def firstExecution(r: Run): Boolean =
-        !rs.exists(_.run < r.run) &&
-          !stalls.exists(s => s.query == k && s.run < r.run)
-      // completed executions of this plan before attempt r (accepted
-      // earlier runs + stall-recorded ones) — the tier-warmup window
-      // is the first TWO executions, where the r16 probes measured
-      // the settling transient
-      def executionsBefore(r: Run): Int =
-        rs.count(_.run < r.run) +
-          stalls.count(s => s.query == k && s.run < r.run)
-      k -> rs.map { r =>
-        val cpuOut = r.cpu > 1.5 * minCpu && r.cpu - minCpu >= 1.0
-        val wallOut = r.wall > 2 * minWall && r.wall - minWall >= 1.0
-        val tasksFlat = r.tasks - minTasks < 20
-        if (!cpuOut && !wallOut) "ok"
-        else if (minTasks > 0 && r.tasks >= 1.2 * minTasks &&
-          r.tasks - minTasks >= 20) "recompute"
-        else if (r.codegen >= 10) {
-          if (firstExecution(r)) "cold-codegen" else "recompile" }
-        else if (cpuOut && r.jit - minJit >= 0.5 * (r.cpu - minCpu))
-          "jit-warmup"
-        else if (cpuOut && tasksFlat && executionsBefore(r) <= 1 &&
-          r.jit >= 0.3) "tier-warmup"
-        else if (r.mem >= 2 * memBaseline && r.mem >= 0.025) "mem-dilution"
-        //   sys-dilution — this run's syscall probe ≥3× the session
-        //   baseline AND ≥10 µs absolute: file-metadata latency
-        //   (footer reads, file opens — what the many-small-reads
-        //   serve rows wait on; the r16 run-E wall-only shape)
-        else if (r.sys >= 3 * syscallBaseline && r.sys >= 10.0) "sys-dilution"
-        else if (r.spin >= 1.5 * spinBaseline) "cpu-dilution"
-        else if (cpuOut && r.nativeCpu - minNative >= 0.5 * (r.cpu - minCpu))
-          "native-burn"
-        else if (cpuOut) "plan-work"
-        else "stall"
-      }
+      k -> BenchDrift.classify(
+        rs.map(r => BenchDrift.RunCols(r.run, r.wall, r.cpu, r.tasks,
+          r.codegen, r.jit, r.nativeCpu, r.spin, r.mem, r.sys)),
+        stalls.filter(_.query == k).map(_.run).toSeq,
+        BenchDrift.Baselines(spinBaseline, memBaseline, syscallBaseline))
     }
     val verdictJson = {
       val flagged = verdicts.filter(_._2.exists(_ != "ok"))
@@ -773,7 +730,7 @@ object Bench {
     //    whatever size it grows to.
     val spinJson = spins.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString(f""","spinBaseline":$spinBaseline%.3f,"spinCalib":{""", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$cpuJson$gcJson$cgJson$jitJson$ogJson$nativeJson$spinRunsJson$memRunsJson$sysRunsJson$tasksJson$verdictJson$retriesJson$stallsJson$spinJson$memJson$sysJson$ogGcJson$warmupJson,$sqBanner,"codegenCacheMaxEntries":$codegenCache,"heapMaxMB":${f"$heapMaxMB%.0f"}$errJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$cpuJson$gcJson$cgJson$jitJson$ogJson$nativeJson$spinRunsJson$memRunsJson$sysRunsJson$tasksJson$verdictJson$retriesJson$stallsJson$spinJson$memJson$sysJson$ogGcJson$warmupJson,$sqBanner,"codegenCacheMaxEntries":$codegenCache,"heapMaxMB":${f"$heapMaxMB%.0f"},"gitSha":"${gitSha()}"$errJson,"sf":"$sfDir"}"""
     val artifactPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_ARTIFACT", "bench_artifact.json"))
     try {

@@ -702,9 +702,26 @@ object Multimodal {
     * codec cycles per row, that lossy recompression cannot hide a
     * duplicate from this detector on these corpora.
     */
+  /** Highest synthetic id tools/ProfilePhashJpeg has swept (ids
+    * 0-4999, every sf the driver generates: sf0.1's max doc_id is
+    * 4999). The survival oracle asserts TRUE corpus-wide from that
+    * measurement, so ids beyond it are UNPROFILED rasters where a
+    * single >4-bit JPEG drift would fail the Verify hash even though
+    * the operator behaves as designed (r16 ADVICE #3) — the guard
+    * turns that silent oracle overreach into a loud instruction.
+    */
+  val PhashJpegProfiledMaxId = 4999L
+
   def mmPhashJpegSurvival(s: SparkSession, dir: String,
       quality: Float = 0.9f, maxHamming: Int = 4): DataFrame = {
     import s.implicits._
+    val maxId = Tables.documents(s, dir)
+      .agg(max(col("doc_id"))).head.getLong(0)
+    require(maxId <= PhashJpegProfiledMaxId,
+      s"dedup_phash_jpeg's corpus-wide survival claim is profiled for " +
+        s"ids 0-$PhashJpegProfiledMaxId but this corpus reaches $maxId; " +
+        s"run `sbt \"runMain graft.tools.ProfilePhashJpeg ${maxId + 1}\"` " +
+        "and raise PhashJpegProfiledMaxId if maxHamming stays <= 4")
     graft.Par.spread(Tables.documents(s, dir).select(col("doc_id")))
       .as[Long]
       .mapPartitions(_.map { sid =>

@@ -58,9 +58,11 @@ object ManifestFeed {
     * path another attempt can reference: each attempt stages into its
     * own nonce'd dir, and the manifest names the winner's dir. The
     * exists() check stays as the fail-fast for the common sequential
-    * duplicate, and the publish itself is a NO-REPLACE rename
-    * (FileContext semantics — fails when dst exists, unlike
-    * FileSystem.rename's local rename(2) which silently replaces): a
+    * duplicate, and the publish itself is a NO-REPLACE commit — an
+    * atomic link(2) on file:// roots, a FileContext rename elsewhere
+    * (fails when dst exists, unlike FileSystem.rename's local
+    * rename(2) which silently replaces; atomic on HDFS where the
+    * namenode serializes it): a
     * racer that loses removes its never-referenced staging dir and
     * throws, and a published manifest can never be mutated under a
     * reader. Published data directories remain immutable forever; a
@@ -89,18 +91,33 @@ object ManifestFeed {
     val out = f.create(tmp, true)
     try out.write((dataDir + "\n").getBytes("UTF-8"))
     finally out.close()
-    // NO-REPLACE publish through FileContext: unlike FileSystem.rename
-    // (whose local implementation is File.renameTo → rename(2), which
-    // silently REPLACES an existing destination file), FileContext's
-    // default rename fails with FileAlreadyExistsException when dst
-    // exists — so a concurrent duplicate deliver() cannot clobber a
-    // manifest a poll may already have latched (review r16: the
-    // detect-after-the-fact read-back could delete a data dir the
+    // NO-REPLACE publish: a concurrent duplicate deliver() must not
+    // clobber a manifest a poll may already have latched (review r16:
+    // the detect-after-the-fact read-back could delete a data dir the
     // mutated manifest no longer named, breaking replay). Only a
     // racer that VERIFIABLY failed to publish deletes its staging dir
     // — nothing else ever touches published state.
+    //  - file:// roots (r16 ADVICE #1): FileContext's default
+    //    renameInternal is an exists() check followed by rename(2) —
+    //    two concurrent publishers can both pass the check and the
+    //    second silently replaces the first. link(2) is the local
+    //    atomic no-replace primitive: Files.createLink fails with
+    //    EEXIST atomically in the kernel, no check-then-act window.
+    //  - other schemes: FileContext.rename, which (unlike
+    //    FileSystem.rename's local rename(2)) fails when dst exists;
+    //    on HDFS the namenode serializes it, so it is atomic there.
     val renamed =
-      try {
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath),
+            java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath))
+          f.delete(tmp, false) // dst now holds the only reference that matters
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else try {
         org.apache.hadoop.fs.FileContext
           .getFileContext(dst.toUri, df.sparkSession.sparkContext.hadoopConfiguration)
           .rename(tmp, dst)

@@ -37,8 +37,14 @@ Classification per drifting query (cpu ratio vs baseline > 1.3 at
                      syscall-degraded window
   recompile          per-run codegen counts above baseline — cache churn
   jit-warmup         min JIT time > 0.5 x min cpu — compiler, not plan
-  plan-work          all discriminators flat: the query really did more
-                     work; read the plan, not the environment
+  plan-work          discriminators flat AND the run completed more
+                     tasks: the query really did more work; read the
+                     plan, not the environment
+  cpu-unattributed   discriminators flat at FLAT task counts: identical
+                     plan + identical data cannot do "more work" on the
+                     same tasks — in-run contention the probes missed
+                     (every pre-r17 plan-work the judges adjudicated
+                     proved ambient); adjudicate, don't indict
   wall-only          admitted on min-WALL ratio > 1.5 at flat cpu (the
                      r16 shape a cpu-ratio gate can never see); paired
                      with whichever probe fired, or wall-stall(cpu
@@ -195,7 +201,11 @@ def main():
                 # the excess not running — environment, not plan
                 causes.append("wall-stall(cpu flat)")
         if not causes:
-            causes.append("plan-work")
+            tv_flat = art.get("runsTasks", {}).get(q)
+            if tv_flat and max(tv_flat) - min(tv_flat) < 20:
+                causes.append("cpu-unattributed(tasks flat)")
+            else:
+                causes.append("plan-work")
         # r14: the artifact carries its OWN per-run classification
         # (driftVerdicts) and per-run task counts — surface both so
         # this tool's cross-session adjudication and the bench's
