@@ -230,6 +230,41 @@ object OracleSql {
       |    bit_count(xor(fp_a, fp_b))::BIGINT AS hamming
       |  FROM pcand WHERE bit_count(xor(fp_a, fp_b)) <= 4)""".stripMargin
 
+  /** The audio fixture + detector chain (operators.Multimodal
+    * `audWindowLevel`/`audioFp60` + dedup.Dedup.dedupAudioPairsDf),
+    * re-derived from the generating arithmetic — the Spark side
+    * computes the SAME fingerprints from really WAV-encoded-and-
+    * decoded clips, so a hash match certifies codec round-trip and
+    * fingerprint math together. Levels live on a 3-step grid
+    * (idx 0-84 → level idx·3+2; the plant bumps 13 GRID units with a
+    * mod-85 wrap) — see audWindowLevel's μ-law rationale. Ends with
+    * `apair` (media_a, media_b, hamming ≤ 4) and keeps `am` (the
+    * media corpus) in scope for the apply oracle.
+    */
+  private val audCtes =
+    """am AS (
+      |  SELECT doc_id AS media_id, doc_id AS src_id, 0 AS planted FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id, 1 FROM documents WHERE doc_id % 20 = 3),
+      |alv AS (SELECT media_id, w,
+      |    (((('0x' || substr(md5('audfp|' || src_id || '|' || w), 1, 15))::BIGINT % 85
+      |      + CASE WHEN planted = 1 AND w IN (13, 47) THEN 13 ELSE 0 END) % 85)
+      |     * 3 + 2) AS lvl
+      |  FROM am CROSS JOIN generate_series(0, 60) g(w)),
+      |afp AS (SELECT a.media_id,
+      |    sum(CASE WHEN a.lvl > b.lvl THEN (1::BIGINT << a.w) ELSE 0 END)::BIGINT AS fp
+      |  FROM alv a JOIN alv b ON a.media_id = b.media_id AND b.w = a.w + 1
+      |  WHERE a.w < 60 GROUP BY a.media_id),
+      |abands AS (SELECT media_id, fp, b, (fp >> (b * 15)) & 32767 AS band_key
+      |  FROM afp CROSS JOIN generate_series(0, 3) g(b)),
+      |acand AS (SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+      |    x.fp AS fp_a, y.fp AS fp_b
+      |  FROM abands x JOIN abands y
+      |  ON x.b = y.b AND x.band_key = y.band_key AND x.media_id < y.media_id),
+      |apair AS (SELECT media_a, media_b,
+      |    bit_count(xor(fp_a, fp_b))::BIGINT AS hamming
+      |  FROM acand WHERE bit_count(xor(fp_a, fp_b)) <= 4)""".stripMargin
+
   /** Relational replay of the two-delivery incremental image dedup —
     * shared verbatim by the in-memory row and its durable-sink twin.
     * ppair is the full banded-pair relation; base media ids are all
@@ -2125,6 +2160,36 @@ object OracleSql {
     // TRUE rows and a hash match certifies both codec cycles + the
     // fingerprint math landed in band for every document
     "dedup_phash_jpeg" ->
+      """SELECT doc_id AS media_id, TRUE AS within_threshold,
+        |  TRUE AS band_candidate
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // AUDIO near-dup: the banded-pipeline replay on the audio
+    // fingerprint arithmetic (the phash oracle's modality twin) —
+    // fingerprints from the generating window levels where the Spark
+    // side round-trips a real WAV codec
+    "dedup_audio" ->
+      s"""WITH $audCtes
+         |SELECT media_a, media_b, hamming FROM apair
+         |ORDER BY media_a, media_b""".stripMargin,
+
+    // apply: arrival-ordered keep policy — drop a clip iff it
+    // near-matches a LOWER media_id (the pair report's media_b side)
+    "dedup_audio_apply" ->
+      s"""WITH $audCtes
+         |SELECT am.media_id, am.src_id AS src_doc_id,
+         |  (am.planted = 1) AS planted,
+         |  am.media_id NOT IN (SELECT media_b FROM apair) AS is_kept
+         |FROM am ORDER BY am.media_id""".stripMargin,
+
+    // lossy-survival invariants (the dedup_phash_jpeg pattern on the
+    // audio modality): measured over every producible id
+    // (tools/ProfileAudioUlaw, max 3 flipped bits / band candidacy
+    // everywhere under the JDK's real μ-law cycle on the grid-3
+    // fixture), so the oracle emits the expected TRUE rows and a hash
+    // match certifies both codec cycles + the fingerprint math landed
+    // in band for every document
+    "dedup_audio_ulaw" ->
       """SELECT doc_id AS media_id, TRUE AS within_threshold,
         |  TRUE AS band_candidate
         |FROM documents ORDER BY media_id""".stripMargin,

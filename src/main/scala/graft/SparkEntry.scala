@@ -206,6 +206,16 @@ object SparkEntry {
     // properties that make the banded detector catch recompressed
     // duplicates) — certified through two real codec cycles per row
     "dedup_phash_jpeg" -> ((s, d) => Multimodal.mmPhashJpegSurvival(s, d)),
+    // AUDIO near-dup (the phash family's modality twin): 60-bit
+    // energy-delta fingerprints of really WAV-decoded clips through
+    // the SAME banded Hamming join; planted 2-window edits are
+    // guaranteed hits
+    "dedup_audio"       -> (Dedup.dedupAudio(_, _)),
+    "dedup_audio_apply" -> (Dedup.dedupAudioApply(_, _)),
+    // lossy-survival audit: a μ-law-companded copy (the JDK's real
+    // ULAW codec) must stay inside the detector's Hamming threshold
+    // AND keep a full band — certified through two real codec cycles
+    "dedup_audio_ulaw" -> ((s, d) => Multimodal.mmAudioUlawSurvival(s, d)),
     // winnowed-fingerprint pairs (MOSS): guaranteed detection of shared
     // ≥8-token runs from the ~0.4× winnow index, inverted-index join
     "dedup_winnow"        -> (Dedup.dedupWinnow(_, _)),

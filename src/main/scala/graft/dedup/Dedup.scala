@@ -861,20 +861,27 @@ object Dedup {
     result
   }
 
-  /** Banded rows of a phash fingerprint relation — shared by the pair
-    * detector and the incremental step (one banding definition, so the
-    * two paths cannot diverge): (media_id, fp, band, band_key), 4
-    * bands × 15 bits.
+  /** Banded rows of a 60-bit fingerprint relation — ONE banding
+    * definition (4 bands × 15 bits) shared by every 60-bit-fingerprint
+    * modality (phash images, audio clips, video frames) and by both
+    * the pair detectors and the incremental steps, so the paths cannot
+    * diverge: (media_id, fp, band, band_key).
     */
-  def phashBands(fps: DataFrame): DataFrame =
-    fps.select(col("media_id"), col("phash60").as("fp"),
+  def bands60(fps: DataFrame, fpCol: String): DataFrame =
+    fps.select(col("media_id"), col(fpCol).as("fp"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_key",
         expr("shiftright(fp, band * 15)").bitwiseAND(lit(32767L)))
       .select(col("media_id"), col("fp"), col("band"), col("band_key"))
 
-  def dedupPhashPairsDf(fps: DataFrame): DataFrame = {
-    val bands = phashBands(fps)
+  def phashBands(fps: DataFrame): DataFrame = bands60(fps, "phash60")
+
+  /** Banded Hamming pairs over any [[bands60]] relation: candidates
+    * from the band equi-self-join (bucket-mates only, never
+    * all-pairs), verified at Hamming ≤ `maxHamming` over the already-
+    * joined fingerprints.
+    */
+  def bandedHammingPairs(bands: DataFrame, maxHamming: Int): DataFrame = {
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
@@ -885,9 +892,12 @@ object Dedup {
     cand.select(col("media_a"), col("media_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType)
           .as("hamming"))
-      .filter(col("hamming") <= 4)
+      .filter(col("hamming") <= maxHamming)
       .orderBy(col("media_a"), col("media_b"))
   }
+
+  def dedupPhashPairsDf(fps: DataFrame): DataFrame =
+    bandedHammingPairs(phashBands(fps), 4)
 
   /** The phash APPLY: the deduplicated image corpus. Keep policy is
     * the incremental-ingest one — a media row is dropped iff it
@@ -1044,6 +1054,53 @@ object Dedup {
     val (s2, _) = phashStepDelta(fps.filter(col("media_id") >= off), delta1)
     val result = s1.select(col("media_id"), lit(1L).as("delivery"))
       .unionByName(s2.select(col("media_id"), lit(2L).as("delivery")))
+      .orderBy(col("media_id"))
+      .localCheckpoint(true)
+    fps.unpersist()
+    result
+  }
+
+  // ---- audio near-dup (r16 verdict #3): the modality twin of the
+  // phash image family. Fingerprints are 60-bit energy-delta dHashes
+  // of REALLY WAV-encoded-and-decoded clips
+  // (operators.Multimodal.mmAudioFingerprints); the detector is the
+  // SAME banded Hamming join ([[bands60]]/[[bandedHammingPairs]]), so
+  // its scale shape is already certified: one narrow codec pass
+  // persisted once, candidates shuffle on band keys, Hamming verify
+  // over the joined fingerprints — at 100 TB the audio corpus never
+  // meets itself outside shared 15-bit bands.
+
+  def audioBands(fps: DataFrame): DataFrame = bands60(fps, "audfp60")
+
+  def dedupAudioPairsDf(fps: DataFrame): DataFrame =
+    bandedHammingPairs(audioBands(fps), 4)
+
+  /** Audio near-dup pairs: planted edited copies (two boosted windows
+    * → ≤4 flipped bits, two guaranteed-intact bands) surface through
+    * the banded join and verify at Hamming ≤ 4.
+    */
+  def dedupAudio(s: SparkSession, dir: String): DataFrame = {
+    val fps = graft.operators.Multimodal.mmAudioFingerprints(s, dir).persist()
+    fps.count() // materialize the codec pass once, before the self-join
+    val result = dedupAudioPairsDf(fps).localCheckpoint(true)
+    fps.unpersist()
+    result
+  }
+
+  /** The audio APPLY: arrival-ordered keep policy, same contract as
+    * [[dedupPhashApply]] — a clip is dropped iff it near-matches a
+    * LOWER media_id, so the earliest-ingested copy of every match
+    * survives.
+    */
+  def dedupAudioApply(s: SparkSession, dir: String): DataFrame = {
+    val fps = graft.operators.Multimodal.mmAudioFingerprints(s, dir).persist()
+    fps.count()
+    val drop = dedupAudioPairsDf(fps).select(col("media_b").as("media_id"))
+      .distinct()
+    val result = fps
+      .join(drop.withColumn("dropped", lit(true)), Seq("media_id"), "left")
+      .select(col("media_id"), col("src_doc_id"), col("planted"),
+        coalesce(!col("dropped"), lit(true)).as("is_kept"))
       .orderBy(col("media_id"))
       .localCheckpoint(true)
     fps.unpersist()

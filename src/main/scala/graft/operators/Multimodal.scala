@@ -809,4 +809,240 @@ object Multimodal {
       .toDF()
       .orderBy(col("media_id"))
   }
+
+  // ---- audio fingerprint fixtures (the audio twin of the phash
+  // family — r16 verdict #3): near-identical clips with different
+  // bytes (re-encoded, companded, lightly edited) must collapse to
+  // nearby fingerprints the banded Hamming join can surface without
+  // an all-pairs scan. The fingerprint is a 60-bit energy-delta dHash
+  // over 61 fixed windows — the 1D twin of the image dHash, so the
+  // banding, the join, and the oracle arithmetic all reuse the
+  // certified phash shape.
+
+  /** Plant parameters of the audio fixture corpus: every doc renders
+    * one 61-window clip; docs with `doc_id % 20 == 3` ALSO plant an
+    * edited copy at `doc_id + AudioPlantOffset` whose windows 13 and
+    * 47 are boosted by 40 levels. Two changed windows flip at most 4
+    * fingerprint bits (each window participates in exactly two
+    * adjacent-window comparisons: bits {12,13} and {46,47}), leaving
+    * bands 1 and 2 of the 4×15 banding untouched — band candidacy is
+    * GUARANTEED, not probabilistic.
+    */
+  val AudioPlantOffset = 1000000L
+  val AudioPlantMod = 20L
+  val AudioPlantRes = 3L
+  val AudioPlantWindows: Seq[Int] = Seq(13, 47)
+  val AudioPlantBumpSteps = 13 // 13 grid steps = 39 levels
+  val AudWindows = 61
+  val AudWinSamples = 16
+  val AudSamplesTotal: Int = AudWindows * AudWinSamples
+
+  /** Level of window w of doc `srcId`'s fixture clip: the md5-backed
+    * hash60 (the corpus-wide hash convention, mirrored in DuckDB as
+    * `('0x' || substr(md5(…), 1, 15))::BIGINT`) mod 256 — content-
+    * hashed so unrelated docs' fingerprints sit ~30 bits apart and the
+    * detector's matches are the planted edits, not fixture artifacts.
+    */
+  def audWindowLevel(srcId: Long, w: Int, planted: Boolean): Int = {
+    // levels live on a 3-step grid (2, 5, …, 254): the JDK's
+    // s16↔μ-law cycle recovers interior levels within ±2 but CLIPS
+    // the extremes (level 0 recovers as 128, 255 as 128 — measured
+    // err table), and over the grid the cycle produces 0 order
+    // violations + 11 ties among the 85 grid levels — so companding
+    // drift on the fingerprint is REAL (ties demote a strict '>')
+    // but bounded, where full-range random levels measured max 7
+    // flipped bits with 5 clips losing all four bands. The plant
+    // bumps in GRID UNITS with a mod-85 wrap so planted copies stay
+    // on the grid.
+    val idx0 = (graft.functions.TextHash.hash60(s"audfp|$srcId|$w") % 85L).toInt
+    val idx =
+      if (planted && AudioPlantWindows.contains(w))
+        (idx0 + AudioPlantBumpSteps) % 85
+      else idx0
+    idx * 3 + 2
+  }
+
+  /** The fixture clip as REAL WAV bytes: 61 windows × 16 samples of
+    * 8-bit unsigned mono PCM at 8 kHz, each window constant at its
+    * [[audWindowLevel]] — constant windows make the window mean the
+    * level EXACTLY (integer division of a 16-sample sum), so lossless
+    * PCM round-trips the fingerprint bit-for-bit and the oracle can
+    * recompute it from the generating arithmetic.
+    */
+  def audWavBytes(srcId: Long, planted: Boolean): Array[Byte] = {
+    val n = AudSamplesTotal
+    val b = ByteBuffer.allocate(44 + n).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(8000).putInt(8000)         // sample rate, byte rate
+      .putShort(1).putShort(8)           // block align, bits/sample
+    b.put("data".getBytes("US-ASCII")).putInt(n)
+    var w = 0
+    while (w < AudWindows) {
+      val lvl = audWindowLevel(srcId, w, planted)
+      var i = 0
+      while (i < AudWinSamples) { b.put(lvl.toByte); i += 1 }
+      w += 1
+    }
+    b.array()
+  }
+
+  /** REAL decode of an 8-bit unsigned mono WAV to its sample levels —
+    * javax.sound.sampled parses container + format, the samples come
+    * from the decoded stream (the same codec boundary as mmAudio).
+    */
+  def decodeWavU8(bytes: Array[Byte]): Array[Int] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+      s"unexpected audio format $fmt")
+    in.readAllBytes().map(_ & 0xff)
+  }
+
+  /** 60-bit energy-delta fingerprint of a DECODED clip: bit w is set
+    * iff window w's mean level exceeds window w+1's (61 windows → 60
+    * comparisons; 60 bits keeps every banded/summed form inside
+    * positive signed-64 range in both engines, the dhash60
+    * convention). Window means are exact integer division of a
+    * 16-sample sum.
+    */
+  def audioFp60(samples: Array[Int]): Long = {
+    require(samples.length == AudSamplesTotal,
+      s"expected $AudSamplesTotal samples, got ${samples.length}")
+    val mean = new Array[Int](AudWindows)
+    var w = 0
+    while (w < AudWindows) {
+      var sum = 0
+      var i = 0
+      while (i < AudWinSamples) { sum += samples(w * AudWinSamples + i); i += 1 }
+      mean(w) = sum / AudWinSamples
+      w += 1
+    }
+    var fp = 0L
+    w = 0
+    while (w < 60) {
+      if (mean(w) > mean(w + 1)) fp |= (1L << w)
+      w += 1
+    }
+    fp
+  }
+
+  /** One real μ-law companding cycle: unsigned-8 WAV → signed-16 PCM →
+    * ULAW (the JDK's built-in lossy codec) → signed-16 PCM → recovered
+    * 8-bit levels. μ-law quantization error grows with amplitude (±2
+    * levels at this fixture's range — measured by
+    * tools/ProfileAudioUlaw), which is exactly the drift the survival
+    * audit must prove the detector tolerates.
+    */
+  def ulawRoundTripU8(wav: Array[Byte]): Array[Int] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val src = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+    val s16 = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val pcm16 = AudioSystem.getAudioInputStream(s16, src)
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val ul = AudioSystem.getAudioInputStream(ulawFmt, pcm16)
+    val ulBytes = ul.readAllBytes()
+    val back = AudioSystem.getAudioInputStream(s16,
+      new AudioInputStream(new ByteArrayInputStream(ulBytes), ulawFmt,
+        ulBytes.length.toLong))
+    val bb = back.readAllBytes()
+    val out = new Array[Int](bb.length / 2)
+    var i = 0
+    while (i < out.length) {
+      val s = (bb(2 * i + 1).toInt << 8) | (bb(2 * i) & 0xff)
+      out(i) = (s >> 8) + 128
+      i += 1
+    }
+    out
+  }
+
+  case class AudioFpRow(media_id: Long, src_doc_id: Long, planted: Boolean,
+      audfp60: Long)
+
+  /** The audio media corpus: one base clip per document plus the
+    * planted edited copies — (media_id, src_id, planted).
+    */
+  def audioMediaCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    docs
+      .select(col("doc_id").as("media_id"), col("doc_id").as("src_id"),
+        lit(false).as("planted"))
+      .unionByName(docs
+        .filter(col("doc_id") % AudioPlantMod === AudioPlantRes)
+        .select((col("doc_id") + AudioPlantOffset).as("media_id"),
+          col("doc_id").as("src_id"), lit(true).as("planted")))
+  }
+
+  /** The audio codec pass: corpus clips → REAL WAV encode → REAL
+    * decode → fingerprint from the DECODED samples. Same narrow
+    * mapPartitions codec boundary as every mm_* family: no shuffle,
+    * parallel by split.
+    */
+  def audioFingerprintsOf(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    graft.Par.spread(media.select(col("media_id"), col("src_id"),
+        col("planted")))
+      .as[(Long, Long, Boolean)]
+      .mapPartitions(_.map { case (mid, sid, pl) =>
+        AudioFpRow(mid, sid, pl, audioFp60(decodeWavU8(audWavBytes(sid, pl))))
+      })
+      .toDF()
+  }
+
+  def mmAudioFingerprints(s: SparkSession, dir: String): DataFrame =
+    audioFingerprintsOf(audioMediaCorpus(s, dir))
+
+  case class AudioUlawRow(media_id: Long, within_threshold: Boolean,
+      band_candidate: Boolean)
+
+  /** Highest synthetic id tools/ProfileAudioUlaw has swept (ids
+    * 0-4999, every sf the driver generates) — the same guard contract
+    * as [[PhashJpegProfiledMaxId]].
+    */
+  val AudioUlawProfiledMaxId = 4999L
+
+  /** LOSSY-SURVIVAL audit of the audio fingerprint — the
+    * dedup_phash_jpeg pattern on the audio modality: a μ-law-companded
+    * copy of a clip (same audio, different bytes — telephony's
+    * standard lossy transport) must still land inside the detector's
+    * operating threshold. For every doc: the base fingerprint from the
+    * lossless WAV round-trip vs the fingerprint of the SAME clip after
+    * a real ULAW encode→decode cycle; emits Hamming ≤ `maxHamming`
+    * and ≥1-intact-band candidacy. Measured over every id the testdata
+    * can produce (tools/ProfileAudioUlaw, ids 0-4999): see the oracle
+    * note for the measured bound. A hash match certifies, through two
+    * REAL codec cycles per row, that companding cannot hide a
+    * duplicate from this detector on these corpora.
+    */
+  def mmAudioUlawSurvival(s: SparkSession, dir: String,
+      maxHamming: Int = 4): DataFrame = {
+    import s.implicits._
+    val maxId = Tables.documents(s, dir)
+      .agg(max(col("doc_id"))).head.getLong(0)
+    require(maxId <= AudioUlawProfiledMaxId,
+      s"dedup_audio_ulaw's corpus-wide survival claim is profiled for " +
+        s"ids 0-$AudioUlawProfiledMaxId but this corpus reaches $maxId; " +
+        s"run `sbt \"runMain graft.tools.ProfileAudioUlaw ${maxId + 1}\"` " +
+        "and raise AudioUlawProfiledMaxId if the bound holds")
+    graft.Par.spread(Tables.documents(s, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions(_.map { sid =>
+        val wav = audWavBytes(sid, planted = false)
+        val base = audioFp60(decodeWavU8(wav))
+        val companded = audioFp60(ulawRoundTripU8(wav))
+        val x = base ^ companded
+        val ham = java.lang.Long.bitCount(x)
+        val bandShared = (0 until 4).exists(b => ((x >> (b * 15)) & 32767L) == 0L)
+        AudioUlawRow(sid, ham <= maxHamming, bandShared)
+      })
+      .toDF()
+      .orderBy(col("media_id"))
+  }
 }

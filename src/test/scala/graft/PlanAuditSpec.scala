@@ -144,6 +144,18 @@ class PlanAuditSpec extends SparkSpec {
     graft.store.Checkpoints.free(spark)
   }
 
+  test("dedup_audio pairs: banded equi-join, never an all-pairs product") {
+    // same pin as dedup_phash below, on the audio modality: candidates
+    // must come from a hash/sort-merge EQUI-join on the band keys
+    val p = graft.dedup.Dedup.dedupAudioPairsDf(
+        graft.operators.Multimodal.mmAudioFingerprints(spark, Sf0001))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"audio banded join degenerated to a pair product:\n$p")
+    assert(p.contains("band_key"),
+      s"audio candidate join does not key on the bands:\n$p")
+  }
+
   test("dedup_phash pairs: banded equi-join, never an all-pairs product") {
     // the registered query localCheckpoints its result (codec pass is
     // persisted once), so pin the DETECTOR plan itself: candidates
