@@ -265,6 +265,47 @@ object OracleSql {
       |    bit_count(xor(fp_a, fp_b))::BIGINT AS hamming
       |  FROM acand WHERE bit_count(xor(fp_a, fp_b)) <= 4)""".stripMargin
 
+  /** The video fixture + detector chain (operators.Multimodal
+    * `vidBlockLevel`/`dhash60` per sampled frame +
+    * dedup.Dedup.dedupVideoPairsDf), re-derived from the generating
+    * arithmetic — the Spark side computes the SAME per-frame
+    * fingerprints from really BMP-encoded-and-decoded frame rasters.
+    * Sampled frames are {0, 2, 4}; the planted cut frame (4) hashes
+    * from a fresh salt; every other planted frame carries the phash
+    * 2-block retouch. Ends with `vpair` (media_a, media_b,
+    * n_frames_matched ≥ 2) and keeps `vm` in scope for the apply
+    * oracle.
+    */
+  private val vidCtes =
+    """vm AS (
+      |  SELECT doc_id AS media_id, doc_id AS src_id, 0 AS planted FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id, 1 FROM documents WHERE doc_id % 20 = 11),
+      |vlv AS (SELECT media_id, f, k,
+      |    CASE WHEN planted = 1 AND f = 4
+      |      THEN ('0x' || substr(md5('vidcut|' || src_id || '|' || f || '|' || k), 1, 15))::BIGINT % 256
+      |      ELSE ((('0x' || substr(md5('vidfp|' || src_id || '|' || f || '|' || k), 1, 15))::BIGINT % 256
+      |        + CASE WHEN planted = 1 AND k IN (9, 41) THEN 40 ELSE 0 END) % 256)
+      |    END AS lvl
+      |  FROM vm CROSS JOIN (VALUES (0), (2), (4)) fr(f)
+      |    CROSS JOIN generate_series(0, 60) g(k)),
+      |vfp AS (SELECT a.media_id, a.f,
+      |    sum(CASE WHEN a.lvl > b.lvl THEN (1::BIGINT << a.k) ELSE 0 END)::BIGINT AS fp
+      |  FROM vlv a JOIN vlv b
+      |    ON a.media_id = b.media_id AND a.f = b.f AND b.k = a.k + 1
+      |  WHERE a.k < 60 GROUP BY a.media_id, a.f),
+      |vbands AS (SELECT media_id, f, fp, b, (fp >> (b * 15)) & 32767 AS band_key
+      |  FROM vfp CROSS JOIN generate_series(0, 3) g(b)),
+      |vcand AS (SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+      |    x.f AS f, x.fp AS fp_a, y.fp AS fp_b
+      |  FROM vbands x JOIN vbands y
+      |  ON x.f = y.f AND x.b = y.b AND x.band_key = y.band_key
+      |    AND x.media_id < y.media_id),
+      |vfmatch AS (SELECT DISTINCT media_a, media_b, f
+      |  FROM vcand WHERE bit_count(xor(fp_a, fp_b)) <= 4),
+      |vpair AS (SELECT media_a, media_b, count(*)::BIGINT AS n_frames_matched
+      |  FROM vfmatch GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
   /** Relational replay of the two-delivery incremental image dedup —
     * shared verbatim by the in-memory row and its durable-sink twin.
     * ppair is the full banded-pair relation; base media ids are all
@@ -2193,6 +2234,22 @@ object OracleSql {
       """SELECT doc_id AS media_id, TRUE AS within_threshold,
         |  TRUE AS band_candidate
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // VIDEO near-dup: the frame-vote replay — per-sampled-frame
+    // fingerprints from the generating arithmetic, frame-aligned
+    // banded candidates, Hamming-verified per frame, voted ≥2-of-3
+    "dedup_video" ->
+      s"""WITH $vidCtes
+         |SELECT media_a, media_b, n_frames_matched FROM vpair
+         |ORDER BY media_a, media_b""".stripMargin,
+
+    // apply: arrival-ordered keep policy over the voted pair report
+    "dedup_video_apply" ->
+      s"""WITH $vidCtes
+         |SELECT vm.media_id, vm.src_id AS src_doc_id,
+         |  (vm.planted = 1) AS planted,
+         |  vm.media_id NOT IN (SELECT media_b FROM vpair) AS is_kept
+         |FROM vm ORDER BY vm.media_id""".stripMargin,
 
     "dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -216,6 +216,13 @@ object SparkEntry {
     // ULAW codec) must stay inside the detector's Hamming threshold
     // AND keep a full band — certified through two real codec cycles
     "dedup_audio_ulaw" -> ((s, d) => Multimodal.mmAudioUlawSurvival(s, d)),
+    // VIDEO near-dup (the image family lifted one level): per-sampled-
+    // frame dHash through the frame-aligned banded join, then a frame
+    // VOTE (≥2 of the 3 sampled frames at Hamming ≤4) — the planted
+    // copies carry per-frame retouches plus one full scene cut, so
+    // they vote exactly 2-of-3
+    "dedup_video"       -> (Dedup.dedupVideo(_, _)),
+    "dedup_video_apply" -> (Dedup.dedupVideoApply(_, _)),
     // winnowed-fingerprint pairs (MOSS): guaranteed detection of shared
     // ≥8-token runs from the ~0.4× winnow index, inverted-index join
     "dedup_winnow"        -> (Dedup.dedupWinnow(_, _)),

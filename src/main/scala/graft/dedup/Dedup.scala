@@ -1107,6 +1107,85 @@ object Dedup {
     result
   }
 
+  // ---- video near-dup (r16 verdict #4): the image family lifted one
+  // level. Per-SAMPLED-frame dHash fingerprints
+  // (operators.Multimodal.mmVideoFingerprints — real BMP decode of the
+  // sliced frames only) through the certified banded Hamming join,
+  // FRAME-ALIGNED (a candidate must share the frame index as well as
+  // the band key — near-dup videos on the same sampling grid), then a
+  // FRAME VOTE: a pair matches iff ≥ minVote sampled frames verify at
+  // Hamming ≤ 4. One replaced scene can't hide a duplicate; one
+  // coincidentally-similar frame can't fabricate one.
+  //
+  // Scale shape: one codec pass over sampled frames persisted once;
+  // candidates shuffle on (frame, band) keys — the corpus never meets
+  // itself outside shared 15-bit bands of the SAME frame slot; the
+  // vote is a groupBy over the (already tiny) verified frame matches.
+
+  /** Banded rows of a per-frame fingerprint relation: the [[bands60]]
+    * banding with the frame index carried into the join key.
+    */
+  def videoFrameBands(fps: DataFrame): DataFrame =
+    fps.select(col("media_id"), col("frame_idx"), col("fp60").as("fp"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_key",
+        expr("shiftright(fp, band * 15)").bitwiseAND(lit(32767L)))
+      .select(col("media_id"), col("frame_idx"), col("fp"), col("band"),
+        col("band_key"))
+
+  def dedupVideoPairsDf(fps: DataFrame, maxHamming: Int = 4,
+      minVote: Int = graft.operators.Multimodal.VidMinVote): DataFrame = {
+    val bands = videoFrameBands(fps)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.frame_idx") === col("y.frame_idx") &&
+          col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        col("x.frame_idx").as("frame_idx"),
+        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+      .distinct()
+    val frameMatches = cand
+      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
+      .select(col("media_a"), col("media_b"), col("frame_idx"))
+      .distinct()
+    frameMatches.groupBy(col("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("n_frames_matched"))
+      .filter(col("n_frames_matched") >= minVote)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** Video near-dup pairs with the per-pair matched-frame count: the
+    * planted copies (retouched frames + one scene cut) vote 2-of-3.
+    */
+  def dedupVideo(s: SparkSession, dir: String): DataFrame = {
+    val fps = graft.operators.Multimodal.mmVideoFingerprints(s, dir).persist()
+    fps.count() // materialize the codec pass once, before the self-join
+    val result = dedupVideoPairsDf(fps).localCheckpoint(true)
+    fps.unpersist()
+    result
+  }
+
+  /** The video APPLY: arrival-ordered keep policy over the voted pair
+    * report — a clip is dropped iff it near-matches a LOWER media_id.
+    */
+  def dedupVideoApply(s: SparkSession, dir: String): DataFrame = {
+    val fps = graft.operators.Multimodal.mmVideoFingerprints(s, dir).persist()
+    fps.count()
+    val drop = dedupVideoPairsDf(fps).select(col("media_b").as("media_id"))
+      .distinct()
+    val media = fps.select(col("media_id"), col("src_doc_id"), col("planted"))
+      .distinct()
+    val result = media
+      .join(drop.withColumn("dropped", lit(true)), Seq("media_id"), "left")
+      .select(col("media_id"), col("src_doc_id"), col("planted"),
+        coalesce(!col("dropped"), lit(true)).as("is_kept"))
+      .orderBy(col("media_id"))
+      .localCheckpoint(true)
+    fps.unpersist()
+    result
+  }
+
   /** EXACT-SUBSTRING dedup pairs — the Lee et al. 2022 ("Deduplicating
     * Training Data Makes Language Models Better", §4) signal, the one
     * dedup family the detectors above deliberately approximate: for

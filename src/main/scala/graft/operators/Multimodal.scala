@@ -737,6 +737,155 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  // ---- video fingerprint fixtures (r16 verdict #4): the image
+  // family's shape lifted one level. A video near-dup (re-encoded,
+  // lightly retouched, possibly with replaced scenes) keeps MOST of
+  // its sampled frames perceptually close to the original's — so the
+  // detector fingerprints each SAMPLED frame (decode cost ∝ sampled
+  // frames, not stored frames), runs the certified per-frame banded
+  // Hamming join frame-aligned, and calls a pair a match iff ≥ k of
+  // the sampled frames are band-mates within threshold (the frame
+  // VOTE — one wholesale scene cut cannot hide the duplicate, and one
+  // coincidentally-similar frame cannot fabricate one).
+
+  /** Plant parameters of the video fixture corpus: every doc renders
+    * one 6-frame clip; docs with `doc_id % 20 == 11` ALSO plant a
+    * near-dup copy at `doc_id + VideoPlantOffset` whose every frame
+    * carries the 2-block retouch (≤4 flipped bits per frame, bands 1
+    * and 3 intact — the phash guarantee per frame) EXCEPT frame 4,
+    * which is a full scene replacement (content-hashed afresh, ~30
+    * bits away). Sampled frames are {0, 2, 4} (stride 2), so the
+    * planted pair votes 2-of-3 — the vote threshold (2) is met
+    * through the retouched frames while the scene cut exercises a
+    * genuine non-matching frame.
+    */
+  val VideoPlantOffset = 1000000L
+  val VideoPlantMod = 20L
+  val VideoPlantRes = 11L
+  val VidFrames = 6
+  val VidStride = 2
+  val VidCutFrame = 4
+  val VidMinVote = 2
+
+  /** Block level k of frame f of doc `srcId`'s video fixture — the
+    * phash block arithmetic with the frame index mixed into the hash
+    * (so frames are independent rasters), the same 2-block retouch on
+    * planted copies, and a fresh hash salt on the planted cut frame.
+    */
+  def vidBlockLevel(srcId: Long, f: Int, k: Int, planted: Boolean): Int =
+    if (planted && f == VidCutFrame)
+      (graft.functions.TextHash.hash60(s"vidcut|$srcId|$f|$k") % 256L).toInt
+    else {
+      val base =
+        (graft.functions.TextHash.hash60(s"vidfp|$srcId|$f|$k") % 256L).toInt
+      if (planted && PhashPlantBlocks.contains(k)) (base + PhashPlantBump) % 256
+      else base
+    }
+
+  /** Frame f as a raster: 16×16 gray, an 8×8 grid of uniform 2×2-pixel
+    * blocks at [[vidBlockLevel]] levels (the phash raster geometry).
+    */
+  def vidFrameRaster(srcId: Long, f: Int,
+      planted: Boolean): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(Side, Side,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var k = 0
+    while (k < 64) {
+      val lvl = vidBlockLevel(srcId, f, k, planted)
+      val bx = (k % 8) * 2
+      val by = (k / 8) * 2
+      r.setSample(bx, by, 0, lvl); r.setSample(bx + 1, by, 0, lvl)
+      r.setSample(bx, by + 1, 0, lvl); r.setSample(bx + 1, by + 1, 0, lvl)
+      k += 1
+    }
+    img
+  }
+
+  /** An arbitrary gray raster as REAL BMP bytes (24-bit BGR, bottom-up
+    * rows — the [[encodeBmp]] container applied to a given raster):
+    * lossless and FIXED-SIZE, so frames pack at a constant stride and
+    * the sampler can slice one frame without parsing its neighbors.
+    */
+  def bmpBytesOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val b = ByteBuffer.allocate(BmpBytes).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+      .putInt(BmpBytes).putInt(0).putInt(54)
+    b.putInt(40).putInt(Side).putInt(Side)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(Side * Side * 3)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val r = img.getRaster
+    var y = Side - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < Side) {
+        val g = r.getSample(x, y, 0).toByte
+        b.put(g).put(g).put(g)
+        x += 1
+      }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** The fixture video: [[VidFrames]] concatenated frame BMPs. */
+  def encodeVideoFp(srcId: Long, planted: Boolean): Array[Byte] = {
+    val out = new Array[Byte](BmpBytes * VidFrames)
+    var f = 0
+    while (f < VidFrames) {
+      System.arraycopy(bmpBytesOf(vidFrameRaster(srcId, f, planted)), 0,
+        out, f * BmpBytes, BmpBytes)
+      f += 1
+    }
+    out
+  }
+
+  case class VideoFpRow(media_id: Long, src_doc_id: Long, planted: Boolean,
+      frame_idx: Int, fp60: Long)
+
+  /** The video media corpus: one base clip per document plus the
+    * planted near-dup copies — (media_id, src_id, planted).
+    */
+  def videoMediaCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    docs
+      .select(col("doc_id").as("media_id"), col("doc_id").as("src_id"),
+        lit(false).as("planted"))
+      .unionByName(docs
+        .filter(col("doc_id") % VideoPlantMod === VideoPlantRes)
+        .select((col("doc_id") + VideoPlantOffset).as("media_id"),
+          col("doc_id").as("src_id"), lit(true).as("planted")))
+  }
+
+  /** The video codec pass: per media, slice every [[VidStride]]-th
+    * frame out of the packed clip, REAL ImageIO decode of THAT frame
+    * alone, dHash from the decoded raster — decode cost ∝ sampled
+    * frames, the thumbnail-extractor shape. Same narrow mapPartitions
+    * codec boundary as every mm_* family.
+    */
+  def videoFingerprintsOf(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    graft.Par.spread(media.select(col("media_id"), col("src_id"),
+        col("planted")))
+      .as[(Long, Long, Boolean)]
+      .mapPartitions(_.flatMap { case (mid, sid, pl) =>
+        val clip = encodeVideoFp(sid, pl)
+        (0 until VidFrames by VidStride).iterator.map { f =>
+          val bytes = java.util.Arrays.copyOfRange(
+            clip, f * BmpBytes, (f + 1) * BmpBytes)
+          val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+          require(img != null, s"frame $f of media $mid failed to decode")
+          VideoFpRow(mid, sid, pl, f, dhash60(img))
+        }
+      })
+      .toDF()
+  }
+
+  def mmVideoFingerprints(s: SparkSession, dir: String): DataFrame =
+    videoFingerprintsOf(videoMediaCorpus(s, dir))
+
   /** Fixture audio: 1024 samples of 8-bit unsigned mono PCM at 8 kHz,
     * sample i = (i·37 + media_id·11 + contentLen) mod 256, wrapped in a
     * standard 44-byte RIFF/WAVE header.

@@ -156,6 +156,19 @@ class PlanAuditSpec extends SparkSpec {
       s"audio candidate join does not key on the bands:\n$p")
   }
 
+  test("dedup_video pairs: frame-aligned banded equi-join, never an all-pairs product") {
+    // the video twin: candidates must come from an equi-join keyed on
+    // BOTH the frame index and the band key — losing either key (a
+    // cross-frame or cross-band product) degenerates to O(n²)
+    val p = graft.dedup.Dedup.dedupVideoPairsDf(
+        graft.operators.Multimodal.mmVideoFingerprints(spark, Sf0001))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"video banded join degenerated to a pair product:\n$p")
+    assert(p.contains("band_key") && p.contains("frame_idx"),
+      s"video candidate join does not key on frame + bands:\n$p")
+  }
+
   test("dedup_phash pairs: banded equi-join, never an all-pairs product") {
     // the registered query localCheckpoints its result (codec pass is
     // persisted once), so pin the DETECTOR plan itself: candidates
