@@ -1944,6 +1944,65 @@ object OracleSql {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> rep)
          |ORDER BY doc_id""".stripMargin,
 
+    // CROSS-MODAL joint apply: the dedup_apply_all chain with ONE more
+    // union branch — the certified phash pair relation (phashCtes,
+    // verbatim) mapped to owner-document edges through the attachment
+    // (base image owned by its doc; the retouched copy of doc d's
+    // image embedded by doc d+1; owners past the corpus dropped)
+    "dedup_apply_multimodal" ->
+      s"""WITH RECURSIVE $toksCte, $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 10000),
+         |pr AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |commonc AS (SELECT co.* FROM common co JOIN cand USING (doc_a, doc_b)),
+         |npairs AS (SELECT doc_a, doc_b FROM commonc
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+         |$simhashCtes,
+         |sbands AS (SELECT doc_id, fp, b, (fp >> (b * 15)) & 32767 AS band_key
+         |  FROM fp CROSS JOIN generate_series(0, 3) g(b)),
+         |spairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM sbands x JOIN sbands y
+         |  ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.fp, y.fp)) <= 4),
+         |epairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.45),
+         |$phashCtes,
+         |pown AS (SELECT pm.media_id,
+         |    CASE WHEN pm.planted = 1 THEN pm.src_id + 1 ELSE pm.media_id END AS owner
+         |  FROM pm JOIN documents d
+         |    ON d.doc_id = CASE WHEN pm.planted = 1 THEN pm.src_id + 1 ELSE pm.media_id END),
+         |mdpairs AS (SELECT DISTINCT least(a.owner, b.owner) AS doc_a,
+         |    greatest(a.owner, b.owner) AS doc_b
+         |  FROM ppair p JOIN pown a ON p.media_a = a.media_id
+         |               JOIN pown b ON p.media_b = b.media_id
+         |  WHERE a.owner <> b.owner),
+         |pairs AS (SELECT doc_a, doc_b FROM npairs
+         |  UNION SELECT doc_a, doc_b FROM spairs
+         |  UNION SELECT doc_a, doc_b FROM epairs
+         |  UNION SELECT doc_a, doc_b FROM mdpairs),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, root) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.u),
+         |cl AS (SELECT u AS doc_id, min(root) AS rep FROM reach GROUP BY u),
+         |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |JOIN exact_keep USING (doc_id)
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> rep)
+         |ORDER BY doc_id""".stripMargin,
+
     // same clustering stage over the SimHash detector's pair graph
     // (dedupClustersDf takes the pair DataFrame as a parameter)
     "dedup_clusters_simhash" ->

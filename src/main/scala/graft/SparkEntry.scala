@@ -241,6 +241,11 @@ object SparkEntry {
     // apply over the UNIONED pair graphs of all three near-dup
     // detectors (ngram ∪ simhash ∪ embedding) — the full-stack corpus
     "dedup_apply_all"     -> (Dedup.dedupApplyAll(_, _)),
+    // CROSS-MODAL joint apply: drop a document when EITHER its text
+    // matches (dedup_apply_all's unioned pair graph) OR its attached
+    // media near-matches another doc's (phash pairs mapped through
+    // the media→doc attachment) — the apply a real pipeline runs
+    "dedup_apply_multimodal" -> (Dedup.dedupApplyMultimodal(_, _)),
     // incremental (per-delivery) dedup against a signature index — the
     // accumulated corpus's text is never re-read
     "dedup_incremental"   -> (Dedup.dedupIncremental(_, _)),

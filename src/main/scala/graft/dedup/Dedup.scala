@@ -710,18 +710,24 @@ object Dedup {
     * relations, and the corpus itself only ever streams through two
     * key-joins against small derived relations.
     */
+  /** The three TEXT detectors' unioned pair graph — shared by
+    * [[dedupApplyAll]] and the cross-modal [[dedupApplyMultimodal]].
+    */
+  private def textPairGraph(s: SparkSession, dir: String): DataFrame = {
+    val ngramPairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val simhashPairs = dedupSimhash(s, dir).select(col("doc_a"), col("doc_b"))
+    val embPairs = graft.similarity.Similarity.dedupEmbeddingLsh(s, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    ngramPairs.unionByName(simhashPairs).unionByName(embPairs)
+  }
+
   def dedupApplyAll(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val exactKeep = docs
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val ngramPairs = dedupNgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
-    val simhashPairs = dedupSimhash(s, dir).select(col("doc_a"), col("doc_b"))
-    val embPairs = graft.similarity.Similarity.dedupEmbeddingLsh(s, dir)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val dropNear = dedupClustersDf(
-        ngramPairs.unionByName(simhashPairs).unionByName(embPairs))
+    val dropNear = dedupClustersDf(textPairGraph(s, dir))
       .filter(!col("is_canonical"))
       .select(col("doc_id"))
     docs
@@ -729,6 +735,71 @@ object Dedup {
       .join(dropNear, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Media→document attachment of the phash corpus — the fixture
+    * semantics a real pipeline's media table carries as a foreign key:
+    * every document owns its base image (media_id = doc_id), and the
+    * retouched copy of doc d's image is embedded by doc d+1 (the
+    * cross-doc shape of shared recompressed images on the web: a
+    * DIFFERENT page reusing a near-identical image). Owners that fall
+    * past the corpus (d+1 beyond the last doc) are dropped by the
+    * semi-join, in both engines.
+    */
+  def phashDocAttachment(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Multimodal.phashMediaCorpus(s, dir)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id").as("owner_doc_id"))
+    media.select(col("media_id"),
+        when(col("planted"), col("src_id") + 1)
+          .otherwise(col("media_id")).as("owner_doc_id"))
+      .join(docs, Seq("owner_doc_id"), "left_semi")
+  }
+
+  /** CROSS-MODAL joint apply (r16 verdict #5) — the apply a real
+    * training pipeline runs: a document is dropped when EITHER its
+    * TEXT near-matches (the unioned ngram-Jaccard ∪ SimHash ∪
+    * embedding-cosine pair graph of [[dedupApplyAll]]) OR its ATTACHED
+    * MEDIA near-matches another document's ([[dedupPhashPairsDf]]'s
+    * banded image pairs mapped through [[phashDocAttachment]] to
+    * owner-document edges). The two graphs are UNIONED before
+    * clustering, so a text-distinct page that embeds a recompressed
+    * copy of another page's image joins that page's component — and
+    * the keep-canonical rule then drops every non-canonical member.
+    *
+    * Scale shape unchanged from dedupApplyAll: each detector is its
+    * own bucketed pair generator; the media→doc mapping is two
+    * key-joins of the (tiny) pair relation against the attachment;
+    * the corpus itself streams through two key-joins at the end.
+    */
+  def dedupApplyMultimodal(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exactKeep = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val fps = graft.operators.Multimodal.mmPhashFingerprints(s, dir).persist()
+    fps.count() // one codec pass, before the band self-join's two sides
+    val attach = phashDocAttachment(s, dir)
+    val mediaDocPairs = dedupPhashPairsDf(fps)
+      .join(attach.as("oa"), col("media_a") === col("oa.media_id"))
+      .join(attach.as("ob"), col("media_b") === col("ob.media_id"))
+      .select(least(col("oa.owner_doc_id"), col("ob.owner_doc_id")).as("doc_a"),
+        greatest(col("oa.owner_doc_id"), col("ob.owner_doc_id")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val dropNear = dedupClustersDf(
+        textPairGraph(s, dir).unionByName(mediaDocPairs))
+      .filter(!col("is_canonical"))
+      .select(col("doc_id"))
+    val result = docs
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(dropNear, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    fps.unpersist()
+    result
   }
 
   /** CHUNK-LEVEL dedup composition — the sub-document near-dup signal

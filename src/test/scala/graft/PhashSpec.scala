@@ -112,6 +112,30 @@ class PhashSpec extends SparkSpec {
     assert(all == kept0, "a planted copy survived the durable cross-delivery path")
   }
 
+  test("cross-modal apply: media edges drop docs the text detectors keep") {
+    import spark.implicits._
+    val textOnly = Dedup.dedupApplyAll(spark, Sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val joint = Dedup.dedupApplyMultimodal(spark, Sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    // the union graph can only grow components: the joint corpus is a
+    // subset of the text-only corpus
+    assert(joint.subsetOf(textOnly),
+      s"joint apply kept docs text-only dropped: ${(joint -- textOnly).take(5)}")
+    val extraDropped = textOnly -- joint
+    assert(extraDropped.nonEmpty,
+      "media edges dropped nothing — the cross-modal union is inert")
+    // every extra drop is explained by a media edge: doc d's base
+    // image pairs with its retouched copy, which doc d+1 embeds — so
+    // each extra-dropped doc is a planted doc or its successor
+    extraDropped.foreach { d =>
+      val onEdge = (d % Multimodal.PhashPlantMod == Multimodal.PhashPlantRes) ||
+        ((d - 1) % Multimodal.PhashPlantMod == Multimodal.PhashPlantRes)
+      assert(onEdge, s"doc $d dropped by the joint apply but touches no media edge")
+    }
+    graft.store.Checkpoints.free(spark)
+  }
+
   test("detector finds every planted pair; apply drops exactly the dropped side") {
     import spark.implicits._
     val pairs = Dedup.dedupPhash(spark, Sf0001)
