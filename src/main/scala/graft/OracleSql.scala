@@ -599,6 +599,64 @@ object OracleSql {
       .replace(sites(3), "WHERE m.vec_id <> c.query_id AND m.label = 3)")
   }
 
+  /** `emb_ivf_serve_dialed` (store.AnnIndex.embIvfServeDialed): the
+    * ivfTopkSql chain up to the per-query cell ranking `pr`, then the
+    * DIAL replayed relationally — candidates carry their routing rank
+    * (≤ 8, the largest measured rung), each rung's served top-5 is
+    * censused against the exact panel top-5 (hits summed over the
+    * 10-query × k=5 panel, mean = one rounded integer division), the
+    * resolved nprobe is the smallest rung at mean_recall ≥ 0.5 (else
+    * the largest), and the final serve ranks the candidates within
+    * the resolved routing rank — exactly the persisted dial manifest's
+    * semantics.
+    */
+  private val ivfDialedServeSql: String = {
+    val tailSite = "cells AS (SELECT query_id, cell FROM pr WHERE r <= 2),"
+    require(ivfTopkSql.contains(tailSite),
+      "dialed-serve oracle derivation site missing")
+    ivfTopkSql.substring(0, ivfTopkSql.indexOf(tailSite)) +
+      """cells AS (SELECT query_id, cell, r AS cell_rank FROM pr WHERE r <= 8),
+        |cand AS (
+        |  SELECT c.query_id, m.vec_id AS neighbor_id, c.cell_rank,
+        |    round(list_dot_product(q.qe, m.emb) /
+        |      (sqrt(list_dot_product(q.qe, q.qe)) *
+        |       sqrt(list_dot_product(m.emb, m.emb))), 6) AS cos_sim
+        |  FROM cells c
+        |  JOIN af m ON m.cell = c.cell
+        |  JOIN q ON q.query_id = c.query_id
+        |  WHERE m.vec_id <> c.query_id),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      round(list_dot_product(q.qe, e.emb) /
+        |        (sqrt(list_dot_product(q.qe, q.qe)) *
+        |         sqrt(list_dot_product(e.emb, e.emb))), 6) DESC, e.vec_id) AS rank
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
+        |  WHERE rank <= 5),
+        |rungs AS (SELECT p FROM (VALUES (1), (2), (4), (8)) r(p)),
+        |served AS (SELECT p, query_id, neighbor_id FROM (
+        |  SELECT r.p, c.query_id, c.neighbor_id,
+        |    row_number() OVER (PARTITION BY r.p, c.query_id
+        |      ORDER BY c.cos_sim DESC, c.neighbor_id) AS rank
+        |  FROM rungs r JOIN cand c ON c.cell_rank <= r.p)
+        |  WHERE rank <= 5),
+        |mr AS (SELECT r.p,
+        |    round(count(ex.neighbor_id) / 50.0, 6) AS mean_recall
+        |  FROM rungs r
+        |  LEFT JOIN served s ON s.p = r.p
+        |  LEFT JOIN ex ON ex.query_id = s.query_id
+        |    AND ex.neighbor_id = s.neighbor_id
+        |  GROUP BY r.p),
+        |dial AS (SELECT coalesce(min(p) FILTER (WHERE mean_recall >= 0.5),
+        |    max(p)) AS np FROM mr)
+        |SELECT * FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rank
+        |  FROM cand WHERE cell_rank <= (SELECT np FROM dial))
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** `emb_ivf_filtered_recall` (store.AnnIndex.embIvfFilteredRecall):
     * the filtered serve (as a nested-WITH CTE — its own Lloyd chain,
     * names shadowed locally) censused against the exact top-5 over
@@ -2924,6 +2982,8 @@ object OracleSql {
     "emb_ivf_topk" -> ivfTopkSql,
 
     "emb_ivf_serve" -> ivfTopkSql,
+
+    "emb_ivf_serve_dialed" -> ivfDialedServeSql,
 
     "emb_ivf_serve_filtered" -> ivfFilteredServeSql,
 

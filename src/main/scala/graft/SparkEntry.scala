@@ -312,6 +312,10 @@ object SparkEntry {
     // before serve — shares the tombstone oracle (fold ≡ identity)
     "emb_pq_serve_compacted" -> (graft.store.AnnIndex.embPqServeCompacted(_, _)),
     "emb_ivf_serve"       -> (graft.store.AnnIndex.embIvfServe(_, _)),
+    // the DIALED serve: nprobe resolved from the dial manifest the
+    // build measured (recall@5 per rung vs the exact panel) against a
+    // target recall of 0.5 — same routed, partition-pruned scan
+    "emb_ivf_serve_dialed" -> (graft.store.AnnIndex.embIvfServeDialed(_, _)),
     // filtered ANN: top-k within a metadata slice (label = 3) — the
     // labeled index evaluates the predicate as a pushed parquet filter
     // on the routed scan, with nprobe 2 → 4 for the thinner pool

@@ -200,4 +200,32 @@ class PlanAuditSpec extends SparkSpec {
       s"filtered serve scan is not partition-pruned to the routed cells:\n$p")
     graft.store.Checkpoints.free(spark)
   }
+
+  test("dialed ANN serve: resolves a measured rung, same partition-pruned scan") {
+    // the dial must not change the serve's scale shape: the list scan
+    // stays pruned to the routed cells (PartitionFilters), only the
+    // nprobe constant is replaced by the manifest-resolved rung
+    val p = planOf("emb_ivf_serve_dialed")
+    val partLines = p.linesIterator
+      .filter(_.contains("PartitionFilters:")).toSeq
+    assert(partLines.exists(_.contains("cell")),
+      s"dialed serve scan is not partition-pruned to the routed cells:\n$p")
+    // and the resolution itself is honest: the resolved rung is one of
+    // the measured ones, monotone in the target, and falls back to the
+    // largest measured rung for an unreachable target
+    val emb = Tables.embeddings(spark, Sf0001)
+    val root = new java.io.File(
+      graft.store.StoreRoot.scratchRoot("planaudit_ivfd")).toString
+    graft.store.AnnIndex.buildIvf(emb, root)
+    import org.apache.spark.sql.functions.col
+    graft.store.AnnIndex.writeIvfDial(spark, root,
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val rungs = Seq(0.0, 0.3, 0.5, 0.9, 1.01)
+      .map(t => graft.store.AnnIndex.resolveNprobe(spark, root, t))
+    assert(rungs.forall(Seq(1, 2, 4, 8).contains), s"unmeasured rung in $rungs")
+    assert(rungs == rungs.sorted, s"dial not monotone in target: $rungs")
+    assert(rungs.last == 8, s"unreachable target must fall back to 8: $rungs")
+    graft.store.Checkpoints.free(spark)
+  }
 }
