@@ -306,6 +306,25 @@ object OracleSql {
       |vpair AS (SELECT media_a, media_b, count(*)::BIGINT AS n_frames_matched
       |  FROM vfmatch GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
+  /** Relational replay of the two-delivery incremental AUDIO dedup —
+    * [[phashIncrementalSql]]'s structure over the audio pair relation
+    * (`apair`), shared verbatim by the in-memory row and its
+    * durable-sink twin. Base media ids < 1e6, plant ids ≥ 1e6.
+    */
+  private lazy val audioIncrementalSql: String =
+    s"""WITH $audCtes,
+       |s1 AS (SELECT media_id FROM am WHERE media_id < 1000000
+       |  AND media_id NOT IN
+       |    (SELECT media_b FROM apair WHERE media_b < 1000000)),
+       |s2 AS (SELECT media_id FROM am WHERE media_id >= 1000000
+       |  AND media_id NOT IN (SELECT media_b FROM apair WHERE media_a >= 1000000)
+       |  AND media_id NOT IN (SELECT p.media_b FROM apair p
+       |     JOIN s1 ON p.media_a = s1.media_id WHERE p.media_b >= 1000000))
+       |SELECT media_id, 1::BIGINT AS delivery FROM s1
+       |UNION ALL
+       |SELECT media_id, 2::BIGINT AS delivery FROM s2
+       |ORDER BY media_id""".stripMargin
+
   /** Relational replay of the two-delivery incremental image dedup —
     * shared verbatim by the in-memory row and its durable-sink twin.
     * ppair is the full banded-pair relation; base media ids are all
@@ -2351,6 +2370,12 @@ object OracleSql {
       """SELECT doc_id AS media_id, TRUE AS within_threshold,
         |  TRUE AS band_candidate
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // incremental audio dedup: relational replay of the two steps —
+    // see audioIncrementalSql's scaladoc; the durable-sink twin shares
+    // it verbatim (the sink must compute the in-memory step exactly)
+    "dedup_audio_incremental" -> audioIncrementalSql,
+    "dedup_audio_incremental_sink" -> audioIncrementalSql,
 
     // VIDEO near-dup: the frame-vote replay — per-sampled-frame
     // fingerprints from the generating arithmetic, frame-aligned

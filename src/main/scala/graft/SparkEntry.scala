@@ -216,6 +216,14 @@ object SparkEntry {
     // ULAW codec) must stay inside the detector's Hamming threshold
     // AND keep a full band — certified through two real codec cycles
     "dedup_audio_ulaw" -> ((s, d) => Multimodal.mmAudioUlawSurvival(s, d)),
+    // incremental audio dedup: base clips as delivery 1 build the
+    // fingerprint index; the edited copies (delivery 2) die against
+    // the INDEX — accumulated audio is never re-decoded
+    "dedup_audio_incremental" -> (Dedup.dedupAudioIncremental(_, _)),
+    // the same two deliveries through the DURABLE streaming sink —
+    // same oracle verbatim
+    "dedup_audio_incremental_sink" ->
+      (Dedup.dedupAudioIncrementalSink(_, _)),
     // VIDEO near-dup (the image family lifted one level): per-sampled-
     // frame dHash through the frame-aligned banded join, then a frame
     // VOTE (≥2 of the 3 sampled frames at Hamming ≤4) — the planted
@@ -448,5 +456,9 @@ object SparkEntry {
     // r14: DSIR resample + hashed-NB lang-ID (the bucket-model family)
     "tx_dsir_select", "tx_nb_langid",
     // r16: perceptual-hash image near-dup (codec pass + banded join)
-    "dedup_phash")
+    "dedup_phash",
+    // r17: the audio/video modality twins (WAV + sliced-BMP codec
+    // passes through the same banded join; video adds the frame vote)
+    // and the manifest-dialed IVF serve
+    "dedup_audio", "dedup_video", "emb_ivf_serve_dialed")
 }

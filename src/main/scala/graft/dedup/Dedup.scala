@@ -1178,6 +1178,94 @@ object Dedup {
     result
   }
 
+  /** One INCREMENTAL audio-dedup step — the audio twin of
+    * [[phashStepDelta]], sharing [[bandedStepDelta]] and the phash
+    * index schema (both are (media_id, fp, band, band_key) rows): a
+    * batch clip is dropped iff a smaller-id batch clip or any INDEXED
+    * clip is a Hamming-≤4 band-mate. The accumulated corpus's AUDIO is
+    * never re-decoded: cross-delivery decisions read the fingerprint
+    * index alone — the only incremental shape that survives 100 TB of
+    * audio bytes.
+    */
+  def audioStepDelta(batchFps: DataFrame, index: DataFrame,
+      maxHamming: Int = 4): (DataFrame, DataFrame) =
+    bandedStepDelta(batchFps, audioBands(batchFps), index, "media_id", "fp",
+      (a, b) => bit_count(a.bitwiseXOR(b)) <= maxHamming)
+
+  /** One durable AUDIO-dedup delivery — [[phashIncrementalCommit]]'s
+    * twin: decode + fingerprint THIS batch's clips only, dedup against
+    * the accumulated fingerprint index (read via [[readPhashIndex]] —
+    * same schema), land survivors and the index delta as per-batch
+    * segments. Same crash/replay analysis (mode("overwrite") into
+    * batchId-determined directories; the cross join's same-media_id
+    * exclusion keeps a replayed batch from deduping against its own
+    * landed delta).
+    */
+  def audioIncrementalCommit(batchMedia: DataFrame, outDir: String,
+      indexDir: String, batchId: Long): Unit = {
+    val spark = batchMedia.sparkSession
+    val fps = graft.operators.Multimodal.audioFingerprintsOf(batchMedia)
+      .persist()
+    try {
+      fps.count() // one codec pass before the self-join's two sides
+      val (surv0, delta) = audioStepDelta(fps, readPhashIndex(spark, indexDir))
+      val surv = surv0.persist()
+      try {
+        surv.write.mode("overwrite").parquet(s"$outDir/seg_$batchId")
+        delta.write.mode("overwrite").parquet(s"$indexDir/seg_$batchId")
+      } finally surv.unpersist()
+    } finally fps.unpersist()
+  }
+
+  /** Registered two-delivery simulation of the INCREMENTAL audio-dedup
+    * pipeline (the [[dedupPhashIncremental]] twin): base clips arrive
+    * as delivery 1, the planted edited copies as delivery 2 — every
+    * planted pair straddles the deliveries, so each copy must die
+    * against the persisted index, never a re-decoded base clip.
+    */
+  def dedupAudioIncremental(s: SparkSession, dir: String): DataFrame = {
+    val fps = graft.operators.Multimodal.mmAudioFingerprints(s, dir).persist()
+    fps.count()
+    val off = graft.operators.Multimodal.AudioPlantOffset
+    val (s1, delta1) = audioStepDelta(
+      fps.filter(col("media_id") < off), phashEmptyIndex(s))
+    val (s2, _) = audioStepDelta(fps.filter(col("media_id") >= off), delta1)
+    val result = s1.select(col("media_id"), lit(1L).as("delivery"))
+      .unionByName(s2.select(col("media_id"), lit(2L).as("delivery")))
+      .orderBy(col("media_id"))
+      .localCheckpoint(true)
+    fps.unpersist()
+    result
+  }
+
+  /** The incremental AUDIO pipeline through the DURABLE STREAMING SINK
+    * — [[dedupPhashIncrementalSink]]'s twin, transported by
+    * [[graft.streaming.ManifestFeed]]: a real checkpointed
+    * StreamingQuery, one [[audioIncrementalCommit]] per micro-batch,
+    * survivors read back from the segment tree. Shares
+    * [[dedupAudioIncremental]]'s relational oracle verbatim.
+    */
+  def dedupAudioIncrementalSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ManifestFeed
+    val root = graft.store.StoreRoot.scratchRoot("dedup_audio_incr_sink")
+    val (outDir, idxDir, ckpt) = (s"$root/out", s"$root/idx", s"$root/ckpt")
+    val media = graft.operators.Multimodal.audioMediaCorpus(s, dir)
+    val off = graft.operators.Multimodal.AudioPlantOffset
+    ManifestFeed.deliver(media.filter(col("media_id") < off), root, 0L, 2)
+    val q = ManifestFeed.start(s, root, media.schema, ckpt) { (batch, id) =>
+      audioIncrementalCommit(batch, outDir, idxDir, id)
+    }
+    try {
+      q.processAllAvailable()
+      ManifestFeed.deliver(media.filter(col("media_id") >= off), root, 1L, 2)
+      q.processAllAvailable()
+    } finally q.stop()
+    readSegments(s, outDir)
+      .select(col("media_id"),
+        when(col("media_id") < off, 1L).otherwise(2L).as("delivery"))
+      .orderBy(col("media_id"))
+  }
+
   // ---- video near-dup (r16 verdict #4): the image family lifted one
   // level. Per-SAMPLED-frame dHash fingerprints
   // (operators.Multimodal.mmVideoFingerprints — real BMP decode of the

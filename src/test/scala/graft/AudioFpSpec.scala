@@ -63,6 +63,55 @@ class AudioFpSpec extends SparkSpec {
     assert(drift.max <= 4)
   }
 
+  test("incremental: every edited copy dies against the fingerprint INDEX, never a re-decode") {
+    import spark.implicits._
+    val out = Dedup.dedupAudioIncremental(spark, Sf0001)
+      .as[(Long, Long)].collect()
+    val off = Multimodal.AudioPlantOffset
+    // delivery 2 (the planted copies) must be fully deduplicated by
+    // the cross-delivery index path: zero second-delivery survivors
+    assert(!out.exists(_._2 == 2L),
+      s"planted copies survived delivery 2: ${out.filter(_._2 == 2L).mkString(",")}")
+    assert(out.forall(r => r._1 < off && r._2 == 1L))
+    // delivery-1 survivors agree with the batch detector's pairs
+    val fps = Multimodal.mmAudioFingerprints(spark, Sf0001)
+    val baseDropped = Dedup.dedupAudioPairsDf(
+        fps.filter($"media_id" < off))
+      .select($"media_b").as[Long].collect().toSet
+    val nBases = fps.filter($"media_id" < off).count()
+    assert(out.length == nBases - baseDropped.size)
+    assert(out.forall(r => !baseDropped.contains(r._1)))
+    // replay idempotence: a batch whose own delta already landed must
+    // not dedup against itself (the same-media_id exclusion)
+    val d2 = fps.filter($"media_id" >= off)
+    val (s2a, delta2) = Dedup.audioStepDelta(d2, Dedup.phashEmptyIndex(spark))
+    val (s2b, _) = Dedup.audioStepDelta(d2, delta2)
+    assert(s2a.select("media_id").as[Long].collect().sorted.toSeq ==
+      s2b.select("media_id").as[Long].collect().sorted.toSeq,
+      "replay against own delta changed decisions")
+    graft.store.Checkpoints.free(spark)
+  }
+
+  test("durable audio commit: replay overwrites its own segments, decisions unchanged") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("audio_commit")
+    val (out, idx) = (s"$root/out", s"$root/idx")
+    val media = Multimodal.audioMediaCorpus(spark, Sf0001)
+    val off = Multimodal.AudioPlantOffset
+    Dedup.audioIncrementalCommit(media.filter($"media_id" < off), out, idx, 0)
+    val kept0 = Dedup.readSegments(spark, out)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    val idx0 = Dedup.readPhashIndex(spark, idx).count()
+    Dedup.audioIncrementalCommit(media.filter($"media_id" < off), out, idx, 0)
+    assert(Dedup.readSegments(spark, out)
+      .select("media_id").as[Long].collect().sorted.toSeq == kept0)
+    assert(Dedup.readPhashIndex(spark, idx).count() == idx0)
+    Dedup.audioIncrementalCommit(media.filter($"media_id" >= off), out, idx, 1)
+    val all = Dedup.readSegments(spark, out)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(all == kept0, "a planted copy survived the durable cross-delivery path")
+  }
+
   test("detector finds every planted pair; apply drops exactly the dropped side") {
     import spark.implicits._
     val pairs = Dedup.dedupAudio(spark, Sf0001)
