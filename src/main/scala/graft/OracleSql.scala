@@ -306,6 +306,27 @@ object OracleSql {
       |vpair AS (SELECT media_a, media_b, count(*)::BIGINT AS n_frames_matched
       |  FROM vfmatch GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
+  /** Relational replay of the two-delivery incremental VIDEO dedup —
+    * the audio/image incremental structure over the frame-VOTED pair
+    * relation (`vpair` already encodes the ≥2-of-3 vote, and the
+    * incremental step votes with identical semantics). Base ids
+    * < 1e6, plant ids ≥ 1e6; the index holds delivery-1 SURVIVORS'
+    * frames only.
+    */
+  private lazy val videoIncrementalSql: String =
+    s"""WITH $vidCtes,
+       |s1 AS (SELECT media_id FROM vm WHERE media_id < 1000000
+       |  AND media_id NOT IN
+       |    (SELECT media_b FROM vpair WHERE media_b < 1000000)),
+       |s2 AS (SELECT media_id FROM vm WHERE media_id >= 1000000
+       |  AND media_id NOT IN (SELECT media_b FROM vpair WHERE media_a >= 1000000)
+       |  AND media_id NOT IN (SELECT p.media_b FROM vpair p
+       |     JOIN s1 ON p.media_a = s1.media_id WHERE p.media_b >= 1000000))
+       |SELECT media_id, 1::BIGINT AS delivery FROM s1
+       |UNION ALL
+       |SELECT media_id, 2::BIGINT AS delivery FROM s2
+       |ORDER BY media_id""".stripMargin
+
   /** Relational replay of the two-delivery incremental AUDIO dedup —
     * [[phashIncrementalSql]]'s structure over the audio pair relation
     * (`apair`), shared verbatim by the in-memory row and its
@@ -629,51 +650,74 @@ object OracleSql {
     * the resolved routing rank — exactly the persisted dial manifest's
     * semantics.
     */
+  /** The dial tail shared by the plain and FILTERED dialed serves:
+    * rank-carrying candidates up to the largest measured rung,
+    * per-rung census against the exact panel top-5 (`candPred` /
+    * `exactPred` plumb the metadata slice — empty for the unfiltered
+    * serve), integer-division mean, resolved rung, final serve.
+    * 50.0 = the 10-query panel × k=5.
+    */
+  private def ivfDialedTail(candPred: String, exactPred: String): String =
+    s"""cells AS (SELECT query_id, cell, r AS cell_rank FROM pr WHERE r <= 8),
+       |cand AS (
+       |  SELECT c.query_id, m.vec_id AS neighbor_id, c.cell_rank,
+       |    round(list_dot_product(q.qe, m.emb) /
+       |      (sqrt(list_dot_product(q.qe, q.qe)) *
+       |       sqrt(list_dot_product(m.emb, m.emb))), 6) AS cos_sim
+       |  FROM cells c
+       |  JOIN af m ON m.cell = c.cell
+       |  JOIN q ON q.query_id = c.query_id
+       |  WHERE m.vec_id <> c.query_id$candPred),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      round(list_dot_product(q.qe, e.emb) /
+       |        (sqrt(list_dot_product(q.qe, q.qe)) *
+       |         sqrt(list_dot_product(e.emb, e.emb))), 6) DESC, e.vec_id) AS rank
+       |  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id$exactPred)
+       |  WHERE rank <= 5),
+       |rungs AS (SELECT p FROM (VALUES (1), (2), (4), (8)) r(p)),
+       |served AS (SELECT p, query_id, neighbor_id FROM (
+       |  SELECT r.p, c.query_id, c.neighbor_id,
+       |    row_number() OVER (PARTITION BY r.p, c.query_id
+       |      ORDER BY c.cos_sim DESC, c.neighbor_id) AS rank
+       |  FROM rungs r JOIN cand c ON c.cell_rank <= r.p)
+       |  WHERE rank <= 5),
+       |mr AS (SELECT r.p,
+       |    round(count(ex.neighbor_id) / 50.0, 6) AS mean_recall
+       |  FROM rungs r
+       |  LEFT JOIN served s ON s.p = r.p
+       |  LEFT JOIN ex ON ex.query_id = s.query_id
+       |    AND ex.neighbor_id = s.neighbor_id
+       |  GROUP BY r.p),
+       |dial AS (SELECT coalesce(min(p) FILTER (WHERE mean_recall >= 0.5),
+       |    max(p)) AS np FROM mr)
+       |SELECT * FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rank
+       |  FROM cand WHERE cell_rank <= (SELECT np FROM dial))
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private val ivfDialedServeSql: String = {
     val tailSite = "cells AS (SELECT query_id, cell FROM pr WHERE r <= 2),"
     require(ivfTopkSql.contains(tailSite),
       "dialed-serve oracle derivation site missing")
     ivfTopkSql.substring(0, ivfTopkSql.indexOf(tailSite)) +
-      """cells AS (SELECT query_id, cell, r AS cell_rank FROM pr WHERE r <= 8),
-        |cand AS (
-        |  SELECT c.query_id, m.vec_id AS neighbor_id, c.cell_rank,
-        |    round(list_dot_product(q.qe, m.emb) /
-        |      (sqrt(list_dot_product(q.qe, q.qe)) *
-        |       sqrt(list_dot_product(m.emb, m.emb))), 6) AS cos_sim
-        |  FROM cells c
-        |  JOIN af m ON m.cell = c.cell
-        |  JOIN q ON q.query_id = c.query_id
-        |  WHERE m.vec_id <> c.query_id),
-        |ex AS (SELECT query_id, neighbor_id FROM (
-        |  SELECT q.query_id, e.vec_id AS neighbor_id,
-        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
-        |      round(list_dot_product(q.qe, e.emb) /
-        |        (sqrt(list_dot_product(q.qe, q.qe)) *
-        |         sqrt(list_dot_product(e.emb, e.emb))), 6) DESC, e.vec_id) AS rank
-        |  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
-        |  WHERE rank <= 5),
-        |rungs AS (SELECT p FROM (VALUES (1), (2), (4), (8)) r(p)),
-        |served AS (SELECT p, query_id, neighbor_id FROM (
-        |  SELECT r.p, c.query_id, c.neighbor_id,
-        |    row_number() OVER (PARTITION BY r.p, c.query_id
-        |      ORDER BY c.cos_sim DESC, c.neighbor_id) AS rank
-        |  FROM rungs r JOIN cand c ON c.cell_rank <= r.p)
-        |  WHERE rank <= 5),
-        |mr AS (SELECT r.p,
-        |    round(count(ex.neighbor_id) / 50.0, 6) AS mean_recall
-        |  FROM rungs r
-        |  LEFT JOIN served s ON s.p = r.p
-        |  LEFT JOIN ex ON ex.query_id = s.query_id
-        |    AND ex.neighbor_id = s.neighbor_id
-        |  GROUP BY r.p),
-        |dial AS (SELECT coalesce(min(p) FILTER (WHERE mean_recall >= 0.5),
-        |    max(p)) AS np FROM mr)
-        |SELECT * FROM (
-        |  SELECT query_id, neighbor_id, cos_sim,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rank
-        |  FROM cand WHERE cell_rank <= (SELECT np FROM dial))
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      ivfDialedTail("", "")
+  }
+
+  /** The FILTERED dialed serve's oracle: the filtered chain's prefix
+    * (af carries the label) with the dial tail sliced to label = 3 on
+    * BOTH the candidates and the exact side — the dial the labeled
+    * index measures at build.
+    */
+  private val ivfFilteredDialedServeSql: String = {
+    val tailSite = "cells AS (SELECT query_id, cell FROM pr WHERE r <= 4),"
+    require(ivfFilteredServeSql.contains(tailSite),
+      "filtered-dialed oracle derivation site missing")
+    ivfFilteredServeSql.substring(0, ivfFilteredServeSql.indexOf(tailSite)) +
+      ivfDialedTail(" AND m.label = 3", " AND e.label = 3")
   }
 
   /** `emb_ivf_filtered_recall` (store.AnnIndex.embIvfFilteredRecall):
@@ -2385,6 +2429,12 @@ object OracleSql {
          |SELECT media_a, media_b, n_frames_matched FROM vpair
          |ORDER BY media_a, media_b""".stripMargin,
 
+    // incremental video dedup: the two-delivery replay over the voted
+    // pair relation (same structure as the audio/image incrementals —
+    // vpair already encodes the frame vote); sink twin shares it
+    "dedup_video_incremental" -> videoIncrementalSql,
+    "dedup_video_incremental_sink" -> videoIncrementalSql,
+
     // apply: arrival-ordered keep policy over the voted pair report
     "dedup_video_apply" ->
       s"""WITH $vidCtes
@@ -3009,6 +3059,8 @@ object OracleSql {
     "emb_ivf_serve" -> ivfTopkSql,
 
     "emb_ivf_serve_dialed" -> ivfDialedServeSql,
+
+    "emb_ivf_serve_filtered_dialed" -> ivfFilteredDialedServeSql,
 
     "emb_ivf_serve_filtered" -> ivfFilteredServeSql,
 

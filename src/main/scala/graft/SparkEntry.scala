@@ -231,6 +231,15 @@ object SparkEntry {
     // they vote exactly 2-of-3
     "dedup_video"       -> (Dedup.dedupVideo(_, _)),
     "dedup_video_apply" -> (Dedup.dedupVideoApply(_, _)),
+    // incremental video dedup: base clips as delivery 1 build the
+    // per-frame fingerprint index; the copies (delivery 2) die by
+    // frame VOTE against the INDEX — accumulated video never
+    // re-decoded
+    "dedup_video_incremental" -> (Dedup.dedupVideoIncremental(_, _)),
+    // the same two deliveries through the DURABLE streaming sink —
+    // same oracle verbatim
+    "dedup_video_incremental_sink" ->
+      (Dedup.dedupVideoIncrementalSink(_, _)),
     // winnowed-fingerprint pairs (MOSS): guaranteed detection of shared
     // ≥8-token runs from the ~0.4× winnow index, inverted-index join
     "dedup_winnow"        -> (Dedup.dedupWinnow(_, _)),
@@ -328,6 +337,11 @@ object SparkEntry {
     // labeled index evaluates the predicate as a pushed parquet filter
     // on the routed scan, with nprobe 2 → 4 for the thinner pool
     "emb_ivf_serve_filtered" -> (graft.store.AnnIndex.embIvfServeFiltered(_, _)),
+    // the filtered DIALED serve: the labeled index's own dial (recall
+    // measured over the label slice at build) resolves the filtered
+    // nprobe from a target — the 2→4 compensation as a stated target
+    "emb_ivf_serve_filtered_dialed" ->
+      (graft.store.AnnIndex.embIvfServeFilteredDialed(_, _)),
     // the filtered-serve recall audit: exact filtered top-5 vs the
     // nprobe=4 filtered serve — prices the filtered-search dial
     "emb_ivf_filtered_recall" -> (graft.store.AnnIndex.embIvfFilteredRecall(_, _)),

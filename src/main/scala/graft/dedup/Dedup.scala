@@ -1345,6 +1345,152 @@ object Dedup {
     result
   }
 
+  /** The video fingerprint-index row schema — [[phashIndexSchema]]
+    * with the frame dimension: an incremental video pipeline indexes
+    * each accepted clip's per-sampled-frame band rows and never
+    * re-decodes the accumulated corpus's frames.
+    */
+  val videoIndexSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("fp", LongType),
+    StructField("band", IntegerType),
+    StructField("band_key", LongType)))
+
+  def videoEmptyIndex(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      videoIndexSchema)
+
+  def readVideoIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) videoEmptyIndex(spark)
+    else spark.read.schema(videoIndexSchema)
+      .option("recursiveFileLookup", "true").parquet(indexDir)
+  }
+
+  /** One INCREMENTAL video-dedup step — the frame-VOTED twin of
+    * [[phashStepDelta]]: a batch clip is dropped iff ≥ `minVote` of
+    * its sampled frames are Hamming-≤`maxHamming` band-mates of the
+    * SAME other clip at the SAME frame slot, where the other clip is
+    * (a) a smaller-id batch clip (within-delivery) or (b) any INDEXED
+    * clip (cross-delivery — decisions read the per-frame fingerprint
+    * index alone, accumulated video never re-decoded). The vote is a
+    * groupBy over (pair, frame) matches, so one replaced scene in the
+    * index can't block a kill and one coincidental frame can't cause
+    * one — the batch detector's semantics exactly. The cross join
+    * excludes same-media_id matches (replay idempotence, as every
+    * incremental family).
+    */
+  def videoStepDelta(batchFps: DataFrame, index: DataFrame,
+      maxHamming: Int = 4,
+      minVote: Int = graft.operators.Multimodal.VidMinVote)
+      : (DataFrame, DataFrame) = {
+    val bands = videoFrameBands(batchFps)
+    def votedDrops(cand: DataFrame): DataFrame =
+      cand
+        .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
+        .select(col("drop_id"), col("other_id"), col("frame_idx"))
+        .distinct()
+        .groupBy(col("drop_id"), col("other_id"))
+        .agg(count(lit(1)).as("n_frames"))
+        .filter(col("n_frames") >= minVote)
+        .select(col("drop_id").as("media_id"))
+        .distinct()
+    val within = bands.as("x").join(bands.as("y"),
+        col("x.frame_idx") === col("y.frame_idx") &&
+          col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("y.media_id").as("drop_id"), col("x.media_id").as("other_id"),
+        col("x.frame_idx").as("frame_idx"),
+        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+      .distinct()
+    val cross = bands.as("x").join(index.as("i"),
+        col("x.frame_idx") === col("i.frame_idx") &&
+          col("x.band") === col("i.band") &&
+          col("x.band_key") === col("i.band_key") &&
+          col("x.media_id") =!= col("i.media_id"))
+      .select(col("x.media_id").as("drop_id"), col("i.media_id").as("other_id"),
+        col("x.frame_idx").as("frame_idx"),
+        col("x.fp").as("fp_a"), col("i.fp").as("fp_b"))
+      .distinct()
+    val drops = votedDrops(within).union(votedDrops(cross)).distinct()
+    val survivors = batchFps.join(drops, Seq("media_id"), "left_anti")
+    val delta = bands.join(
+      survivors.select(col("media_id")).distinct(), Seq("media_id"), "left_semi")
+    (survivors, delta)
+  }
+
+  /** One durable VIDEO-dedup delivery — the [[phashIncrementalCommit]]
+    * shape with the frame-voted step; same crash/replay analysis.
+    */
+  def videoIncrementalCommit(batchMedia: DataFrame, outDir: String,
+      indexDir: String, batchId: Long): Unit = {
+    val spark = batchMedia.sparkSession
+    val fps = graft.operators.Multimodal.videoFingerprintsOf(batchMedia)
+      .persist()
+    try {
+      fps.count() // one codec pass before the self-join's two sides
+      val (surv0, delta) = videoStepDelta(fps, readVideoIndex(spark, indexDir))
+      val surv = surv0.persist()
+      try {
+        surv.write.mode("overwrite").parquet(s"$outDir/seg_$batchId")
+        delta.write.mode("overwrite").parquet(s"$indexDir/seg_$batchId")
+      } finally surv.unpersist()
+    } finally fps.unpersist()
+  }
+
+  /** Registered two-delivery simulation of the INCREMENTAL video-dedup
+    * pipeline: base clips as delivery 1 build the per-frame index; the
+    * planted near-dup copies (delivery 2) must die against the INDEX —
+    * voting 2-of-3 against their base's indexed frames (the scene-cut
+    * frame votes no), never against a re-decoded clip.
+    */
+  def dedupVideoIncremental(s: SparkSession, dir: String): DataFrame = {
+    val fps = graft.operators.Multimodal.mmVideoFingerprints(s, dir).persist()
+    fps.count()
+    val off = graft.operators.Multimodal.VideoPlantOffset
+    val (s1, delta1) = videoStepDelta(
+      fps.filter(col("media_id") < off), videoEmptyIndex(s))
+    val (s2, _) = videoStepDelta(fps.filter(col("media_id") >= off), delta1)
+    val result = s1.select(col("media_id")).distinct()
+      .select(col("media_id"), lit(1L).as("delivery"))
+      .unionByName(s2.select(col("media_id")).distinct()
+        .select(col("media_id"), lit(2L).as("delivery")))
+      .orderBy(col("media_id"))
+      .localCheckpoint(true)
+    fps.unpersist()
+    result
+  }
+
+  /** The incremental VIDEO pipeline through the DURABLE STREAMING SINK
+    * — ManifestFeed-gated deliveries, a real checkpointed query, one
+    * [[videoIncrementalCommit]] per micro-batch; shares
+    * [[dedupVideoIncremental]]'s relational oracle verbatim.
+    */
+  def dedupVideoIncrementalSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ManifestFeed
+    val root = graft.store.StoreRoot.scratchRoot("dedup_video_incr_sink")
+    val (outDir, idxDir, ckpt) = (s"$root/out", s"$root/idx", s"$root/ckpt")
+    val media = graft.operators.Multimodal.videoMediaCorpus(s, dir)
+    val off = graft.operators.Multimodal.VideoPlantOffset
+    ManifestFeed.deliver(media.filter(col("media_id") < off), root, 0L, 2)
+    val q = ManifestFeed.start(s, root, media.schema, ckpt) { (batch, id) =>
+      videoIncrementalCommit(batch, outDir, idxDir, id)
+    }
+    try {
+      q.processAllAvailable()
+      ManifestFeed.deliver(media.filter(col("media_id") >= off), root, 1L, 2)
+      q.processAllAvailable()
+    } finally q.stop()
+    readSegments(s, outDir)
+      .select(col("media_id")).distinct()
+      .select(col("media_id"),
+        when(col("media_id") < off, 1L).otherwise(2L).as("delivery"))
+      .orderBy(col("media_id"))
+  }
+
   /** EXACT-SUBSTRING dedup pairs — the Lee et al. 2022 ("Deduplicating
     * Training Data Makes Language Models Better", §4) signal, the one
     * dedup family the detectors above deliberately approximate: for

@@ -1235,15 +1235,23 @@ object AnnIndex {
     * chained float means.
     */
   def writeIvfDial(s: SparkSession, root: String, queries: DataFrame,
-      k: Int = 5, rungs: Seq[Int] = Seq(1, 2, 4, 8)): Unit = {
-    val lists = s.read.parquet(s"$root/lists")
-      .select(col("vec_id"), col("embedding"))
+      k: Int = 5, rungs: Seq[Int] = Seq(1, 2, 4, 8),
+      labelEq: Option[Int] = None): Unit = {
+    // FILTERED dial: a labeled index's dial is measured against the
+    // exact top-k over the SAME metadata slice the filtered serve
+    // answers from — the thinner per-cell pool is exactly why the
+    // filtered nprobe differs from the unfiltered one, so the two
+    // dials are separate manifests on separate index kinds
+    val payload = Seq(col("vec_id"), col("embedding")) ++
+      labelEq.map(_ => col("label")).toSeq
+    val lists = s.read.parquet(s"$root/lists").select(payload: _*)
     val exact = Similarity.materializeSmall(
-      Similarity.embTopkDf(lists, k)
+      Similarity.embTopkDf(lists, k,
+          candPred = labelEq.map(l => col("label") === lit(l)))
         .select(col("query_id"), col("neighbor_id")))
-    val nQueries = exact.select(col("query_id")).distinct().count()
+    val nQueries = queries.select(col("query_id")).distinct().count()
     val rows = rungs.map { p =>
-      val served = serveIvfTopk(s, root, queries, k, p)
+      val served = serveIvfTopk(s, root, queries, k, p, labelEq)
         .select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(served, Seq("query_id", "neighbor_id")).count()
       val mean = BigDecimal(hits.toDouble / (nQueries * k))
@@ -1295,6 +1303,26 @@ object AnnIndex {
     }
     serveIvfTopkDialed(s, root.toString, queryLiterals(s, dir), k,
       targetRecall)
+  }
+
+  /** The FILTERED dialed serve: the labeled index carries its own dial
+    * — measured against the exact top-k over the label slice, so the
+    * resolved nprobe already prices the thinner per-cell pool (the
+    * judge-measured 2→4 compensation becomes a stated target instead
+    * of a hand-picked constant). Same routed, partition-pruned,
+    * predicate-pushed scan as `embIvfServeFiltered`.
+    */
+  def embIvfServeFilteredDialed(s: SparkSession, dir: String, k: Int = 5,
+      targetRecall: Double = 0.5, label: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val root = indexRoot(s, dir, "ivfld", emb.count())
+    ensureBuilt(s, root) { staging =>
+      buildIvfLabeled(emb, staging)
+      writeIvfDial(s, staging, queryLiterals(s, dir), k,
+        labelEq = Some(label))
+    }
+    serveIvfTopkDialed(s, root.toString, queryLiterals(s, dir), k,
+      targetRecall, labelEq = Some(label))
   }
 
   /** FILTERED ANN serve — top-k among vectors matching a metadata

@@ -45,6 +45,54 @@ class VideoFpSpec extends SparkSpec {
     }
   }
 
+  test("incremental: every copy dies by frame vote against the INDEX, never a re-decode") {
+    import spark.implicits._
+    val out = Dedup.dedupVideoIncremental(spark, Sf0001)
+      .as[(Long, Long)].collect()
+    val off = Multimodal.VideoPlantOffset
+    assert(!out.exists(_._2 == 2L),
+      s"planted copies survived delivery 2: ${out.filter(_._2 == 2L).mkString(",")}")
+    assert(out.forall(r => r._1 < off && r._2 == 1L))
+    // delivery-1 survivors agree with the batch detector's voted pairs
+    val fps = Multimodal.mmVideoFingerprints(spark, Sf0001)
+    val baseDropped = Dedup.dedupVideoPairsDf(
+        fps.filter($"media_id" < off))
+      .select($"media_b").as[Long].collect().toSet
+    val nBases = fps.filter($"media_id" < off)
+      .select("media_id").distinct().count()
+    assert(out.length == nBases - baseDropped.size)
+    assert(out.forall(r => !baseDropped.contains(r._1)))
+    // replay idempotence: a batch whose own delta already landed must
+    // not dedup against itself (the same-media_id exclusion)
+    val d2 = fps.filter($"media_id" >= off)
+    val (s2a, delta2) = Dedup.videoStepDelta(d2, Dedup.videoEmptyIndex(spark))
+    val (s2b, _) = Dedup.videoStepDelta(d2, delta2)
+    assert(s2a.select("media_id").distinct().as[Long].collect().sorted.toSeq ==
+      s2b.select("media_id").distinct().as[Long].collect().sorted.toSeq,
+      "replay against own delta changed decisions")
+    graft.store.Checkpoints.free(spark)
+  }
+
+  test("durable video commit: replay overwrites its own segments, decisions unchanged") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("video_commit")
+    val (out, idx) = (s"$root/out", s"$root/idx")
+    val media = Multimodal.videoMediaCorpus(spark, Sf0001)
+    val off = Multimodal.VideoPlantOffset
+    Dedup.videoIncrementalCommit(media.filter($"media_id" < off), out, idx, 0)
+    val kept0 = Dedup.readSegments(spark, out)
+      .select("media_id").distinct().as[Long].collect().sorted.toSeq
+    val idx0 = Dedup.readVideoIndex(spark, idx).count()
+    Dedup.videoIncrementalCommit(media.filter($"media_id" < off), out, idx, 0)
+    assert(Dedup.readSegments(spark, out)
+      .select("media_id").distinct().as[Long].collect().sorted.toSeq == kept0)
+    assert(Dedup.readVideoIndex(spark, idx).count() == idx0)
+    Dedup.videoIncrementalCommit(media.filter($"media_id" >= off), out, idx, 1)
+    val all = Dedup.readSegments(spark, out)
+      .select("media_id").distinct().as[Long].collect().sorted.toSeq
+    assert(all == kept0, "a planted copy survived the durable cross-delivery path")
+  }
+
   test("detector finds every planted pair at vote 2-of-3; apply drops the copy") {
     import spark.implicits._
     val pairs = Dedup.dedupVideo(spark, Sf0001)
