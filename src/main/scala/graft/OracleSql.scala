@@ -2065,11 +2065,13 @@ object OracleSql {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> rep)
          |ORDER BY doc_id""".stripMargin,
 
-    // CROSS-MODAL joint apply: the dedup_apply_all chain with ONE more
-    // union branch — the certified phash pair relation (phashCtes,
-    // verbatim) mapped to owner-document edges through the attachment
-    // (base image owned by its doc; the retouched copy of doc d's
-    // image embedded by doc d+1; owners past the corpus dropped)
+    // CROSS-MODAL joint apply: the dedup_apply_all chain with one
+    // union branch PER MODALITY — the certified phash/audio/video
+    // pair relations (phashCtes/audCtes/vidCtes, verbatim) mapped to
+    // owner-document edges through their attachments (base media
+    // owned by its doc; the near-dup copy of doc d's image/clip/video
+    // embedded by doc d+1 / d+2 / d+3; owners past the corpus
+    // dropped)
     "dedup_apply_multimodal" ->
       s"""WITH RECURSIVE $toksCte, $shinglesCte,
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -2097,6 +2099,8 @@ object OracleSql {
          |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
          |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.45),
          |$phashCtes,
+         |$audCtes,
+         |$vidCtes,
          |pown AS (SELECT pm.media_id,
          |    CASE WHEN pm.planted = 1 THEN pm.src_id + 1 ELSE pm.media_id END AS owner
          |  FROM pm JOIN documents d
@@ -2106,10 +2110,30 @@ object OracleSql {
          |  FROM ppair p JOIN pown a ON p.media_a = a.media_id
          |               JOIN pown b ON p.media_b = b.media_id
          |  WHERE a.owner <> b.owner),
+         |aown AS (SELECT am.media_id,
+         |    CASE WHEN am.planted = 1 THEN am.src_id + 2 ELSE am.media_id END AS owner
+         |  FROM am JOIN documents d
+         |    ON d.doc_id = CASE WHEN am.planted = 1 THEN am.src_id + 2 ELSE am.media_id END),
+         |adpairs AS (SELECT DISTINCT least(a.owner, b.owner) AS doc_a,
+         |    greatest(a.owner, b.owner) AS doc_b
+         |  FROM apair p JOIN aown a ON p.media_a = a.media_id
+         |               JOIN aown b ON p.media_b = b.media_id
+         |  WHERE a.owner <> b.owner),
+         |vown AS (SELECT vm.media_id,
+         |    CASE WHEN vm.planted = 1 THEN vm.src_id + 3 ELSE vm.media_id END AS owner
+         |  FROM vm JOIN documents d
+         |    ON d.doc_id = CASE WHEN vm.planted = 1 THEN vm.src_id + 3 ELSE vm.media_id END),
+         |vdpairs AS (SELECT DISTINCT least(a.owner, b.owner) AS doc_a,
+         |    greatest(a.owner, b.owner) AS doc_b
+         |  FROM vpair p JOIN vown a ON p.media_a = a.media_id
+         |               JOIN vown b ON p.media_b = b.media_id
+         |  WHERE a.owner <> b.owner),
          |pairs AS (SELECT doc_a, doc_b FROM npairs
          |  UNION SELECT doc_a, doc_b FROM spairs
          |  UNION SELECT doc_a, doc_b FROM epairs
-         |  UNION SELECT doc_a, doc_b FROM mdpairs),
+         |  UNION SELECT doc_a, doc_b FROM mdpairs
+         |  UNION SELECT doc_a, doc_b FROM adpairs
+         |  UNION SELECT doc_a, doc_b FROM vdpairs),
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
          |reach(u, root) AS (

@@ -746,50 +746,82 @@ object Dedup {
     * past the corpus (d+1 beyond the last doc) are dropped by the
     * semi-join, in both engines.
     */
-  def phashDocAttachment(s: SparkSession, dir: String): DataFrame = {
-    val media = graft.operators.Multimodal.phashMediaCorpus(s, dir)
+  /** Media→document attachment for any (media_id, src_id, planted)
+    * corpus: every document owns its base media (media_id = doc_id);
+    * the planted near-dup copy of doc d's media is embedded by doc
+    * d + `embedShift` — each modality uses a DIFFERENT shift (image 1,
+    * audio 2, video 3) so the cross-modal apply's edges are distinct
+    * relations, not one edge seen thrice. Owners past the corpus drop
+    * out by semi-join, in both engines.
+    */
+  def mediaDocAttachment(s: SparkSession, dir: String, media: DataFrame,
+      embedShift: Long): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id").as("owner_doc_id"))
     media.select(col("media_id"),
-        when(col("planted"), col("src_id") + 1)
+        when(col("planted"), col("src_id") + embedShift)
           .otherwise(col("media_id")).as("owner_doc_id"))
       .join(docs, Seq("owner_doc_id"), "left_semi")
   }
 
-  /** CROSS-MODAL joint apply (r16 verdict #5) — the apply a real
-    * training pipeline runs: a document is dropped when EITHER its
-    * TEXT near-matches (the unioned ngram-Jaccard ∪ SimHash ∪
-    * embedding-cosine pair graph of [[dedupApplyAll]]) OR its ATTACHED
-    * MEDIA near-matches another document's ([[dedupPhashPairsDf]]'s
-    * banded image pairs mapped through [[phashDocAttachment]] to
-    * owner-document edges). The two graphs are UNIONED before
-    * clustering, so a text-distinct page that embeds a recompressed
-    * copy of another page's image joins that page's component — and
-    * the keep-canonical rule then drops every non-canonical member.
-    *
-    * Scale shape unchanged from dedupApplyAll: each detector is its
-    * own bucketed pair generator; the media→doc mapping is two
-    * key-joins of the (tiny) pair relation against the attachment;
-    * the corpus itself streams through two key-joins at the end.
+  def phashDocAttachment(s: SparkSession, dir: String): DataFrame =
+    mediaDocAttachment(s, dir,
+      graft.operators.Multimodal.phashMediaCorpus(s, dir), 1L)
+
+  /** Media pairs → undirected owner-document edges through an
+    * attachment: two key-joins of the (tiny) pair relation, self-edges
+    * dropped (a doc pairing with its OWN attached copy is not a
+    * cross-doc duplicate).
     */
-  def dedupApplyMultimodal(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val exactKeep = docs
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val fps = graft.operators.Multimodal.mmPhashFingerprints(s, dir).persist()
-    fps.count() // one codec pass, before the band self-join's two sides
-    val attach = phashDocAttachment(s, dir)
-    val mediaDocPairs = dedupPhashPairsDf(fps)
+  def ownerEdges(pairs: DataFrame, attach: DataFrame): DataFrame =
+    pairs
       .join(attach.as("oa"), col("media_a") === col("oa.media_id"))
       .join(attach.as("ob"), col("media_b") === col("ob.media_id"))
       .select(least(col("oa.owner_doc_id"), col("ob.owner_doc_id")).as("doc_a"),
         greatest(col("oa.owner_doc_id"), col("ob.owner_doc_id")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
       .distinct()
+
+  /** CROSS-MODAL joint apply (r16 verdict #5) — the apply a real
+    * training pipeline runs: a document is dropped when its TEXT
+    * near-matches (the unioned ngram-Jaccard ∪ SimHash ∪
+    * embedding-cosine pair graph of [[dedupApplyAll]]) OR any of its
+    * ATTACHED MEDIA near-matches another document's — image pairs
+    * ([[dedupPhashPairsDf]], banded), audio pairs
+    * ([[dedupAudioPairsDf]], banded), and frame-voted video pairs
+    * ([[dedupVideoPairsDf]]), each mapped through its modality's
+    * [[mediaDocAttachment]] (embed shifts 1/2/3) to owner-document
+    * edges. All four graphs are UNIONED before clustering, so a
+    * text-distinct page that embeds a recompressed copy of another
+    * page's image, clip, or video joins that page's component — and
+    * the keep-canonical rule drops every non-canonical member.
+    *
+    * Scale shape unchanged from dedupApplyAll: each detector is its
+    * own bucketed pair generator; each media→doc mapping is two
+    * key-joins of a (tiny) pair relation against its attachment;
+    * the corpus itself streams through two key-joins at the end.
+    */
+  def dedupApplyMultimodal(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.operators.Multimodal
+    val docs = Tables.documents(s, dir)
+    val exactKeep = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val imgFps = mm.mmPhashFingerprints(s, dir).persist()
+    val audFps = mm.mmAudioFingerprints(s, dir).persist()
+    val vidFps = mm.mmVideoFingerprints(s, dir).persist()
+    imgFps.count(); audFps.count(); vidFps.count() // one codec pass each
+    val imgEdges = ownerEdges(dedupPhashPairsDf(imgFps),
+      phashDocAttachment(s, dir))
+    val audEdges = ownerEdges(dedupAudioPairsDf(audFps),
+      mediaDocAttachment(s, dir, mm.audioMediaCorpus(s, dir), 2L))
+    val vidEdges = ownerEdges(
+      dedupVideoPairsDf(vidFps).select(col("media_a"), col("media_b")),
+      mediaDocAttachment(s, dir, mm.videoMediaCorpus(s, dir), 3L))
     val dropNear = dedupClustersDf(
-        textPairGraph(s, dir).unionByName(mediaDocPairs))
+        textPairGraph(s, dir)
+          .unionByName(imgEdges).unionByName(audEdges).unionByName(vidEdges))
       .filter(!col("is_canonical"))
       .select(col("doc_id"))
     val result = docs
@@ -798,7 +830,7 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
       .localCheckpoint(true)
-    fps.unpersist()
+    imgFps.unpersist(); audFps.unpersist(); vidFps.unpersist()
     result
   }
 

@@ -125,13 +125,19 @@ class PhashSpec extends SparkSpec {
     val extraDropped = textOnly -- joint
     assert(extraDropped.nonEmpty,
       "media edges dropped nothing — the cross-modal union is inert")
-    // every extra drop is explained by a media edge: doc d's base
-    // image pairs with its retouched copy, which doc d+1 embeds — so
-    // each extra-dropped doc is a planted doc or its successor
+    // every extra drop is explained by a media edge of SOME modality:
+    // the near-dup copy of doc d's image/clip/video is embedded by
+    // doc d+1 / d+2 / d+3 respectively — so each extra-dropped doc is
+    // a planted doc or its embedding successor
     extraDropped.foreach { d =>
-      val onEdge = (d % Multimodal.PhashPlantMod == Multimodal.PhashPlantRes) ||
+      val img = (d % Multimodal.PhashPlantMod == Multimodal.PhashPlantRes) ||
         ((d - 1) % Multimodal.PhashPlantMod == Multimodal.PhashPlantRes)
-      assert(onEdge, s"doc $d dropped by the joint apply but touches no media edge")
+      val aud = (d % Multimodal.AudioPlantMod == Multimodal.AudioPlantRes) ||
+        ((d - 2) % Multimodal.AudioPlantMod == Multimodal.AudioPlantRes)
+      val vid = (d % Multimodal.VideoPlantMod == Multimodal.VideoPlantRes) ||
+        ((d - 3) % Multimodal.VideoPlantMod == Multimodal.VideoPlantRes)
+      assert(img || aud || vid,
+        s"doc $d dropped by the joint apply but touches no media edge")
     }
     graft.store.Checkpoints.free(spark)
   }
