@@ -1092,6 +1092,29 @@ object OracleSql {
          |    AS n_shingles
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    // sequence packing (concat-and-chunk): one global cumsum replays
+    // the two-phase Spark prefix exactly (same doc_id order, same
+    // whitespace token counts); within-doc offsets, span_end exclusive
+    "tx_pack_chunk" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, len(toks)::BIGINT AS n_toks FROM t
+         |  WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, n_toks,
+         |    (sum(n_toks) OVER (ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |       - n_toks)::BIGINT AS gstart
+         |  FROM d),
+         |sp AS (SELECT doc_id, gstart, n_toks,
+         |    unnest(range(gstart // 512, (gstart + n_toks - 1) // 512 + 1))
+         |      AS seq_id
+         |  FROM c)
+         |SELECT seq_id::BIGINT AS seq_id, doc_id,
+         |  greatest(gstart, seq_id * 512) - gstart AS span_start,
+         |  least(gstart + n_toks, (seq_id + 1) * 512) - gstart AS span_end,
+         |  least(gstart + n_toks, (seq_id + 1) * 512)
+         |    - greatest(gstart, seq_id * 512) AS span_toks
+         |FROM sp ORDER BY seq_id, doc_id""".stripMargin,
+
     "tx_quality" ->
       s"""WITH $toksCte
          |SELECT doc_id, len(text)::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens,

@@ -91,6 +91,11 @@ object SparkEntry {
     "tx_tokens"      -> (TX.txTokens(_, _)),
     "tx_tokens_bpe"  -> (TX.txTokensBpe(_, _)),
     "tx_split"       -> (TX.txSplit(_, _)),
+    // concat-and-chunk packing (GPT-style, complements
+    // pack_sequences' bin assignment): exact 512-token sequence
+    // splits with within-doc spans; two-phase prefix sum so the
+    // corpus never serializes through a global-order window
+    "tx_pack_chunk"  -> (TX.txPackChunk(_, _)),
     "tx_quality"     -> (TX.txQuality(_, _)),
     // token-budget selection: histogram-threshold greedy prefix
     "tx_budget_select" -> (TX.txBudgetSelect(_, _)),

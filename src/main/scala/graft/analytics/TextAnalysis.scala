@@ -25,6 +25,61 @@ object TextAnalysis {
         size(shingles(col("text"), 3)).cast(LongType).as("n_shingles"))
       .orderBy(col("doc_id"))
 
+  /** SEQUENCE PACKING, concat-and-chunk flavor — the GPT-style packing
+    * that complements [[txPack]]'s sharded bin assignment: where
+    * txPack ASSIGNS whole documents to capacity bins, this op SPLITS
+    * the concatenated token stream at exact sequence boundaries. The
+    * step that turns a filtered corpus into fixed-length training
+    * examples: documents
+    * are concatenated in doc_id order and the token stream is chunked
+    * into `seqLen`-token sequences; the output maps every document to
+    * the sequences it lands in, as (seq_id, doc_id, span_start,
+    * span_end) with WITHIN-DOC token offsets (span_end exclusive) —
+    * exactly what a loader needs to materialize packed examples with
+    * document-boundary masks. Every sequence except the last is
+    * exactly `seqLen` tokens by construction.
+    *
+    * Scale shape: the global prefix sum is TWO-PHASE — a window
+    * partitioned by a doc_id bucket (partition-local cumsum, no
+    * global ordering shuffle of the corpus) plus an exclusive prefix
+    * over the per-bucket sums (corpus/`bucket` rows — control-plane
+    * sized, the only place a global window runs) broadcast back. A
+    * single ORDER BY doc_id window would serialize 100 TB through one
+    * partition; this shape never moves the corpus.
+    */
+  def txPackChunk(s: SparkSession, dir: String, seqLen: Long = 512,
+      bucket: Long = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_toks"))
+      .filter(col("n_toks") > 0)
+      .withColumn("bkt", (col("doc_id") / bucket).cast(LongType))
+    val w = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = docs
+      .withColumn("cum_in", sum(col("n_toks")).over(w) - col("n_toks"))
+    val wb = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = docs.groupBy(col("bkt"))
+      .agg(sum(col("n_toks")).as("bkt_toks"))
+      .withColumn("bkt_off", coalesce(sum(col("bkt_toks")).over(wb), lit(0L)))
+      .select(col("bkt"), col("bkt_off"))
+    val g = local.join(broadcast(prefixes), Seq("bkt"))
+      .withColumn("gstart", col("bkt_off") + col("cum_in"))
+    g
+      .withColumn("seq_id", explode(sequence(
+        (col("gstart") / seqLen).cast(LongType),
+        ((col("gstart") + col("n_toks") - 1) / seqLen).cast(LongType))))
+      .select(col("seq_id"), col("doc_id"),
+        (greatest(col("gstart"), col("seq_id") * seqLen) - col("gstart"))
+          .as("span_start"),
+        (least(col("gstart") + col("n_toks"), (col("seq_id") + 1) * seqLen)
+          - col("gstart")).as("span_end"))
+      .withColumn("span_toks", col("span_end") - col("span_start"))
+      .orderBy(col("seq_id"), col("doc_id"))
+  }
+
   /** Quality scoring: lexical-diversity and stopword-density signals
     * (length / stopword-ratio heuristics in the spirit of C4/Gopher
     * quality filters), all from one token pass.
