@@ -895,6 +895,64 @@ object OracleSql {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** `emb_ivfpq_serve_dialed` (store.AnnIndex.embIvfPqServeDialed):
+    * the composed chain with the probe widened to the largest measured
+    * rung (cell_rank carried through ADC), each rung's ADC top-5
+    * censused against the exact panel top-5 (the dial prices routing
+    * AND compression loss together), the resolved rung serving.
+    */
+  private val ivfPqDialedServeSql: String = {
+    val cellsSite = "cells AS (SELECT query_id, cell FROM pr WHERE r <= 2)"
+    val tailIdx = ivfPqServeSql.lastIndexOf("approx AS (")
+    require(ivfPqServeSql.contains(cellsSite) && tailIdx > 0,
+      "ivfpq-dialed: derivation anchors missing")
+    ivfPqServeSql.substring(0, tailIdx)
+      .replace(cellsSite,
+        "cells AS (SELECT query_id, cell, r AS cell_rank FROM pr WHERE r <= 8)") +
+      """approx AS (SELECT l.query_id, a.vec_id,
+        |    min(cc.cell_rank) AS cell_rank,
+        |    round(sum(l.part) / (any_value(qn.qnorm) * any_value(vn.vnorm)), 6)
+        |      AS pq_cos
+        |  FROM af2 a
+        |  JOIN af ON af.vec_id = a.vec_id
+        |  JOIN cells cc ON cc.cell = af.cell
+        |  JOIN lut l ON l.s = a.s AND l.code = a.code AND l.query_id = cc.query_id
+        |  JOIN vn ON vn.vec_id = a.vec_id
+        |  JOIN qn ON qn.query_id = l.query_id
+        |  WHERE a.vec_id <> l.query_id
+        |  GROUP BY l.query_id, a.vec_id),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      round(list_dot_product(q.qe, e.emb) /
+        |        (sqrt(list_dot_product(q.qe, q.qe)) *
+        |         sqrt(list_dot_product(e.emb, e.emb))), 6) DESC, e.vec_id) AS rank
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
+        |  WHERE rank <= 5),
+        |rungs AS (SELECT p FROM (VALUES (1), (2), (4), (8)) r(p)),
+        |served AS (SELECT p, query_id, neighbor_id FROM (
+        |  SELECT r.p, x.query_id, x.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY r.p, x.query_id
+        |      ORDER BY x.pq_cos DESC, x.vec_id) AS rank
+        |  FROM rungs r JOIN approx x ON x.cell_rank <= r.p)
+        |  WHERE rank <= 5),
+        |mr AS (SELECT r.p,
+        |    round(count(ex.neighbor_id) / 50.0, 6) AS mean_recall
+        |  FROM rungs r
+        |  LEFT JOIN served s ON s.p = r.p
+        |  LEFT JOIN ex ON ex.query_id = s.query_id
+        |    AND ex.neighbor_id = s.neighbor_id
+        |  GROUP BY r.p),
+        |dial AS (SELECT coalesce(min(p) FILTER (WHERE mean_recall >= 0.5),
+        |    max(p)) AS np FROM mr)
+        |SELECT * FROM (
+        |  SELECT query_id, vec_id AS neighbor_id, pq_cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY pq_cos DESC, vec_id)::BIGINT AS rank
+        |  FROM approx WHERE cell_rank <= (SELECT np FROM dial))
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** `emb_ivfpq_serve_sq8` (store.AnnIndex.serveIvfPqTopkSq8): the
     * composed index's two-tier serve — the IVFPQ routed-ADC chain's
     * `approx` feeding the SAME cut-64 + symmetric-int8 rescore tail
@@ -3117,6 +3175,8 @@ object OracleSql {
     "emb_ivf_append_serve" -> ivfAppendServeSql,
 
     "emb_ivfpq_serve" -> ivfPqServeSql,
+
+    "emb_ivfpq_serve_dialed" -> ivfPqDialedServeSql,
 
     "emb_label_centroids" ->
       """SELECT label, d AS dim, round(avg(embedding[d]::DOUBLE), 6) AS centroid,

@@ -347,6 +347,11 @@ object SparkEntry {
     // nprobe from a target — the 2→4 compensation as a stated target
     "emb_ivf_serve_filtered_dialed" ->
       (graft.store.AnnIndex.embIvfServeFilteredDialed(_, _)),
+    // the COMPOSED index dials too: IVFPQ's dial prices routing AND
+    // compression loss together — resolved at target 0.5, same routed
+    // ADC serve
+    "emb_ivfpq_serve_dialed" ->
+      (graft.store.AnnIndex.embIvfPqServeDialed(_, _)),
     // the filtered-serve recall audit: exact filtered top-5 vs the
     // nprobe=4 filtered serve — prices the filtered-search dial
     "emb_ivf_filtered_recall" -> (graft.store.AnnIndex.embIvfFilteredRecall(_, _)),

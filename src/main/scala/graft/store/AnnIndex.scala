@@ -1305,6 +1305,48 @@ object AnnIndex {
       targetRecall)
   }
 
+  /** The COMPOSED index's dial (IVFPQ): same manifest contract as
+    * [[writeIvfDial]], but the measured recall prices routing AND
+    * compression loss together — the operationally interesting dial
+    * (COVERAGE's two-geometry frontier). The exact side reads the
+    * build-time float corpus (the PQ lists hold codes, not floats).
+    */
+  def writeIvfPqDial(s: SparkSession, emb: DataFrame, root: String,
+      queries: DataFrame, k: Int = 5,
+      rungs: Seq[Int] = Seq(1, 2, 4, 8)): Unit = {
+    val exact = Similarity.materializeSmall(
+      Similarity.embTopkDf(emb.select(col("vec_id"), col("embedding")), k)
+        .select(col("query_id"), col("neighbor_id")))
+    val nQueries = queries.select(col("query_id")).distinct().count()
+    val rows = rungs.map { p =>
+      val served = serveIvfPqTopk(s, root, queries, k, p)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(served, Seq("query_id", "neighbor_id")).count()
+      val mean = BigDecimal(hits.toDouble / (nQueries * k))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (p.toLong, hits, nQueries, mean)
+    }
+    import s.implicits._
+    rows.toDF("nprobe", "hits", "n_queries", "mean_recall")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/dial")
+  }
+
+  /** Registered IVFPQ dialed serve ("ivfpqd" kind): resolve the
+    * composed index's nprobe from its build-time dial, then the same
+    * routed ADC serve.
+    */
+  def embIvfPqServeDialed(s: SparkSession, dir: String, k: Int = 5,
+      targetRecall: Double = 0.5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val root = indexRoot(s, dir, "ivfpqd", emb.count())
+    ensureBuilt(s, root) { staging =>
+      buildIvfPq(emb, staging)
+      writeIvfPqDial(s, emb, staging, queryLiterals(s, dir), k)
+    }
+    serveIvfPqTopk(s, root.toString, queryLiterals(s, dir), k,
+      resolveNprobe(s, root.toString, targetRecall))
+  }
+
   /** The FILTERED dialed serve: the labeled index carries its own dial
     * — measured against the exact top-k over the label slice, so the
     * resolved nprobe already prices the thinner per-cell pool (the
