@@ -2540,6 +2540,17 @@ object OracleSql {
     "dedup_video_incremental" -> videoIncrementalSql,
     "dedup_video_incremental_sink" -> videoIncrementalSql,
 
+    // lossy-survival invariants (the dedup_phash_jpeg pattern, per
+    // sampled frame): measured over every producible frame
+    // (tools/ProfileVideoJpeg, 15750 frames, max 4 flipped bits at
+    // q=0.9, band candidacy everywhere), so the oracle emits the
+    // expected TRUE rows per (doc, sampled frame)
+    "dedup_video_jpeg" ->
+      """SELECT doc_id AS media_id, f.f AS frame_idx,
+        |  TRUE AS within_threshold, TRUE AS band_candidate
+        |FROM documents CROSS JOIN (VALUES (0), (2), (4)) f(f)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
     // apply: arrival-ordered keep policy over the voted pair report
     "dedup_video_apply" ->
       s"""WITH $vidCtes

