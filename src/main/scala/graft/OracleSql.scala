@@ -720,6 +720,29 @@ object OracleSql {
       ivfDialedTail(" AND m.label = 3", " AND e.label = 3")
   }
 
+  /** `emb_ivf_dial_stats` (store.AnnIndex.embIvfDialStats): the dialed
+    * chain cut after the per-rung census — the relational replay of
+    * writeIvfDial's measurement, certifying the persisted manifest
+    * rows byte-for-value (hits and n_queries are the exact integers,
+    * mean_recall their one rounded division).
+    */
+  private val ivfDialStatsSql: String = {
+    val cutSite = "mr AS (SELECT r.p,"
+    require(ivfDialedServeSql.contains(cutSite),
+      "dial-stats oracle derivation site missing")
+    ivfDialedServeSql.substring(0, ivfDialedServeSql.indexOf(cutSite))
+      .stripTrailing.stripSuffix(",") + "\n" +
+      """SELECT r.p::BIGINT AS nprobe,
+        |  count(ex.neighbor_id)::BIGINT AS hits,
+        |  10::BIGINT AS n_queries,
+        |  round(count(ex.neighbor_id) / 50.0, 6) AS mean_recall
+        |FROM rungs r
+        |LEFT JOIN served s ON s.p = r.p
+        |LEFT JOIN ex ON ex.query_id = s.query_id
+        |  AND ex.neighbor_id = s.neighbor_id
+        |GROUP BY r.p ORDER BY nprobe""".stripMargin
+  }
+
   /** `emb_ivf_filtered_recall` (store.AnnIndex.embIvfFilteredRecall):
     * the filtered serve (as a nested-WITH CTE — its own Lloyd chain,
     * names shadowed locally) censused against the exact top-5 over
@@ -3175,6 +3198,10 @@ object OracleSql {
     "emb_ivf_serve" -> ivfTopkSql,
 
     "emb_ivf_serve_dialed" -> ivfDialedServeSql,
+
+    // the dial MANIFEST itself: the dialed chain cut at the census,
+    // emitting (nprobe, hits, n_queries, mean_recall) per rung
+    "emb_ivf_dial_stats" -> ivfDialStatsSql,
 
     "emb_ivf_serve_filtered_dialed" -> ivfFilteredDialedServeSql,
 

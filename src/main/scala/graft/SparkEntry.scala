@@ -343,6 +343,11 @@ object SparkEntry {
     // build measured (recall@5 per rung vs the exact panel) against a
     // target recall of 0.5 — same routed, partition-pruned scan
     "emb_ivf_serve_dialed" -> (graft.store.AnnIndex.embIvfServeDialed(_, _)),
+    // dial introspection (the L9 surface for the dial): the persisted
+    // manifest rows, certified against the relational replay of the
+    // build-time measurement - the manifest's bytes, not just the
+    // serve that reads them
+    "emb_ivf_dial_stats" -> (graft.store.AnnIndex.embIvfDialStats(_, _)),
     // filtered ANN: top-k within a metadata slice (label = 3) — the
     // labeled index evaluates the predicate as a pushed parquet filter
     // on the routed scan, with nprobe 2 → 4 for the thinner pool

@@ -1305,6 +1305,26 @@ object AnnIndex {
       targetRecall)
   }
 
+  /** DIAL INTROSPECTION — the L9 surface for the dial manifest: the
+    * persisted (nprobe, hits, n_queries, mean_recall) rows themselves,
+    * oracle-certified against the relational replay of the build-time
+    * measurement — so the MANIFEST's bytes are certified, not just the
+    * serve that reads them. Ensures the "ivfd" root like the dialed
+    * serve (order-independent within a session).
+    */
+  def embIvfDialStats(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val root = indexRoot(s, dir, "ivfd", emb.count())
+    ensureBuilt(s, root) { staging =>
+      buildIvf(emb, staging)
+      writeIvfDial(s, staging, queryLiterals(s, dir), k)
+    }
+    s.read.parquet(s"${root.toString}/dial")
+      .select(col("nprobe"), col("hits"), col("n_queries"),
+        col("mean_recall"))
+      .orderBy(col("nprobe"))
+  }
+
   /** The COMPOSED index's dial (IVFPQ): same manifest contract as
     * [[writeIvfDial]], but the measured recall prices routing AND
     * compression loss together — the operationally interesting dial
