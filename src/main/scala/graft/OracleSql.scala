@@ -2274,8 +2274,16 @@ object OracleSql {
          |  (u = min(root)) AS is_canonical
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
 
+    // r18: mirrors the guarded detector — exact pre-collapse (one
+    // representative per byte-identical text; in-group pairs are
+    // est = jaccard = 1.0 by definition) and the hot-band occupancy
+    // cap over REPRESENTATIVE bands (the maxDf discipline applied to
+    // the band space; never fires below occupancy HotBandCap, which
+    // dedup_band_stats certifies for the oracle corpora)
     "dedup_minhash_lsh" ->
       s"""WITH $toksCte, $shinglesCte,
+         |grp AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep
+         |  FROM documents),
          |sh2 AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
          |ff AS (SELECT f, (f * 7 + 3) % 60 AS rr,
          |    ('0x' || substr(md5('mh|' || f::VARCHAR), 1, 15))::BIGINT AS c
@@ -2286,9 +2294,13 @@ object OracleSql {
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          |bands AS (SELECT doc_id, f // 2 AS band,
          |    string_agg(h::VARCHAR, '|' ORDER BY f) AS band_key
-         |  FROM sig GROUP BY doc_id, f // 2),
+         |  FROM sig WHERE doc_id IN (SELECT rep FROM grp)
+         |  GROUP BY doc_id, f // 2),
+         |occok AS (SELECT band, band_key FROM bands
+         |  GROUP BY band, band_key HAVING count(*) <= ${graft.dedup.BandGuard.HotBandCap}),
+         |bandsok AS (SELECT b.* FROM bands b JOIN occok USING (band, band_key)),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
+         |  FROM bandsok x JOIN bandsok y
          |  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
          |est AS (SELECT c.doc_a, c.doc_b,
          |    (count(*) FILTER (WHERE sa.h = sb.h))::DOUBLE / 16 AS est_jaccard
@@ -2297,15 +2309,122 @@ object OracleSql {
          |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.f = sa.f
          |  GROUP BY 1, 2),
          |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT e.doc_a, e.doc_b, e.est_jaccard,
-         |  co.n_common::DOUBLE / (da.n_sh + db.n_sh - co.n_common) AS jaccard
-         |FROM est e
-         |JOIN common co ON co.doc_a = e.doc_a AND co.doc_b = e.doc_b
-         |JOIN sizes da ON da.doc_id = e.doc_a
-         |JOIN sizes db ON db.doc_id = e.doc_b
-         |WHERE co.n_common::DOUBLE / (da.n_sh + db.n_sh - co.n_common) >= 0.5
-         |ORDER BY e.doc_a, e.doc_b""".stripMargin,
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |vr AS (SELECT e.doc_a, e.doc_b, e.est_jaccard,
+         |    co.n_common::DOUBLE / (da.n_sh + db.n_sh - co.n_common) AS jaccard
+         |  FROM est e
+         |  JOIN common co ON co.doc_a = e.doc_a AND co.doc_b = e.doc_b
+         |  JOIN sizes da ON da.doc_id = e.doc_a
+         |  JOIN sizes db ON db.doc_id = e.doc_b
+         |  WHERE co.n_common::DOUBLE / (da.n_sh + db.n_sh - co.n_common) >= 0.5),
+         |xp AS (SELECT least(ga.doc_id, gb.doc_id) AS doc_a,
+         |    greatest(ga.doc_id, gb.doc_id) AS doc_b, v.est_jaccard, v.jaccard
+         |  FROM vr v JOIN grp ga ON ga.rep = v.doc_a
+         |            JOIN grp gb ON gb.rep = v.doc_b),
+         |ig AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    1.0::DOUBLE AS est_jaccard, 1.0::DOUBLE AS jaccard
+         |  FROM grp a JOIN grp b ON a.rep = b.rep AND a.doc_id < b.doc_id
+         |  WHERE a.rep IN (SELECT DISTINCT doc_id FROM sh))
+         |SELECT doc_a, doc_b, est_jaccard, jaccard FROM xp
+         |UNION ALL
+         |SELECT doc_a, doc_b, est_jaccard, jaccard FROM ig
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // banded-family occupancy introspection (r17 verdict #1's loud
+    // report): per family, pre-collapse volume, identical-fingerprint
+    // group structure, and REPRESENTATIVE band occupancy vs the hot
+    // cap — the emb_ivf_cell_stats twin for the band space
+    "dedup_band_stats" -> {
+      val cap = graft.dedup.BandGuard.HotBandCap
+      s"""WITH $toksCte, $shinglesCte,
+         |sh2 AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+         |ff AS (SELECT f, (f * 7 + 3) % 60 AS rr,
+         |    ('0x' || substr(md5('mh|' || f::VARCHAR), 1, 15))::BIGINT AS c
+         |  FROM generate_series(0, 15) g(f)),
+         |sig AS (SELECT doc_id, f,
+         |    min(xor((h >> rr) | ((h & ((1::BIGINT << rr) - 1)) << (60 - rr)), c)) AS h
+         |  FROM sh2 CROSS JOIN ff GROUP BY doc_id, f),
+         |shd AS (SELECT DISTINCT doc_id FROM sh),
+         |mgrp AS (SELECT min(doc_id) AS rep, count(*) AS members
+         |  FROM documents WHERE doc_id IN (SELECT doc_id FROM shd)
+         |  GROUP BY text),
+         |mbands AS (SELECT doc_id, f // 2 AS band,
+         |    string_agg(h::VARCHAR, '|' ORDER BY f) AS band_key
+         |  FROM sig WHERE doc_id IN (SELECT rep FROM mgrp)
+         |  GROUP BY doc_id, f // 2),
+         |mocc AS (SELECT band, band_key, count(*) AS occ
+         |  FROM mbands GROUP BY 1, 2),
+         |$simhashCtes,
+         |sgrp AS (SELECT fp, min(doc_id) AS rep, count(*) AS members
+         |  FROM fp GROUP BY fp),
+         |socc AS (SELECT b, (fp >> (b * 15)) & 32767 AS band_key,
+         |    count(*) AS occ
+         |  FROM sgrp CROSS JOIN generate_series(0, 3) sg(b) GROUP BY 1, 2),
+         |$phashCtes,
+         |pgrp AS (SELECT fp, min(media_id) AS rep, count(*) AS members
+         |  FROM pfp GROUP BY fp),
+         |pocc AS (SELECT b, (fp >> (b * 15)) & 32767 AS band_key,
+         |    count(*) AS occ
+         |  FROM pgrp CROSS JOIN generate_series(0, 3) pg(b) GROUP BY 1, 2),
+         |$audCtes,
+         |agrp AS (SELECT fp, min(media_id) AS rep, count(*) AS members
+         |  FROM afp GROUP BY fp),
+         |aocc AS (SELECT b, (fp >> (b * 15)) & 32767 AS band_key,
+         |    count(*) AS occ
+         |  FROM agrp CROSS JOIN generate_series(0, 3) ag(b) GROUP BY 1, 2),
+         |$vidCtes,
+         |vgrp AS (SELECT f, fp, min(media_id) AS rep, count(*) AS members
+         |  FROM vfp GROUP BY f, fp),
+         |vocc AS (SELECT f, b, (fp >> (b * 15)) & 32767 AS band_key,
+         |    count(*) AS occ
+         |  FROM vgrp CROSS JOIN generate_series(0, 3) vg(b) GROUP BY 1, 2, 3)
+         |SELECT 'minhash' AS family,
+         |  (SELECT count(*) FROM shd)::BIGINT AS n_raw,
+         |  (SELECT count(*) FROM mgrp)::BIGINT AS n_reps,
+         |  (SELECT count(*) FROM mgrp WHERE members > 1)::BIGINT AS n_dup_groups,
+         |  (SELECT coalesce(max(members), 0) FROM mgrp)::BIGINT AS max_group,
+         |  (SELECT count(*) FROM mocc)::BIGINT AS n_band_keys,
+         |  (SELECT coalesce(max(occ), 0) FROM mocc)::BIGINT AS max_band_occ,
+         |  (SELECT count(*) FROM mocc WHERE occ > $cap)::BIGINT AS hot_bands,
+         |  $cap::BIGINT AS hot_cap
+         |UNION ALL SELECT 'simhash',
+         |  (SELECT count(*) FROM fp)::BIGINT,
+         |  (SELECT count(*) FROM sgrp)::BIGINT,
+         |  (SELECT count(*) FROM sgrp WHERE members > 1)::BIGINT,
+         |  (SELECT coalesce(max(members), 0) FROM sgrp)::BIGINT,
+         |  (SELECT count(*) FROM socc)::BIGINT,
+         |  (SELECT coalesce(max(occ), 0) FROM socc)::BIGINT,
+         |  (SELECT count(*) FROM socc WHERE occ > $cap)::BIGINT,
+         |  $cap::BIGINT
+         |UNION ALL SELECT 'phash',
+         |  (SELECT count(*) FROM pfp)::BIGINT,
+         |  (SELECT count(*) FROM pgrp)::BIGINT,
+         |  (SELECT count(*) FROM pgrp WHERE members > 1)::BIGINT,
+         |  (SELECT coalesce(max(members), 0) FROM pgrp)::BIGINT,
+         |  (SELECT count(*) FROM pocc)::BIGINT,
+         |  (SELECT coalesce(max(occ), 0) FROM pocc)::BIGINT,
+         |  (SELECT count(*) FROM pocc WHERE occ > $cap)::BIGINT,
+         |  $cap::BIGINT
+         |UNION ALL SELECT 'audio',
+         |  (SELECT count(*) FROM afp)::BIGINT,
+         |  (SELECT count(*) FROM agrp)::BIGINT,
+         |  (SELECT count(*) FROM agrp WHERE members > 1)::BIGINT,
+         |  (SELECT coalesce(max(members), 0) FROM agrp)::BIGINT,
+         |  (SELECT count(*) FROM aocc)::BIGINT,
+         |  (SELECT coalesce(max(occ), 0) FROM aocc)::BIGINT,
+         |  (SELECT count(*) FROM aocc WHERE occ > $cap)::BIGINT,
+         |  $cap::BIGINT
+         |UNION ALL SELECT 'video',
+         |  (SELECT count(*) FROM vfp)::BIGINT,
+         |  (SELECT count(*) FROM vgrp)::BIGINT,
+         |  (SELECT count(*) FROM vgrp WHERE members > 1)::BIGINT,
+         |  (SELECT coalesce(max(members), 0) FROM vgrp)::BIGINT,
+         |  (SELECT count(*) FROM vocc)::BIGINT,
+         |  (SELECT coalesce(max(occ), 0) FROM vocc)::BIGINT,
+         |  (SELECT count(*) FROM vocc WHERE occ > $cap)::BIGINT,
+         |  $cap::BIGINT
+         |ORDER BY family""".stripMargin
+    },
 
     // chunk-level dedup: tx_chunk's stride-48/window-64 chunks run
     // through the SAME minhash/band family keyed by (doc_id, chunk_id);

@@ -192,6 +192,10 @@ object SparkEntry {
     // MinHash-LSH family, chunk-dup pairs rolled up to doc pairs
     "dedup_chunks"        -> (Dedup.dedupChunks(_, _)),
     "dedup_simhash"       -> (Dedup.dedupSimhash(_, _)),
+    // banded-family occupancy introspection (r17 verdict #1's loud
+    // report): collapse group structure + rep band occupancy vs the
+    // hot cap, one row per family — the emb_ivf_cell_stats twin
+    "dedup_band_stats"    -> (Dedup.dedupBandStats(_, _)),
     // perceptual-hash IMAGE near-dup (multimodal × dedup): dHash over
     // real PNG-decoded rasters, simhash-style banded Hamming join —
     // never all-pairs; planted 2-block retouches are guaranteed hits

@@ -182,11 +182,26 @@ object Dedup {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     dedupMinhashLshDf(Tables.documents(s, dir))
 
-  def dedupMinhashLshDf(documents: DataFrame): DataFrame = {
-    // persisted: the shingle+signature relation feeds the bucket explode
-    // AND both sides of the candidate join — without it the text-hashing
-    // scan re-executes per use (3× the hash work)
+  def dedupMinhashLshDf(documents: DataFrame,
+      hotCap: Int = BandGuard.HotBandCap): DataFrame = {
+    // exact pre-collapse (r17 verdict #1): one representative per
+    // byte-identical text BEFORE any signature/band work — k copies of
+    // one page never enter the band space, so the bucket join stays
+    // sub-quadratic on duplicate-heavy corpora. Identical text means
+    // identical shingle set, signature, and similarity-to-anything, so
+    // expanding verified pairs back through the text groups reproduces
+    // the naive doc-level pair relation EXACTLY (in-group pairs are
+    // est = jaccard = 1.0 by definition).
+    // group key is md5(text), never the raw text — the collapse
+    // shuffles 16-byte digests, not document bodies
+    val grp = documents.select(col("doc_id"), md5(col("text")).as("th"))
+    val repRows = grp.groupBy(col("th"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    // persisted: the rep shingle+signature relation feeds the bucket
+    // explode AND both sides of the candidate join — without it the
+    // text-hashing scan re-executes per use (3× the hash work)
     val docs = documents
+      .join(repRows.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .select(col("doc_id"), col("sh"), minhashSig(col("sh"), 16).as("sig"))
       .persist()
@@ -198,7 +213,18 @@ object Dedup {
         transform(slice(col("sig"), col("band") * 2 + 1, lit(2)),
           x => x.cast(StringType))))
       .select(col("doc_id"), col("band"), col("band_key"))
-    val cand = bands.as("x").join(bands.as("y"),
+    // hot-band occupancy cap (mirrored in the DuckDB oracle — the
+    // maxDf/stop-shingle discipline applied to the band space): a band
+    // key shared by > hotCap DISTINCT texts is a template cluster whose
+    // bucket join would cost Θ(occ²); dropping it loses recall only for
+    // pairs whose EVERY shared band is hot — P(some other band | j) =
+    // 1−(1−j²)⁷ ≥ 0.9992 at j = 0.8. Dropped keys are counted by
+    // dedup_band_stats (`hot_bands`), the loud report.
+    val occOk = bands.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") <= hotCap)
+      .select(col("band"), col("band_key"))
+    val bandsOk = bands.join(occOk, Seq("band", "band_key"))
+    val cand = bandsOk.as("x").join(bandsOk.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -209,12 +235,37 @@ object Dedup {
         col("sig").as("sig_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
         col("sig").as("sig_b")), "doc_b")
-    val result = withSets.select(col("doc_a"), col("doc_b"),
+    val verified = withSets.select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) =>
           a === b), x => x)).cast(DoubleType) / 16).as("est_jaccard"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+    // expand verified rep pairs through both text groups (copies
+    // inherit their representative's exact values), then add the
+    // in-group pairs: byte-identical texts that shingle at all are
+    // est = jaccard = 1.0; shingle-less docs emit no signature and
+    // never pair (the signBand contract)
+    val members = grp
+      .join(repRows.select(col("th"), col("doc_id").as("rep")), Seq("th"))
+      .select(col("doc_id"), col("rep"))
+    val crossPairs = verified.as("v")
+      .join(members.as("ma"), col("v.doc_a") === col("ma.rep"))
+      .join(members.as("mb"), col("v.doc_b") === col("mb.rep"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("v.est_jaccard"), col("v.jaccard"))
+    val shingled = docs.filter(size(col("sh")) > 0)
+      .select(col("doc_id").as("rep"))
+    val inGroup = members.as("ia").join(members.as("ib"),
+        col("ia.rep") === col("ib.rep") &&
+          col("ia.doc_id") < col("ib.doc_id"))
+      .select(col("ia.doc_id").as("doc_a"), col("ib.doc_id").as("doc_b"),
+        col("ia.rep").as("rep"))
+      .join(shingled, Seq("rep"), "left_semi")
+      .select(col("doc_a"), col("doc_b"),
+        lit(1.0).as("est_jaccard"), lit(1.0).as("jaccard"))
+    val result = crossPairs.unionByName(inGroup)
       .orderBy(col("doc_a"), col("doc_b"))
       // eagerly materialize the (small) verified-pair relation so the
       // cached signature blocks can be released right away instead of
@@ -389,7 +440,24 @@ object Dedup {
   private def bandedStepDelta(batch: DataFrame, bands: DataFrame,
       index: DataFrame, idCol: String, valCol: String,
       isMatch: (Column, Column) => Column): (DataFrame, DataFrame) = {
-    val within = bands.as("x").join(bands.as("y"),
+    // exact pre-collapse (r17 verdict #1): one representative per
+    // identical VALUE (signature/fingerprint); only representatives
+    // enter the band joins, so k copies of one asset in a delivery
+    // cost O(k), never Θ(k²) bucket work. Lossless because every
+    // registered family's predicate accepts identical values (Hamming
+    // 0 / estimate 1.0 ≥ τ): a non-rep batch item always dies against
+    // its own smaller-id representative, and any match through a
+    // non-rep is reproduced through its rep at an even smaller id.
+    val values = bands.select(col(idCol), col(valCol).as("v")).distinct()
+    val reps = values.groupBy(col("v")).agg(min(col(idCol)).as(idCol))
+    val members = values.join(reps.withColumnRenamed(idCol, "rep"), Seq("v"))
+      .select(col(idCol), col("rep"))
+    val nonRepDrops = values
+      .join(reps.withColumnRenamed(idCol, "rep"), Seq("v"))
+      .filter(col(idCol) =!= col("rep") && isMatch(col("v"), col("v")))
+      .select(col(idCol))
+    val repBands = bands.join(reps.select(col(idCol)), Seq(idCol), "left_semi")
+    val within = repBands.as("x").join(repBands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -398,16 +466,24 @@ object Dedup {
       .distinct()
       .filter(isMatch(col("v_a"), col("v_b")))
       .select(col(idCol)).distinct()
-    val cross = bands.as("x").join(index.as("i"),
+    // cross at REP level WITHOUT the id exclusion, expanded through
+    // the group, the exclusion re-applied per member — replay
+    // idempotence (a batch never deduping against its own landed
+    // delta) holds exactly as in the naive join
+    val cross0 = repBands.as("x").join(index.as("i"),
         col("x.band") === col("i.band") &&
-          col("x.band_key") === col("i.band_key") &&
-          col(s"x.$idCol") =!= col(s"i.$idCol"))
-      .select(col(s"x.$idCol"),
+          col("x.band_key") === col("i.band_key"))
+      .select(col(s"x.$idCol").as("rep"), col(s"i.$idCol").as("other_id"),
         col(s"x.$valCol").as("v_a"), col(s"i.$valCol").as("v_b"))
       .distinct()
       .filter(isMatch(col("v_a"), col("v_b")))
+      .select(col("rep"), col("other_id")).distinct()
+    val cross = cross0.join(members, Seq("rep"))
+      .filter(col(idCol) =!= col("other_id"))
       .select(col(idCol)).distinct()
-    val survivors = batch.join(within.union(cross), Seq(idCol), "left_anti")
+    val survivors = batch.join(
+      nonRepDrops.union(within).union(cross).distinct(),
+      Seq(idCol), "left_anti")
     val delta =
       bands.join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
     (survivors, delta)
@@ -922,20 +998,13 @@ object Dedup {
     dedupSimhashDf(Tables.documents(s, dir))
 
   def dedupSimhashDf(documents: DataFrame): DataFrame = {
+    // guarded 4×15 banding (BandGuard): identical fingerprints are
+    // collapsed to one representative before the bucket join and hot
+    // bands take the lossless 5×9 sub-split — the verified pair
+    // relation is EXACTLY the naive banded join's (oracle unchanged)
     val docs = documents
       .select(col("doc_id"), simhash60(tokens(col("text"))).as("fp"))
-    val bands = docs.select(col("doc_id"), col("fp"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("band_key", expr("shiftright(fp, band * 15)").bitwiseAND(lit(32767L)))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
-      .distinct()
-    cand.select(col("doc_a"), col("doc_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType).as("hamming"))
-      .filter(col("hamming") <= 4)
+    BandGuard.guardedHammingPairs(docs, "doc_id", Nil, 4)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -979,12 +1048,17 @@ object Dedup {
 
   def phashBands(fps: DataFrame): DataFrame = bands60(fps, "phash60")
 
-  /** Banded Hamming pairs over any [[bands60]] relation: candidates
-    * from the band equi-self-join (bucket-mates only, never
+  /** NAIVE banded Hamming pairs over any [[bands60]] relation:
+    * candidates from the band equi-self-join (bucket-mates only, never
     * all-pairs), verified at Hamming ≤ `maxHamming` over the already-
-    * joined fingerprints.
+    * joined fingerprints. This is the REFERENCE definition the DuckDB
+    * oracles replay and `BandGuardSpec` differentials pin against; the
+    * registered detectors run [[BandGuard.guardedHammingPairs]], which
+    * computes the identical relation with exact pre-collapse and the
+    * hot-band sub-split (r17 verdict #1).
     */
-  def bandedHammingPairs(bands: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def bandedHammingPairs(bands: DataFrame,
+      maxHamming: Int): DataFrame = {
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
@@ -1000,7 +1074,10 @@ object Dedup {
   }
 
   def dedupPhashPairsDf(fps: DataFrame): DataFrame =
-    bandedHammingPairs(phashBands(fps), 4)
+    BandGuard.guardedHammingPairs(
+        fps.select(col("media_id"), col("phash60").as("fp")),
+        "media_id", Nil, 4)
+      .orderBy(col("media_a"), col("media_b"))
 
   /** The phash APPLY: the deduplicated image corpus. Keep policy is
     * the incremental-ingest one — a media row is dropped iff it
@@ -1055,8 +1132,9 @@ object Dedup {
     */
   def phashStepDelta(batchFps: DataFrame, index: DataFrame,
       maxHamming: Int = 4): (DataFrame, DataFrame) =
-    bandedStepDelta(batchFps, phashBands(batchFps), index, "media_id", "fp",
-      (a, b) => bit_count(a.bitwiseXOR(b)) <= maxHamming)
+    BandGuard.guardedStepDelta60(batchFps,
+      batchFps.select(col("media_id"), col("phash60").as("fp")),
+      Nil, index, maxHamming, minVote = 1)
 
   /** Durable phash fingerprint index = union of append-only per-batch
     * segments (the [[readIndex]] discipline with the phash schema:
@@ -1176,7 +1254,10 @@ object Dedup {
   def audioBands(fps: DataFrame): DataFrame = bands60(fps, "audfp60")
 
   def dedupAudioPairsDf(fps: DataFrame): DataFrame =
-    bandedHammingPairs(audioBands(fps), 4)
+    BandGuard.guardedHammingPairs(
+        fps.select(col("media_id"), col("audfp60").as("fp")),
+        "media_id", Nil, 4)
+      .orderBy(col("media_a"), col("media_b"))
 
   /** Audio near-dup pairs: planted edited copies (two boosted windows
     * → ≤4 flipped bits, two guaranteed-intact bands) surface through
@@ -1221,8 +1302,9 @@ object Dedup {
     */
   def audioStepDelta(batchFps: DataFrame, index: DataFrame,
       maxHamming: Int = 4): (DataFrame, DataFrame) =
-    bandedStepDelta(batchFps, audioBands(batchFps), index, "media_id", "fp",
-      (a, b) => bit_count(a.bitwiseXOR(b)) <= maxHamming)
+    BandGuard.guardedStepDelta60(batchFps,
+      batchFps.select(col("media_id"), col("audfp60").as("fp")),
+      Nil, index, maxHamming, minVote = 1)
 
   /** One durable AUDIO-dedup delivery — [[phashIncrementalCommit]]'s
     * twin: decode + fingerprint THIS batch's clips only, dedup against
@@ -1326,18 +1408,13 @@ object Dedup {
 
   def dedupVideoPairsDf(fps: DataFrame, maxHamming: Int = 4,
       minVote: Int = graft.operators.Multimodal.VidMinVote): DataFrame = {
-    val bands = videoFrameBands(fps)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.frame_idx") === col("y.frame_idx") &&
-          col("x.band") === col("y.band") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
-        col("x.frame_idx").as("frame_idx"),
-        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
-      .distinct()
-    val frameMatches = cand
-      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
+    // guarded frame-aligned banding (BandGuard): identical per-frame
+    // fingerprints collapse to one representative, hot (frame, band)
+    // keys take the lossless 5×9 sub-split; the verified frame-match
+    // relation — and therefore the vote — is exactly the naive join's
+    val frameMatches = BandGuard.guardedHammingPairs(
+        fps.select(col("media_id"), col("frame_idx"), col("fp60").as("fp")),
+        "media_id", Seq("frame_idx"), maxHamming)
       .select(col("media_a"), col("media_b"), col("frame_idx"))
       .distinct()
     frameMatches.groupBy(col("media_a"), col("media_b"))
@@ -1418,39 +1495,15 @@ object Dedup {
       maxHamming: Int = 4,
       minVote: Int = graft.operators.Multimodal.VidMinVote)
       : (DataFrame, DataFrame) = {
-    val bands = videoFrameBands(batchFps)
-    def votedDrops(cand: DataFrame): DataFrame =
-      cand
-        .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
-        .select(col("drop_id"), col("other_id"), col("frame_idx"))
-        .distinct()
-        .groupBy(col("drop_id"), col("other_id"))
-        .agg(count(lit(1)).as("n_frames"))
-        .filter(col("n_frames") >= minVote)
-        .select(col("drop_id").as("media_id"))
-        .distinct()
-    val within = bands.as("x").join(bands.as("y"),
-        col("x.frame_idx") === col("y.frame_idx") &&
-          col("x.band") === col("y.band") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.media_id") < col("y.media_id"))
-      .select(col("y.media_id").as("drop_id"), col("x.media_id").as("other_id"),
-        col("x.frame_idx").as("frame_idx"),
-        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
-      .distinct()
-    val cross = bands.as("x").join(index.as("i"),
-        col("x.frame_idx") === col("i.frame_idx") &&
-          col("x.band") === col("i.band") &&
-          col("x.band_key") === col("i.band_key") &&
-          col("x.media_id") =!= col("i.media_id"))
-      .select(col("x.media_id").as("drop_id"), col("i.media_id").as("other_id"),
-        col("x.frame_idx").as("frame_idx"),
-        col("x.fp").as("fp_a"), col("i.fp").as("fp_b"))
-      .distinct()
-    val drops = votedDrops(within).union(votedDrops(cross)).distinct()
-    val survivors = batchFps.join(drops, Seq("media_id"), "left_anti")
-    val delta = bands.join(
-      survivors.select(col("media_id")).distinct(), Seq("media_id"), "left_semi")
+    // the shared guarded skeleton (BandGuard): frame-keyed collapse +
+    // hot-band sub-split, within/cross matches rolled through the
+    // frame vote — semantics identical to the naive frame-aligned join
+    val (surv, delta) = BandGuard.guardedStepDelta60(
+      batchFps.select(col("media_id")).distinct(),
+      batchFps.select(col("media_id"), col("frame_idx"), col("fp60").as("fp")),
+      Seq("frame_idx"), index, maxHamming, minVote)
+    val survivors = batchFps.join(surv.select(col("media_id")),
+      Seq("media_id"), "left_semi")
     (survivors, delta)
   }
 
@@ -1936,5 +1989,80 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_prints"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** `dedup_band_stats` — the banded dedup families' occupancy
+    * introspection (r17 verdict #1's "loud report"; the
+    * `emb_ivf_cell_stats` twin for the band space): per family, the
+    * pre-collapse volume, the identical-fingerprint group structure
+    * the exact pre-collapse removes, and the REPRESENTATIVE band
+    * occupancy against [[BandGuard.HotBandCap]]. `hot_bands > 0` is
+    * precisely the corpus shape the sub-split (media) / cap (minhash)
+    * machinery exists for; at every tested scale factor
+    * `max_band_occ` sits orders of magnitude below the cap, which is
+    * what certifies that the cap never fires on the oracle corpora.
+    */
+  def dedupBandStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val cap = BandGuard.HotBandCap
+    val docs = Tables.documents(s, dir)
+
+    // minhash: bespoke row (8 string-keyed bands of 2 signature slots
+    // over the text-collapse representatives; shingle-less docs emit
+    // no signature and are outside the band space by contract)
+    val mGroups = docs
+      .filter(size(shingles(col("text"), 3)) > 0)
+      .select(col("doc_id"), md5(col("text")).as("th"))
+      .groupBy(col("th"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("members"))
+      .persist()
+    val mgStats = mGroups.agg(
+      coalesce(sum(col("members")), lit(0L)).cast(LongType).as("n_raw"),
+      count(lit(1)).as("n_reps"),
+      coalesce(sum(when(col("members") > 1, 1L)), lit(0L)).cast(LongType)
+        .as("n_dup_groups"),
+      coalesce(max(col("members")), lit(0L)).cast(LongType).as("max_group"))
+    val mOcc = docs
+      .join(mGroups.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), minhashSig(shingles(col("text"), 3), 16).as("sig"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("band"),
+        col("sig"))
+      .withColumn("band_key", concat_ws("|",
+        transform(slice(col("sig"), col("band") * 2 + 1, lit(2)),
+          x => x.cast(StringType))))
+      .groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("occ"))
+    val mbStats = mOcc.agg(
+      count(lit(1)).as("n_band_keys"),
+      coalesce(max(col("occ")), lit(0L)).cast(LongType).as("max_band_occ"),
+      coalesce(sum(when(col("occ") > cap, 1L)), lit(0L)).cast(LongType)
+        .as("hot_bands"))
+    val minhashRow = mgStats.crossJoin(broadcast(mbStats))
+      .select(lit("minhash").as("family"), col("n_raw"), col("n_reps"),
+        col("n_dup_groups"), col("max_group"), col("n_band_keys"),
+        col("max_band_occ"), col("hot_bands"), lit(cap.toLong).as("hot_cap"))
+
+    // 60-bit Hamming families through the shared BandGuard helper
+    // (token-less docs are outside the simhash oracle's fp relation —
+    // mirror that boundary)
+    val simhashRow = BandGuard.bandStats(
+      docs.filter(size(tokens(col("text"))) > 0)
+        .select(col("doc_id"), simhash60(tokens(col("text"))).as("fp")),
+      "doc_id", Nil, "simhash", cap)
+    val pFps = Multimodal.mmPhashFingerprints(s, dir)
+      .select(col("media_id"), col("phash60").as("fp")).persist()
+    val aFps = Multimodal.mmAudioFingerprints(s, dir)
+      .select(col("media_id"), col("audfp60").as("fp")).persist()
+    val vFps = Multimodal.mmVideoFingerprints(s, dir)
+      .select(col("media_id"), col("frame_idx"), col("fp60").as("fp")).persist()
+    val rows = minhashRow
+      .unionByName(simhashRow)
+      .unionByName(BandGuard.bandStats(pFps, "media_id", Nil, "phash", cap))
+      .unionByName(BandGuard.bandStats(aFps, "media_id", Nil, "audio", cap))
+      .unionByName(BandGuard.bandStats(vFps, "media_id", Seq("frame_idx"),
+        "video", cap))
+      .orderBy(col("family"))
+      .localCheckpoint(true)
+    Seq(mGroups, pFps, aFps, vFps).foreach(_.unpersist())
+    rows
   }
 }
