@@ -1242,6 +1242,52 @@ object OracleSql {
          |  END AS chars_per_bpe_token
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    // distributed BPE merge training: the k rounds are mechanically
+    // UNROLLED CTEs (the merge sequence is deterministic given the
+    // corpus — argmax by count DESC, pair ASC — so a static SQL text
+    // can replay the training: each round's winner is read back as
+    // scalar subqueries over m{i}); the merge application is literal
+    // replace over U+001F-wrapped symbols, leftmost-first
+    // non-overlapping = the greedy BPE merge, identical in both engines
+    "tx_bpe_train" -> {
+      val k = graft.analytics.TextAnalysis.BpeMerges
+      // '' inside the single-quoted SQL literal = one escaped quote
+      val pat = """''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"""
+      val rounds = (0 until k).map { i =>
+        s"""s$i AS MATERIALIZED (SELECT cnt,
+           |    str_split(substr(symstr, 2, length(symstr) - 2),
+           |      chr(31) || chr(31)) AS syms
+           |  FROM w$i),
+           |p$i AS MATERIALIZED (SELECT syms[j] AS s1, syms[j + 1] AS s2,
+           |    sum(cnt)::BIGINT AS c
+           |  FROM s$i, unnest(range(1, len(syms))) AS u$i(j)
+           |  GROUP BY 1, 2),
+           |m$i AS MATERIALIZED (SELECT s1, s2, c FROM p$i ORDER BY c DESC, s1, s2 LIMIT 1),
+           |w${i + 1} AS MATERIALIZED (SELECT cnt, replace(symstr,
+           |    chr(31) || (SELECT s1 FROM m$i) || chr(31) ||
+           |      chr(31) || (SELECT s2 FROM m$i) || chr(31),
+           |    chr(31) || (SELECT s1 FROM m$i) ||
+           |      (SELECT s2 FROM m$i) || chr(31)) AS symstr
+           |  FROM w$i)""".stripMargin
+      }.mkString(",\n")
+      val out = (0 until k).map { i =>
+        s"""SELECT ${i + 1}::BIGINT AS merge_rank, s1, s2,
+           |  s1 || s2 AS merged, c AS pair_count FROM m$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tokw AS (SELECT unnest(regexp_extract_all(text,
+         |    '$pat')) AS word
+         |  FROM documents),
+         |wc AS MATERIALIZED (SELECT word, count(*)::BIGINT AS cnt FROM tokw GROUP BY word),
+         |w0 AS MATERIALIZED (SELECT cnt, chr(31) || array_to_string(
+         |    list_transform(generate_series(1, length(word)),
+         |      i -> substring(word, i, 1)), chr(31) || chr(31)) || chr(31)
+         |    AS symstr
+         |  FROM wc),
+         |$rounds
+         |$out
+         |ORDER BY merge_rank""".stripMargin
+    },
+
     // Gopher repetition signals: per-(doc, n) gram counts, the top gram
     // picked by (count DESC, gram ASC) — the same first-max-in-sorted-
     // order tiebreak as the Spark run-length fold — and duplicated-5-gram

@@ -90,6 +90,9 @@ object SparkEntry {
     // text analysis (north-star extensions)
     "tx_tokens"      -> (TX.txTokens(_, _)),
     "tx_tokens_bpe"  -> (TX.txTokensBpe(_, _)),
+    // distributed BPE merge TRAINING: the learned k-merge table, each
+    // round one vocab-bounded pair-count agg + a 1-row argmax collect
+    "tx_bpe_train"   -> (TX.txBpeTrain(_, _)),
     "tx_split"       -> (TX.txSplit(_, _)),
     // concat-and-chunk packing (GPT-style, complements
     // pack_sequences' bin assignment): exact 512-token sequence

@@ -152,6 +152,90 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Number of merges `tx_bpe_train` learns — shared with the oracle
+    * generator so the unrolled DuckDB replay always matches.
+    */
+  val BpeMerges: Int = 24
+
+  /** Distributed BPE merge TRAINING (Sennrich et al. 2015; r17 verdict
+    * ask #2): learn the first [[BpeMerges]] merge rules from the
+    * corpus, the piece a real tokenizer pipeline adds on top of
+    * `txTokensBpe`'s pre-tokenization COUNTS. Classic algorithm,
+    * Spark-shaped:
+    *
+    *  - ONE corpus-scale shuffle builds the pre-token frequency table
+    *    (GPT-2-style pre-tokens via the shared regex); every training
+    *    round after that runs on the DISTINCT-word working set, whose
+    *    size is vocabulary-bounded — independent of corpus bytes, the
+    *    property that makes BPE training feasible at 100 TB;
+    *  - each round: adjacent symbol pairs exploded from the word
+    *    symbol sequences, weighted by word count, one groupBy-agg,
+    *    argmax by (count DESC, pair ASC — the deterministic tiebreak
+    *    both engines share), a ONE-ROW collect (bounded control
+    *    plane), then the merge applied as a narrow map;
+    *  - the merge application encodes a symbol sequence as a
+    *    U+001F-delimited string (each symbol wrapped in separators, so
+    *    a pair match can never cross a symbol boundary) and uses
+    *    LITERAL `replace`, whose leftmost-first non-overlapping scan
+    *    IS the canonical greedy BPE merge — and is replayed verbatim
+    *    by the DuckDB oracle, whose k rounds are mechanically
+    *    unrolled CTEs (`chr(31)` on that side).
+    *
+    * Output: the learned merge table (merge_rank, s1, s2, merged,
+    * pair_count), the artifact a tokenizer trainer persists.
+    */
+  def txBpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrainDf(Tables.documents(s, dir), BpeMerges)
+
+  def bpeTrainDf(documents: DataFrame, nMerges: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val Sep = "\u001F"
+    val pat = "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+    // pre-token frequency table: the ONLY corpus-scale pass
+    val words = documents
+      .select(explode(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).cast(LongType).as("cnt"))
+      .select(col("cnt"), concat(lit(Sep),
+        expr("array_join(transform(sequence(1, length(word)), " +
+          s"i -> substring(word, i, 1)), '$Sep$Sep')"),
+        lit(Sep)).as("symstr"))
+    var cur = words.localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    val symsExpr = expr(
+      s"split(substring(symstr, 2, length(symstr) - 2), '$Sep$Sep')")
+    val pairsExpr = expr(
+      "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1), " +
+        "(a, b) -> struct(a AS s1, b AS s2))")
+    var exhausted = false
+    var rank = 1
+    while (rank <= nMerges && !exhausted) {
+      val top = cur.select(col("cnt"), symsExpr.as("syms"))
+        .select(col("cnt"), explode(pairsExpr).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("s1"), col("s2"))
+        .limit(1).collect() // ONE row per round: bounded control plane
+      if (top.isEmpty) exhausted = true
+      else {
+        val (s1, s2, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((rank.toLong, s1, s2, s1 + s2, c))
+        // literal (never regex) replace: symbols carry punctuation
+        cur = cur.withColumn("symstr", call_function("replace",
+            col("symstr"),
+            lit(Sep + s1 + Sep + Sep + s2 + Sep),
+            lit(Sep + s1 + s2 + Sep)))
+          .localCheckpoint(true) // truncate the per-round lineage
+        rank += 1
+      }
+    }
+    merges.toSeq
+      .toDF("merge_rank", "s1", "s2", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
   /** Gopher-style repetition filter (the quality-filter family in Rae
     * et al. 2021 §A1.1 that `tx_quality`'s diversity/stopword signals
     * don't cover): per document, the fraction of characters covered by
