@@ -382,6 +382,49 @@ object OracleSql {
       |  sum(CASE WHEN cnt > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS fp
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** The decontamination replay (TextAnalysis.decontamCorpus +
+    * decontaminateDf): planted train/eval corpus, distinct 8-gram
+    * hashes, train×eval gram join, per-train-doc evidence counts.
+    * `withDelivery` adds the incremental variants' delivery label
+    * (doc_id parity) — the benchmark index is FROZEN, so deliveries
+    * are independent and the incremental union equals the batch audit
+    * with the label.
+    */
+  private def decontamSql(withDelivery: Boolean): String = {
+    val extraCol =
+      if (withDelivery)
+        ",\n  (CASE WHEN tr.doc_id % 2 = 0 THEN 1 ELSE 2 END)::BIGINT AS delivery"
+      else ""
+    s"""WITH $toksCte,
+       |b AS (SELECT doc_id, text, toks,
+       |  ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) % 100) AS bucket
+       |  FROM t),
+       |sn AS (SELECT array_to_string(toks[1:12], ' ') AS snippet
+       |  FROM b WHERE bucket >= 97 ORDER BY doc_id LIMIT 1),
+       |p AS (SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 97 AND doc_id % 25 = 0
+       |    THEN text || ' ' || (SELECT snippet FROM sn) ELSE text END AS text
+       |  FROM b),
+       |t2 AS (SELECT doc_id, bucket,
+       |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM p),
+       |g AS (SELECT doc_id, bucket, unnest(list_distinct(
+       |  CASE WHEN len(toks) >= 8 THEN list_transform(
+       |    generate_series(1, len(toks) - 7),
+       |    i -> ('0x' || substr(md5(array_to_string(
+       |      list_slice(toks, i, i + 7), ' ')), 1, 15))::BIGINT)
+       |  ELSE []::BIGINT[] END)) AS gh FROM t2),
+       |tr AS (SELECT doc_id, gh FROM g WHERE bucket < 97),
+       |ev AS (SELECT doc_id AS eval_id, gh FROM g WHERE bucket >= 97)
+       |SELECT tr.doc_id, count(DISTINCT tr.gh)::BIGINT AS n_matched_grams,
+       |  count(DISTINCT ev.eval_id)::BIGINT AS n_eval_docs$extraCol
+       |FROM tr JOIN ev USING (gh)
+       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+  }
+
+  private lazy val decontamIncrementalSql: String =
+    decontamSql(withDelivery = true)
+
   /** The planted-near-dup corpus (Similarity.augmentedEmbeddings):
     * perturbation arithmetic double-computed, float-cast — IEEE
     * round-to-nearest in both engines, so the derived corpus is
@@ -2110,32 +2153,13 @@ object OracleSql {
     // decontamination: same hash split (buckets >= 97 eval), same
     // planted 12-token quote into every 25th train doc, same distinct
     // 8-gram hashes; counts = matched grams + matching eval docs
-    "decontaminate" ->
-      s"""WITH $toksCte,
-         |b AS (SELECT doc_id, text, toks,
-         |  ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) % 100) AS bucket
-         |  FROM t),
-         |sn AS (SELECT array_to_string(toks[1:12], ' ') AS snippet
-         |  FROM b WHERE bucket >= 97 ORDER BY doc_id LIMIT 1),
-         |p AS (SELECT doc_id, bucket,
-         |  CASE WHEN bucket < 97 AND doc_id % 25 = 0
-         |    THEN text || ' ' || (SELECT snippet FROM sn) ELSE text END AS text
-         |  FROM b),
-         |t2 AS (SELECT doc_id, bucket,
-         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
-         |  FROM p),
-         |g AS (SELECT doc_id, bucket, unnest(list_distinct(
-         |  CASE WHEN len(toks) >= 8 THEN list_transform(
-         |    generate_series(1, len(toks) - 7),
-         |    i -> ('0x' || substr(md5(array_to_string(
-         |      list_slice(toks, i, i + 7), ' ')), 1, 15))::BIGINT)
-         |  ELSE []::BIGINT[] END)) AS gh FROM t2),
-         |tr AS (SELECT doc_id, gh FROM g WHERE bucket < 97),
-         |ev AS (SELECT doc_id AS eval_id, gh FROM g WHERE bucket >= 97)
-         |SELECT tr.doc_id, count(DISTINCT tr.gh)::BIGINT AS n_matched_grams,
-         |  count(DISTINCT ev.eval_id)::BIGINT AS n_eval_docs
-         |FROM tr JOIN ev USING (gh)
-         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "decontaminate" -> decontamSql(withDelivery = false),
+
+    // incremental decontamination (+ durable-sink twin): the frozen
+    // benchmark index makes deliveries independent, so the relational
+    // replay is the batch audit with the delivery label (doc_id parity)
+    "decontaminate_incremental" -> decontamIncrementalSql,
+    "decontaminate_incremental_sink" -> decontamIncrementalSql,
 
     // the deduplicated corpus: exact-dup removal (min doc_id per md5)
     // + near-dup non-canonical removal over the ngram cluster graph

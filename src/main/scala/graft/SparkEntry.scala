@@ -163,6 +163,12 @@ object SparkEntry {
     // train/eval verbatim-overlap audit over the hash-split corpus with
     // planted contamination (the eval gram set is the broadcast side)
     "decontaminate"  -> (TX.decontaminate(_, _)),
+    // incremental decontamination against a FROZEN persisted benchmark
+    // gram index: two deliveries, each checked vs the index alone
+    "decontaminate_incremental" -> (TX.decontaminateIncremental(_, _)),
+    // the same pipeline through the durable ManifestFeed streaming
+    // sink: per-batch flagged segments against the on-disk index
+    "decontaminate_incremental_sink" -> (TX.decontaminateIncrementalSink(_, _)),
     "sample_documents" -> (TX.txSample(_, _)),
     // balanced per-source eval slice: bounded-heap top-N per source on
     // a content-addressed key — no rank window, no per-source sort

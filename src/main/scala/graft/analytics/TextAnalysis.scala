@@ -875,6 +875,17 @@ object TextAnalysis {
     */
   def decontaminate(s: SparkSession, dir: String, n: Int = 8,
       evalLo: Int = 97, plantEvery: Int = 25): DataFrame = {
+    val (train, evalSet) = decontamCorpus(s, dir, evalLo, plantEvery)
+    decontaminateDf(train, evalSet, n)
+  }
+
+  /** The planted train/eval corpus every decontamination variant
+    * (batch, incremental, durable sink) audits — ONE derivation so the
+    * variants can never drift from the oracle's replay. Returns
+    * (train, evalSet), both (doc_id, text).
+    */
+  private def decontamCorpus(s: SparkSession, dir: String,
+      evalLo: Int, plantEvery: Int): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .withColumn("bucket",
@@ -889,10 +900,8 @@ object TextAnalysis {
         when(col("bucket") < evalLo && col("doc_id") % plantEvery === 0,
           concat(col("text"), lit(" "), col("snippet")))
           .otherwise(col("text")))
-    decontaminateDf(
-      planted.filter(col("bucket") < evalLo).select(col("doc_id"), col("text")),
-      planted.filter(col("bucket") >= evalLo).select(col("doc_id"), col("text")),
-      n)
+    (planted.filter(col("bucket") < evalLo).select(col("doc_id"), col("text")),
+      planted.filter(col("bucket") >= evalLo).select(col("doc_id"), col("text")))
   }
 
   /** Generic core: training docs sharing >= 1 verbatim n-gram with any
@@ -907,6 +916,113 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("gh")).as("n_matched_grams"),
         count_distinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The frozen-benchmark gram-index row schema — the decontamination
+    * twin of the dedup signature indexes: (gh, eval_id). An explicit
+    * schema so an existing-but-empty index directory reads as zero
+    * rows instead of dying in inference.
+    */
+  val decontamIndexSchema: StructType = StructType(Seq(
+    StructField("gh", LongType), StructField("eval_id", LongType)))
+
+  /** The FROZEN benchmark n-gram index: one gram pass over the eval
+    * set, persisted once at benchmark-registration time. Every later
+    * training delivery is checked against THIS relation alone — the
+    * benchmark never re-grams and the accumulated train corpus is
+    * never re-scanned, the only incremental shape that works when the
+    * train side is 100 TB and the benchmark side is megabytes.
+    */
+  def decontamIndexOf(evalSet: DataFrame, n: Int = 8): DataFrame =
+    evalSet.select(col("doc_id").as("eval_id"),
+        explode(array_distinct(gramHashes(tokens(col("text")), n))).as("gh"))
+      .select(col("gh"), col("eval_id"))
+
+  def readDecontamIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        decontamIndexSchema)
+    else spark.read.schema(decontamIndexSchema)
+      .option("recursiveFileLookup", "true").parquet(indexDir)
+  }
+
+  /** One INCREMENTAL decontamination step: THIS delivery's training
+    * docs against the persisted benchmark index. Unlike the dedup
+    * incrementals there is no within/cross-delivery interaction —
+    * contamination is a property of (train doc, frozen benchmark)
+    * only — so the step is embarrassingly delivery-parallel and
+    * trivially replay-idempotent.
+    */
+  def decontaminateStep(batch: DataFrame, index: DataFrame,
+      n: Int = 8): DataFrame =
+    batch.select(col("doc_id"),
+        explode(array_distinct(gramHashes(tokens(col("text")), n))).as("gh"))
+      .join(index, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gh")).as("n_matched_grams"),
+        count_distinct(col("eval_id")).as("n_eval_docs"))
+
+  /** Registered two-delivery simulation of INCREMENTAL decontamination
+    * (r17 verdict ask #3; the `dedup_*_incremental` pattern applied to
+    * contamination): the benchmark gram index is frozen once, then the
+    * training corpus arrives as two deliveries (even doc_ids, then
+    * odd) — each checked against the index alone. The union equals the
+    * batch audit exactly (frozen benchmark ⇒ delivery order can't
+    * matter), which is what the shared relational oracle certifies.
+    */
+  def decontaminateIncremental(s: SparkSession, dir: String,
+      n: Int = 8): DataFrame = {
+    val (train, evalSet) = decontamCorpus(s, dir, 97, 25)
+    val index = decontamIndexOf(evalSet, n).persist()
+    try {
+      index.count() // freeze once, before both delivery steps
+      val d1 = decontaminateStep(train.filter(col("doc_id") % 2 === 0), index, n)
+      val d2 = decontaminateStep(train.filter(col("doc_id") % 2 =!= 0), index, n)
+      d1.withColumn("delivery", lit(1L))
+        .unionByName(d2.withColumn("delivery", lit(2L)))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally index.unpersist()
+  }
+
+  /** The incremental decontamination pipeline through the DURABLE
+    * STREAMING SINK — the `dedup_incremental_sink` shape transported
+    * by [[graft.streaming.ManifestFeed]]: the frozen benchmark index
+    * lands on disk once; a checkpointed StreamingQuery audits each
+    * delivery's micro-batch against the PERSISTED index and appends
+    * flagged rows as a per-batch segment (mode("overwrite") into a
+    * batchId-determined directory — replay overwrites its own previous
+    * attempt, and with a frozen index the recomputed decisions are
+    * identical). Shares [[decontaminateIncremental]]'s oracle
+    * verbatim: the durable path computes exactly the in-memory step's
+    * semantics.
+    */
+  def decontaminateIncrementalSink(s: SparkSession, dir: String,
+      n: Int = 8): DataFrame = {
+    import graft.streaming.ManifestFeed
+    val root = graft.store.StoreRoot.scratchRoot("decontam_incr_sink")
+    val (outDir, idxDir, ckpt) = (s"$root/out", s"$root/idx", s"$root/ckpt")
+    val (train, evalSet) = decontamCorpus(s, dir, 97, 25)
+    decontamIndexOf(evalSet, n).write.mode("overwrite").parquet(idxDir)
+    val d1 = train.filter(col("doc_id") % 2 === 0)
+    val d2 = train.filter(col("doc_id") % 2 =!= 0)
+    ManifestFeed.deliver(d1, root, 0L, 2)
+    val q = ManifestFeed.start(s, root, train.schema, ckpt) { (batch, id) =>
+      decontaminateStep(batch, readDecontamIndex(batch.sparkSession, idxDir), n)
+        .write.mode("overwrite").parquet(s"$outDir/seg_$id")
+    }
+    try {
+      q.processAllAvailable()
+      ManifestFeed.deliver(d2, root, 1L, 2)
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.dedup.Dedup.readSegments(s, outDir)
+      .withColumn("delivery",
+        when(col("doc_id") % 2 === 0, 1L).otherwise(2L))
       .orderBy(col("doc_id"))
   }
 
