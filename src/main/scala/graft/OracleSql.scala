@@ -1196,6 +1196,112 @@ object OracleSql {
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The dialed hybrid's shared chain: both served legs at top-20 (cut
+    * from `hybridServeSql` at the fusion anchor), the rung panel, the
+    * per-rung fusion/metrics, and the dial rows. Aggregates mirror the
+    * Spark side exactly: p_hits integer, mrr/ndcg per-query values
+    * rounded at 6 dp then summed as DECIMAL(28,6) (order-independent),
+    * one final division.
+    */
+  private val hybridDialCtes: String = {
+    val cut = hybridServeSql.indexOf("fused2 AS (")
+    require(cut > 0, "hybrid-dial: fusion anchor missing")
+    hybridServeSql.substring(0, cut).stripTrailing.stripSuffix(",") + ",\n" +
+      """rungs(c, rrf_k, w_lex) AS (VALUES
+        |  (5, 60, 1.0::DOUBLE), (10, 60, 1.0::DOUBLE), (20, 10, 1.0::DOUBLE),
+        |  (20, 60, 0.5::DOUBLE), (20, 60, 1.0::DOUBLE), (20, 60, 1.5::DOUBLE)),
+        |fr AS (SELECT r.c, r.rrf_k, r.w_lex,
+        |    coalesce(l.query_id, v.query_id) AS query_id,
+        |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |    round(coalesce(r.w_lex / (r.rrf_k +
+        |        CASE WHEN l.lex_rank <= r.c THEN l.lex_rank END), 0) +
+        |      coalesce(1.0::DOUBLE / (r.rrf_k +
+        |        CASE WHEN v.vec_rank <= r.c THEN v.vec_rank END), 0), 6)
+        |      AS rrf_score
+        |  FROM lex l FULL JOIN pqv v
+        |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+        |  CROSS JOIN rungs r
+        |  WHERE l.lex_rank <= r.c OR v.vec_rank <= r.c),
+        |rhits AS (SELECT * FROM (SELECT c, rrf_k, w_lex, query_id, doc_id,
+        |    rrf_score,
+        |    row_number() OVER (PARTITION BY c, rrf_k, w_lex, query_id
+        |      ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank
+        |  FROM fr) WHERE rank <= 5),
+        |qlab2 AS (SELECT vec_id AS query_id, label AS qlab FROM embeddings
+        |  WHERE vec_id < 10),
+        |dlab2 AS (SELECT vec_id AS doc_id, label AS dlab FROM embeddings),
+        |rrel AS (SELECT h.c, h.rrf_k, h.w_lex, h.query_id, h.rank,
+        |    CASE WHEN d.dlab = q.qlab THEN 1 ELSE 0 END AS rel
+        |  FROM rhits h JOIN dlab2 d ON d.doc_id = h.doc_id
+        |  JOIN qlab2 q ON q.query_id = h.query_id),
+        |nr2 AS (SELECT q.query_id, count(*)::BIGINT AS n_rel FROM qlab2 q
+        |  JOIN embeddings e ON e.label = q.qlab AND e.vec_id <> q.query_id
+        |  GROUP BY q.query_id),
+        |ic2 AS (SELECT n, sum(v) OVER (ORDER BY n) AS idcg FROM (
+        |  SELECT i AS n, 1.0::DOUBLE / log2(i + 1) AS v
+        |  FROM generate_series(1, 5) g(i))),
+        |pqm AS (SELECT c, rrf_k, w_lex, query_id,
+        |    sum(rel)::BIGINT AS p_hits_q,
+        |    round(coalesce(max(CASE WHEN rel = 1
+        |      THEN 1.0::DOUBLE / rank END), 0), 6) AS mrr,
+        |    sum(rel * (1.0::DOUBLE / log2(rank + 1))) AS dcg
+        |  FROM rrel GROUP BY 1, 2, 3, 4),
+        |pqn AS (SELECT p.c, p.rrf_k, p.w_lex, p.p_hits_q, p.mrr,
+        |    CASE WHEN coalesce(nr2.n_rel, 0) = 0 THEN 0.0::DOUBLE
+        |      ELSE round(p.dcg / (SELECT idcg FROM ic2
+        |        WHERE n = least(nr2.n_rel, 5)), 6) END AS ndcg
+        |  FROM pqm p LEFT JOIN nr2 ON nr2.query_id = p.query_id),
+        |dial AS (SELECT c, rrf_k, w_lex,
+        |    (SELECT count(*) FROM qlab2)::BIGINT AS n_queries,
+        |    sum(p_hits_q)::BIGINT AS p_hits,
+        |    sum(mrr::DECIMAL(28, 6))::DOUBLE AS mrr_sum,
+        |    sum(ndcg::DECIMAL(28, 6))::DOUBLE AS ndcg_sum,
+        |    round(sum(ndcg::DECIMAL(28, 6))::DOUBLE /
+        |      (SELECT count(*) FROM qlab2), 6) AS mean_ndcg
+        |  FROM pqn GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** `hybrid_dial_stats`: the dial manifest rows. */
+  private val hybridDialStatsSql: String = hybridDialCtes + """
+    |SELECT c::BIGINT AS c, rrf_k::BIGINT AS rrf_k, w_lex, n_queries,
+    |  p_hits, mrr_sum, ndcg_sum, mean_ndcg
+    |FROM dial ORDER BY c, rrf_k, w_lex""".stripMargin
+
+  /** `hybrid_serve_dialed`: the winner rung (cheapest c meeting the
+    * 0.08 mean-nDCG target, honest best-measured fallback — the exact
+    * `resolveHybridRung` ordering) applied to the same served legs.
+    */
+  private val hybridServeDialedSql: String = hybridDialCtes + """,
+    |winner AS (SELECT c, rrf_k, w_lex FROM dial
+    |  ORDER BY (mean_ndcg >= 0.08) DESC,
+    |    CASE WHEN mean_ndcg >= 0.08 THEN c END ASC,
+    |    CASE WHEN mean_ndcg >= 0.08 THEN rrf_k END ASC,
+    |    CASE WHEN mean_ndcg >= 0.08 THEN w_lex END ASC,
+    |    mean_ndcg DESC, c, rrf_k, w_lex
+    |  LIMIT 1),
+    |ffin AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+    |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+    |    coalesce(l.lex_rank <= (SELECT c FROM winner), FALSE) AS in_lexical,
+    |    coalesce(v.vec_rank <= (SELECT c FROM winner), FALSE) AS in_vector,
+    |    round(coalesce((SELECT w_lex FROM winner) /
+    |        ((SELECT rrf_k FROM winner) +
+    |         CASE WHEN l.lex_rank <= (SELECT c FROM winner)
+    |           THEN l.lex_rank END), 0) +
+    |      coalesce(1.0::DOUBLE / ((SELECT rrf_k FROM winner) +
+    |         CASE WHEN v.vec_rank <= (SELECT c FROM winner)
+    |           THEN v.vec_rank END), 0), 6) AS rrf_score
+    |  FROM lex l FULL JOIN pqv v
+    |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+    |  WHERE l.lex_rank <= (SELECT c FROM winner)
+    |     OR v.vec_rank <= (SELECT c FROM winner))
+    |SELECT * FROM (
+    |  SELECT query_id, doc_id, rrf_score,
+    |    row_number() OVER (PARTITION BY query_id
+    |      ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank,
+    |    in_lexical, in_vector
+    |  FROM ffin)
+    |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private val hybridTopkSql: String = hybridCtes +
     """
       |SELECT * FROM (
@@ -3240,6 +3346,11 @@ object OracleSql {
     // from the postings tables, dense leg from the PQ codes, RRF-fused
     // — the whole retrieval stack without a base-table scan
     "hybrid_serve" -> hybridServeSql,
+
+    // dialed hybrid: winner rung from the build-time quality dial
+    // applied to the same served legs; the dial rows themselves
+    "hybrid_serve_dialed" -> hybridServeDialedSql,
+    "hybrid_dial_stats" -> hybridDialStatsSql,
 
     // SNIPPET EXTRACTION (similarity.Hybrid.hybridSnippets): for each
     // hybrid top-5 hit, the 32-token window with the maximum count of

@@ -430,6 +430,11 @@ object SparkEntry {
     // the whole hybrid stack from the persisted stores: postings-table
     // BM25 + PQ ADC dense leg, RRF-fused — no base-table scan anywhere
     "hybrid_serve"        -> (graft.similarity.Hybrid.hybridServe(_, _)),
+    // the dialed hybrid: same two-leg served plan, (c, rrf_k, w_lex)
+    // resolved from the persisted build-time quality dial
+    "hybrid_serve_dialed" -> (graft.similarity.Hybrid.hybridServeDialed(_, _)),
+    // the dial manifest itself, certified (emb_ivf_dial_stats twin)
+    "hybrid_dial_stats"   -> (graft.similarity.Hybrid.hybridDialStats(_, _)),
     // ranking-quality evaluation of the hybrid hits: precision@5, MRR,
     // nDCG@5 with label-match relevance (corpus ground truth)
     "retrieval_metrics"   -> (graft.similarity.Hybrid.retrievalMetrics(_, _)),

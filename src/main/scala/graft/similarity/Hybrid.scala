@@ -200,14 +200,22 @@ object Hybrid {
     * lex_rank) and a (query_id, doc_id, vec_rank) top-c list.
     */
   private def rrfFuse(lexTop: DataFrame, vecTop: DataFrame,
-      k: Int): DataFrame = {
+      k: Int): DataFrame = rrfFuseWeighted(lexTop, vecTop, k, 60, 1.0)
+
+  /** The rung-parameterized fusion the dialed serve uses: the SAME
+    * plan as [[rrfFuse]] with the RRF constant and lexical weight as
+    * literals (w_lex = 1.0 reproduces the unweighted score exactly —
+    * 1.0/x and w/x with w = 1.0 are the same IEEE division).
+    */
+  private def rrfFuseWeighted(lexTop: DataFrame, vecTop: DataFrame,
+      k: Int, rrfK: Int, wLex: Double): DataFrame = {
     val fused = lexTop.join(vecTop, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         col("lex_rank").isNotNull.as("in_lexical"),
         col("vec_rank").isNotNull.as("in_vector"),
         round(
-          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)),
+          coalesce(lit(wLex) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)),
           6).as("rrf_score"))
     val wRrf = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_score").desc, col("doc_id"))
@@ -251,4 +259,154 @@ object Hybrid {
         col("rank").as("vec_rank"))
     rrfFuse(lexTop, vecTop, k)
   }
+
+  // ------------------------------------------------ dialed hybrid
+  // (r17 verdict ask #4: the IVF nprobe-dial pattern applied to
+  // fusion — measure ranking quality per rung at BUILD time against
+  // the corpus's built-in label ground truth, persist the dial in the
+  // hybrid store, serve from a stated target.)
+
+  /** Dial rungs (c = leg depth, rrf_k = RRF constant, w_lex = lexical
+    * weight; the dense weight is fixed 1.0). `c` is the COST axis —
+    * deeper legs score more candidates per query, exactly nprobe's
+    * role in the IVF dial — while rrf_k/w_lex are free quality knobs
+    * measured at full depth. Legs are computed ONCE at max depth; a
+    * rung's cut is a rank filter, so measuring R rungs costs one leg
+    * pass plus R control-plane-sized fusions.
+    */
+  val HybridRungs: Seq[(Int, Int, Double)] = Seq(
+    (5, 60, 1.0), (10, 60, 1.0), (20, 10, 1.0),
+    (20, 60, 0.5), (20, 60, 1.0), (20, 60, 1.5))
+
+  /** Default quality bar for the dialed serve: mean nDCG@5 over the
+    * query panel. */
+  val HybridDialTarget: Double = 0.08
+
+  /** All-rung build-time quality measurement over the SERVED legs
+    * (top-20 from the persisted stores — the deployment shape, so the
+    * dial measures what serving will actually do). Aggregates are
+    * engine-exact: p_hits is an integer count; mrr/ndcg are the
+    * 6-dp-rounded per-query values of `retrievalMetrics`, summed as
+    * DECIMAL(28,6) (order-independent) and divided once.
+    */
+  private def hybridDialRows(s: SparkSession, lexTop: DataFrame,
+      vecTop: DataFrame, lab: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val rungs = broadcast(HybridRungs.toDF("c", "rrf_k", "w_lex"))
+    val fused = lexTop.join(vecTop, Seq("query_id", "doc_id"), "full_outer")
+      .crossJoin(rungs)
+      .filter(col("lex_rank") <= col("c") || col("vec_rank") <= col("c"))
+      .select(col("c"), col("rrf_k"), col("w_lex"), col("query_id"),
+        col("doc_id"),
+        round(
+          coalesce(col("w_lex") / (col("rrf_k") +
+            when(col("lex_rank") <= col("c"), col("lex_rank"))), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rrf_k") +
+            when(col("vec_rank") <= col("c"), col("vec_rank"))), lit(0.0)),
+          6).as("rrf_score"))
+    val w = Window.partitionBy(col("c"), col("rrf_k"), col("w_lex"),
+        col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    val hits = fused.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+    val qlab = lab.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlab"))
+    val rel = hits
+      .join(lab.select(col("vec_id").as("doc_id"), col("label").as("dlab")),
+        Seq("doc_id"))
+      .join(broadcast(qlab), Seq("query_id"))
+      .select(col("c"), col("rrf_k"), col("w_lex"), col("query_id"),
+        col("rank"), (col("dlab") === col("qlab")).cast(IntegerType).as("rel"))
+    val nRel = qlab.join(lab,
+        lab("label") === qlab("qlab") && lab("vec_id") =!= qlab("query_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val perQ = rel
+      .groupBy(col("c"), col("rrf_k"), col("w_lex"), col("query_id"))
+      .agg(sum(col("rel")).as("p_hits_q"),
+        round(coalesce(max(when(col("rel") === 1,
+          lit(1.0) / col("rank"))), lit(0.0)), 6).as("mrr"),
+        sum(col("rel") * (lit(1.0) / log2(col("rank") + 1))).as("dcg"))
+      .join(nRel, Seq("query_id"), "left")
+      .select(col("c"), col("rrf_k"), col("w_lex"), col("p_hits_q"),
+        col("mrr"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("dcg") /
+            aggregate(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
+              lit(0.0), (a, i) => a + lit(1.0) / log2(i + 1)), 6))
+          .as("ndcg"))
+    val nQ = qlab.count()
+    perQ.groupBy(col("c"), col("rrf_k"), col("w_lex"))
+      .agg(sum(col("p_hits_q")).cast(LongType).as("p_hits"),
+        sum(col("mrr").cast(DecimalType(28, 6))).cast(DoubleType)
+          .as("mrr_sum"),
+        sum(col("ndcg").cast(DecimalType(28, 6))).cast(DoubleType)
+          .as("ndcg_sum"))
+      .withColumn("n_queries", lit(nQ))
+      .withColumn("mean_ndcg",
+        round(col("ndcg_sum") / col("n_queries"), 6))
+  }
+
+  /** Resolve the CHEAPEST rung (c ASC, then rrf_k, w_lex) whose
+    * build-time mean nDCG meets the target; an unreachable target
+    * falls back to the best-measured rung (the dial's honesty — it
+    * cannot promise what it never measured). Mirrored verbatim by the
+    * oracle's winner ordering.
+    */
+  def resolveHybridRung(s: SparkSession, root: String,
+      target: Double): (Int, Int, Double) = {
+    val rows = s.read.parquet(s"$root/dial")
+      .select(col("c"), col("rrf_k"), col("w_lex"), col("mean_ndcg"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    require(rows.nonEmpty, s"hybrid store at $root has no dial manifest")
+    val byCost = rows.sortBy(r => (r._1, r._2, r._3))
+    val pick = byCost.find(_._4 >= target).getOrElse(
+      rows.sortBy(r => (-r._4, r._1, r._2, r._3)).head)
+    (pick._1, pick._2, pick._3)
+  }
+
+  /** The DIALED index-served hybrid: [[hybridServe]]'s exact two-leg
+    * plan with (c, rrf_k, w_lex) resolved from the persisted dial
+    * manifest — the constants replaced by a stated quality target.
+    * The dial is built once per corpus into its own store root.
+    */
+  def hybridServeDialed(s: SparkSession, dir: String, k: Int = 5,
+      targetNdcg: Double = HybridDialTarget): DataFrame = {
+    val root = hybridDialRoot(s, dir)
+    def lexTop = graft.store.TextIndex.lexBm25Serve(s, dir, 20)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    def vecTop = graft.store.AnnIndex.embPqServe(s, dir, 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    graft.store.StoreRoot.ensureBuilt(s, root) { staging =>
+      hybridDialRows(s, lexTop, vecTop,
+          Tables.embeddings(s, dir).select(col("vec_id"), col("label")), k)
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/dial")
+    }
+    val (c, rrfK, wLex) = resolveHybridRung(s, root.toString, targetNdcg)
+    rrfFuseWeighted(
+      lexTop.filter(col("lex_rank") <= c),
+      vecTop.filter(col("vec_rank") <= c), k, rrfK, wLex)
+  }
+
+  /** The dial manifest as a certified introspection row (the
+    * `emb_ivf_dial_stats` twin for the hybrid store).
+    */
+  def hybridDialStats(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    // building the dialed serve ensures the dial manifest exists (the
+    // returned plan itself is discarded — this is store introspection)
+    hybridServeDialed(s, dir, k)
+    val root = hybridDialRoot(s, dir)
+    s.read.parquet(s"$root/dial")
+      .select(col("c").cast(LongType).as("c"),
+        col("rrf_k").cast(LongType).as("rrf_k"), col("w_lex"),
+        col("n_queries"), col("p_hits"), col("mrr_sum"), col("ndcg_sum"),
+        col("mean_ndcg"))
+      .orderBy(col("c"), col("rrf_k"), col("w_lex"))
+  }
+
+  private def hybridDialRoot(s: SparkSession,
+      dir: String): org.apache.hadoop.fs.Path =
+    graft.store.StoreRoot.rootForCached(s, s"$dir/documents.parquet",
+      "hyd", "1")(Tables.documents(s, dir).count())
 }

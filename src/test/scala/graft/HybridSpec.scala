@@ -257,4 +257,34 @@ class HybridSpec extends SparkSpec {
       assert(s > 0 && s <= 2.0 / 61 + 1e-9)
     }
   }
+
+  test("hybrid dial: cheapest rung meeting target, honest fallback") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("hyd_dial").toString
+    Seq(
+      (5, 60, 1.0, 0.20), (10, 60, 1.0, 0.50), (20, 10, 1.0, 0.58),
+      (20, 60, 1.5, 0.60))
+      .toDF("c", "rrf_k", "w_lex", "mean_ndcg")
+      .write.mode("overwrite").parquet(s"$root/dial")
+    // cheapest meeting 0.4 is c=10 (the c=5 rung misses the bar even
+    // though it is cheaper; both c=20 rungs meet it but cost more)
+    assert(Hybrid.resolveHybridRung(spark, root, 0.4) == ((10, 60, 1.0)))
+    // within one cost tier, rrf_k breaks the tie (both c=20 rungs meet)
+    assert(Hybrid.resolveHybridRung(spark, root, 0.55) == ((20, 10, 1.0)))
+    // unreachable target: fall back to the best-measured rung
+    assert(Hybrid.resolveHybridRung(spark, root, 0.99) == ((20, 60, 1.5)))
+  }
+
+  test("dialed serve: resolved rung applied to the same served legs") {
+    val dialed = Hybrid.hybridServeDialed(spark, Sf0001).collect()
+    assert(dialed.length == 50)
+    // plan-shape pin: same column contract as hybrid_serve, and every
+    // hit still comes from at least one (cut) leg
+    dialed.foreach { r =>
+      assert(r.getAs[Boolean]("in_lexical") || r.getAs[Boolean]("in_vector"))
+    }
+    val stats = Hybrid.hybridDialStats(spark, Sf0001).collect()
+    assert(stats.length == Hybrid.HybridRungs.length)
+    assert(stats.forall(_.getAs[Long]("n_queries") == 10L))
+  }
 }
