@@ -1345,6 +1345,31 @@ object OracleSql {
          |    - greatest(gstart, seq_id * 512) AS span_toks
          |FROM sp ORDER BY seq_id, doc_id""".stripMargin,
 
+    // pack in epoch order: the same chunking over the shuffled global
+    // order (shard = h % 64, then (h, doc_id) within shard) — one
+    // global cumsum replays the two-phase Spark prefix exactly
+    "tx_pack_shuffled" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, len(toks)::BIGINT AS n_toks,
+         |    ('0x' || substr(md5('epoch0|' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |      AS h
+         |  FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, n_toks,
+         |    (sum(n_toks) OVER (ORDER BY h % 64, h, doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |       - n_toks)::BIGINT AS gstart
+         |  FROM d),
+         |sp AS (SELECT doc_id, gstart, n_toks,
+         |    unnest(range(gstart // 512, (gstart + n_toks - 1) // 512 + 1))
+         |      AS seq_id
+         |  FROM c)
+         |SELECT seq_id::BIGINT AS seq_id, doc_id,
+         |  greatest(gstart, seq_id * 512) - gstart AS span_start,
+         |  least(gstart + n_toks, (seq_id + 1) * 512) - gstart AS span_end,
+         |  least(gstart + n_toks, (seq_id + 1) * 512)
+         |    - greatest(gstart, seq_id * 512) AS span_toks
+         |FROM sp ORDER BY seq_id, doc_id""".stripMargin,
+
     "tx_quality" ->
       s"""WITH $toksCte
          |SELECT doc_id, len(text)::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens,

@@ -99,6 +99,9 @@ object SparkEntry {
     // splits with within-doc spans; two-phase prefix sum so the
     // corpus never serializes through a global-order window
     "tx_pack_chunk"  -> (TX.txPackChunk(_, _)),
+    // concat-and-chunk packing in the SHUFFLED epoch order (the
+    // loader's order): shard = pack bucket, same two-phase prefix
+    "tx_pack_shuffled" -> (TX.txPackShuffled(_, _)),
     "tx_quality"     -> (TX.txQuality(_, _)),
     // token-budget selection: histogram-threshold greedy prefix
     "tx_budget_select" -> (TX.txBudgetSelect(_, _)),

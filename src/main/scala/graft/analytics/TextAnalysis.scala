@@ -49,13 +49,27 @@ object TextAnalysis {
     */
   def txPackChunk(s: SparkSession, dir: String, seqLen: Long = 512,
       bucket: Long = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
         size(tokens(col("text"))).cast(LongType).as("n_toks"))
       .filter(col("n_toks") > 0)
-      .withColumn("bkt", (col("doc_id") / bucket).cast(LongType))
-    val w = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .withColumn("bkt", expr(s"doc_id DIV $bucket"))
+    packSpans(docs, Seq(col("doc_id")), seqLen)
+  }
+
+  /** The shared two-phase pack core: `docs` carries (doc_id, n_toks,
+    * bkt); the concatenation order is bkt ASC then `ord` within bkt.
+    * Phase 1 is a bkt-partitioned cumsum (no global ordering shuffle);
+    * phase 2 an exclusive prefix over the per-bkt sums (corpus/bkt
+    * rows — control-plane sized) broadcast back. All boundary
+    * arithmetic is integer division (`DIV`) — exact at any seqLen and
+    * any offset, where double division then cast would round across an
+    * integer boundary past 2^53 (r17 ADVICE #1).
+    */
+  private def packSpans(docs: DataFrame, ord: Seq[Column],
+      seqLen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bkt")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = docs
       .withColumn("cum_in", sum(col("n_toks")).over(w) - col("n_toks"))
@@ -65,12 +79,11 @@ object TextAnalysis {
       .agg(sum(col("n_toks")).as("bkt_toks"))
       .withColumn("bkt_off", coalesce(sum(col("bkt_toks")).over(wb), lit(0L)))
       .select(col("bkt"), col("bkt_off"))
-    val g = local.join(broadcast(prefixes), Seq("bkt"))
+    local.join(broadcast(prefixes), Seq("bkt"))
       .withColumn("gstart", col("bkt_off") + col("cum_in"))
-    g
       .withColumn("seq_id", explode(sequence(
-        (col("gstart") / seqLen).cast(LongType),
-        ((col("gstart") + col("n_toks") - 1) / seqLen).cast(LongType))))
+        expr(s"gstart DIV $seqLen"),
+        expr(s"(gstart + n_toks - 1) DIV $seqLen"))))
       .select(col("seq_id"), col("doc_id"),
         (greatest(col("gstart"), col("seq_id") * seqLen) - col("gstart"))
           .as("span_start"),
@@ -78,6 +91,29 @@ object TextAnalysis {
           - col("gstart")).as("span_end"))
       .withColumn("span_toks", col("span_end") - col("span_start"))
       .orderBy(col("seq_id"), col("doc_id"))
+  }
+
+  /** Pack in EPOCH order (r17 verdict ask #5): the concat-and-chunk
+    * packer over `txShuffle`'s content-addressed permutation — the
+    * order a training loader actually consumes. The epoch order is
+    * (shard, pos) = (h mod nShards, (h, doc_id) within shard), so the
+    * shard IS the pack bucket: phase 1's window is partitioned by the
+    * order-derived shard key and sorted by (h, doc_id) — pos order —
+    * and phase 2's exclusive shard prefix is nShards rows. Same
+    * two-phase shape, same invariants (every non-final sequence is
+    * exactly seqLen; spans conserve each doc's tokens), a fresh seed
+    * is a fresh epoch with zero state.
+    */
+  def txPackShuffled(s: SparkSession, dir: String, seqLen: Long = 512,
+      seed: String = "epoch0", nShards: Int = 64): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_toks"),
+        hash60(concat(lit(seed), lit("|"),
+          col("doc_id").cast(StringType))).as("h"))
+      .filter(col("n_toks") > 0)
+      .withColumn("bkt", (col("h") % nShards).cast(LongType))
+    packSpans(docs, Seq(col("h"), col("doc_id")), seqLen)
   }
 
   /** Quality scoring: lexical-diversity and stopword-density signals

@@ -46,4 +46,38 @@ class PackSpec extends SparkSpec {
     // global conservation: spans sum to the corpus's packable tokens
     assert(rows.map(_._5).sum == nToks.values.filter(_ > 0).sum)
   }
+
+  test("shuffled packing: same invariants under the permuted epoch order") {
+    import spark.implicits._
+    val seqLen = 512L
+    val rows = TextAnalysis.txPackShuffled(spark, Sf0001, seqLen)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val bySeq = rows.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, tot) =>
+      if (seq != lastSeq)
+        assert(tot == seqLen, s"sequence $seq holds $tot tokens, want $seqLen")
+      else assert(tot >= 1 && tot <= seqLen)
+    }
+    val nToks = TextAnalysis.txTokens(spark, Sf0001)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    rows.groupBy(_._2).foreach { case (doc, spans) =>
+      val sorted = spans.sortBy(_._3)
+      assert(sorted.head._3 == 0L && sorted.last._4 == nToks(doc))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3)
+        case _ =>
+      }
+    }
+    assert(rows.map(_._5).sum == nToks.values.filter(_ > 0).sum)
+    // the permutation actually reorders: the first sequence's docs are
+    // not simply the smallest doc_ids (vanishingly unlikely under the
+    // content-addressed shuffle of this corpus, and pinned here so a
+    // regression to doc_id order cannot pass silently)
+    val firstSeqDocs = rows.filter(_._1 == 0L).map(_._2).sorted.toSeq
+    val smallest = nToks.filter(_._2 > 0).keys.toSeq.sorted
+      .take(firstSeqDocs.length)
+    assert(firstSeqDocs != smallest, "epoch order degenerated to doc_id order")
+  }
 }
