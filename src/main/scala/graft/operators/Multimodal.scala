@@ -42,6 +42,24 @@ object Multimodal {
   // no matter how fast the local filesystem is.
   javax.imageio.ImageIO.setUseCache(false)
 
+  /** Highest doc_id of the documents table under `dir`, for the
+    * profiled-range guards of the lossy-survival audits. -1 on an
+    * EMPTY corpus (max aggregates to NULL — getLong would NPE, r17
+    * ADVICE #4), which trivially passes every profiled-range check
+    * and yields the correct empty audit. Memoized per canonical path:
+    * the corpora are immutable driver-generated inputs, and the guard
+    * otherwise costs one extra driver job per audit invocation.
+    */
+  private val maxIdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private def maxDocId(s: SparkSession, dir: String): Long =
+    maxIdCache.computeIfAbsent(
+      new java.io.File(dir).getCanonicalPath,
+      _ => {
+        val row = Tables.documents(s, dir).agg(max(col("doc_id"))).head
+        if (row.isNullAt(0)) -1L else row.getLong(0)
+      })
+
   /** A media row: opaque payload + typed metadata (the Spark-side model
     * of an image/audio/video column).
     */
@@ -715,8 +733,7 @@ object Multimodal {
   def mmPhashJpegSurvival(s: SparkSession, dir: String,
       quality: Float = 0.9f, maxHamming: Int = 4): DataFrame = {
     import s.implicits._
-    val maxId = Tables.documents(s, dir)
-      .agg(max(col("doc_id"))).head.getLong(0)
+    val maxId = maxDocId(s, dir)
     require(maxId <= PhashJpegProfiledMaxId,
       s"dedup_phash_jpeg's corpus-wide survival claim is profiled for " +
         s"ids 0-$PhashJpegProfiledMaxId but this corpus reaches $maxId; " +
@@ -911,8 +928,7 @@ object Multimodal {
   def mmVideoJpegSurvival(s: SparkSession, dir: String,
       quality: Float = 0.9f, maxHamming: Int = 4): DataFrame = {
     import s.implicits._
-    val maxId = Tables.documents(s, dir)
-      .agg(max(col("doc_id"))).head.getLong(0)
+    val maxId = maxDocId(s, dir)
     require(maxId <= VideoJpegProfiledMaxId,
       s"dedup_video_jpeg's corpus-wide survival claim is profiled for " +
         s"ids 0-$VideoJpegProfiledMaxId but this corpus reaches $maxId; " +
@@ -1223,8 +1239,7 @@ object Multimodal {
   def mmAudioUlawSurvival(s: SparkSession, dir: String,
       maxHamming: Int = 4): DataFrame = {
     import s.implicits._
-    val maxId = Tables.documents(s, dir)
-      .agg(max(col("doc_id"))).head.getLong(0)
+    val maxId = maxDocId(s, dir)
     require(maxId <= AudioUlawProfiledMaxId,
       s"dedup_audio_ulaw's corpus-wide survival claim is profiled for " +
         s"ids 0-$AudioUlawProfiledMaxId but this corpus reaches $maxId; " +

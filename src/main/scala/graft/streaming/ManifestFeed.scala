@@ -106,6 +106,19 @@ object ManifestFeed {
     //  - other schemes: FileContext.rename, which (unlike
     //    FileSystem.rename's local rename(2)) fails when dst exists;
     //    on HDFS the namenode serializes it, so it is atomic there.
+    //    Local filesystems WITHOUT hard links (r17 ADVICE #3: some
+    //    overlay/network mounts surface as file:// but reject
+    //    link(2)) fall back to this branch too — weaker than link(2)
+    //    but never an orphaned staging dir with no publish attempt.
+    def fcRename(): Boolean = try {
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(dst.toUri, df.sparkSession.sparkContext.hadoopConfiguration)
+        .rename(tmp, dst)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
     val renamed =
       if (f.getScheme == "file") {
         try {
@@ -116,16 +129,13 @@ object ManifestFeed {
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
+          // link(2) unsupported (or an IO failure that is NOT the
+          // lost-race EEXIST): FileAlreadyExistsException is itself a
+          // FileSystemException, so it must be matched above this
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException => fcRename()
         }
-      } else try {
-        org.apache.hadoop.fs.FileContext
-          .getFileContext(dst.toUri, df.sparkSession.sparkContext.hadoopConfiguration)
-          .rename(tmp, dst)
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
+      } else fcRename()
     if (!renamed) {
       // lost the publish race with certainty (our manifest never
       // landed): our staging dir is unreferenced by construction

@@ -201,11 +201,21 @@ def main():
                 # the excess not running — environment, not plan
                 causes.append("wall-stall(cpu flat)")
         if not causes:
+            # mirror BenchDrift.classify's PER-RUN tasksFlat test: the
+            # run whose drift we are attributing here is the min-cpu
+            # run (its best execution still drifted vs baseline), so
+            # compare ITS task count against the query's min — a task
+            # spike on some OTHER run must not flip flat → plan-work
+            # (r17 ADVICE #2)
             tv_flat = art.get("runsTasks", {}).get(q)
-            if tv_flat and max(tv_flat) - min(tv_flat) < 20:
-                causes.append("cpu-unattributed(tasks flat)")
+            rc = art.get("runsCpu", {}).get(q)
+            if tv_flat and rc and len(tv_flat) == len(rc):
+                drift_tasks = tv_flat[rc.index(min(rc))]
+                flat = drift_tasks - min(tv_flat) < 20
             else:
-                causes.append("plan-work")
+                flat = bool(tv_flat) and max(tv_flat) - min(tv_flat) < 20
+            causes.append("cpu-unattributed(tasks flat)" if flat
+                          else "plan-work")
         # r14: the artifact carries its OWN per-run classification
         # (driftVerdicts) and per-run task counts — surface both so
         # this tool's cross-session adjudication and the bench's
