@@ -275,6 +275,35 @@ object Dedup {
     result
   }
 
+  /** Instrumentation for `ScaleCurve` and the candidate-growth spec —
+    * the [[BandGuard.repCandidateCount]] twin for the minhash family:
+    * the number of DISTINCT rep-level candidate pairs the capped band
+    * join generates BEFORE Jaccard verification. k byte-identical
+    * copies of one page contribute 0 (one representative); the
+    * pre-guard join contributed ~k²/2 per band. Sub-quadratic growth
+    * of this count across corpus sizes is the guard's regression
+    * tripwire.
+    */
+  def minhashCandidateCount(documents: DataFrame,
+      hotCap: Int = BandGuard.HotBandCap): Long = {
+    val reps = documents.select(col("doc_id"), md5(col("text")).as("th"))
+      .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
+    val bands = signBand(
+        documents.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), col("band"), col("band_key"))
+    val occOk = bands.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") <= hotCap)
+      .select(col("band"), col("band_key"))
+    val bandsOk = bands.join(occOk, Seq("band", "band_key"))
+    bandsOk.as("x").join(bandsOk.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .distinct()
+      .count()
+  }
+
   /** Per-doc MinHash band rows for the INCREMENTAL index:
     * (doc_id, sig, band, band_key) — 8 bands × 2 signature slots, the
     * same family `dedupMinhashLshDf` buckets with.

@@ -394,6 +394,48 @@ object ScaleCurve {
       graft.store.Checkpoints.free(spark)
     }
 
+    // Banded-candidate growth across the driver scale factors (r17
+    // verdict #7): rep-level candidate counts per banded family — the
+    // hot-band guard's regression tripwire. The fingerprint corpora are
+    // hash-shaped, so candidates must grow sub-quadratically in n
+    // (near-linearly in practice); a superlinear jump here means the
+    // exact pre-collapse or the occupancy guard regressed.
+    // BandCandGrowthSpec asserts the sf0.001→sf0.01 leg of this curve;
+    // this section records all three SFs for COVERAGE.md.
+    if (section("bandcands")) {
+      val MM = graft.operators.Multimodal
+      val BG = graft.dedup.BandGuard
+      val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1")
+        .map(n => new java.io.File(
+          new java.io.File(dir).getParentFile, n).toString)
+        .filter(d => new java.io.File(d).isDirectory)
+      for (d <- sfDirs) {
+        val docs = Tables.documents(spark, d)
+        val nDocs = docs.count()
+        val mh = graft.dedup.Dedup.minhashCandidateCount(docs)
+        val sFps = docs
+          .filter(size(graft.functions.TextFunctions.tokens(col("text"))) > 0)
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.simhash60(
+              graft.functions.TextFunctions.tokens(col("text"))).as("fp"))
+        val sh = BG.repCandidateCount(sFps, "doc_id", Nil)
+        val pFps = MM.mmPhashFingerprints(spark, d)
+          .select(col("media_id"), col("phash60").as("fp"))
+        val aFps = MM.mmAudioFingerprints(spark, d)
+          .select(col("media_id"), col("audfp60").as("fp"))
+        val vFps = MM.mmVideoFingerprints(spark, d)
+          .select(col("media_id"), col("frame_idx"), col("fp60").as("fp"))
+        val (np, na, nv) = (pFps.count(), aFps.count(), vFps.count())
+        val ph = BG.repCandidateCount(pFps, "media_id", Nil)
+        val au = BG.repCandidateCount(aFps, "media_id", Nil)
+        val vi = BG.repCandidateCount(vFps, "media_id", Seq("frame_idx"))
+        println(f"bandcands ${new java.io.File(d).getName}%-8s docs=$nDocs%-7d " +
+          f"minhash=$mh%-7d simhash=$sh%-7d phash=$ph%-6d(n=$np) " +
+          f"audio=$au%-6d(n=$na) video=$vi%-6d(n=$nv)")
+        graft.store.Checkpoints.free(spark)
+      }
+    }
+
     // filtered-ANN dial curve: mean recall@5 and wall of the filtered
     // serve (label = 3) across the nprobe sweep — the measurement that
     // prices the filtered-search knob (routing loss is the only miss
