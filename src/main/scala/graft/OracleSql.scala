@@ -1462,6 +1462,70 @@ object OracleSql {
          |ORDER BY merge_rank""".stripMargin
     },
 
+    // BPE encoding with the learned table: the training replay above
+    // re-learns each round's winner (same unrolled m{i} chain), then a
+    // parallel word-keyed chain v{i} applies the k merges to the
+    // DISTINCT-word relation (the oracle may use the vocabulary join
+    // the Spark side deliberately avoids — relational equivalence is
+    // the point, not plan equivalence) and per-doc counts come from
+    // joining the doc pre-token multiset back to the encoded vocab
+    "tx_bpe_encode" -> {
+      val k = graft.analytics.TextAnalysis.BpeMerges
+      val pat = """''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"""
+      val rounds = (0 until k).map { i =>
+        s"""s$i AS MATERIALIZED (SELECT cnt,
+           |    str_split(substr(symstr, 2, length(symstr) - 2),
+           |      chr(31) || chr(31)) AS syms
+           |  FROM w$i),
+           |p$i AS MATERIALIZED (SELECT syms[j] AS s1, syms[j + 1] AS s2,
+           |    sum(cnt)::BIGINT AS c
+           |  FROM s$i, unnest(range(1, len(syms))) AS u$i(j)
+           |  GROUP BY 1, 2),
+           |m$i AS MATERIALIZED (SELECT s1, s2, c FROM p$i ORDER BY c DESC, s1, s2 LIMIT 1),
+           |w${i + 1} AS MATERIALIZED (SELECT cnt, replace(symstr,
+           |    chr(31) || (SELECT s1 FROM m$i) || chr(31) ||
+           |      chr(31) || (SELECT s2 FROM m$i) || chr(31),
+           |    chr(31) || (SELECT s1 FROM m$i) ||
+           |      (SELECT s2 FROM m$i) || chr(31)) AS symstr
+           |  FROM w$i),
+           |v${i + 1} AS MATERIALIZED (SELECT word, replace(symstr,
+           |    chr(31) || (SELECT s1 FROM m$i) || chr(31) ||
+           |      chr(31) || (SELECT s2 FROM m$i) || chr(31),
+           |    chr(31) || (SELECT s1 FROM m$i) ||
+           |      (SELECT s2 FROM m$i) || chr(31)) AS symstr
+           |  FROM v$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dw AS MATERIALIZED (SELECT doc_id, unnest(regexp_extract_all(text,
+         |    '$pat')) AS word
+         |  FROM documents),
+         |wc AS MATERIALIZED (SELECT word, count(*)::BIGINT AS cnt FROM dw GROUP BY word),
+         |w0 AS MATERIALIZED (SELECT cnt, chr(31) || array_to_string(
+         |    list_transform(generate_series(1, length(word)),
+         |      i -> substring(word, i, 1)), chr(31) || chr(31)) || chr(31)
+         |    AS symstr
+         |  FROM wc),
+         |v0 AS MATERIALIZED (SELECT word, chr(31) || array_to_string(
+         |    list_transform(generate_series(1, length(word)),
+         |      i -> substring(word, i, 1)), chr(31) || chr(31)) || chr(31)
+         |    AS symstr
+         |  FROM wc),
+         |$rounds,
+         |encw AS MATERIALIZED (SELECT word, length(word)::BIGINT AS n_base,
+         |    len(str_split(substr(symstr, 2, length(symstr) - 2),
+         |      chr(31) || chr(31)))::BIGINT AS n_syms
+         |  FROM v$k),
+         |per_doc AS (SELECT dw.doc_id, count(*)::BIGINT AS n_pretokens,
+         |    sum(encw.n_base)::BIGINT AS n_base_symbols,
+         |    sum(encw.n_syms)::BIGINT AS n_bpe_tokens
+         |  FROM dw JOIN encw USING (word) GROUP BY dw.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_pretokens, 0)::BIGINT AS n_pretokens,
+         |  coalesce(p.n_base_symbols, 0)::BIGINT AS n_base_symbols,
+         |  coalesce(p.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     // Gopher repetition signals: per-(doc, n) gram counts, the top gram
     // picked by (count DESC, gram ASC) — the same first-max-in-sorted-
     // order tiebreak as the Spark run-length fold — and duplicated-5-gram

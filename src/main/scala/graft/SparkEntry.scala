@@ -93,6 +93,9 @@ object SparkEntry {
     // distributed BPE merge TRAINING: the learned k-merge table, each
     // round one vocab-bounded pair-count agg + a 1-row argmax collect
     "tx_bpe_train"   -> (TX.txBpeTrain(_, _)),
+    // BPE ENCODING with the learned table: per-doc token counts after
+    // the k merges — one narrow corpus pass, no vocabulary join
+    "tx_bpe_encode"  -> (TX.txBpeEncode(_, _)),
     "tx_split"       -> (TX.txSplit(_, _)),
     // concat-and-chunk packing (GPT-style, complements
     // pack_sequences' bin assignment): exact 512-token sequence

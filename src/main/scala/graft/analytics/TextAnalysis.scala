@@ -272,6 +272,71 @@ object TextAnalysis {
       .orderBy(col("merge_rank"))
   }
 
+  /** BPE ENCODING with the learned merge table — the consumer side of
+    * `tx_bpe_train`, and the token count every budget/packing operator
+    * wants once a real vocabulary exists (the whitespace and pre-token
+    * counts bracket it; this is the learned one). Per document:
+    * pre-token count, base symbol (character) count, and the token
+    * count after applying the [[BpeMerges]] learned merges in rank
+    * order — greedy fixed-table BPE encoding, i.e. each merge rule is
+    * one literal leftmost-first replace over the separator-wrapped
+    * symbol string, exactly the representation training used.
+    *
+    * Scale shape: the merge table is learned once (vocab-bounded
+    * rounds, ≤ [[BpeMerges]]-row collect — the artifact a pipeline
+    * would read from the persisted `tx_bpe_train` output), then
+    * encoding is ONE corpus-scale narrow pass: explode pre-tokens,
+    * fold the k replaces as codegen'd string ops (no join against a
+    * vocabulary relation — at 100 TB the distinct-pretoken table is
+    * itself huge, and a word-keyed join would shuffle the corpus;
+    * per-occurrence re-encoding is k bounded `replace`s on short
+    * strings, partition-local), and map-side-combine into one row per
+    * document.
+    */
+  def txBpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncodeDf(Tables.documents(s, dir), BpeMerges)
+
+  def bpeEncodeDf(documents: DataFrame, nMerges: Int): DataFrame = {
+    val Sep = "\u001F"
+    val pat = "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+    val merges = bpeTrainDf(documents, nMerges)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val wrapped = documents
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(pat), lit(0))).as("word"))
+      .select(col("doc_id"), length(col("word")).cast(LongType).as("n_base"),
+        concat(lit(Sep),
+          expr("array_join(transform(sequence(1, length(word)), " +
+            s"i -> substring(word, i, 1)), '$Sep$Sep')"),
+          lit(Sep)).as("symstr"))
+    val encoded = merges.foldLeft(wrapped) { case (df, (s1, s2)) =>
+      df.withColumn("symstr", call_function("replace", col("symstr"),
+        lit(Sep + s1 + Sep + Sep + s2 + Sep), lit(Sep + s1 + s2 + Sep)))
+    }
+    // symbol count without re-splitting: every symbol carries exactly
+    // two separator chars, so n_syms = (total - sans-separator) DIV 2
+    // (integer division — the codebase's boundary-arithmetic rule)
+    val perDoc = encoded
+      .select(col("doc_id"), col("n_base"),
+        (length(col("symstr")) -
+          length(call_function("replace", col("symstr"), lit(Sep), lit(""))))
+          .cast(LongType).as("n_sepchars"))
+      .select(col("doc_id"), col("n_base"),
+        expr("n_sepchars DIV 2").as("n_syms"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_pretokens"),
+        sum(col("n_base")).cast(LongType).as("n_base_symbols"),
+        sum(col("n_syms")).cast(LongType).as("n_bpe_tokens"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pretokens"), lit(0L)).as("n_pretokens"),
+        coalesce(col("n_base_symbols"), lit(0L)).as("n_base_symbols"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition filter (the quality-filter family in Rae
     * et al. 2021 §A1.1 that `tx_quality`'s diversity/stopword signals
     * don't cover): per document, the fraction of characters covered by

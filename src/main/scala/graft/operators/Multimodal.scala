@@ -56,7 +56,7 @@ object Multimodal {
     maxIdCache.computeIfAbsent(
       new java.io.File(dir).getCanonicalPath,
       _ => {
-        val row = Tables.documents(s, dir).agg(max(col("doc_id"))).head
+        val row = Tables.documents(s, dir).agg(max(col("doc_id"))).head()
         if (row.isNullAt(0)) -1L else row.getLong(0)
       })
 
