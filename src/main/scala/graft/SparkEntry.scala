@@ -518,5 +518,13 @@ object SparkEntry {
     // r17: the audio/video modality twins (WAV + sliced-BMP codec
     // passes through the same banded join; video adds the frame vote)
     // and the manifest-dialed IVF serve
-    "dedup_audio", "dedup_video", "emb_ivf_serve_dialed")
+    "dedup_audio", "dedup_video", "emb_ivf_serve_dialed",
+    // r18: BPE training (vocab-bounded rounds) + learned-table encode
+    // (one narrow corpus pass), the shuffled-order packing prefix sum,
+    // the dialed hybrid serve (must price like hybrid_serve), the
+    // incremental decontamination step, and the band-occupancy
+    // introspection row (all four fingerprint passes + text scans)
+    "tx_bpe_train", "tx_bpe_encode", "tx_pack_shuffled",
+    "hybrid_serve_dialed", "decontaminate_incremental",
+    "dedup_band_stats")
 }
