@@ -25,8 +25,12 @@ class PlanAuditSpec extends SparkSpec {
     // hybrid's dense leg is the embTopk broadcast-panel scan; its
     // lexical leg also broadcasts the 1-row corpus stats
     "hybrid_topk", "hybrid_snippets",
-    // 1-row BM25 stats broadcast against the postings term join
+    // 1-row BM25 stats broadcast against the postings term join; the
+    // dialed serve keeps hybrid_serve's exact two-leg plan (the dial
+    // only resolves the rung literals), so it inherits the same
+    // by-design broadcast × scan legs
     "lex_bm25_serve", "lex_bm25_append_serve", "hybrid_serve",
+    "hybrid_serve_dialed",
     "lex_bm25_compact_serve", "lex_bm25_serve_tombstone",
     "retrieval_metrics",
     // k-means assignment: k tiny centroids broadcast x corpus scan
