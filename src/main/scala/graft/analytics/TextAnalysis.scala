@@ -223,13 +223,16 @@ object TextAnalysis {
   def txBpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeTrainDf(Tables.documents(s, dir), BpeMerges)
 
-  def bpeTrainDf(documents: DataFrame, nMerges: Int): DataFrame = {
+  def bpeTrainDf(documents: DataFrame, nMerges: Int,
+      driverCap: Long = BpeDriverCap): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val Sep = "\u001F"
     val pat = "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
-    // pre-token frequency table: the ONLY corpus-scale pass
-    val words = documents
+    // pre-token frequency table: the ONLY corpus-scale pass. Par.spread:
+    // the regex pre-tokenization is the pass's CPU (a single-file local
+    // corpus is one input split = one task without it; identity at scale)
+    val words = graft.Par.spread(documents.select(col("text")))
       .select(explode(regexp_extract_all(col("text"), lit(pat), lit(0)))
         .as("word"))
       .groupBy(col("word")).agg(count(lit(1)).cast(LongType).as("cnt"))
@@ -237,40 +240,120 @@ object TextAnalysis {
         expr("array_join(transform(sequence(1, length(word)), " +
           s"i -> substring(word, i, 1)), '$Sep$Sep')"),
         lit(Sep)).as("symstr"))
-    var cur = words.localCheckpoint(true)
+    // ONE eager materialization: the corpus-scale pre-token pass.
+    val base = words.localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
-    val symsExpr = expr(
-      s"split(substring(symstr, 2, length(symstr) - 2), '$Sep$Sep')")
-    val pairsExpr = expr(
-      "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1), " +
-        "(a, b) -> struct(a AS s1, b AS s2))")
-    var exhausted = false
-    var rank = 1
-    while (rank <= nMerges && !exhausted) {
-      val top = cur.select(col("cnt"), symsExpr.as("syms"))
-        .select(col("cnt"), explode(pairsExpr).as("p"))
-        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-        .agg(sum(col("cnt")).as("c"))
-        .orderBy(col("c").desc, col("s1"), col("s2"))
-        .limit(1).collect() // ONE row per round: bounded control plane
-      if (top.isEmpty) exhausted = true
-      else {
-        val (s1, s2, c) = (top(0).getString(0), top(0).getString(1),
-          top(0).getLong(2))
-        merges += ((rank.toLong, s1, s2, s1 + s2, c))
-        // literal (never regex) replace: symbols carry punctuation
-        cur = cur.withColumn("symstr", call_function("replace",
-            col("symstr"),
-            lit(Sep + s1 + Sep + Sep + s2 + Sep),
-            lit(Sep + s1 + s2 + Sep)))
-          .localCheckpoint(true) // truncate the per-round lineage
-        rank += 1
+    // Distinct-pretoken count gates HOW the k rounds run (one-task job
+    // over the already-checkpointed base). The r18-build shape ran
+    // every round as a full Spark job chain (pair-explode → shuffle agg
+    // → top-1 collect, plus a localCheckpoint materialization per
+    // round): ~50 sequential driver↔scheduler round trips whose cost is
+    // scheduling latency, not data — the round relation is the DISTINCT
+    // word set, which Heaps-law-grows orders of magnitude slower than
+    // corpus bytes. So, scale-adaptively (guide §1.2: fix the
+    // distributed algorithm before tuning anything):
+    //  - small working set (≤ BpeDriverCap rows — a few MB): collect
+    //    (cnt, symstr) ONCE and replay the identical greedy rounds
+    //    driver-side with zero per-round jobs. Bounded control plane,
+    //    the same posture as the ≤1024-row trained-artifact collects;
+    //    equivalence with the distributed rounds is spec-pinned
+    //    (UTF-8-binary tiebreak order, leftmost-first literal replace —
+    //    the exact semantics of Spark's orderBy and `replace`).
+    //  - large working set: the distributed per-round loop below, with
+    //    the per-round state kept LAZY over the single checkpoint (each
+    //    round's merge is one literal replace, so round k re-derives
+    //    k-1 cheap replaces inside the job that counts its pairs,
+    //    instead of paying a materialization job per round).
+    val nWords = base.count()
+    if (nWords <= driverCap) {
+      // rows: (cnt: Long, symstr: String)
+      var tbl = base.collect().map(r => (r.getLong(0), r.getString(1)))
+      val sepSep = Sep + Sep
+      def utf8Lt(a: String, b: String): Boolean =
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      var exhausted = false
+      var rank = 1
+      while (rank <= nMerges && !exhausted) {
+        // adjacent-pair counts, weighted by word count — the driver
+        // replay of explode(zip_with(slice, slice)) + sum(cnt)
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        tbl.foreach { case (cnt, symstr) =>
+          val syms = symstr.substring(1, symstr.length - 1).split(sepSep)
+          var i = 0
+          while (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            counts.update(k, counts.getOrElse(k, 0L) + cnt)
+            i += 1
+          }
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          // argmax by (count DESC, s1 ASC, s2 ASC) in UTF-8 binary
+          // order — Spark's string sort order, byte for byte
+          var best: ((String, String), Long) = null
+          counts.foreach { kv =>
+            if (best == null || kv._2 > best._2 ||
+              (kv._2 == best._2 && (utf8Lt(kv._1._1, best._1._1) ||
+                (kv._1._1 == best._1._1 && utf8Lt(kv._1._2, best._1._2)))))
+              best = kv
+          }
+          val ((s1, s2), c) = best
+          merges += ((rank.toLong, s1, s2, s1 + s2, c))
+          // literal leftmost-first non-overlapping replace — identical
+          // to Spark's `replace` (java.lang.String.replace)
+          val from = Sep + s1 + Sep + Sep + s2 + Sep
+          val to = Sep + s1 + s2 + Sep
+          tbl = tbl.map { case (cnt, symstr) =>
+            (cnt, symstr.replace(from, to))
+          }
+          rank += 1
+        }
+      }
+    } else {
+      var cur: DataFrame = base
+      val symsExpr = expr(
+        s"split(substring(symstr, 2, length(symstr) - 2), '$Sep$Sep')")
+      val pairsExpr = expr(
+        "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1), " +
+          "(a, b) -> struct(a AS s1, b AS s2))")
+      var exhausted = false
+      var rank = 1
+      while (rank <= nMerges && !exhausted) {
+        val top = cur.select(col("cnt"), symsExpr.as("syms"))
+          .select(col("cnt"), explode(pairsExpr).as("p"))
+          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("s1"), col("s2"))
+          .limit(1).collect() // ONE row per round: bounded control plane
+        if (top.isEmpty) exhausted = true
+        else {
+          val (s1, s2, c) = (top(0).getString(0), top(0).getString(1),
+            top(0).getLong(2))
+          merges += ((rank.toLong, s1, s2, s1 + s2, c))
+          // literal (never regex) replace: symbols carry punctuation
+          cur = cur.withColumn("symstr", call_function("replace",
+              col("symstr"),
+              lit(Sep + s1 + Sep + Sep + s2 + Sep),
+              lit(Sep + s1 + s2 + Sep)))
+          rank += 1
+        }
       }
     }
     merges.toSeq
       .toDF("merge_rank", "s1", "s2", "merged", "pair_count")
       .orderBy(col("merge_rank"))
   }
+
+  /** Working-set bound for the driver-side BPE round replay: a
+    * (cnt, symstr) table of this many rows is a few MB on the driver —
+    * the same bounded-control-plane envelope as the trained-artifact
+    * collects. Above it, training falls back to the distributed
+    * per-round jobs. `bpeTrainDf`'s `driverCap` parameter overrides it
+    * (0 forces the distributed path — the equivalence spec's lever).
+    */
+  val BpeDriverCap: Long = 65536L
 
   /** BPE ENCODING with the learned merge table — the consumer side of
     * `tx_bpe_train`, and the token count every budget/packing operator
@@ -302,7 +385,10 @@ object TextAnalysis {
     val merges = bpeTrainDf(documents, nMerges)
       .orderBy(col("merge_rank"))
       .collect().map(r => (r.getString(1), r.getString(2)))
-    val wrapped = documents
+    // Par.spread, same reason as training's word pass: the per-occurrence
+    // regex + k replaces below are the encode's CPU and must not ride a
+    // single input split on a small corpus (identity at real scale)
+    val wrapped = graft.Par.spread(documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(regexp_extract_all(col("text"), lit(pat), lit(0))).as("word"))
       .select(col("doc_id"), length(col("word")).cast(LongType).as("n_base"),

@@ -52,4 +52,26 @@ class BpeTrainSpec extends SparkSpec {
     val b = merges(texts, k = 12, parts = 13)
     assert(a.nonEmpty && a == b)
   }
+
+  test("driver-side round replay == distributed rounds (r18 optimization)") {
+    // the small-working-set fast path collects (cnt, symstr) once and
+    // replays the greedy rounds on the driver; driverCap = 0 forces the
+    // distributed per-round jobs on the SAME corpus — the two merge
+    // tables must match rank for rank, including count ties resolved in
+    // UTF-8 binary order and multi-char merged symbols
+    val texts = (0 until 90).map { i =>
+      val w = Seq("the cat sat", "a hat; the cat!", "tricé or treat",
+        "treat the cat", "99 bottles", "the éclair")(i % 6)
+      w + " " + (i % 5).toString
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(7)
+    def tbl(cap: Long) = TextAnalysis.bpeTrainDf(docs, 16, driverCap = cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val driver = tbl(Long.MaxValue)
+    val dist = tbl(0L)
+    assert(driver.nonEmpty && driver == dist)
+  }
 }
