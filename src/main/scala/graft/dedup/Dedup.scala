@@ -2004,10 +2004,18 @@ object Dedup {
 
   def dedupWinnowDf(documents: DataFrame, k: Int, w: Int,
       maxDf: Int): DataFrame = {
+    // Eager checkpoint (r18): the winnowed-fingerprint relation is read
+    // by THREE consumer subtrees (the df census and both sides of the
+    // inverted-index self-join), and none canonicalize identically —
+    // the r18-before plan ran the gram-hash + winnow scan (the query's
+    // CPU) up to 4× (8 parquet scans, 0 reused exchanges). The
+    // materialized relation is two longs per selected fingerprint
+    // (~2/(w+1) of gram positions) — linear in corpus tokens.
     val prints = graft.Par.spread(documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), gramHashes(tokens(col("text")), k).as("h"))
       .filter(size(col("h")) >= 1)
       .select(col("doc_id"), explode(winnowFingerprints(col("h"), w)).as("gh"))
+      .localCheckpoint()
     val hot = prints.groupBy(col("gh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select(col("gh"))

@@ -148,10 +148,21 @@ object Hybrid {
 
   def hybridTopkDf(docs: DataFrame, emb: DataFrame, k: Int,
       c: Int): DataFrame = {
-    // ---- lexical leg: BM25 over the inverted (doc, term, tf) index
+    // ---- lexical leg: BM25 over the inverted (doc, term, tf) index.
+    // Eager checkpoint (r18): FOUR consumers read this relation (dl,
+    // dfreq, the query-term probe and the postings join) and none of
+    // their subtrees canonicalize identically (the probe pushes its
+    // filter below the agg), so without materialization the
+    // tokenize+explode+aggregate pass was planned — and run — once per
+    // consumer (14 parquet scans, 0 reused exchanges in the r18-before
+    // plan). The relation is the (doc_id, term, tf) postings table:
+    // linear in corpus tokens, the thing TextIndex persists on disk in
+    // the served twin — materializing it once per query is the same
+    // discipline inline.
     val tf = docs
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))

@@ -892,7 +892,13 @@ object Similarity {
       cut: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, dir)
-    val (codes, cw) = pqEncode(emb, samplePct = trainSamplePct(emb.count()))
+    val (codesLazy, cw) = pqEncode(emb, samplePct = trainSamplePct(emb.count()))
+    // Eager checkpoint of the code table (n·m rows of three small ints):
+    // TWO consumers below (the reconstruction norms and the ADC scan)
+    // would otherwise each re-run the full encoding pass — explode ×m,
+    // broadcast codebook join, argmax over n·m·16 scored subvectors.
+    // Materialize the codes once; both consumers read the tiny table.
+    val codes = codesLazy.localCheckpoint()
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // per-(query, subspace, code) LUT entries: dot(q_sub, codeword)
