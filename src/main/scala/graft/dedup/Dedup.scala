@@ -2048,7 +2048,10 @@ object Dedup {
     // over the text-collapse representatives; shingle-less docs emit
     // no signature and are outside the band space by contract)
     val mGroups = docs
-      .filter(size(shingles(col("text"), 3)) > 0)
+      // same relation as size(shingles(text,3)) > 0 — ShinglesExpr
+      // returns empty iff token count < n — without building the gram
+      // SET per row just to test emptiness (r18)
+      .filter(size(tokens(col("text"))) >= 3)
       .select(col("doc_id"), md5(col("text")).as("th"))
       .groupBy(col("th"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("members"))

@@ -205,10 +205,17 @@ object Similarity {
       emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // spread the t-plane hashing pass like lshBucketTable does — the
     // projection is ids-only, the compute is t·b dot products per row
+    // Eager checkpoint (r18): both sides of the bucket self-join read
+    // this relation, and one of them is the BROADCAST build side — so
+    // without materialization the t·b-plane hashing pass (the
+    // pipeline's CPU-heavy stage) ran twice per query. Same discipline
+    // as lshBucketTable's checkpoint in the dedup twin; the relation is
+    // id-only (vec_id, tbl, bucket).
     val ids = emb.repartition(shufflePartitions)
       .select(col("vec_id"),
         posexplode(lshBucketsCol(col("embedding"), nPlanes, nTables))
           .as(Seq("tbl", "bucket")))
+      .localCheckpoint()
     // explicit repartition after the distinct: the refine below is the
     // pipeline's CPU stage (one cosine per candidate pair), but on the
     // local fixtures AQE coalesces the distinct's tiny id-pair shuffle
