@@ -1268,15 +1268,40 @@ object AnnIndex {
     * measured rung (the dial's honesty: it cannot promise what the
     * index never measured).
     */
+  // Dial-manifest rows memoized per (root, dial-dir file state) — the
+  // panelMemo discipline (r13): the manifest is a tiny immutable-once-
+  // written control-plane table, and re-reading it was one fixed
+  // driver job on every warm dialed serve. Same staleness window
+  // (mtime+len of the dial dir) and the same SPARK_GRAFT_NO_ROOT_MEMO
+  // escape hatch as the other store memos.
+  private val dialMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(Long, Double)])]()
+
+  private[graft] def dialDirState(s: SparkSession, dialDir: String): String = {
+    val p = new Path(dialDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    s"${st.getModificationTime}|${fs.listStatus(p).length}"
+  }
+
   def resolveNprobe(s: SparkSession, root: String,
       targetRecall: Double): Int = {
-    val dial = s.read.parquet(s"$root/dial")
-      .orderBy(col("nprobe"))
-      .select(col("nprobe"), col("mean_recall")).collect()
+    def readRows(): Seq[(Long, Double)] =
+      s.read.parquet(s"$root/dial")
+        .orderBy(col("nprobe"))
+        .select(col("nprobe"), col("mean_recall")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dial =
+      if (sys.env.get("SPARK_GRAFT_NO_ROOT_MEMO").contains("1")) readRows()
+      else {
+        val state = dialDirState(s, s"$root/dial")
+        dialMemo.compute(s"$root/dial", (_, prev) =>
+          if (prev != null && prev._1 == state) prev
+          else (state, readRows()))._2
+      }
     require(dial.nonEmpty, s"index at $root has no dial manifest — " +
       "rebuild with writeIvfDial or serve with an explicit nprobe")
-    dial.find(_.getDouble(1) >= targetRecall)
-      .getOrElse(dial.last).getLong(0).toInt
+    dial.find(_._2 >= targetRecall).getOrElse(dial.last)._1.toInt
   }
 
   /** The dialed serve: [[serveIvfTopk]] with nprobe resolved from the
